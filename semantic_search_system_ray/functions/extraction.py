@@ -1,0 +1,173 @@
+"""Per-document NLP extraction kernel: gazetteer mention detection,
+OpenIE-style SVO triple extraction, top-5 entity/topic selection.
+
+This module is the *semantic spec* — pure per-document Python shared by both
+the distributed Ray stages (which call it on doc-local data inside actor
+pools) and the literal single-process oracle (pipelines/oracle.py). The
+distributed/oracle comparison then validates orchestration: ordering under
+parallelism, shuffles, joins, dedup — the parts a cluster can get wrong.
+
+Reference parity:
+- mention detection = sandbox surrogate for spaCy NER
+  (nlp/pr_local_nlp_pipeline.py:19,70-93 — spaCy not installed, no network):
+  longest-first, left-to-right, non-overlapping gazetteer matching with
+  word boundaries, case-insensitive.
+- top-5 entities by frequency with ``Counter.most_common`` tie semantics —
+  ties broken by FIRST-OCCURRENCE order (Counter preserves insertion order;
+  nlp/pr_local_nlp_pipeline.py:75-81).
+- entity label = label of the FIRST mention in the doc with that text
+  (``[ent.label_ for ent in doc.ents if ent.text == entity][0]``,
+  nlp/pr_local_nlp_pipeline.py:84-91).
+- ≤5 entities + ≤5 topics + short summary per doc = the results.json
+  contract (nlp/pr_aws_nlp.py:17-35,70-81).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from dataclasses import dataclass
+
+# verb surface → predicate (targets sources/synth.py SVO_TEMPLATES)
+VERB_PREDICATES = [
+    ("met with", "MET_WITH"),
+    ("announced", "ANNOUNCED"),
+    ("visited", "VISITED"),
+    ("joined", "JOINED"),
+    ("introduced the", "INTRODUCED"),
+    ("praised", "PRAISED"),
+]
+
+ENTITY_LABELS = frozenset({"PERSON", "ORG", "GPE"})
+
+
+class GazetteerMatcher:
+    """Compiled longest-first gazetteer automaton. Build ONCE per actor
+    (in ``__init__``), reuse per batch — the stateful-stage pattern."""
+
+    def __init__(self, gazetteer: dict[str, str]):
+        # longest-first so the regex alternation prefers the longest surface
+        # at any given start position; \b bounds avoid partial-word matches.
+        surfaces = sorted(gazetteer, key=len, reverse=True)
+        self._pattern = re.compile(
+            r"\b(?:" + "|".join(re.escape(s) for s in surfaces) + r")\b",
+            re.IGNORECASE,
+        )
+        # canonical-case lookup: matched text (lowered) -> (surface, label)
+        self._lookup = {s.lower(): (s, gazetteer[s]) for s in gazetteer}
+        self._verb_patterns = [
+            (re.compile(r"\b" + re.escape(v) + r"\b", re.IGNORECASE), pred)
+            for v, pred in VERB_PREDICATES
+        ]
+
+    def find_mentions(self, text: str) -> list[tuple[str, str, int, int]]:
+        """Non-overlapping, left-to-right matches.
+
+        Returns [(gazetteer_surface, label, char_start, char_end)].
+        """
+        out = []
+        for m in self._pattern.finditer(text):
+            surface, label = self._lookup[m.group(0).lower()]
+            out.append((surface, label, m.start(), m.end()))
+        return out
+
+    def extract_svo(
+        self, text: str, mentions: list[tuple[str, str, int, int]]
+    ) -> list[tuple[str, str, str]]:
+        """For each verb pattern occurring in the sentence: subject = last
+        mention ending at/before the verb start, object = first mention
+        starting at/after the verb end. Skips patterns missing either side.
+        """
+        if not mentions:
+            return []
+        triples = []
+        for vp, pred in self._verb_patterns:
+            m = vp.search(text)
+            if not m:
+                continue
+            subj = None
+            for s, _lbl, _cs, ce in mentions:
+                if ce <= m.start():
+                    subj = s
+                else:
+                    break
+            obj = None
+            for s, _lbl, cs, _ce in mentions:
+                if cs >= m.end():
+                    obj = s
+                    break
+            if subj is not None and obj is not None and subj != obj:
+                triples.append((subj, pred, obj))
+        return triples
+
+
+@dataclass
+class DocNLPResult:
+    doc_id: str
+    entities: list[dict]           # [{"text": surface, "label": label}] ≤5
+    topics: list[dict]             # [{"text": phrase, "label": "TOPIC"}] ≤5
+    summary: str
+    svo: list[tuple[str, str, str]]
+    mention_surfaces: list[str]    # all distinct surfaces seen (for canon)
+
+
+def top_n_with_first_label(
+    ordered_mentions: list[tuple[str, str]], top_n: int = 5
+) -> list[dict]:
+    """``Counter.most_common(top_n)`` over surfaces with insertion-order
+    ties; label = label of the FIRST mention with that text (J4/G1)."""
+    counter: Counter[str] = Counter(s for s, _l in ordered_mentions)
+    first_label: dict[str, str] = {}
+    for s, l in ordered_mentions:
+        if s not in first_label:
+            first_label[s] = l
+    return [
+        {"text": s, "label": first_label[s]}
+        for s, _freq in counter.most_common(top_n)
+    ]
+
+
+def process_document(
+    doc_id: str,
+    spans: list[dict],
+    matcher: GazetteerMatcher,
+    top_n: int = 5,
+    summary_sentences: int = 2,
+) -> DocNLPResult:
+    """Full per-doc NLP over the ordered span sequence.
+
+    Spans are processed in offset order (the row's span-sequence order — the
+    per-row invariant); mention order within a span is char order. This
+    fixes the first-occurrence tie semantics deterministically regardless of
+    which Ray block/batch the doc lands in.
+    """
+    ordered = sorted(spans, key=lambda s: s["offset"])
+    ent_mentions: list[tuple[str, str]] = []
+    top_mentions: list[tuple[str, str]] = []
+    svo: list[tuple[str, str, str]] = []
+    surfaces: list[str] = []
+    seen_surface: set[str] = set()
+    summary_parts: list[str] = []
+    for span in ordered:
+        if span["kind"] != "text" or not span["text"]:
+            continue
+        text = span["text"]
+        if len(summary_parts) < summary_sentences:
+            summary_parts.append(text)
+        mentions = matcher.find_mentions(text)
+        ents = [(s, l) for s, l, _cs, _ce in mentions if l in ENTITY_LABELS]
+        ent_mentions.extend(ents)
+        top_mentions.extend((s, l) for s, l, _cs, _ce in mentions if l == "TOPIC")
+        svo.extend(matcher.extract_svo(text, mentions))
+        for s, _l, _cs, _ce in mentions:
+            if s not in seen_surface:
+                seen_surface.add(s)
+                surfaces.append(s)
+    return DocNLPResult(
+        doc_id=doc_id,
+        entities=top_n_with_first_label(ent_mentions, top_n),
+        topics=top_n_with_first_label(top_mentions, top_n),
+        summary=" ".join(summary_parts)[:300],
+        svo=svo,
+        mention_surfaces=surfaces,
+    )

@@ -1,0 +1,97 @@
+"""Deterministic hashing primitives: stable 64-bit hashes, content-derived
+doc ids, MinHash signatures, SimHash, shingles.
+
+Design notes (scale):
+- All hashes are process-independent (blake2b / numpy arithmetic, never
+  Python ``hash()``) so re-runs and multi-node runs agree — required for
+  idempotent checkpoint resume (SURVEY §4 "Idempotence") and for
+  hash-partitioned dedup keys.
+- MinHash uses the classic universal-hash family (a*x+b mod p) over 64-bit
+  base hashes, vectorized with numpy — one signature per row, computed
+  batch-at-a-time inside ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE_P = (1 << 61) - 1
+_MAX_H = (1 << 32) - 1
+
+
+def stable_hash64(s: str) -> int:
+    """Stable unsigned 64-bit hash of a string (blake2b, cross-process)."""
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def content_doc_id(content: str, prefix: str = "doc") -> str:
+    """Deterministic surrogate id from content hash — replaces the
+    reference's global auto-increment id (ingest/pr_meta_store_from_local.py:20-46),
+    which cannot work on a cluster (SURVEY §2.2 M5)."""
+    h = hashlib.blake2b(content.encode("utf-8"), digest_size=12).hexdigest()
+    return f"{prefix}-{h}"
+
+
+def word_shingles(tokens: list[str], k: int = 3) -> list[str]:
+    """k-word shingles; falls back to the whole token list if shorter."""
+    if len(tokens) < k:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+
+
+def char_ngrams(s: str, n: int = 3) -> set[str]:
+    """Character n-gram set (used for Jaccard similarity / canon blocking)."""
+    if len(s) < n:
+        return {s} if s else set()
+    return {s[i : i + n] for i in range(len(s) - n + 1)}
+
+
+def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE_P, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE_P, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+_MH_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def minhash_signature(shingles, num_perm: int = 64, seed: int = 1) -> np.ndarray:
+    """MinHash signature (uint32[num_perm]) of a shingle set.
+
+    Empty input → all ``0xFFFFFFFF`` (matches nothing except other empties).
+    """
+    key = (num_perm, seed)
+    if key not in _MH_CACHE:
+        _MH_CACHE[key] = _minhash_params(num_perm, seed)
+    a, b = _MH_CACHE[key]
+    if not shingles:
+        return np.full(num_perm, _MAX_H, dtype=np.uint32)
+    base = np.array([stable_hash64(s) for s in shingles], dtype=np.uint64)
+    # (num_shingles, num_perm) universal hashes; min over shingles
+    hv = (np.outer(base, a) + b) % _MERSENNE_P
+    return (hv.min(axis=0) & _MAX_H).astype(np.uint32)
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token unigrams (frequency-weighted)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = stable_hash64(t)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

@@ -1,0 +1,247 @@
+"""Seeded synthetic corpus generator: spans-shaped interleaved text+media
+documents + gazetteer + taxonomy + phrase_docs (FIXTURES.md F1-F4).
+
+Mirrors the measured properties of the reference corpus (SURVEY §1.1, §6):
+- one head entity in ~67% of docs (reference: "John B Larson" in 2,174/3,225
+  docs per results.json), with surface-form variants exercising
+  canonicalization ("John B Larson" / "John B. Larson" / "John Larson");
+- ~15% media spans interleaved between text spans; 3-40 spans per doc;
+- sentences drawn from verb templates the triple extractor targets;
+- taxonomy keys with mixed case / stray whitespace (require normalize_key);
+- phrase_docs containing phrases absent from the taxonomy (silently dropped
+  by the inner join, knowledge_graph/knowledge_graph.py:160-163) and
+  duplicate (topic, doc) pairs (deduped by the per-topic seen-set, :170-186).
+
+Everything is a pure function of (seed, n_docs) — no wall clock, no global
+state — so fixtures are reproducible across processes and rounds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from semantic_search_system_ray.schemas import (
+    DOC_META_SCHEMA,
+    DOCUMENTS_SCHEMA,
+    PHRASE_DOCS_SCHEMA,
+    TAXONOMY_SCHEMA,
+)
+
+# ---------------------------------------------------------------------------
+# Vocabulary (fixed, seed-independent)
+# ---------------------------------------------------------------------------
+
+HEAD_ENTITY_VARIANTS = ["John B Larson", "John B. Larson", "John Larson"]
+
+PEOPLE = [
+    "Maria Gonzalez", "Maria C. Gonzalez", "Wei Chen", "Aisha Khan",
+    "Robert Ortiz", "Robert J Ortiz", "Elena Petrova", "Samuel Adeyemi",
+    "Grace Kim", "Tomas Novak", "Fatima Al-Sayed", "David Stein",
+    "Priya Sharma", "Lucas Moreau", "Hana Suzuki", "Ivan Dragovic",
+    "Nora Lindqvist", "Omar Haddad", "Julia Costa", "Peter Walsh",
+]
+
+ORGS = [
+    "Energy Committee", "Hartford Council", "Capitol Works", "Riverside Labs",
+    "Atlantic Coalition", "Northstar Alliance", "Civic Data Trust",
+    "Green Grid Initiative", "Harbor Transit Authority", "Summit Health Group",
+    "Beacon Education Fund", "Liberty Manufacturing", "Valley Farm Bureau",
+    "Union Rail Partners", "Apex Research Institute",
+]
+
+PLACES = [
+    "Hartford", "East Hartford", "New Britain", "Springfield", "Manchester",
+    "Glastonbury", "Bristol", "Windsor", "Middletown", "Wethersfield",
+]
+
+# broad_topic -> phrases (the taxonomy ground truth; noise added on output)
+TOPIC_PHRASES = {
+    "energy": ["clean energy", "solar power", "wind energy", "fuel efficiency",
+               "energy grid", "carbon capture"],
+    "health care": ["health care reform", "medicare coverage", "drug pricing",
+                    "public health", "mental health services"],
+    "education": ["student loans", "public schools", "teacher training",
+                  "early education", "school funding"],
+    "transportation": ["rail service", "highway safety", "public transit",
+                       "airport expansion", "bridge repair"],
+    "economy": ["job growth", "small business", "manufacturing jobs",
+                "trade policy", "minimum wage"],
+    "veterans": ["veterans benefits", "military families", "va hospitals",
+                 "veteran housing"],
+    "environment": ["clean water", "air quality", "river restoration",
+                    "climate resilience"],
+    "technology": ["broadband access", "data privacy", "cyber security",
+                   "artificial intelligence"],
+}
+
+# verb templates: (template, predicate) — {A}/{B} person-or-org, {O} org,
+# {L} place, {PH} topic phrase. The extractor targets exactly these verbs.
+SVO_TEMPLATES = [
+    ("{A} met with {B} to discuss {PH}.", "MET_WITH"),
+    ("{A} announced {PH} funding in {L}.", "ANNOUNCED"),
+    ("{A} visited {L} on Tuesday.", "VISITED"),
+    ("{A} joined {O} last week.", "JOINED"),
+    ("{A} introduced the {PH} act.", "INTRODUCED"),
+    ("{A} praised {O} for its work on {PH}.", "PRAISED"),
+]
+
+FILLER_TEMPLATES = [
+    "The committee discussed {PH} at length.",
+    "Residents of {L} raised questions about {PH}.",
+    "A report on {PH} was published this month.",
+    "Local leaders in {L} reviewed the plan.",
+]
+
+MEDIA_KINDS = ["image", "audio", "table"]
+
+
+@dataclass
+class SynthCorpus:
+    documents: pa.Table            # DOCUMENTS_SCHEMA
+    doc_meta: pa.Table             # DOC_META_SCHEMA
+    taxonomy: pa.Table             # TAXONOMY_SCHEMA (with case/ws noise)
+    phrase_docs: pa.Table          # PHRASE_DOCS_SCHEMA
+    gazetteer: dict = field(default_factory=dict)  # surface -> label
+
+    def write(self, out_dir: str) -> None:
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(self.documents, f"{out_dir}/documents.parquet")
+        pq.write_table(self.doc_meta, f"{out_dir}/doc_meta.parquet")
+        pq.write_table(self.taxonomy, f"{out_dir}/taxonomy.parquet")
+        pq.write_table(self.phrase_docs, f"{out_dir}/phrase_docs.parquet")
+
+
+def build_gazetteer() -> dict[str, str]:
+    """surface form -> label. Deterministic; shared by engine and oracle."""
+    gaz: dict[str, str] = {}
+    for p in HEAD_ENTITY_VARIANTS + PEOPLE:
+        gaz[p] = "PERSON"
+    for o in ORGS:
+        gaz[o] = "ORG"
+    for pl in PLACES:
+        gaz[pl] = "GPE"
+    for phrases in TOPIC_PHRASES.values():
+        for ph in phrases:
+            gaz[ph] = "TOPIC"
+    return gaz
+
+
+def _noise_key(rng: random.Random, s: str) -> str:
+    """Inject mixed case / stray whitespace so joins require normalize_key."""
+    r = rng.random()
+    if r < 0.25:
+        s = s.title()
+    elif r < 0.4:
+        s = s.upper()
+    if rng.random() < 0.3:
+        s = " " + s + " "
+    return s
+
+
+def generate_corpus(n_docs: int = 500, seed: int = 42) -> SynthCorpus:
+    rng = random.Random(seed)
+    all_phrases = [ph for phs in TOPIC_PHRASES.values() for ph in phs]
+    people_pool = PEOPLE + ["%s" % v for v in HEAD_ENTITY_VARIANTS]
+
+    doc_ids, spans_col = [], []
+    meta_rows = {"doc_id": [], "pr_url": [], "pr_title": [], "pr_date": []}
+    phrase_doc_rows: list[tuple[str, str, str, str]] = []
+
+    for i in range(n_docs):
+        doc_id = f"doc-{i:06d}"
+        has_head = rng.random() < 0.67
+        head = rng.choice(HEAD_ENTITY_VARIANTS) if has_head else None
+        n_spans = rng.randint(3, 40)
+        spans = []
+        offset = 0
+        doc_phrases: set[str] = set()
+        for _ in range(n_spans):
+            if rng.random() < 0.15:
+                ref = hashlib.blake2b(
+                    f"{doc_id}-{offset}".encode(), digest_size=8
+                ).hexdigest()
+                spans.append(
+                    {"kind": rng.choice(MEDIA_KINDS), "text": "",
+                     "media_ref": f"media://{ref}", "offset": offset}
+                )
+                offset += 1
+                continue
+            # text span: pick a template
+            a = head if (head and rng.random() < 0.55) else rng.choice(people_pool)
+            b = rng.choice([p for p in people_pool if p != a] + ORGS)
+            o = rng.choice(ORGS)
+            loc = rng.choice(PLACES)
+            ph = rng.choice(all_phrases)
+            if rng.random() < 0.7:
+                tmpl, _pred = rng.choice(SVO_TEMPLATES)
+            else:
+                tmpl = rng.choice(FILLER_TEMPLATES)
+            sent = (
+                tmpl.replace("{A}", a).replace("{B}", b).replace("{O}", o)
+                .replace("{L}", loc).replace("{PH}", ph)
+            )
+            if ph in sent:
+                doc_phrases.add(ph)
+            spans.append({"kind": "text", "text": sent, "media_ref": "", "offset": offset})
+            offset += len(sent) + 1
+        doc_ids.append(doc_id)
+        spans_col.append(spans)
+
+        url = f"https://example.test/pr/{doc_id}"
+        title = f"Press release {i}"
+        y = 2000 + (i % 26)
+        m = 1 + (i % 12)
+        d = 1 + (i % 28)
+        meta_rows["doc_id"].append(doc_id)
+        meta_rows["pr_url"].append(url)
+        meta_rows["pr_title"].append(title)
+        meta_rows["pr_date"].append(f"{y:04d}-{m:02d}-{d:02d}")
+
+        for ph in sorted(doc_phrases):
+            phrase_doc_rows.append((_noise_key(rng, ph), doc_id, url, title))
+            if rng.random() < 0.1:  # duplicate (phrase, doc) pair on purpose
+                phrase_doc_rows.append((ph, doc_id, url, title))
+
+    # phrases present in phrase_docs but absent from taxonomy (dropped by join)
+    for extra in ["orphan phrase", "unlisted topic"]:
+        if doc_ids:
+            phrase_doc_rows.append(
+                (extra, doc_ids[0], meta_rows["pr_url"][0], meta_rows["pr_title"][0])
+            )
+
+    documents = pa.Table.from_pydict(
+        {"doc_id": doc_ids, "spans": spans_col}, schema=DOCUMENTS_SCHEMA
+    )
+    doc_meta = pa.Table.from_pydict(meta_rows, schema=DOC_META_SCHEMA)
+
+    tax_rows = {"broad_topic": [], "phrase": []}
+    for topic, phrases in TOPIC_PHRASES.items():
+        for ph in phrases:
+            tax_rows["broad_topic"].append(_noise_key(rng, topic))
+            tax_rows["phrase"].append(_noise_key(rng, ph))
+    taxonomy = pa.Table.from_pydict(tax_rows, schema=TAXONOMY_SCHEMA)
+
+    phrase_docs = pa.Table.from_pydict(
+        {
+            "phrase": [r[0] for r in phrase_doc_rows],
+            "doc_id": [r[1] for r in phrase_doc_rows],
+            "url": [r[2] for r in phrase_doc_rows],
+            "title": [r[3] for r in phrase_doc_rows],
+        },
+        schema=PHRASE_DOCS_SCHEMA,
+    )
+
+    return SynthCorpus(
+        documents=documents,
+        doc_meta=doc_meta,
+        taxonomy=taxonomy,
+        phrase_docs=phrase_docs,
+        gazetteer=build_gazetteer(),
+    )
