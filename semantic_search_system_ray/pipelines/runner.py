@@ -1,0 +1,212 @@
+"""Checkpointed, resumable KG-build runner.
+
+Two-level structure matched to where the compute lives at scale:
+
+- **Phase A (heavy, per-partition, checkpointed)** — the NLP/extraction
+  stage. Partitions are groups of input FILES (the natural unit for a
+  100 TB corpus: each partition reads only its own fragments — no full
+  rescans). Each partition: read → DocNLP actor pool → write raw triples +
+  surface forms under ``part=<k>/`` (delete → write → atomic commit-marker,
+  state/manifest.py), with lineage counters (docs in, triples out,
+  checksum). A rerun skips committed partitions — the immutable version of
+  the reference's ``processed``-flag work queue (ingest/pr_meta_store.py:119-139).
+- **Phase B (light, global)** — canonicalization over distinct surfaces,
+  taxonomy triples, final dedup, graph materialize. Rows here are orders of
+  magnitude fewer than Phase A's input; it reruns from Phase A's committed
+  outputs and commits as a single final partition.
+
+Idempotence: all content is a deterministic function of the input (content
+hashes, seeded kernels), so a recomputed partition writes byte-identical
+rows and re-runs converge (reference analogue: OpenSearch ``_id``-keyed
+upserts, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from semantic_search_system_ray.functions.hashing import stable_hash64
+from semantic_search_system_ray.pipelines.kg_build import (
+    KGResult,
+    adjacency_from_edges,
+    dedup_triples,
+    edges_from_triples,
+    nodes_from_triples,
+    relates_to_doc_triples,
+    surfaces_from_enriched,
+    taxonomy_triples,
+    triples_from_enriched,
+)
+from semantic_search_system_ray.stages.canon import canonical_map_dict
+from semantic_search_system_ray.stages.docnlp import enrich_documents
+from semantic_search_system_ray.state.manifest import Manifest
+
+
+def plan_partitions(documents_path: str, num_parts: int) -> list[list[str]]:
+    """Deterministic partition plan: sorted input files round-robined into
+    ``num_parts`` groups. One file → one single-partition plan."""
+    if os.path.isdir(documents_path):
+        files = sorted(
+            glob.glob(os.path.join(documents_path, "**", "*.parquet"), recursive=True)
+        )
+    else:
+        files = [documents_path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {documents_path}")
+    num_parts = min(num_parts, len(files))
+    return [files[i::num_parts] for i in range(num_parts)]
+
+
+def _read_parts(dirs: list[str]) -> rd.Dataset:
+    """read_parquet over a list of partition DIRECTORIES (expanded to files
+    — ray.data accepts a single dir or a list of files, not a dir list)."""
+    files: list[str] = []
+    for d in dirs:
+        files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    return rd.read_parquet(files)
+
+
+def _triples_checksum(ds: rd.Dataset) -> int:
+    mod = (1 << 31) - 1
+
+    def batch_sum(batch: pa.Table) -> pa.Table:
+        s = 0
+        for a, b, c in zip(
+            batch.column("subj").to_pylist(),
+            batch.column("pred").to_pylist(),
+            batch.column("obj").to_pylist(),
+        ):
+            s = (s + stable_hash64(f"{a}\x00{b}\x00{c}")) % mod
+        return pa.Table.from_pydict({"s": pa.array([s], pa.int64())})
+
+    part = ds.map_batches(batch_sum, batch_format="pyarrow")
+    return int(part.sum("s") or 0) % mod
+
+
+def run_phase_a(
+    documents_path: str,
+    gazetteer: dict[str, str],
+    out_dir: str,
+    *,
+    num_parts: int = 8,
+    concurrency=(1, 8),
+    batch_size: int = 256,
+    max_parts: int | None = None,
+) -> Manifest:
+    """Per-partition extraction with checkpoint commit. ``max_parts`` stops
+    early after N newly-committed partitions (used by the kill/resume test
+    to simulate a mid-job crash)."""
+    manifest = Manifest(out_dir)
+    plan = plan_partitions(documents_path, num_parts)
+    done = manifest.committed("raw_triples")
+    newly = 0
+    for k, files in enumerate(plan):
+        if k in done:
+            continue
+        if max_parts is not None and newly >= max_parts:
+            break
+        docs = rd.read_parquet(files)
+        enriched = enrich_documents(
+            docs, gazetteer, concurrency=concurrency, batch_size=batch_size, embed=False
+        )
+        raw = triples_from_enriched(enriched)
+        raw_dir = manifest.begin_partition("raw_triples", k)
+        raw.write_parquet(raw_dir)
+        surf_dir = manifest.begin_partition("surfaces", k)
+        surfaces = surfaces_from_enriched(enriched)
+        surfaces.write_parquet(surf_dir)
+
+        raw_written = rd.read_parquet(raw_dir)
+        rows_out = raw_written.count()
+        rows_in = docs.count()
+        manifest.commit_partition("surfaces", k, rows_in=rows_in, rows_out=rows_out)
+        manifest.commit_partition(
+            "raw_triples",
+            k,
+            rows_in=rows_in,
+            rows_out=rows_out,
+            checksum=_triples_checksum(raw_written),
+            extra={"files": files},
+        )
+        newly += 1
+    return manifest
+
+
+def run_phase_b(
+    taxonomy: pa.Table,
+    phrase_docs: rd.Dataset,
+    out_dir: str,
+) -> KGResult:
+    """Global canon + dedup + materialize from Phase A's committed parts."""
+    manifest = Manifest(out_dir)
+    parts = sorted(manifest.committed("raw_triples"))
+    if not parts:
+        raise RuntimeError("no committed raw_triples partitions; run Phase A first")
+    raw = _read_parts([manifest.partition_dir("raw_triples", k) for k in parts])
+    surfaces = _read_parts([manifest.partition_dir("surfaces", k) for k in parts])
+
+    canon = canonical_map_dict(surfaces)
+
+    def apply_flags(batch: pa.Table, canon_map=canon) -> pa.Table:
+        subj = batch.column("subj").to_pylist()
+        obj = batch.column("obj").to_pylist()
+        cs = batch.column("canon_subj").to_pylist()
+        co = batch.column("canon_obj").to_pylist()
+        subj = [canon_map.get(s, s) if f else s for s, f in zip(subj, cs)]
+        obj = [canon_map.get(o, o) if f else o for o, f in zip(obj, co)]
+        return pa.Table.from_pydict(
+            {
+                "subj": pa.array(subj, pa.string()),
+                "pred": batch.column("pred"),
+                "obj": pa.array(obj, pa.string()),
+            }
+        )
+
+    canoned = raw.map_batches(apply_flags, batch_format="pyarrow")
+    tax_tbl, phrase_to_topic = taxonomy_triples(taxonomy)
+    rel = relates_to_doc_triples(phrase_docs, phrase_to_topic)
+    triples = dedup_triples(canoned.union(rd.from_arrow(tax_tbl), rel))
+
+    final_dir = manifest.begin_partition("triples", 0)
+    triples.write_parquet(final_dir)
+    triples_written = rd.read_parquet(final_dir)
+
+    nodes_dir = manifest.begin_partition("nodes", 0)
+    nodes_from_triples(triples_written).write_parquet(nodes_dir)
+    edges = edges_from_triples(triples_written)
+    adj_dir = manifest.begin_partition("adjacency", 0)
+    adjacency_from_edges(edges).write_parquet(adj_dir)
+
+    n_out = triples_written.count()
+    rows_in = manifest.totals("raw_triples")["rows_out"]
+    manifest.commit_partition(
+        "triples", 0, rows_in=rows_in, rows_out=n_out,
+        checksum=_triples_checksum(triples_written),
+    )
+    manifest.commit_partition("nodes", 0, rows_in=n_out, rows_out=rd.read_parquet(nodes_dir).count())
+    manifest.commit_partition("adjacency", 0, rows_in=n_out, rows_out=rd.read_parquet(adj_dir).count())
+    return KGResult(triples=triples_written, enriched=None, canon=canon)
+
+
+def run_kg(
+    documents_path: str,
+    taxonomy: pa.Table,
+    phrase_docs: rd.Dataset,
+    gazetteer: dict[str, str],
+    out_dir: str,
+    *,
+    num_parts: int = 8,
+    concurrency=(1, 8),
+    batch_size: int = 256,
+) -> KGResult:
+    """Full checkpointed run (resumes automatically from the manifest)."""
+    run_phase_a(
+        documents_path, gazetteer, out_dir,
+        num_parts=num_parts, concurrency=concurrency, batch_size=batch_size,
+    )
+    return run_phase_b(taxonomy, phrase_docs, out_dir)

@@ -108,11 +108,22 @@ class SynthCorpus:
     phrase_docs: pa.Table          # PHRASE_DOCS_SCHEMA
     gazetteer: dict = field(default_factory=dict)  # surface -> label
 
-    def write(self, out_dir: str) -> None:
+    def write(self, out_dir: str, num_doc_files: int = 1) -> None:
+        """Write to parquet. ``num_doc_files > 1`` shards the documents table
+        into multiple files — the unit of checkpoint partitioning at scale
+        (a real corpus is many Lance fragments / parquet files)."""
         import os
 
         os.makedirs(out_dir, exist_ok=True)
-        pq.write_table(self.documents, f"{out_dir}/documents.parquet")
+        if num_doc_files <= 1:
+            pq.write_table(self.documents, f"{out_dir}/documents.parquet")
+        else:
+            os.makedirs(f"{out_dir}/documents", exist_ok=True)
+            n = self.documents.num_rows
+            per = (n + num_doc_files - 1) // num_doc_files
+            for i in range(num_doc_files):
+                part = self.documents.slice(i * per, per)
+                pq.write_table(part, f"{out_dir}/documents/part-{i:04d}.parquet")
         pq.write_table(self.doc_meta, f"{out_dir}/doc_meta.parquet")
         pq.write_table(self.taxonomy, f"{out_dir}/taxonomy.parquet")
         pq.write_table(self.phrase_docs, f"{out_dir}/phrase_docs.parquet")

@@ -40,6 +40,7 @@ from semantic_search_system_ray.functions.canon_spec import (
     norm_surface,
 )
 from semantic_search_system_ray.functions.hashing import stable_hash64
+from semantic_search_system_ray.stages.util import ensure_schema
 
 
 def _surface_norms(batch: pa.Table) -> pa.Table:
@@ -60,9 +61,11 @@ def _block_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _block_edges(group: pd.DataFrame) -> pd.DataFrame:
+def _block_edges(group: pd.DataFrame) -> pa.Table:
     """Within one block: link members sharing (first, last) tokens via star
-    edges to the group's lexicographic min member."""
+    edges to the group's lexicographic min member. Returns Arrow with an
+    explicit schema — an empty pandas frame would degrade string columns to
+    Arrow ``null`` type and break the downstream join schema."""
     members = sorted(set(group["norm"]))
     by_pair: dict[tuple[str, str], list[str]] = {}
     for n in members:
@@ -73,7 +76,9 @@ def _block_edges(group: pd.DataFrame) -> pd.DataFrame:
         for n in grp[1:]:
             src.append(n)
             dst.append(rep)
-    return pd.DataFrame({"src": src, "dst": dst})
+    return pa.Table.from_pydict(
+        {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+    )
 
 
 def _label_checksum(labels: rd.Dataset) -> int:
@@ -116,10 +121,12 @@ def canonical_map_ds(
     norms = (
         surf_norm.select_columns(["norm"]).groupby("norm").count().drop_columns(["count()"])
     )
-    edges = (
+    edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    edges = ensure_schema(
         norms.map_batches(_block_rows, batch_format="pyarrow")
         .groupby("block_key")
-        .map_groups(_block_edges, batch_format="pandas")
+        .map_groups(_block_edges, batch_format="pandas"),
+        edge_schema,
     )
     # symmetric edge list (min-label must flow both ways)
     edges_sym = edges.union(
@@ -138,25 +145,52 @@ def canonical_map_ds(
         batch_format="pyarrow",
     ).materialize()
 
+    # Label lookup is expressed as a COGROUP (groupby(key).map_groups over
+    # the union of label rows and edge rows) rather than Dataset.join:
+    # equivalent dataflow (one hash shuffle), and robust to empty hash
+    # partitions, which break ray 2.49's join finalize on small inputs.
+    cg_schema = pa.schema(
+        [("key", pa.string()), ("src", pa.string()),
+         ("label", pa.string()), ("is_label", pa.bool_())]
+    )
+    msg_schema = pa.schema([("node", pa.string()), ("label", pa.string())])
+
+    def _labels_as_cg(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t.column("node"), pa.array([""] * n, pa.string()),
+             t.column("label"), pa.array([True] * n)],
+            schema=cg_schema,
+        )
+
+    def _edges_as_cg(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t.column("dst"), t.column("src"),
+             pa.array([""] * n, pa.string()), pa.array([False] * n)],
+            schema=cg_schema,
+        )
+
+    def _emit_messages(g: pd.DataFrame) -> pa.Table:
+        lab = g.loc[g["is_label"], "label"].min()  # exactly one label row
+        nodes = [g["key"].iloc[0]] + list(g.loc[~g["is_label"], "src"])
+        return pa.Table.from_arrays(
+            [pa.array(nodes, pa.string()),
+             pa.array([lab] * len(nodes), pa.string())],
+            schema=msg_schema,
+        )
+
     prev = _label_checksum(labels)
     for _ in range(max_rounds):
-        # messages: for each edge (src,dst), src receives label(dst)
-        joined = edges_sym.join(
-            labels,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("dst",),
-            right_on=("node",),
+        combined = labels.map_batches(_labels_as_cg, batch_format="pyarrow").union(
+            edges_sym.map_batches(_edges_as_cg, batch_format="pyarrow")
         )
-        messages = joined.map_batches(
-            lambda t: pa.Table.from_pydict(
-                {"node": t.column("src"), "label": t.column("label")}
-            ),
-            batch_format="pyarrow",
+        messages = ensure_schema(
+            combined.groupby("key").map_groups(_emit_messages, batch_format="pandas"),
+            msg_schema,
         )
         labels = (
-            messages.union(labels)
-            .groupby("node")
+            messages.groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
@@ -165,19 +199,33 @@ def canonical_map_ds(
             break
         prev = cur
 
-    # surface → canonical via join on norm
-    out = surf_norm.join(
-        labels,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("norm",),
-        right_on=("node",),
+    # surface → canonical: same cogroup pattern on norm
+    out_schema = pa.schema([("surface", pa.string()), ("canonical", pa.string())])
+
+    def _surfaces_as_cg(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t.column("norm"), t.column("surface"),
+             pa.array([""] * n, pa.string()), pa.array([False] * n)],
+            schema=cg_schema,
+        )
+
+    def _emit_canon(g: pd.DataFrame) -> pa.Table:
+        lab = g.loc[g["is_label"], "label"]
+        canonical = lab.min() if len(lab) else g["key"].iloc[0]
+        surfs = list(g.loc[~g["is_label"], "src"])
+        return pa.Table.from_arrays(
+            [pa.array(surfs, pa.string()),
+             pa.array([canonical] * len(surfs), pa.string())],
+            schema=out_schema,
+        )
+
+    combined = labels.map_batches(_labels_as_cg, batch_format="pyarrow").union(
+        surf_norm.map_batches(_surfaces_as_cg, batch_format="pyarrow")
     )
-    return out.map_batches(
-        lambda t: pa.Table.from_pydict(
-            {"surface": t.column("surface"), "canonical": t.column("label")}
-        ),
-        batch_format="pyarrow",
+    return ensure_schema(
+        combined.groupby("key").map_groups(_emit_canon, batch_format="pandas"),
+        out_schema,
     )
 
 
