@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+- ``entry()``   — flagship KG pipeline over /root/testdata/sf0.001: adapt
+  the flat documents table to the spans-shaped corpus (deterministic), run
+  DocNLP → canonicalization → triple dedup, return the triples Dataset.
+- ``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+  the training-data operator suite); each takes ``sf_dir``.
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+  (same column names, same rounding). Non-SQL ops (KG extraction, minhash/
+  simhash clustering, LSH ANN, heuristic lang-id/quality/fingerprint) are
+  intentionally absent → the driver records rows-only checks for them.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +19,165 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
+# Gazetteer for the driver's word-soup documents corpus: multi-word phrases
+# exercise longest-first matching; labels split entity-ish vs topic-ish so
+# MENTIONS and HAS_TOPIC triples both materialize.
+TESTDATA_GAZETTEER: dict[str, str] = {
+    "hash join": "TOPIC", "sort merge": "TOPIC", "table scan": "TOPIC",
+    "window": "TOPIC", "stream": "TOPIC", "vector": "TOPIC",
+    "group query": "TOPIC", "batch": "TOPIC",
+    "customer": "ORG", "spark": "ORG", "part": "ORG",
+    "column": "GPE", "row": "GPE", "line": "GPE",
+    "filter": "PERSON", "merge": "PERSON", "scan": "PERSON",
+}
+
+TESTDATA_TAXONOMY = {
+    "joins": ["hash join", "sort merge"],
+    "scans": ["table scan", "stream"],
+    "exec": ["window", "vector", "batch", "group query"],
+}
+
+
+def _testdata_taxonomy_table() -> pa.Table:
+    rows = [(t, p) for t, ps in TESTDATA_TAXONOMY.items() for p in ps]
+    return pa.Table.from_pydict(
+        {"broad_topic": [r[0] for r in rows], "phrase": [r[1] for r in rows]}
+    )
+
+
+def _empty_phrase_docs():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"phrase": pa.array([], pa.string()), "doc_id": pa.array([], pa.string()),
+             "url": pa.array([], pa.string()), "title": pa.array([], pa.string())}
+        )
+    )
+
+
+def _kg_triples(sf_dir: str):
+    import ray.data as rd
+
+    from semantic_search_system_ray.pipelines.kg_build import build_triples
+    from semantic_search_system_ray.sources.documents import text_table_to_spans
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    spans = text_table_to_spans(docs)
+    res = build_triples(
+        spans, _testdata_taxonomy_table(), _empty_phrase_docs(),
+        TESTDATA_GAZETTEER, concurrency=(1, 4), batch_size=128,
+    )
+    return res.triples
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return _kg_triples("/root/testdata/sf0.001")
+
+
+def _q_minhash_clusters(sf_dir: str):
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.dedup import minhash_lsh_clusters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_clusters(ds, threshold=0.6)
+
+
+def _q_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.dedup import simhash_table
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_table(ds)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.8)
+
+
+def _q_langid(sf_dir: str):
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.textstats import LangId
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _q_quality(sf_dir: str):
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.textstats import QualityScore
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _q_fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.textstats import fingerprint_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def _q_ann_lsh(sf_dir: str):
+    import numpy as np
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.ann import lsh_bucket_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    row = ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]
+    q = np.asarray(row["embedding"], dtype=np.float64)
+    return lsh_bucket_topk(ds, q, k=10, num_planes=4)
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data as rd
+
+    from semantic_search_system_ray.sources.documents import text_table_to_spans
+    from semantic_search_system_ray.stages.media import MediaFeatures, flatten_media_spans
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = flatten_media_spans(text_table_to_spans(docs))
+    return media.map_batches(
+        MediaFeatures, batch_format="pyarrow", concurrency=(1, 4), batch_size=64
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from semantic_search_system_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(QUERIES)
+    out.update(
+        {
+            "kg_triples": _kg_triples,
+            "minhash_clusters": _q_minhash_clusters,
+            "simhash": _q_simhash,
+            "ngram_jaccard": _q_ngram_jaccard,
+            "langid": _q_langid,
+            "quality_score": _q_quality,
+            "fingerprint": _q_fingerprint,
+            "ann_lsh": _q_ann_lsh,
+            "media_features": _q_media_features,
+        }
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from semantic_search_system_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,156 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline (``value``): wall-clock seconds of the flagship KG-build pipeline
+(DocNLP actor pool → canonicalization → triple dedup → count) over a
+seeded synthetic spans corpus sized to the scale factor (the corpus the
+engine is FOR, per BASELINE.json input_hint; generated once into /tmp and
+reused). ``queries`` adds per-pipeline timings for representative
+operators over ``$GRAFT_SF_DIR`` tables plus a KG build over the driver's
+flat documents table adapted to spans.
+
+Env: ``GRAFT_SF_DIR`` (default /root/testdata/sf0.1), ``RAY_GRAFT_CPUS``
+(default 32).
+
+``--scaling``: run the same benchmark twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input (page cache warmed) and
+report both throughputs + scaling efficiency = (t8/t32)/(32/8). This is
+the sandbox stand-in for the north rule's N vs 4N cluster sizes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# synthetic KG corpus sizing per scale factor (docs); seed fixed
+_CORPUS_DOCS = {"sf0.001": 500, "sf0.01": 5_000, "sf0.1": 30_000}
+_CORPUS_SEED = 42
+
+
+def _corpus_dir() -> str:
+    sf_name = os.path.basename(SF_DIR.rstrip("/")) or "sf0.1"
+    n_docs = _CORPUS_DOCS.get(sf_name, 30_000)
+    d = f"/tmp/kg_bench_corpus_{sf_name}_{n_docs}_{_CORPUS_SEED}"
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        from semantic_search_system_ray.sources.synth import generate_corpus
+
+        c = generate_corpus(n_docs=n_docs, seed=_CORPUS_SEED)
+        c.write(d, num_doc_files=32)
+        open(marker, "w").write("ok")
+    return d
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NCPU, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from semantic_search_system_ray.context import tune
+
+    tune(NCPU)
+
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+    from semantic_search_system_ray.pipelines.kg_build import build_triples
+    from semantic_search_system_ray.sources.synth import build_gazetteer
+
+    corpus = _corpus_dir()
+
+    # warm the OS page cache (untimed) so we measure compute + shuffle
+    rd.read_parquet(f"{corpus}/documents").count()
+    for t in ("lineitem", "orders", "documents", "embeddings", "events"):
+        rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
+
+    timings: dict[str, float] = {}
+
+    # --- headline: flagship KG build over the spans corpus
+    t0 = time.perf_counter()
+    res = build_triples(
+        rd.read_parquet(f"{corpus}/documents"),
+        __import__("pyarrow.parquet", fromlist=["read_table"]).read_table(
+            f"{corpus}/taxonomy.parquet"
+        ),
+        rd.read_parquet(f"{corpus}/phrase_docs.parquet"),
+        build_gazetteer(),
+        concurrency=(2, max(2, NCPU // 2)),
+        batch_size=256,
+    )
+    n_triples = res.triples.count()
+    timings["kg_build"] = round(time.perf_counter() - t0, 3)
+
+    n_docs = rd.read_parquet(f"{corpus}/documents").count()
+
+    # --- representative operator pipelines over the driver tables
+    qs = entrymod.queries()
+    for name in (
+        "groupby_lineitem", "revenue_by_priority", "word_topk", "topk_orders",
+        "ann_cosine", "dedup_exact", "events_hourly", "minhash_clusters",
+    ):
+        t0 = time.perf_counter()
+        out = qs[name](SF_DIR)
+        if hasattr(out, "count"):
+            out.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # KG build over the driver's flat documents table (spans-adapted)
+    t0 = time.perf_counter()
+    entrymod._kg_triples(SF_DIR).count()
+    timings["kg_build_testdata"] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "kg_build_seconds (flagship triples pipeline over synthetic spans corpus)",
+        "value": timings["kg_build"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NCPU,
+        "kg_docs": n_docs,
+        "kg_triples": n_triples,
+        "triples_per_sec": round(n_triples / timings["kg_build"], 1),
+        "docs_per_sec": round(n_docs / timings["kg_build"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    _corpus_dir()  # build corpus once, shared by both runs
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency (kg_build, num_cpus 8 vs 32)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "throughput_8_docs_per_sec": r_lo["docs_per_sec"],
+        "throughput_32_docs_per_sec": r_hi["docs_per_sec"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

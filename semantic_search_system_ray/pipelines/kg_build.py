@@ -178,6 +178,12 @@ def build_triples(
     enriched = enrich_documents(
         documents, gazetteer, concurrency=concurrency, batch_size=batch_size, embed=embed
     )
+    # Two consumers (raw triples + surfaces) would re-execute the DocNLP
+    # pass twice on a lazy Dataset — pin it once. In-memory materialize is
+    # the convenience path; at corpus scale use pipelines/runner.py, which
+    # writes the enriched shard to parquet instead (same single-pass
+    # property, spillable).
+    enriched = enriched.materialize()
     raw = triples_from_enriched(enriched)
 
     canon = canonical_map_dict(surfaces_from_enriched(enriched))

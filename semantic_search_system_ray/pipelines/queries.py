@@ -1,0 +1,587 @@
+"""Relational operator coverage over the driver's TPC-H-ish tables —
+the ``queries()`` / ``oracle_sql()`` surface of ``__ray_entry__.py``.
+
+Each function takes ``sf_dir`` and returns a Dataset / pyarrow Table whose
+column NAMES and VALUES match the paired ANSI-SQL string in ``ORACLE_SQL``
+(run by the driver through DuckDB on the same parquet). Floats are rounded
+identically on both sides; dates/timestamps are stringified on both sides.
+
+Operator ↔ SURVEY §2 mapping:
+- q_filter_date_range / q_filter_eq: predicate sources S10-S13 (pushdown).
+- q_topk_orders: T2/T3 sort-limit with deterministic tie-break.
+- q_groupby_lineitem: G-class grouped aggregation, two-phase (per-batch
+  pyarrow combiner → global groupby) — the salted/partial pattern.
+- q_region_rollup: J1 broadcast hash join (dims via ray.put).
+- q_revenue_by_priority: large-large hash join (Dataset.join) after a
+  combiner pre-aggregation on the fact side.
+- q_distinct_segments: §2.7 set ops.
+- q_minmax_normalize: G7 min-max score normalization (two-phase).
+- q_dedup_exact: exact dedup by content hash (§2.7 + dedup suite).
+- q_events_hourly: tumbling-window aggregate over the events stream table.
+- q_token_count / q_word_topk / q_lang_stats: text analysis (vectorized RE2
+  kernels; two-phase word counts).
+- q_ann_cosine: brute-force cosine top-k over embeddings (T2 exact).
+- q_cosine_dups: embedding-cosine near-dup pairs.
+- q_customers_without_orders: anti join via broadcast key set.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from semantic_search_system_ray.functions.scores import arrow_minmax_normalize_100
+from semantic_search_system_ray.stages.ann import cosine_topk
+from semantic_search_system_ray.stages.dedup import embedding_cosine_dups, exact_dedup
+from semantic_search_system_ray.stages.textstats import token_count_batch
+from semantic_search_system_ray.stages.util import ensure_schema
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+# --------------------------------------------------------------------------
+# filters / sources (S10-S13)
+# --------------------------------------------------------------------------
+
+def q_filter_date_range(sf_dir: str):
+    """Orders in [1996-01-01, 1997-01-01) — projection + predicate pushdown
+    at the read (columns= / filter= hit parquet row groups)."""
+    import datetime as dt
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+        filter=(
+            (pc.field("o_orderdate") >= pa.scalar(dt.datetime(1996, 1, 1)))
+            & (pc.field("o_orderdate") < pa.scalar(dt.datetime(1997, 1, 1)))
+        ),
+    )
+    return ds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_totalprice": pc.round(t.column("o_totalprice"), 2),
+                "o_orderdate": pc.strftime(t.column("o_orderdate"), format="%Y-%m-%d"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FILTER_DATE_RANGE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+"""
+
+
+def q_filter_eq(sf_dir: str):
+    """events with event_type = 'purchase' (exact-match source, S13)."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "value"],
+        filter=(pc.field("event_type") == "purchase"),
+    )
+    return ds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "value": pc.round(t.column("value"), 4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FILTER_EQ = """
+SELECT event_id, user_id, round(value, 4) AS value
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# sort / top-k (T2/T3)
+# --------------------------------------------------------------------------
+
+def q_topk_orders(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"o_orderkey": t.column("o_orderkey"),
+             "o_totalprice": pc.round(t.column("o_totalprice"), 2)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# grouped aggregation, two-phase combiner (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+
+def q_groupby_lineitem(sf_dir: str):
+    """Pricing summary: per-batch pyarrow partial aggregation (combiner),
+    then a global groupby over ~|groups|×|batches| partial rows — the
+    two-phase pattern that tames skewed keys at scale."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+    import datetime as dt
+
+    cutoff = pa.scalar(dt.datetime(1998, 9, 2))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        t = t.append_column("disc_price", disc_price)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity_sum", alias_name="sum_qty"),
+        Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+        Sum("disc_price_sum", alias_name="sum_disc_price"),
+        Sum("l_quantity_count", alias_name="count_order"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg_qty = pc.divide(t.column("sum_qty"), pc.cast(t.column("count_order"), pa.float64()))
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": pc.round(t.column("sum_qty"), 2),
+                "sum_base_price": pc.round(t.column("sum_base_price"), 2),
+                "sum_disc_price": pc.round(t.column("sum_disc_price"), 2),
+                "avg_qty": pc.round(avg_qty, 4),
+                "count_order": t.column("count_order"),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_GROUPBY_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# broadcast join over dimensions (J1)
+# --------------------------------------------------------------------------
+
+def q_region_rollup(sf_dir: str):
+    """customer ⨝ nation ⨝ region: dims are tiny → ray.put broadcast dicts
+    read once per actor; the fact table streams (no shuffle)."""
+    nation = rd.read_parquet(_p(sf_dir, "nation")).to_pandas()
+    region = rd.read_parquet(_p(sf_dir, "region")).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({n: r2name[r] for n, r in n2r.items()})
+
+    class _Tag:
+        def __init__(self):
+            self.n2rname = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rname = [self.n2rname[n] for n in t.column("c_nationkey").to_pylist()]
+            return pa.Table.from_pydict(
+                {"r_name": pa.array(rname, pa.string()),
+                 "c_acctbal": t.column("c_acctbal")}
+            )
+
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"])
+    tagged = cust.map_batches(_Tag, batch_format="pyarrow", concurrency=(1, 4))
+    out = tagged.groupby("r_name").aggregate(
+        Count(alias_name="num_customers"), Sum("c_acctbal", alias_name="total_acctbal")
+    )
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"r_name": t.column("r_name"),
+             "num_customers": t.column("num_customers"),
+             "total_acctbal": pc.round(t.column("total_acctbal"), 2)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REGION_ROLLUP = """
+SELECT r_name, count(*) AS num_customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# large-large hash join (Dataset.join) with fact-side combiner
+# --------------------------------------------------------------------------
+
+def q_revenue_by_priority(sf_dir: str):
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        t2 = pa.Table.from_pydict({"l_orderkey": t.column("l_orderkey"), "rev": rev})
+        return t2.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+
+    # combiner: per-order partial revenue BEFORE the join shuffle
+    li_agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_sum", alias_name="revenue"))
+    )
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
+    joined = li_agg.join(
+        orders, join_type="inner", num_partitions=4,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("revenue", alias_name="revenue"), Count(alias_name="num_orders")
+    )
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"o_orderpriority": t.column("o_orderpriority"),
+             "revenue": pc.round(t.column("revenue"), 2),
+             "num_orders": t.column("num_orders")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REVENUE_BY_PRIORITY = """
+SELECT o_orderpriority,
+       round(sum(revenue), 2) AS revenue,
+       count(*) AS num_orders
+FROM (
+  SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM lineitem GROUP BY l_orderkey
+) li JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# distinct / set ops
+# --------------------------------------------------------------------------
+
+def q_distinct_segments(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_mktsegment"])
+    return ds.groupby("c_mktsegment").count().drop_columns(["count()"])
+
+
+SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+# --------------------------------------------------------------------------
+# min-max normalization (G7, two-phase)
+# --------------------------------------------------------------------------
+
+def q_minmax_normalize(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    stats = ds.aggregate(Min("o_totalprice"), Max("o_totalprice"))
+    mn, mx = stats["min(o_totalprice)"], stats["max(o_totalprice)"]
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = arrow_minmax_normalize_100(t.column("o_totalprice"), mn, mx)
+        return pa.Table.from_pydict(
+            {"o_orderkey": t.column("o_orderkey"),
+             "normalized_score_100": pc.round(s, 4)}
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+SQL_MINMAX_NORMALIZE = """
+WITH stats AS (SELECT min(o_totalprice) mn, max(o_totalprice) mx FROM orders)
+SELECT o_orderkey,
+       round(greatest(1.0, least(100.0, 1 + ((o_totalprice - mn) / (mx - mn)) * 99)), 4)
+         AS normalized_score_100
+FROM orders, stats
+"""
+
+
+# --------------------------------------------------------------------------
+# exact dedup (content hash)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return exact_dedup(ds, text_col="text", id_col="doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT CAST(min(doc_id) AS VARCHAR) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+# --------------------------------------------------------------------------
+# tumbling-window aggregate over the events table
+# --------------------------------------------------------------------------
+
+def q_events_hourly(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.strftime(pc.floor_temporal(t.column("ts"), unit="hour"),
+                           format="%Y-%m-%d %H:00:00")
+        t2 = pa.Table.from_pydict(
+            {"event_type": t.column("event_type"), "hour": hour, "value": t.column("value")}
+        )
+        return t2.group_by(["event_type", "hour"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("value_sum", alias_name="sum_value"),
+                   Sum("value_count", alias_name="n_events"))
+    )
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"event_type": t.column("event_type"), "hour": t.column("hour"),
+             "sum_value": pc.round(t.column("sum_value"), 3),
+             "n_events": t.column("n_events")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       round(sum(value), 3) AS sum_value, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_token_count(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id, len(regexp_extract_all(text, '\w+')) AS n_tokens FROM documents
+"""
+
+
+def q_word_topk(sf_dir: str):
+    """Global top-50 words: per-batch Counter partials (combiner — the head
+    word collapses to one row per batch regardless of skew), global sum,
+    deterministic (cnt DESC, word ASC) top-k."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter[str] = Counter()
+        import re as _re
+
+        for txt in t.column("text").to_pylist():
+            c.update(_re.findall(r"\w+", (txt or "").lower()))
+        return pa.Table.from_pydict(
+            {"word": pa.array(list(c.keys()), pa.string()),
+             "cnt": pa.array(list(c.values()), pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return counts.sort(["cnt", "word"], descending=[True, False]).limit(50)
+
+
+SQL_WORD_TOPK = r"""
+SELECT w AS word, count(*) AS cnt
+FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w FROM documents)
+GROUP BY w ORDER BY cnt DESC, word LIMIT 50
+"""
+
+
+def q_lang_stats(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"lang": t.column("lang"), "n_docs": t.column("n_docs"),
+             "avg_chars": pc.round(
+                 pc.divide(pc.cast(t.column("total_chars"), pa.float64()),
+                           pc.cast(t.column("n_docs"), pa.float64())), 2)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LANG_STATS = """
+SELECT lang, count(*) AS n_docs, round(sum(n_chars) * 1.0 / count(*), 2) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    row = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]
+    return np.asarray(row["embedding"], dtype=np.float64)
+
+
+def q_ann_cosine(sf_dir: str):
+    """Exact brute-force cosine top-10 vs the vec_id=0 embedding; score
+    rounded to 4dp (float32 storage → float64 compute matches DuckDB)."""
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = cosine_topk(ds, _query_vec(sf_dir), k=10, round_to=4)
+    return out
+
+
+SQL_ANN_COSINE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 4) AS score
+  FROM embeddings
+)
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+def q_cosine_dups(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = embedding_cosine_dups(ds, threshold=0.4)
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"id_a": t.column("id_a"), "id_b": t.column("id_b"),
+             "cos_sim": pc.round(t.column("cos_sim"), 3)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_COSINE_DUPS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 3) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
+# anti join (broadcast key set)
+# --------------------------------------------------------------------------
+
+def q_customers_without_orders(sf_dir: str):
+    """Customers with no order since 2000-01-01 — anti join via broadcast
+    key set (semi/anti pattern: ship the key set / Bloom filter, filter
+    inside map_batches; no shuffle)."""
+    import datetime as dt
+
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey"],
+        filter=(pc.field("o_orderdate") >= pa.scalar(dt.datetime(2000, 1, 1))),
+    )
+    keys = set()
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.update(b.column("o_custkey").to_pylist())
+    ref = ray.put(keys)
+
+    class _Anti:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = [k not in self.keys for k in t.column("c_custkey").to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    return cust.map_batches(_Anti, batch_format="pyarrow", concurrency=(1, 4))
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+"""
+
+
+QUERIES = {
+    "filter_date_range": q_filter_date_range,
+    "filter_eq": q_filter_eq,
+    "topk_orders": q_topk_orders,
+    "groupby_lineitem": q_groupby_lineitem,
+    "region_rollup": q_region_rollup,
+    "revenue_by_priority": q_revenue_by_priority,
+    "distinct_segments": q_distinct_segments,
+    "minmax_normalize": q_minmax_normalize,
+    "dedup_exact": q_dedup_exact,
+    "events_hourly": q_events_hourly,
+    "token_count": q_token_count,
+    "word_topk": q_word_topk,
+    "lang_stats": q_lang_stats,
+    "ann_cosine": q_ann_cosine,
+    "cosine_dups": q_cosine_dups,
+    "customers_without_orders": q_customers_without_orders,
+}
+
+ORACLE_SQL = {
+    "filter_date_range": SQL_FILTER_DATE_RANGE,
+    "filter_eq": SQL_FILTER_EQ,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "groupby_lineitem": SQL_GROUPBY_LINEITEM,
+    "region_rollup": SQL_REGION_ROLLUP,
+    "revenue_by_priority": SQL_REVENUE_BY_PRIORITY,
+    "distinct_segments": SQL_DISTINCT_SEGMENTS,
+    "minmax_normalize": SQL_MINMAX_NORMALIZE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "token_count": SQL_TOKEN_COUNT,
+    "word_topk": SQL_WORD_TOPK,
+    "lang_stats": SQL_LANG_STATS,
+    "ann_cosine": SQL_ANN_COSINE,
+    "cosine_dups": SQL_COSINE_DUPS,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+}

@@ -114,6 +114,9 @@ def run_phase_a(
         enriched = enrich_documents(
             docs, gazetteer, concurrency=concurrency, batch_size=batch_size, embed=False
         )
+        # one DocNLP pass per shard: pin the enriched shard before its two
+        # consumers (raw triples write + surfaces write)
+        enriched = enriched.materialize()
         raw = triples_from_enriched(enriched)
         raw_dir = manifest.begin_partition("raw_triples", k)
         raw.write_parquet(raw_dir)

@@ -1,0 +1,131 @@
+"""Similarity search over an embedding column (list<float>).
+
+- **cosine_topk**: brute-force exact top-k — the baseline (and the
+  reference's semantics ceiling: exact ≥ HNSW recall, SURVEY §2.6 T2).
+  The query matrix is broadcast via ``ray.put``; each batch computes a
+  vectorized float64 matmul and emits its LOCAL top-k; the global
+  ``sort(score).limit(k)`` runs over #batches×k candidate rows only.
+- **lsh_bucket_topk**: the scale path — random-hyperplane signatures
+  bucket the collection (``groupby(bucket)``); the query is searched only
+  inside its own bucket (recall < 1 by design, controlled by num_planes /
+  probes). Hyperplanes are seeded → deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _as_matrix(col) -> np.ndarray:
+    m = np.array(col, dtype=np.float64)
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def cosine_topk(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Exact brute-force cosine top-k. Deterministic tie-break:
+    (score DESC, id ASC). Returns (vec_id, score)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    qref = ray.put(q)
+
+    class _Score:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.array(batch.column(id_col).to_pylist())
+            mat = _as_matrix(batch.column(vec_col).to_pylist())
+            sims = mat @ self.q
+            # local top-k candidates only → tiny global sort
+            take = min(k, len(ids))
+            idx = np.argsort(-sims, kind="stable")[:take]
+            return pa.Table.from_pydict(
+                {
+                    id_col: pa.array(ids[idx].tolist(), pa.int64()),
+                    "score": pa.array(
+                        [round(float(s), round_to) for s in sims[idx]], pa.float64()
+                    ),
+                }
+            )
+
+    scored = ds.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 8))
+    return scored.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+def lsh_signature(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Random-hyperplane signature: bit b = sign(v · plane_b)."""
+    bits = (mat @ planes.T) >= 0
+    out = np.zeros(len(mat), dtype=np.int64)
+    for b in range(planes.shape[0]):
+        out |= bits[:, b].astype(np.int64) << b
+    return out
+
+
+def lsh_bucket_topk(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 17,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Approximate top-k: search only the query's hyperplane bucket.
+    Recall trades off with num_planes (2^planes buckets)."""
+    dim = len(query)
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(num_planes, dim))
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    qbucket = int(lsh_signature(q[None, :], planes)[0])
+    ref = ray.put((q, planes))
+
+    class _Score:
+        def __init__(self):
+            self.q, self.planes = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.array(batch.column(id_col).to_pylist())
+            mat = _as_matrix(batch.column(vec_col).to_pylist())
+            buckets = lsh_signature(mat, self.planes)
+            mask = buckets == qbucket
+            ids, mat = ids[mask], mat[mask]
+            if not len(ids):
+                return pa.Table.from_pydict(
+                    {id_col: pa.array([], pa.int64()),
+                     "score": pa.array([], pa.float64())}
+                )
+            sims = mat @ self.q
+            take = min(k, len(ids))
+            idx = np.argsort(-sims, kind="stable")[:take]
+            return pa.Table.from_pydict(
+                {
+                    id_col: pa.array(ids[idx].tolist(), pa.int64()),
+                    "score": pa.array(
+                        [round(float(s), round_to) for s in sims[idx]], pa.float64()
+                    ),
+                }
+            )
+
+    scored = ds.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 8))
+    return scored.sort(["score", id_col], descending=[True, False]).limit(k)

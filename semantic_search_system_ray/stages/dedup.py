@@ -1,0 +1,451 @@
+"""Deduplication operators for large-scale corpora — exact and near-dup.
+
+All are Ray-Data-native compositions:
+
+- **exact_dedup**: content-hash per batch (vectorized) → hash-partitioned
+  groupby → per-group min representative. The hash column keeps long text
+  out of the shuffle.
+- **minhash_lsh_clusters**: shingle → MinHash signature per doc (batch,
+  numpy) → explode to (band_id, band_hash, doc_id) rows → groupby bucket →
+  star candidate edges verified by signature agreement ≥ threshold →
+  distributed connected components (stages/cc.py) → cluster labels.
+- **simhash_clusters**: 64-bit SimHash per doc → 4×16-bit band buckets →
+  candidates verified by Hamming distance ≤ k → components.
+- **ngram_jaccard_pairs**: MinHash-LSH candidate generation, then EXACT
+  character-n-gram Jaccard verification inside the bucket cogroup (shingle
+  sets travel with the rows — fine at verification scale because buckets
+  are small; at 100 TB you'd verify with signatures only and sample-audit).
+- **embedding_cosine_dups**: all-pairs above a cosine threshold via a
+  broadcast matrix (small collections) — the scale path is the LSH variant
+  in stages/ann.py.
+
+Every operator returns deterministic representatives (min doc id) so
+re-runs are idempotent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from semantic_search_system_ray.functions.hashing import (
+    char_ngrams,
+    hamming64,
+    minhash_signature,
+    simhash64,
+    stable_hash64,
+    word_shingles,
+)
+from semantic_search_system_ray.functions.text import tokenize
+from semantic_search_system_ray.stages.cc import min_label_components
+from semantic_search_system_ray.stages.util import ensure_schema
+
+_EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+
+def _cluster_labels(
+    nodes: rd.Dataset,
+    edges: rd.Dataset,
+    *,
+    max_rounds: int,
+    driver_edge_threshold: int = 500_000,
+) -> rd.Dataset:
+    """nodes(node) + verified near-dup edges(src,dst) → (doc_id, cluster).
+
+    Scale switch: verified candidate edges are ≪ corpus size (only
+    near-dups produce them), so when they fit ``driver_edge_threshold``
+    the union-find runs exactly on the driver and ONLY the non-singleton
+    labels are broadcast — every other doc is its own cluster (identity,
+    computed locally per batch, no shuffle at all). Above the threshold
+    the iterative distributed CC (stages/cc.py) takes over."""
+    edges = edges.materialize()
+    if edges.count() <= driver_edge_threshold:
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.take_all():
+            u, v = r["src"], r["dst"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        labels = {n: find(n) for n in parent}
+        ref = ray.put(labels)
+
+        class _Label:
+            def __init__(self):
+                self.labels = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                nodes_ = t.column("node").to_pylist()
+                return pa.Table.from_pydict(
+                    {
+                        "doc_id": pa.array(nodes_, pa.string()),
+                        "cluster": pa.array(
+                            [self.labels.get(n, n) for n in nodes_], pa.string()
+                        ),
+                    }
+                )
+
+        return nodes.map_batches(_Label, batch_format="pyarrow", concurrency=(1, 8))
+
+    labels = min_label_components(nodes, edges, max_rounds=max_rounds)
+    return labels.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": t.column("node"), "cluster": t.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(
+    ds: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """(id, text) → one row per distinct text: (doc_id=min id, n_copies).
+    Shuffles 16-byte hashes + ids, never the text itself."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [
+            f"{stable_hash64(t or ''):016x}" for t in batch.column(text_col).to_pylist()
+        ]
+        ids = [str(v) for v in batch.column(id_col).to_pylist()]
+        return pa.Table.from_pydict(
+            {"content_hash": pa.array(hashes, pa.string()),
+             "doc_id": pa.array(ids, pa.string())}
+        )
+
+    def pick_rep(g: pd.DataFrame) -> pa.Table:
+        ids = sorted(g["doc_id"], key=lambda x: (len(x), x))  # numeric-string safe
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array([ids[0]], pa.string()),
+             "n_copies": pa.array([len(ids)], pa.int64())}
+        )
+
+    out_schema = pa.schema([("doc_id", pa.string()), ("n_copies", pa.int64())])
+    return ensure_schema(
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(pick_rep, batch_format="pandas"),
+        out_schema,
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup clustering
+# --------------------------------------------------------------------------
+
+def _sig_rows(
+    batch: pa.Table, *, text_col: str, id_col: str, num_perm: int, shingle_k: int
+) -> pa.Table:
+    ids, sigs = [], []
+    for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+        toks = [w.lower() for w in tokenize(t or "")]
+        sig = minhash_signature(set(word_shingles(toks, shingle_k)), num_perm)
+        ids.append(str(i))
+        sigs.append(sig.tolist())
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "sig": pa.array(sigs, pa.list_(pa.uint32(), num_perm)),
+        }
+    )
+
+
+def _band_rows(batch: pa.Table, *, bands: int, rows_per_band: int) -> pa.Table:
+    out_id, out_band, out_hash, out_sig = [], [], [], []
+    sigs = batch.column("sig").to_pylist()
+    ids = batch.column("doc_id").to_pylist()
+    for i, sig in zip(ids, sigs):
+        for b in range(bands):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            out_id.append(i)
+            out_band.append(b)
+            out_hash.append(f"{stable_hash64(','.join(map(str, chunk))):016x}")
+            out_sig.append(sig)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(out_id, pa.string()),
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.string()),
+            "sig": pa.array(out_sig, pa.list_(pa.uint32(), len(sigs[0]) if sigs else 0)),
+        }
+    )
+
+
+def minhash_lsh_clusters(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_rounds: int = 8,
+) -> rd.Dataset:
+    """→ (doc_id, cluster): near-dup cluster representative (min doc id in
+    the transitive closure of verified candidate pairs)."""
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(
+        _sig_rows, batch_format="pyarrow",
+        fn_kwargs=dict(text_col=text_col, id_col=id_col, num_perm=num_perm,
+                       shingle_k=3),
+    )
+    banded = sigs.map_batches(
+        _band_rows, batch_format="pyarrow",
+        fn_kwargs=dict(bands=bands, rows_per_band=rows_per_band),
+    )
+
+    def bucket_edges(g: pd.DataFrame) -> pa.Table:
+        docs = sorted(zip(g["doc_id"], g["sig"]), key=lambda x: x[0])
+        src, dst = [], []
+        if len(docs) > 1:
+            rep_id, rep_sig = docs[0]
+            rep_sig = np.asarray(rep_sig, dtype=np.uint32)
+            for d, s in docs[1:]:
+                est = float((np.asarray(s, dtype=np.uint32) == rep_sig).mean())
+                if est >= threshold:
+                    src.append(d)
+                    dst.append(rep_id)
+        return pa.Table.from_pydict(
+            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+        )
+
+    edges = ensure_schema(
+        banded.groupby(["band", "band_hash"]).map_groups(
+            bucket_edges, batch_format="pandas"
+        ),
+        _EDGE_SCHEMA,
+    )
+    # node ids come straight from the input (don't re-run the signature
+    # pass just to list ids)
+    nodes = ds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node": pa.array([str(v) for v in t.column(id_col).to_pylist()], pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    return _cluster_labels(nodes, edges, max_rounds=max_rounds)
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup clustering
+# --------------------------------------------------------------------------
+
+def simhash_table(ds: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            ids.append(str(i))
+            hs.append(simhash64([w.lower() for w in tokenize(t or "")]))
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.string()),
+             "simhash": pa.array([f"{h:016x}" for h in hs], pa.string())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def simhash_clusters(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_rounds: int = 8,
+) -> rd.Dataset:
+    """Near-dup via SimHash banding: 4×16-bit chunks as bucket keys (any
+    pair within Hamming ≤ 3 of 64 bits shares ≥1 exact chunk by pigeonhole
+    when ≤3 differing bits hit ≤3 chunks); verify Hamming, then components."""
+    sims = simhash_table(ds, text_col=text_col, id_col=id_col)
+
+    def band(batch: pa.Table) -> pa.Table:
+        ids, bnd, key, full = [], [], [], []
+        for i, hx in zip(batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()):
+            h = int(hx, 16)
+            for b in range(4):
+                ids.append(i)
+                bnd.append(b)
+                key.append((h >> (16 * b)) & 0xFFFF)
+                full.append(hx)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.string()), "band": pa.array(bnd, pa.int32()),
+             "chunk": pa.array(key, pa.int32()), "simhash": pa.array(full, pa.string())}
+        )
+
+    def bucket_edges(g: pd.DataFrame) -> pa.Table:
+        docs = sorted(zip(g["doc_id"], g["simhash"]), key=lambda x: x[0])
+        src, dst = [], []
+        if len(docs) > 1:
+            rep_id, rep_h = docs[0]
+            for d, hx in docs[1:]:
+                if hamming64(int(hx, 16), int(rep_h, 16)) <= max_hamming:
+                    src.append(d)
+                    dst.append(rep_id)
+        return pa.Table.from_pydict(
+            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+        )
+
+    edges = ensure_schema(
+        sims.map_batches(band, batch_format="pyarrow")
+        .groupby(["band", "chunk"])
+        .map_groups(bucket_edges, batch_format="pandas"),
+        _EDGE_SCHEMA,
+    )
+    nodes = ds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node": pa.array([str(v) for v in t.column(id_col).to_pylist()], pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    return _cluster_labels(nodes, edges, max_rounds=max_rounds)
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard pairs (LSH candidates + exact verification)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> rd.Dataset:
+    """→ (id_a, id_b, jaccard) for pairs with EXACT char-n-gram Jaccard ≥
+    threshold, candidates from MinHash-LSH over the same n-gram sets."""
+    rows_per_band = num_perm // bands
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids, sigs, grams = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            gs = char_ngrams((t or "").lower(), n)
+            ids.append(str(i))
+            sigs.append(minhash_signature(gs, num_perm).tolist())
+            grams.append(sorted(gs))
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.string()),
+             "sig": pa.array(sigs, pa.list_(pa.uint32(), num_perm)),
+             "grams": pa.array(grams, pa.list_(pa.string()))}
+        )
+
+    sigs = ds.map_batches(sig_rows, batch_format="pyarrow")
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "band": [], "band_hash": [], "grams": []}
+        for i, sig, gs in zip(
+            batch.column("doc_id").to_pylist(), batch.column("sig").to_pylist(),
+            batch.column("grams").to_pylist(),
+        ):
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                out["doc_id"].append(i)
+                out["band"].append(b)
+                out["band_hash"].append(f"{stable_hash64(','.join(map(str, chunk))):016x}")
+                out["grams"].append(gs)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(out["doc_id"], pa.string()),
+             "band": pa.array(out["band"], pa.int32()),
+             "band_hash": pa.array(out["band_hash"], pa.string()),
+             "grams": pa.array(out["grams"], pa.list_(pa.string()))}
+        )
+
+    pair_schema = pa.schema(
+        [("id_a", pa.string()), ("id_b", pa.string()), ("jaccard", pa.float64())]
+    )
+
+    def verify(g: pd.DataFrame) -> pa.Table:
+        docs = sorted(zip(g["doc_id"], g["grams"]), key=lambda x: x[0])
+        a, b, j = [], [], []
+        for x in range(len(docs)):
+            sx = set(docs[x][1])
+            for y in range(x + 1, len(docs)):
+                sy = set(docs[y][1])
+                inter = len(sx & sy)
+                if not inter:
+                    continue
+                jac = inter / len(sx | sy)
+                if jac >= threshold:
+                    a.append(docs[x][0]); b.append(docs[y][0]); j.append(round(jac, 6))
+        return pa.Table.from_pydict(
+            {"id_a": pa.array(a, pa.string()), "id_b": pa.array(b, pa.string()),
+             "jaccard": pa.array(j, pa.float64())}
+        )
+
+    pairs = ensure_schema(
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(verify, batch_format="pandas"),
+        pair_schema,
+    )
+    # same pair can surface from multiple bands → distinct
+    return (
+        pairs.groupby(["id_a", "id_b", "jaccard"]).count().drop_columns(["count()"])
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (broadcast matrix; LSH path in stages/ann.py)
+# --------------------------------------------------------------------------
+
+def embedding_cosine_dups(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> rd.Dataset:
+    """→ (id_a, id_b, cos_sim) for all pairs with cosine ≥ threshold,
+    id_a < id_b. The full (id, matrix) is broadcast via ray.put; each batch
+    computes a (batch × all) float64 matmul. For collections too big to
+    broadcast, use ann.lsh_buckets to restrict comparisons."""
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in rows])
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    ref = ray.put((ids, mat))
+
+    class _Pairs:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = np.array(batch.column(id_col).to_pylist())
+            bmat = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            bn = np.linalg.norm(bmat, axis=1)
+            bn[bn == 0] = 1.0
+            bmat = bmat / bn[:, None]
+            sims = bmat @ self.mat.T
+            ia, ib, cs = [], [], []
+            for r in range(sims.shape[0]):
+                hits = np.where(sims[r] >= threshold)[0]
+                for c in hits:
+                    if bids[r] < self.ids[c]:
+                        ia.append(int(bids[r])); ib.append(int(self.ids[c]))
+                        cs.append(round(float(sims[r, c]), 6))
+            return pa.Table.from_pydict(
+                {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
+                 "cos_sim": pa.array(cs, pa.float64())}
+            )
+
+    return ds.map_batches(_Pairs, batch_format="pyarrow", concurrency=(1, 8))

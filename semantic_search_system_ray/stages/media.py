@@ -1,0 +1,100 @@
+"""Multimodal span processing — image/audio/table spans as opaque refs with
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The image/audio decode libraries are NOT installed in this container, so
+``_decode`` is a clearly-marked deterministic STUB (seeded feature vector
+derived from the media_ref hash). Everything around it — the span
+flattening, the Arrow schema, the actor signature, batch sizing, the
+output layout — is the real Ray-side plumbing a GPU decode stage would
+use (swap ``_decode`` for PIL/torchaudio and add ``num_gpus``).
+
+Memory note: real binary payloads make rows wide → use small
+``batch_size`` (≤64) so batch × concurrency fits the worker heap, and keep
+``batch_format="pyarrow"`` (binary round-trips poorly through pandas).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+MEDIA_FEATURE_DIM = 32
+
+MEDIA_SPANS_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("kind", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+    ]
+)
+
+
+def flatten_media_spans(docs_ds: rd.Dataset) -> rd.Dataset:
+    """documents (doc_id, spans) → one row per NON-text span."""
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        doc_id, kind, ref, off = [], [], [], []
+        for d, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for s in spans or []:
+                if s["kind"] != "text":
+                    doc_id.append(d)
+                    kind.append(s["kind"])
+                    ref.append(s["media_ref"])
+                    off.append(s["offset"])
+        return pa.Table.from_pydict(
+            {"doc_id": doc_id, "kind": kind, "media_ref": ref, "offset": off},
+            schema=MEDIA_SPANS_SCHEMA,
+        )
+
+    return docs_ds.map_batches(flatten, batch_format="pyarrow")
+
+
+def _decode(media_ref: str, kind: str) -> np.ndarray:
+    """STUB decode: deterministic pseudo-features from the ref hash.
+
+    A real deployment replaces this with PIL/torchvision (image),
+    torchaudio (audio), or a table parser — none installable here (no
+    network). Raising NotImplementedError instead would kill the smoke
+    path, so the stub returns a seeded vector; the seam is THIS function.
+    """
+    h = hashlib.blake2b(f"{kind}:{media_ref}".encode(), digest_size=8).digest()
+    rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
+    v = rng.normal(size=MEDIA_FEATURE_DIM)
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
+class MediaFeatures:
+    """Actor stage: media spans → feature vectors + simple typed metadata.
+    State (a real model / codec context) loads once per actor."""
+
+    def __init__(self):
+        self.dim = MEDIA_FEATURE_DIM  # stands in for model/codec handles
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        feats = [ _decode(r, k).tolist() for r, k in zip(refs, kinds) ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": batch.column("media_ref"),
+                "kind": batch.column("kind"),
+                "offset": batch.column("offset"),
+                "features": pa.array(feats, pa.list_(pa.float32(), self.dim)),
+            }
+        )
+
+
+def media_kind_stats(docs_ds: rd.Dataset) -> rd.Dataset:
+    """Per-kind span counts — cheap sanity aggregate over media spans."""
+    media = flatten_media_spans(docs_ds)
+    return media.groupby("kind").count()

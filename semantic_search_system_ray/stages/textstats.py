@@ -1,0 +1,122 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (n-gram heuristic), quality scoring, token counting,
+document fingerprinting. All vectorized ``map_batches`` stages; the
+stateful ones (compiled patterns, language profiles) are callable classes
+→ actor pools.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from semantic_search_system_ray.functions.hashing import stable_hash64
+
+# minimal seeded char-trigram profiles per language (deterministic heuristic;
+# real models aren't installable in this sandbox — the plumbing is the point)
+_LANG_PROFILES = {
+    "en": ["the", "and", " th", "ing", "ion", "of ", "to ", "is "],
+    "es": ["de ", "la ", "os ", "ión", "ent", "es ", "ar ", "el "],
+    "fr": ["le ", "de ", "es ", "ent", "ion", "la ", "re ", "que"],
+    "de": ["der", "ein", "ich", "sch", "und", "die", "en ", "ch "],
+    "zh": ["的", "是", "了", "在", "有", "我", "他", "这"],
+}
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as at by".split()
+)
+
+
+class LangId:
+    """Actor stage: doc text → predicted language via trigram-profile hits.
+    Ties broken alphabetically; empty/no-hit text → 'und'."""
+
+    def __init__(self):
+        self.profiles = {
+            lang: [re.compile(re.escape(g)) for g in grams]
+            for lang, grams in _LANG_PROFILES.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds = []
+        for t in texts:
+            t = (t or "").lower()
+            best, best_score = "und", 0
+            for lang in sorted(self.profiles):
+                score = sum(len(p.findall(t)) for p in self.profiles[lang])
+                if score > best_score:
+                    best, best_score = lang, score
+            preds.append(best)
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"), "lang_pred": pa.array(preds, pa.string())}
+        )
+
+
+class QualityScore:
+    """Actor stage: length / punctuation / stopword-ratio quality features
+    + a composite score in [0, 1]. Deterministic, vectorized-ish."""
+
+    def __init__(self):
+        self.word_re = re.compile(r"[A-Za-z]+")
+        self.punct_re = re.compile(r"[^\w\s]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_chars, n_words, stop_ratio, punct_ratio, score = [], [], [], [], []
+        for t in texts:
+            t = t or ""
+            words = self.word_re.findall(t.lower())
+            nw = len(words)
+            sr = (sum(1 for w in words if w in _STOPWORDS) / nw) if nw else 0.0
+            pr = len(self.punct_re.findall(t)) / max(1, len(t))
+            ln_ok = 1.0 if 20 <= len(t) <= 20000 else 0.0
+            s = round(0.4 * ln_ok + 0.4 * min(1.0, sr * 4) + 0.2 * (1.0 - min(1.0, pr * 10)), 6)
+            n_chars.append(len(t)); n_words.append(nw)
+            stop_ratio.append(round(sr, 6)); punct_ratio.append(round(pr, 6))
+            score.append(s)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "stop_ratio": pa.array(stop_ratio, pa.float64()),
+                "punct_ratio": pa.array(punct_ratio, pa.float64()),
+                "quality": pa.array(score, pa.float64()),
+            }
+        )
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized token count: ``\\w+`` matches via Arrow's RE2 kernel
+    (zero-copy; matches DuckDB's RE2 semantics for the oracle)."""
+    n = pc.count_substring_regex(batch.column("text"), pattern=r"\w+")
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"), "n_tokens": pc.cast(n, pa.int64())}
+    )
+
+
+def fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
+    """Winnowing-style rolling-hash fingerprint: min token-window hash —
+    a cheap deterministic doc signature for shard-level dedup triage."""
+    texts = batch.column("text").to_pylist()
+    fps = []
+    for t in texts:
+        toks = re.findall(r"\w+", (t or "").lower())
+        if not toks:
+            fps.append("0" * 16)
+            continue
+        if len(toks) < window:
+            h = min(stable_hash64(" ".join(toks[i:]) ) for i in range(len(toks)))
+        else:
+            h = min(
+                stable_hash64(" ".join(toks[i : i + window]))
+                for i in range(len(toks) - window + 1)
+            )
+        fps.append(f"{h:016x}")
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, pa.string())}
+    )

@@ -8,7 +8,8 @@ import pytest
 @pytest.fixture(scope="session")
 def ray_session():
     import ray
-    from ray.data import DataContext
+
+    from semantic_search_system_ray.context import tune
 
     ray.init(
         address="local",
@@ -17,9 +18,7 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    ctx.execution_options.verbose_progress = False
+    tune(4)
     yield
     ray.shutdown()
 

@@ -1,0 +1,148 @@
+"""Dedup suite + ANN tests: planted near-duplicates must cluster; exact
+brute-force cosine must match numpy; LSH variant returns a subset of
+plausible neighbors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from semantic_search_system_ray.stages.ann import cosine_topk, lsh_bucket_topk
+from semantic_search_system_ray.stages.dedup import (
+    embedding_cosine_dups,
+    exact_dedup,
+    minhash_lsh_clusters,
+    ngram_jaccard_pairs,
+    simhash_clusters,
+    simhash_table,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the committee "
+    "discussed clean energy funding for the riverside district schools "
+    "and the harbor transit authority approved the new rail service plan"
+)
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(ray_session):
+    """40 distinct docs + 3 near-dup families (light word swaps) + 2 exact
+    copies."""
+    rows = []
+    rng = np.random.RandomState(5)
+    words = BASE.split()
+    for i in range(40):
+        perm = [words[j] for j in rng.permutation(len(words))]
+        rows.append((f"d{i:03d}", " ".join(perm)))
+    # near-dup family A: same text, one word changed
+    rows.append(("dupA0", BASE))
+    rows.append(("dupA1", BASE.replace("quick", "swift")))
+    rows.append(("dupA2", BASE.replace("lazy", "idle")))
+    # family B
+    b = BASE.replace("clean energy", "solar power")
+    rows.append(("dupB0", b))
+    rows.append(("dupB1", b.replace("fox", "wolf")))
+    # exact copies
+    rows.append(("exact0", "identical text here"))
+    rows.append(("exact1", "identical text here"))
+    tbl = pa.Table.from_pydict(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+    )
+    return rd.from_arrow(tbl)
+
+
+def test_exact_dedup(dup_corpus):
+    out = {r["doc_id"]: r["n_copies"] for r in exact_dedup(dup_corpus).take_all()}
+    assert out["exact0"] == 2
+    assert "exact1" not in out  # min-id representative
+    assert sum(out.values()) == 47
+
+
+def test_minhash_clusters_group_planted_dups(dup_corpus):
+    labels = {
+        r["doc_id"]: r["cluster"]
+        for r in minhash_lsh_clusters(dup_corpus, threshold=0.5).take_all()
+    }
+    assert len(labels) == 47
+    assert labels["dupA0"] == labels["dupA1"] == labels["dupA2"]
+    assert labels["dupB0"] == labels["dupB1"]
+    assert labels["exact0"] == labels["exact1"]
+    # random-permutation docs share vocabulary but not shingles
+    assert labels["d000"] != labels["dupA0"]
+
+
+def test_simhash_exact_copy_and_table(dup_corpus):
+    tbl = {r["doc_id"]: r["simhash"] for r in simhash_table(dup_corpus).take_all()}
+    assert tbl["exact0"] == tbl["exact1"]
+    # permuted docs have the SAME unigram multiset → same simhash (property
+    # of unigram simhash); near-dup family differs in few bits
+    labels = {
+        r["doc_id"]: r["cluster"]
+        for r in simhash_clusters(dup_corpus, max_hamming=8).take_all()
+    }
+    assert labels["exact0"] == labels["exact1"]
+    assert labels["dupA0"] == labels["dupA1"]
+
+
+def test_ngram_jaccard_pairs(dup_corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_corpus, threshold=0.7).take_all()
+    }
+    assert ("dupA0", "dupA1") in pairs
+    assert pairs[("dupA0", "dupA1")] > 0.85
+    assert ("exact0", "exact1") in pairs
+    assert pairs[("exact0", "exact1")] == 1.0
+    assert all(a < b for a, b in pairs)
+
+
+@pytest.fixture(scope="module")
+def vec_ds(ray_session):
+    rng = np.random.RandomState(3)
+    mat = rng.normal(size=(200, 32))
+    tbl = pa.Table.from_pydict(
+        {"vec_id": list(range(200)),
+         "embedding": [row.tolist() for row in mat.astype(np.float32)]}
+    )
+    return rd.from_arrow(tbl), mat
+
+
+def test_cosine_topk_matches_numpy(vec_ds):
+    ds, mat = vec_ds
+    q = mat[7]
+    got = [r["vec_id"] for r in cosine_topk(ds, q, k=5).take_all()]
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ (q / np.linalg.norm(q))
+    # float32 storage: recompute reference from the stored precision
+    stored = np.array(mat, dtype=np.float32).astype(np.float64)
+    stored = stored / np.linalg.norm(stored, axis=1, keepdims=True)
+    qs = np.asarray(q, dtype=np.float64)
+    sims = stored @ (qs / np.linalg.norm(qs))
+    expect = list(np.argsort(-sims, kind="stable")[:5])
+    assert got == expect
+    assert got[0] == 7
+
+
+def test_lsh_topk_subset_of_bucket(vec_ds):
+    ds, mat = vec_ds
+    q = mat[7]
+    got = [r["vec_id"] for r in lsh_bucket_topk(ds, q, k=5, num_planes=4).take_all()]
+    assert 7 in got  # the query's own vector shares its bucket
+    assert len(got) <= 5
+
+
+def test_embedding_cosine_dups_pairs(ray_session):
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=32)
+    rows = {"vec_id": [0, 1, 2], "embedding": [
+        base.astype(np.float32).tolist(),
+        (base + rng.normal(scale=0.01, size=32)).astype(np.float32).tolist(),
+        rng.normal(size=32).astype(np.float32).tolist(),
+    ]}
+    ds = rd.from_arrow(pa.Table.from_pydict(rows))
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_cosine_dups(ds, threshold=0.95).take_all()}
+    assert (0, 1) in pairs
+    assert all(p[1] != 2 and p[0] != 2 for p in pairs)

@@ -1,0 +1,79 @@
+"""Media-span plumbing + text-analysis stage tests."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from semantic_search_system_ray.stages.media import (
+    MEDIA_FEATURE_DIM,
+    MediaFeatures,
+    flatten_media_spans,
+    media_kind_stats,
+)
+from semantic_search_system_ray.stages.textstats import (
+    LangId,
+    QualityScore,
+    fingerprint_batch,
+    token_count_batch,
+)
+
+
+def test_media_flatten_and_features(ray_session, small_corpus):
+    docs = rd.from_arrow(small_corpus.documents)
+    media = flatten_media_spans(docs)
+    rows = media.take_all()
+    expected = sum(
+        sum(1 for s in r["spans"] if s["kind"] != "text")
+        for r in small_corpus.documents.to_pylist()
+    )
+    assert len(rows) == expected
+    assert all(r["media_ref"].startswith("media://") for r in rows[:20])
+
+    feats = media.map_batches(
+        MediaFeatures, batch_format="pyarrow", concurrency=2, batch_size=64
+    ).take(10)
+    for f in feats:
+        assert len(f["features"]) == MEDIA_FEATURE_DIM
+    # deterministic: same ref → same features
+    f0 = feats[0]
+    again = media.map_batches(
+        MediaFeatures, batch_format="pyarrow", concurrency=2, batch_size=64
+    ).take(10)
+    match = [g for g in again if g["media_ref"] == f0["media_ref"]][0]
+    assert list(match["features"]) == list(f0["features"])
+
+    stats = {r["kind"]: r["count()"] for r in media_kind_stats(docs).take_all()}
+    assert set(stats) <= {"image", "audio", "table"}
+    assert sum(stats.values()) == expected
+
+
+def test_textstats_stages(ray_session):
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": ["a", "b", "c"],
+            "text": [
+                "the quick brown fox and the lazy dog in the park",
+                "",
+                "word " * 30,
+            ],
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    toks = {r["doc_id"]: r["n_tokens"] for r in ds.map_batches(token_count_batch, batch_format="pyarrow").take_all()}
+    assert toks == {"a": 11, "b": 0, "c": 30}
+
+    q = {r["doc_id"]: r for r in ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=1).take_all()}
+    assert q["a"]["stop_ratio"] > 0.3
+    assert q["b"]["n_words"] == 0 and q["b"]["quality"] <= 0.5
+    assert 0.0 <= q["a"]["quality"] <= 1.0
+
+    langs = {r["doc_id"]: r["lang_pred"] for r in ds.map_batches(LangId, batch_format="pyarrow", concurrency=1).take_all()}
+    assert langs["a"] == "en"
+    assert langs["b"] == "und"
+
+    fps = {r["doc_id"]: r["fingerprint"] for r in ds.map_batches(fingerprint_batch, batch_format="pyarrow").take_all()}
+    assert len(set(fps.values())) == 3
+    fps2 = {r["doc_id"]: r["fingerprint"] for r in ds.map_batches(fingerprint_batch, batch_format="pyarrow").take_all()}
+    assert fps == fps2
