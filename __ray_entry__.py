@@ -157,6 +157,54 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_search_lexical(sf_dir: str):
+    import ray.data as rd
+
+    from semantic_search_system_ray.pipelines.search import search_lexical
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return search_lexical(docs, "hash join table scan", k=20)
+
+
+def _q_search_rerank(sf_dir: str):
+    import ray.data as rd
+
+    from semantic_search_system_ray.pipelines.search import rerank, search_lexical
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    top = search_lexical(docs, "merge sort window", k=30)
+    ids = {r["doc_id"] for r in top.take_all()}
+    candidates = docs.map_batches(
+        lambda t, ids=ids: t.filter(
+            __import__("pyarrow").array(
+                [str(v) in ids for v in t.column("doc_id").to_pylist()]
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return rerank(candidates, "merge sort window", top_n=10)
+
+
+def _q_taxonomy_build(sf_dir: str):
+    import ray.data as rd
+
+    from semantic_search_system_ray.pipelines.queries import q_word_topk
+    from semantic_search_system_ray.pipelines.topic_model import build_taxonomy
+
+    top_words = q_word_topk(sf_dir).take_all()
+    phrases = rd.from_items([{"phrase": r["word"]} for r in top_words])
+    return build_taxonomy(phrases, num_topics=6)
+
+
+def _q_doc_topic_words(sf_dir: str):
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.textstats import doc_topic_words_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(doc_topic_words_batch, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from semantic_search_system_ray.pipelines.queries import QUERIES
 
@@ -164,6 +212,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(
         {
             "kg_triples": _kg_triples,
+            "search_lexical": _q_search_lexical,
+            "search_rerank": _q_search_rerank,
+            "taxonomy_build": _q_taxonomy_build,
+            "doc_topic_words": _q_doc_topic_words,
             "minhash_clusters": _q_minhash_clusters,
             "simhash": _q_simhash,
             "ngram_jaccard": _q_ngram_jaccard,

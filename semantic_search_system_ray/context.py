@@ -21,5 +21,10 @@ def tune(num_cpus: int) -> None:
     par = max(8, 2 * num_cpus)
     ctx.min_parallelism = par
     ctx.default_hash_shuffle_parallelism = par
+    # Per-operator CPU reservation splits the session's CPUs across every
+    # operator in the DAG; with a multi-stage plan the hot map stage ends
+    # up with a fraction of the cores (measured: ~12 of 32 running).
+    # Disable it — backpressure still bounds memory via block budgets.
+    ctx.op_resource_reservation_enabled = False
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False

@@ -49,3 +49,13 @@ def hash_embed_many(texts, dim: int = EMBED_DIM) -> np.ndarray:
     for i, t in enumerate(texts):
         out[i] = hash_embed(t if isinstance(t, str) else "", dim)
     return out
+
+
+def hash_embed_int8(text: str, dim: int = EMBED_DIM) -> np.ndarray:
+    """int8-quantized variant — the reference's experimental Cohere int8
+    embedding path (test.py:18-50, ``embedding_types: ["int8"]``).
+    Quantization: round(127 · v) of the L2-normalized float vector.
+    (Note: the reference's ``process_and_store_document`` there always
+    returns True via ``finally:`` — a bug, deliberately not mirrored.)"""
+    v = hash_embed(text, dim)
+    return np.clip(np.round(v * 127.0), -127, 127).astype(np.int8)

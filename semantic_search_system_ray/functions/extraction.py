@@ -127,6 +127,49 @@ def top_n_with_first_label(
     ]
 
 
+def process_text_spans(
+    doc_id: str,
+    ordered_texts: list[str],
+    matcher: GazetteerMatcher,
+    top_n: int = 5,
+    summary_sentences: int = 2,
+) -> DocNLPResult:
+    """Per-doc NLP over the doc's TEXT spans already sorted by offset.
+
+    The semantic core shared by ``process_document`` (dict-span API, used
+    by the oracle and enriched mode) and the flat fast path (which feeds
+    plain string lists straight from flattened Arrow arrays — media spans
+    carry no text and do not contribute)."""
+    ent_mentions: list[tuple[str, str]] = []
+    top_mentions: list[tuple[str, str]] = []
+    svo: list[tuple[str, str, str]] = []
+    surfaces: list[str] = []
+    seen_surface: set[str] = set()
+    find = matcher.find_mentions
+    extract = matcher.extract_svo
+    for text in ordered_texts:
+        mentions = find(text)
+        if mentions:
+            for m in mentions:
+                s, l = m[0], m[1]
+                if l in ENTITY_LABELS:
+                    ent_mentions.append((s, l))
+                elif l == "TOPIC":
+                    top_mentions.append((s, l))
+                if s not in seen_surface:
+                    seen_surface.add(s)
+                    surfaces.append(s)
+            svo.extend(extract(text, mentions))
+    return DocNLPResult(
+        doc_id=doc_id,
+        entities=top_n_with_first_label(ent_mentions, top_n),
+        topics=top_n_with_first_label(top_mentions, top_n),
+        summary=" ".join(ordered_texts[:summary_sentences])[:300],
+        svo=svo,
+        mention_surfaces=surfaces,
+    )
+
+
 def process_document(
     doc_id: str,
     spans: list[dict],
@@ -142,32 +185,5 @@ def process_document(
     which Ray block/batch the doc lands in.
     """
     ordered = sorted(spans, key=lambda s: s["offset"])
-    ent_mentions: list[tuple[str, str]] = []
-    top_mentions: list[tuple[str, str]] = []
-    svo: list[tuple[str, str, str]] = []
-    surfaces: list[str] = []
-    seen_surface: set[str] = set()
-    summary_parts: list[str] = []
-    for span in ordered:
-        if span["kind"] != "text" or not span["text"]:
-            continue
-        text = span["text"]
-        if len(summary_parts) < summary_sentences:
-            summary_parts.append(text)
-        mentions = matcher.find_mentions(text)
-        ents = [(s, l) for s, l, _cs, _ce in mentions if l in ENTITY_LABELS]
-        ent_mentions.extend(ents)
-        top_mentions.extend((s, l) for s, l, _cs, _ce in mentions if l == "TOPIC")
-        svo.extend(matcher.extract_svo(text, mentions))
-        for s, _l, _cs, _ce in mentions:
-            if s not in seen_surface:
-                seen_surface.add(s)
-                surfaces.append(s)
-    return DocNLPResult(
-        doc_id=doc_id,
-        entities=top_n_with_first_label(ent_mentions, top_n),
-        topics=top_n_with_first_label(top_mentions, top_n),
-        summary=" ".join(summary_parts)[:300],
-        svo=svo,
-        mention_surfaces=surfaces,
-    )
+    texts = [s["text"] for s in ordered if s["kind"] == "text" and s["text"]]
+    return process_text_spans(doc_id, texts, matcher, top_n, summary_sentences)

@@ -35,12 +35,13 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
 
+from semantic_search_system_ray.functions.extraction import VERB_PREDICATES
 from semantic_search_system_ray.functions.text import normalize_key
-from semantic_search_system_ray.stages.canon import canonical_map_dict
 from semantic_search_system_ray.stages.docnlp import enrich_documents
 from semantic_search_system_ray.schemas import TRIPLES_SCHEMA
 
@@ -121,41 +122,154 @@ def relates_to_doc_triples(
     Inner join: phrases absent from the taxonomy are dropped
     (knowledge_graph/knowledge_graph.py:160-163). Dedup happens in the
     global triple dedup (identical tuple ≙ per-topic seen-set)."""
+    import pandas as pd
+
+    from semantic_search_system_ray.functions.text import arrow_normalize_key
+
     ref = ray.put(phrase_to_topic)
+    _cache: dict[str, dict] = {}
 
-    class _Join:
-        def __init__(self):
-            self.map = ray.get(ref)
+    def join_batch(batch: pa.Table) -> pa.Table:
+        m = _cache.get("m")
+        if m is None:
+            m = ray.get(ref)
+            _cache["m"] = m
+        # vectorized: Arrow normalize + pandas dict map (C-level hash map)
+        norm = arrow_normalize_key(batch.column("phrase"))
+        topics = pd.Series(norm.to_pandas() if hasattr(norm, "to_pandas") else norm).map(m)
+        mask = topics.notna().to_numpy()
+        doc_ids = pc.cast(batch.column("doc_id"), pa.string())
+        t = pa.Table.from_pydict(
+            {
+                "subj": pa.array(topics.to_numpy()[mask], pa.string()),
+                "pred": pa.array(["RELATES_TO_DOC"] * int(mask.sum()), pa.string()),
+                "obj": doc_ids.combine_chunks().filter(pa.array(mask))
+                if isinstance(doc_ids, pa.ChunkedArray)
+                else doc_ids.filter(pa.array(mask)),
+            }
+        )
+        return t
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            subj, obj = [], []
-            for phrase, doc_id in zip(
-                batch.column("phrase").to_pylist(), batch.column("doc_id").to_pylist()
-            ):
-                t = self.map.get(normalize_key(phrase))
-                if t is not None:
-                    subj.append(t)
-                    obj.append(str(doc_id))
-            return pa.Table.from_pydict(
-                {
-                    "subj": pa.array(subj, pa.string()),
-                    "pred": pa.array(["RELATES_TO_DOC"] * len(subj), pa.string()),
-                    "obj": pa.array(obj, pa.string()),
-                }
+    return phrase_docs.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
+
+
+def distinct_rows(
+    ds: rd.Dataset,
+    columns: list[str],
+    *,
+    strategy: str = "partition",
+    out_blocks: int | None = None,
+) -> rd.Dataset:
+    """Exact distinct on string ``columns``.
+
+    Phase 1 (both strategies): per-BLOCK vectorized Arrow distinct — the
+    combiner. Fully parallel; collapses skewed keys before anything moves.
+
+    Phase 2:
+    - ``tree``: combined rows coalesce to one block and a single
+      task runs the final Arrow ``group_by`` distinct (vectorized —
+      measured ~0.2s/M rows, vs Ray's shuffle paths whose fixed costs are
+      seconds-to-tens-of-seconds at single-node scale: the generic
+      groupby pays ~25µs per GROUP, and groupby().map_groups inserts a
+      global Sort operator). Valid while the combined rows fit one worker
+      (tens of millions here). ``out_blocks`` re-splits the result so
+      downstream maps parallelize.
+    - ``partition`` (default): the cluster-scale path — route by a coarse
+      ``crc32(row) % P`` column, then ``groupby(part).map_groups`` with an
+      Arrow distinct per partition (P groups only, so per-group overhead
+      is nil; the shuffle is real). Use when the distinct output exceeds a
+      single worker — measured equal to ``tree`` at single-node scale
+      once per-operator CPU reservation is off, and unlike ``tree`` it
+      has no O(n) single-task combine, so it is the default.
+    """
+    from ray.data import DataContext
+
+    combined = ds.map_batches(
+        lambda t: _distinct_batch(t.select(columns)),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    if out_blocks is None:
+        out_blocks = max(16, DataContext.get_current().min_parallelism)
+
+    if strategy == "partition":
+        import zlib
+
+        from semantic_search_system_ray.stages.util import ensure_schema
+
+        crc = zlib.crc32
+        num_partitions = out_blocks
+
+        def route(t: pa.Table) -> pa.Table:
+            joined = pc.binary_join_element_wise(
+                *[t.column(c) for c in columns], "\x00"
             )
+            parts = [crc(s.encode()) % num_partitions for s in joined.to_pylist()]
+            return t.append_column("part", pa.array(parts, pa.int32()))
 
-    return phrase_docs.map_batches(_Join, batch_format="pyarrow", concurrency=(1, 4))
+        def per_part(g: pa.Table) -> pa.Table:
+            return g.drop_columns(["part"]).group_by(columns).aggregate([])
+
+        out_schema = pa.schema([(c, pa.string()) for c in columns])
+        return ensure_schema(
+            combined.map_batches(route, batch_format="pyarrow", batch_size=None)
+            .groupby("part")
+            .map_groups(per_part, batch_format="pyarrow"),
+            out_schema,
+        )
+
+    return (
+        combined.repartition(1)
+        .map_batches(_distinct_batch, batch_format="pyarrow", batch_size=None)
+        .repartition(out_blocks)
+    )
+
+
+def distinct_doc_partitioned(
+    ds: rd.Dataset, columns: list[str], doc_col: str
+) -> rd.Dataset:
+    """Exact distinct for DOC-KEYED rows (every row carries its doc id in
+    ``doc_col``, and a doc's rows are contiguous — the layout produced by
+    doc-at-a-time extraction and doc-contiguous files).
+
+    Rows of different docs can never be equal, so distinct is doc-local:
+    a per-block Arrow distinct handles every doc fully contained in its
+    block, and the only possible cross-block duplicates come from docs
+    straddling a block split — always the FIRST or LAST doc of a block.
+    Those boundary-doc rows (2 docs × few rows per block) are carved out
+    and deduplicated exactly with a tiny tree distinct, then unioned back.
+    No shuffle of the main data ever happens; this is the classic
+    sorted-run dedup, keyed by the pipeline's one partitioning key
+    (doc id) carried from ingest."""
+
+    assert doc_col in columns, "doc-local distinct requires the doc id column"
+
+    def split(batch: pa.Table) -> pa.Table:
+        batch = _distinct_batch(batch.select(columns))
+        docs = batch.column(doc_col)
+        if len(docs) == 0:
+            return batch.append_column("__boundary", pa.array([], pa.bool_()))
+        first, last = docs[0].as_py(), docs[len(docs) - 1].as_py()
+        mask = pc.or_(pc.equal(docs, first), pc.equal(docs, last))
+        return batch.append_column("__boundary", mask)
+
+    tagged = ds.map_batches(split, batch_format="pyarrow", batch_size=None).materialize()
+    inner = tagged.map_batches(
+        lambda t: t.filter(pc.invert(t.column("__boundary"))).drop_columns(["__boundary"]).select(columns),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    boundary = tagged.map_batches(
+        lambda t: t.filter(t.column("__boundary")).drop_columns(["__boundary"]).select(columns),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return inner.union(distinct_rows(boundary, columns, strategy="tree", out_blocks=8))
 
 
 def dedup_triples(triples: rd.Dataset) -> rd.Dataset:
-    """Exact distinct on (subj, pred, obj): per-batch combiner distinct,
-    then hash-partitioned groupby + first (G6 pattern)."""
-    return (
-        triples.map_batches(_distinct_batch, batch_format="pyarrow")
-        .groupby(["subj", "pred", "obj"])
-        .count()
-        .drop_columns(["count()"])
-    )
+    """Exact distinct on (subj, pred, obj) — see distinct_rows."""
+    return distinct_rows(triples, ["subj", "pred", "obj"])
 
 
 @dataclass
@@ -163,6 +277,164 @@ class KGResult:
     triples: rd.Dataset     # distinct (subj, pred, obj)
     enriched: rd.Dataset    # per-doc NLP output (results.json contract)
     canon: dict[str, str]   # surface -> canonical form
+
+
+FLAT_SCHEMA = pa.schema(
+    [("rowkind", pa.string()),  # "T" = triple, "S" = mention surface
+     ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string())]
+)
+
+_SVO_PREDS = frozenset(p for _v, p in VERB_PREDICATES)
+
+
+def flatten_all_from_enriched(enriched: rd.Dataset) -> rd.Dataset:
+    """One flattening pass emitting BOTH raw triples ("T" rows) and mention
+    surfaces ("S" rows) into a single unified stream, so downstream dedup
+    is one shuffle that overlaps with the NLP stage (no materialize
+    barrier, no second DocNLP execution). Canon flags are derivable from
+    the predicate: MENTIONS → canon obj; SVO predicates → canon both;
+    HAS_TOPIC / IN_TOPIC / RELATES_TO_DOC → canon nothing."""
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        kind, subj, pred, obj = [], [], [], []
+        for d, es, ts, sv, surfs in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("entities").to_pylist(),
+            batch.column("topics").to_pylist(),
+            batch.column("svo").to_pylist(),
+            batch.column("surfaces").to_pylist(),
+        ):
+            for e in es:
+                kind.append("T"); subj.append(d)
+                pred.append("MENTIONS"); obj.append(e["text"])
+            for t in ts:
+                kind.append("T"); subj.append(d)
+                pred.append("HAS_TOPIC"); obj.append(normalize_key(t["text"]))
+            for s in sv:
+                kind.append("T"); subj.append(s["subj"])
+                pred.append(s["pred"]); obj.append(s["obj"])
+            for s in surfs:
+                kind.append("S"); subj.append(s); pred.append(""); obj.append("")
+        return pa.Table.from_pydict(
+            {"rowkind": kind, "subj": subj, "pred": pred, "obj": obj},
+            schema=FLAT_SCHEMA,
+        )
+
+    return enriched.map_batches(flatten, batch_format="pyarrow")
+
+
+def _tag_triples(ds_or_tbl) -> rd.Dataset:
+    """(subj,pred,obj) rows → FLAT_SCHEMA ("T") rows."""
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array(["T"] * t.num_rows, pa.string()),
+             t.column("subj"), t.column("pred"), t.column("obj")],
+            schema=FLAT_SCHEMA,
+        )
+
+    if isinstance(ds_or_tbl, pa.Table):
+        return rd.from_arrow(tag(ds_or_tbl))
+    return ds_or_tbl.map_batches(tag, batch_format="pyarrow")
+
+
+def _canon_applier(canon: dict[str, str]):
+    """Task-based canon map application (pred-aware: MENTIONS → obj; SVO →
+    both; everything else untouched). The dict travels via ray.put once
+    and is cached per worker process."""
+    canon_ref = ray.put(canon)
+    _cache: dict[str, dict] = {}
+
+    def apply_canon(batch: pa.Table) -> pa.Table:
+        c = _cache.get("c")
+        if c is None:
+            c = ray.get(canon_ref)
+            _cache["c"] = c
+        subj = batch.column("subj").to_pylist()
+        pred = batch.column("pred").to_pylist()
+        obj = batch.column("obj").to_pylist()
+        subj = [c.get(s, s) if p in _SVO_PREDS else s for s, p in zip(subj, pred)]
+        obj = [
+            c.get(o, o) if (p == "MENTIONS" or p in _SVO_PREDS) else o
+            for o, p in zip(obj, pred)
+        ]
+        return pa.Table.from_pydict(
+            {"subj": pa.array(subj, pa.string()),
+             "pred": pa.array(pred, pa.string()),
+             "obj": pa.array(obj, pa.string())}
+        )
+
+    return apply_canon
+
+
+def finalize_triples(flat: rd.Dataset) -> tuple[rd.Dataset, dict[str, str]]:
+    """Locally-distinct FLAT rows → (distinct canonical doc triples, canon).
+
+    Split by row class, because their dedup scopes differ fundamentally:
+
+    - SVO triples + surface rows: the DISTINCT space is bounded by the
+      entity/predicate vocabulary (not by corpus size), so per-block
+      partials are tiny and an exact tree distinct costs ~nothing.
+      Surfaces feed the driver union-find (stages/canon.py documents the
+      distributed CC path for vocabularies that outgrow it).
+    - MENTIONS / HAS_TOPIC: doc-keyed → distinct across docs by
+      construction; post-canon duplicates are doc-local (two top-5
+      variants collapsing), handled by ``distinct_doc_partitioned``
+      (per-block distinct + exact boundary repair, no shuffle).
+    """
+    from semantic_search_system_ray.functions.canon_spec import canonicalize_exact
+
+    vocab_rows = distinct_rows(
+        flat.map_batches(
+            lambda t: t.filter(
+                pc.or_(
+                    pc.equal(t.column("rowkind"), "S"),
+                    pc.is_in(t.column("pred"), value_set=pa.array(sorted(_SVO_PREDS))),
+                )
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        ["rowkind", "subj", "pred", "obj"],
+        strategy="tree",
+        out_blocks=8,
+    ).materialize()
+
+    surfaces = sorted(
+        r["subj"]
+        for r in vocab_rows.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"subj": t.filter(pc.equal(t.column("rowkind"), "S")).column("subj")}
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+    canon = canonicalize_exact(surfaces)
+    apply_canon = _canon_applier(canon)
+
+    svo_triples = distinct_rows(
+        vocab_rows.map_batches(
+            lambda t: t.filter(pc.equal(t.column("rowkind"), "T")).select(
+                ["subj", "pred", "obj"]
+            ),
+            batch_format="pyarrow",
+        ).map_batches(apply_canon, batch_format="pyarrow"),
+        ["subj", "pred", "obj"],
+        strategy="tree",
+        out_blocks=8,
+    )
+
+    dockeyed = flat.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t.column("pred"), value_set=pa.array(["MENTIONS", "HAS_TOPIC"]))
+        ).select(["subj", "pred", "obj"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).map_batches(apply_canon, batch_format="pyarrow", batch_size=None)
+    dockeyed = distinct_doc_partitioned(
+        dockeyed, ["subj", "pred", "obj"], doc_col="subj"
+    )
+
+    return svo_triples.union(dockeyed), canon
 
 
 def build_triples(
@@ -175,45 +447,32 @@ def build_triples(
     batch_size: int = 256,
     embed: bool = False,
 ) -> KGResult:
-    enriched = enrich_documents(
-        documents, gazetteer, concurrency=concurrency, batch_size=batch_size, embed=embed
+    """Streaming plan: fused task-based DocNLP+flatten (FLAT rows: triples
+    + surfaces, block-locally distinct) → ONE materialize → class-split
+    finalize (vocab-bounded tree distinct for SVO/surfaces; doc-local
+    distinct for doc-keyed rows — no all-to-all shuffle anywhere) →
+    disjoint taxonomy/RELATES branches unioned at the end.
+    ``concurrency``/``batch_size``/``embed`` are kept for the enriched-mode
+    API (enrich_documents); the flat path is task-based and self-scaling."""
+    from semantic_search_system_ray.stages.docnlp import extract_flat
+
+    flat = extract_flat(documents, gazetteer).map_batches(
+        _distinct_batch, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    triples, canon = finalize_triples(flat)
+
+    # Side branches stay OUT of the hot path: their predicate spaces
+    # (IN_TOPIC, RELATES_TO_DOC) are disjoint from the doc-extracted ones
+    # (MENTIONS / HAS_TOPIC / SVO verbs), so no cross-branch duplicate can
+    # exist and a plain union after per-branch dedup is exact.
+    tax_tbl, phrase_to_topic = taxonomy_triples(taxonomy)  # distinct already
+    rel = distinct_doc_partitioned(
+        relates_to_doc_triples(phrase_docs, phrase_to_topic),
+        ["subj", "pred", "obj"],
+        doc_col="obj",  # phrase_docs files are doc-contiguous
     )
-    # Two consumers (raw triples + surfaces) would re-execute the DocNLP
-    # pass twice on a lazy Dataset — pin it once. In-memory materialize is
-    # the convenience path; at corpus scale use pipelines/runner.py, which
-    # writes the enriched shard to parquet instead (same single-pass
-    # property, spillable).
-    enriched = enriched.materialize()
-    raw = triples_from_enriched(enriched)
-
-    canon = canonical_map_dict(surfaces_from_enriched(enriched))
-
-    # canon applies only where the flags say the value is an entity surface
-    # (doc_id / normalized-topic fields must never be rewritten even if a
-    # surface form happened to collide with them)
-    def apply_flags(batch: pa.Table, canon_map=canon) -> pa.Table:
-        subj = batch.column("subj").to_pylist()
-        obj = batch.column("obj").to_pylist()
-        cs = batch.column("canon_subj").to_pylist()
-        co = batch.column("canon_obj").to_pylist()
-        subj = [canon_map.get(s, s) if f else s for s, f in zip(subj, cs)]
-        obj = [canon_map.get(o, o) if f else o for o, f in zip(obj, co)]
-        return pa.Table.from_pydict(
-            {
-                "subj": pa.array(subj, pa.string()),
-                "pred": batch.column("pred"),
-                "obj": pa.array(obj, pa.string()),
-            }
-        )
-
-    canoned = raw.map_batches(apply_flags, batch_format="pyarrow")
-
-    tax_tbl, phrase_to_topic = taxonomy_triples(taxonomy)
-    rel = relates_to_doc_triples(phrase_docs, phrase_to_topic)
-    all_triples = canoned.union(rd.from_arrow(tax_tbl), rel)
-    return KGResult(
-        triples=dedup_triples(all_triples), enriched=enriched, canon=canon
-    )
+    triples = triples.union(rd.from_arrow(tax_tbl), rel)
+    return KGResult(triples=triples, enriched=None, canon=canon)
 
 
 # --- graph materialize -------------------------------------------------------

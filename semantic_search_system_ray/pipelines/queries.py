@@ -548,7 +548,27 @@ WHERE c_custkey NOT IN
 """
 
 
+# --------------------------------------------------------------------------
+# substring search filter (query-side S13/T1 surface)
+# --------------------------------------------------------------------------
+
+def q_search_like(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": t.filter(pc.match_substring(t.column("text"), "hash join")).column("doc_id")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SEARCH_LIKE = """
+SELECT doc_id FROM documents WHERE text LIKE '%hash join%'
+"""
+
+
 QUERIES = {
+    "search_like": q_search_like,
     "filter_date_range": q_filter_date_range,
     "filter_eq": q_filter_eq,
     "topk_orders": q_topk_orders,
@@ -568,6 +588,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "search_like": SQL_SEARCH_LIKE,
     "filter_date_range": SQL_FILTER_DATE_RANGE,
     "filter_eq": SQL_FILTER_EQ,
     "topk_orders": SQL_TOPK_ORDERS,

@@ -34,16 +34,14 @@ from semantic_search_system_ray.functions.hashing import stable_hash64
 from semantic_search_system_ray.pipelines.kg_build import (
     KGResult,
     adjacency_from_edges,
-    dedup_triples,
+    distinct_rows,
     edges_from_triples,
+    finalize_triples,
     nodes_from_triples,
     relates_to_doc_triples,
-    surfaces_from_enriched,
     taxonomy_triples,
-    triples_from_enriched,
 )
-from semantic_search_system_ray.stages.canon import canonical_map_dict
-from semantic_search_system_ray.stages.docnlp import enrich_documents
+from semantic_search_system_ray.stages.docnlp import extract_flat
 from semantic_search_system_ray.state.manifest import Manifest
 
 
@@ -71,21 +69,26 @@ def _read_parts(dirs: list[str]) -> rd.Dataset:
     return rd.read_parquet(files)
 
 
-def _triples_checksum(ds: rd.Dataset) -> int:
+def _checksum(ds: rd.Dataset, columns: list[str]) -> int:
+    """Order-independent content checksum over string columns."""
     mod = (1 << 31) - 1
 
     def batch_sum(batch: pa.Table) -> pa.Table:
         s = 0
-        for a, b, c in zip(
-            batch.column("subj").to_pylist(),
-            batch.column("pred").to_pylist(),
-            batch.column("obj").to_pylist(),
-        ):
-            s = (s + stable_hash64(f"{a}\x00{b}\x00{c}")) % mod
+        for vals in zip(*[batch.column(c).to_pylist() for c in columns]):
+            s = (s + stable_hash64("\x00".join(vals))) % mod
         return pa.Table.from_pydict({"s": pa.array([s], pa.int64())})
 
     part = ds.map_batches(batch_sum, batch_format="pyarrow")
     return int(part.sum("s") or 0) % mod
+
+
+def _triples_checksum(ds: rd.Dataset) -> int:
+    return _checksum(ds, ["subj", "pred", "obj"])
+
+
+def _flat_checksum(ds: rd.Dataset) -> int:
+    return _checksum(ds, ["rowkind", "subj", "pred", "obj"])
 
 
 def run_phase_a(
@@ -111,29 +114,27 @@ def run_phase_a(
         if max_parts is not None and newly >= max_parts:
             break
         docs = rd.read_parquet(files)
-        enriched = enrich_documents(
-            docs, gazetteer, concurrency=concurrency, batch_size=batch_size, embed=False
+        # single fused streaming pass per shard: task-based DocNLP+flatten
+        # (triples + surface rows) -> block-local distinct -> write.
+        # NO shuffle here: doc-contiguity of rows must survive into the
+        # written files (Phase B's doc-local dedup depends on it).
+        from semantic_search_system_ray.pipelines.kg_build import _distinct_batch
+
+        flat = extract_flat(docs, gazetteer).map_batches(
+            _distinct_batch, batch_format="pyarrow", batch_size=None
         )
-        # one DocNLP pass per shard: pin the enriched shard before its two
-        # consumers (raw triples write + surfaces write)
-        enriched = enriched.materialize()
-        raw = triples_from_enriched(enriched)
         raw_dir = manifest.begin_partition("raw_triples", k)
-        raw.write_parquet(raw_dir)
-        surf_dir = manifest.begin_partition("surfaces", k)
-        surfaces = surfaces_from_enriched(enriched)
-        surfaces.write_parquet(surf_dir)
+        flat.write_parquet(raw_dir)
 
         raw_written = rd.read_parquet(raw_dir)
         rows_out = raw_written.count()
         rows_in = docs.count()
-        manifest.commit_partition("surfaces", k, rows_in=rows_in, rows_out=rows_out)
         manifest.commit_partition(
             "raw_triples",
             k,
             rows_in=rows_in,
             rows_out=rows_out,
-            checksum=_triples_checksum(raw_written),
+            checksum=_flat_checksum(raw_written),
             extra={"files": files},
         )
         newly += 1
@@ -151,29 +152,20 @@ def run_phase_b(
     if not parts:
         raise RuntimeError("no committed raw_triples partitions; run Phase A first")
     raw = _read_parts([manifest.partition_dir("raw_triples", k) for k in parts])
-    surfaces = _read_parts([manifest.partition_dir("surfaces", k) for k in parts])
 
-    canon = canonical_map_dict(surfaces)
+    # same finalize structure as build_triples: class-split dedup over the
+    # shards' locally-distinct flat rows; taxonomy/RELATES branches are
+    # disjoint in predicate space, deduped separately and unioned after
+    from semantic_search_system_ray.pipelines.kg_build import distinct_doc_partitioned
 
-    def apply_flags(batch: pa.Table, canon_map=canon) -> pa.Table:
-        subj = batch.column("subj").to_pylist()
-        obj = batch.column("obj").to_pylist()
-        cs = batch.column("canon_subj").to_pylist()
-        co = batch.column("canon_obj").to_pylist()
-        subj = [canon_map.get(s, s) if f else s for s, f in zip(subj, cs)]
-        obj = [canon_map.get(o, o) if f else o for o, f in zip(obj, co)]
-        return pa.Table.from_pydict(
-            {
-                "subj": pa.array(subj, pa.string()),
-                "pred": batch.column("pred"),
-                "obj": pa.array(obj, pa.string()),
-            }
-        )
-
-    canoned = raw.map_batches(apply_flags, batch_format="pyarrow")
+    triples, canon = finalize_triples(raw.materialize())
     tax_tbl, phrase_to_topic = taxonomy_triples(taxonomy)
-    rel = relates_to_doc_triples(phrase_docs, phrase_to_topic)
-    triples = dedup_triples(canoned.union(rd.from_arrow(tax_tbl), rel))
+    rel = distinct_doc_partitioned(
+        relates_to_doc_triples(phrase_docs, phrase_to_topic),
+        ["subj", "pred", "obj"],
+        doc_col="obj",
+    )
+    triples = triples.union(rd.from_arrow(tax_tbl), rel)
 
     final_dir = manifest.begin_partition("triples", 0)
     triples.write_parquet(final_dir)

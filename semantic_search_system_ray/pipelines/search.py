@@ -1,0 +1,184 @@
+"""Query-side search surface — the reference's five search strategies
+re-expressed as Dataset pipelines (SURVEY §2.10, utils/search_service.py,
+utils/search_pipeline.py:169-196).
+
+Strategies:
+- lexical:   token-overlap scoring (vectorized), min-max normalized to
+             [1,100] (G7), sort desc + limit (T1/T3).
+- vector:    embed the query (hash embedder = the sandbox stand-in for
+             Titan, same 256-dim normalized contract) → exact cosine top-k
+             (≥ HNSW recall, T2).
+- hybrid:    0.5·lexical + 0.5·vector on the candidate union.
+- expanded:  synonym-table query expansion (A8 surrogate: deterministic
+             table instead of an LLM; dedup with list(set) semantics,
+             utils/search_service.py:248) feeding lexical.
+- reranked:  deterministic lexical-overlap reranker attaching
+             ``rerank_score`` and re-sorting top-n (A9 surrogate; index →
+             original mapping is by carried doc_id, J3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Max, Min
+
+from semantic_search_system_ray.functions.embed import hash_embed
+from semantic_search_system_ray.functions.scores import arrow_minmax_normalize_100
+from semantic_search_system_ray.functions.text import tokenize
+
+SYNONYMS: dict[str, list[str]] = {
+    "fast": ["quick", "rapid"],
+    "query": ["search", "lookup"],
+    "join": ["merge"],
+    "big": ["large", "huge"],
+    "small": ["tiny", "little"],
+    "energy": ["power"],
+    "school": ["education"],
+}
+
+
+def expand_query(query: str) -> list[str]:
+    """query → [query, synonym variants...], deduped (set semantics,
+    deterministic order by first occurrence)."""
+    out = [query]
+    toks = [t.lower() for t in tokenize(query)]
+    for i, t in enumerate(toks):
+        for syn in SYNONYMS.get(t, []):
+            variant = " ".join(toks[:i] + [syn] + toks[i + 1 :])
+            out.append(variant)
+    seen, dedup = set(), []
+    for q in out:
+        if q not in seen:
+            seen.add(q)
+            dedup.append(q)
+    return dedup
+
+
+def _overlap_scores(texts: list[str], q_tokens: frozenset[str]) -> list[float]:
+    scores = []
+    for t in texts:
+        toks = [w.lower() for w in tokenize(t or "")]
+        if not toks:
+            scores.append(0.0)
+            continue
+        hits = sum(1 for w in toks if w in q_tokens)
+        scores.append(round(hits / len(toks) * (1 + len(q_tokens)), 6))
+    return scores
+
+
+def search_lexical(
+    docs: rd.Dataset,
+    query: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """→ (doc_id, score, normalized_score_100) top-k by overlap score."""
+    q_tokens = frozenset(t.lower() for t in tokenize(query))
+
+    def score(t: pa.Table) -> pa.Table:
+        s = _overlap_scores(t.column(text_col).to_pylist(), q_tokens)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(
+                    [str(v) for v in t.column(id_col).to_pylist()], pa.string()
+                ),
+                "score": pa.array(s, pa.float64()),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    stats = scored.aggregate(Min("score"), Max("score"))
+    mn, mx = stats["min(score)"], stats["max(score)"]
+
+    def norm(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "normalized_score_100", arrow_minmax_normalize_100(t.column("score"), mn, mx)
+        )
+
+    return (
+        scored.map_batches(norm, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def search_expanded(docs: rd.Dataset, query: str, k: int = 10, **kwargs) -> rd.Dataset:
+    """Expanded lexical: score against the union of expanded-query tokens."""
+    terms = expand_query(query)
+    return search_lexical(docs, " ".join(terms), k, **kwargs)
+
+
+def search_vector(
+    embeddings: rd.Dataset,
+    query_text: str,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Embed the query with the deterministic hash embedder → exact cosine
+    top-k. NOTE: meaningful only against embeddings produced by the same
+    embedder (e.g. the enriched KG table); the driver's synthetic
+    ``embeddings`` table uses its own vectors — still exercises the path."""
+    from semantic_search_system_ray.stages.ann import cosine_topk
+
+    dim_probe = embeddings.take(1)[0][vec_col]
+    q = hash_embed(query_text, dim=len(dim_probe))
+    return cosine_topk(embeddings, np.asarray(q, dtype=np.float64), k,
+                       id_col=id_col, vec_col=vec_col)
+
+
+def rerank(
+    results: rd.Dataset,
+    query: str,
+    top_n: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Attach ``rerank_score`` (deterministic overlap surrogate for the
+    Bedrock reranker) and return the re-sorted top-n, original columns
+    preserved (index→original mapping via carried ids, J3)."""
+    q_tokens = frozenset(t.lower() for t in tokenize(query))
+
+    def score(t: pa.Table) -> pa.Table:
+        s = _overlap_scores(t.column(text_col).to_pylist(), q_tokens)
+        return t.append_column("rerank_score", pa.array(s, pa.float64()))
+
+    return (
+        results.map_batches(score, batch_format="pyarrow")
+        .sort(["rerank_score", id_col], descending=[True, False])
+        .limit(top_n)
+    )
+
+
+def search_hybrid(
+    docs: rd.Dataset,
+    embeddings: rd.Dataset,
+    query: str,
+    k: int = 10,
+) -> rd.Dataset:
+    """0.5·lexical + 0.5·vector over the union of candidates (both score
+    sets min-max normalized first). Joins candidates by id via broadcast
+    (both candidate sets are ≤ k·batches — tiny)."""
+    lex = {r["doc_id"]: r["normalized_score_100"] for r in
+           search_lexical(docs, query, k * 3).take_all()}
+    vec = {str(r["vec_id"]): 1.0 + 99.0 * max(0.0, r["score"]) for r in
+           search_vector(embeddings, query, k * 3).take_all()}
+    ids = sorted(set(lex) | set(vec))
+    rows = {
+        "doc_id": ids,
+        "hybrid_score": [
+            round(0.5 * lex.get(i, 1.0) + 0.5 * vec.get(i, 1.0), 4) for i in ids
+        ],
+    }
+    tbl = pa.Table.from_pydict(rows)
+    return rd.from_arrow(tbl).sort(
+        ["hybrid_score", "doc_id"], descending=[True, False]
+    ).limit(k)

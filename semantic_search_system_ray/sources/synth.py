@@ -156,89 +156,85 @@ def _noise_key(rng: random.Random, s: str) -> str:
     return s
 
 
-def generate_corpus(n_docs: int = 500, seed: int = 42) -> SynthCorpus:
-    rng = random.Random(seed)
+def _gen_doc(seed: int, i: int):
+    """Generate one document deterministically from (seed, doc index) —
+    per-doc independent RNG streams make generation order-free, so shards
+    can be produced in parallel with identical content."""
+    rng = random.Random((seed << 24) ^ i)
     all_phrases = [ph for phs in TOPIC_PHRASES.values() for ph in phs]
-    people_pool = PEOPLE + ["%s" % v for v in HEAD_ENTITY_VARIANTS]
+    people_pool = PEOPLE + list(HEAD_ENTITY_VARIANTS)
 
+    doc_id = f"doc-{i:08d}"
+    has_head = rng.random() < 0.67
+    head = rng.choice(HEAD_ENTITY_VARIANTS) if has_head else None
+    n_spans = rng.randint(3, 40)
+    spans = []
+    offset = 0
+    doc_phrases: set[str] = set()
+    for _ in range(n_spans):
+        if rng.random() < 0.15:
+            ref = hashlib.blake2b(
+                f"{doc_id}-{offset}".encode(), digest_size=8
+            ).hexdigest()
+            spans.append(
+                {"kind": rng.choice(MEDIA_KINDS), "text": "",
+                 "media_ref": f"media://{ref}", "offset": offset}
+            )
+            offset += 1
+            continue
+        a = head if (head and rng.random() < 0.55) else rng.choice(people_pool)
+        b = rng.choice([p for p in people_pool if p != a] + ORGS)
+        o = rng.choice(ORGS)
+        loc = rng.choice(PLACES)
+        ph = rng.choice(all_phrases)
+        if rng.random() < 0.7:
+            tmpl, _pred = rng.choice(SVO_TEMPLATES)
+        else:
+            tmpl = rng.choice(FILLER_TEMPLATES)
+        sent = (
+            tmpl.replace("{A}", a).replace("{B}", b).replace("{O}", o)
+            .replace("{L}", loc).replace("{PH}", ph)
+        )
+        if ph in sent:
+            doc_phrases.add(ph)
+        spans.append({"kind": "text", "text": sent, "media_ref": "", "offset": offset})
+        offset += len(sent) + 1
+
+    url = f"https://example.test/pr/{doc_id}"
+    title = f"Press release {i}"
+    meta = (doc_id, url, title,
+            f"{2000 + (i % 26):04d}-{1 + (i % 12):02d}-{1 + (i % 28):02d}")
+    pd_rows = []
+    for ph in sorted(doc_phrases):
+        pd_rows.append((_noise_key(rng, ph), doc_id, url, title))
+        if rng.random() < 0.1:  # duplicate (phrase, doc) pair on purpose
+            pd_rows.append((ph, doc_id, url, title))
+    return doc_id, spans, meta, pd_rows
+
+
+def _gen_range(seed: int, lo: int, hi: int):
+    """Generate docs [lo, hi) → (documents, doc_meta, phrase_docs) tables."""
     doc_ids, spans_col = [], []
     meta_rows = {"doc_id": [], "pr_url": [], "pr_title": [], "pr_date": []}
     phrase_doc_rows: list[tuple[str, str, str, str]] = []
-
-    for i in range(n_docs):
-        doc_id = f"doc-{i:06d}"
-        has_head = rng.random() < 0.67
-        head = rng.choice(HEAD_ENTITY_VARIANTS) if has_head else None
-        n_spans = rng.randint(3, 40)
-        spans = []
-        offset = 0
-        doc_phrases: set[str] = set()
-        for _ in range(n_spans):
-            if rng.random() < 0.15:
-                ref = hashlib.blake2b(
-                    f"{doc_id}-{offset}".encode(), digest_size=8
-                ).hexdigest()
-                spans.append(
-                    {"kind": rng.choice(MEDIA_KINDS), "text": "",
-                     "media_ref": f"media://{ref}", "offset": offset}
-                )
-                offset += 1
-                continue
-            # text span: pick a template
-            a = head if (head and rng.random() < 0.55) else rng.choice(people_pool)
-            b = rng.choice([p for p in people_pool if p != a] + ORGS)
-            o = rng.choice(ORGS)
-            loc = rng.choice(PLACES)
-            ph = rng.choice(all_phrases)
-            if rng.random() < 0.7:
-                tmpl, _pred = rng.choice(SVO_TEMPLATES)
-            else:
-                tmpl = rng.choice(FILLER_TEMPLATES)
-            sent = (
-                tmpl.replace("{A}", a).replace("{B}", b).replace("{O}", o)
-                .replace("{L}", loc).replace("{PH}", ph)
-            )
-            if ph in sent:
-                doc_phrases.add(ph)
-            spans.append({"kind": "text", "text": sent, "media_ref": "", "offset": offset})
-            offset += len(sent) + 1
+    for i in range(lo, hi):
+        doc_id, spans, meta, pd_rows = _gen_doc(seed, i)
         doc_ids.append(doc_id)
         spans_col.append(spans)
-
-        url = f"https://example.test/pr/{doc_id}"
-        title = f"Press release {i}"
-        y = 2000 + (i % 26)
-        m = 1 + (i % 12)
-        d = 1 + (i % 28)
-        meta_rows["doc_id"].append(doc_id)
-        meta_rows["pr_url"].append(url)
-        meta_rows["pr_title"].append(title)
-        meta_rows["pr_date"].append(f"{y:04d}-{m:02d}-{d:02d}")
-
-        for ph in sorted(doc_phrases):
-            phrase_doc_rows.append((_noise_key(rng, ph), doc_id, url, title))
-            if rng.random() < 0.1:  # duplicate (phrase, doc) pair on purpose
-                phrase_doc_rows.append((ph, doc_id, url, title))
-
-    # phrases present in phrase_docs but absent from taxonomy (dropped by join)
-    for extra in ["orphan phrase", "unlisted topic"]:
-        if doc_ids:
+        for k, v in zip(meta_rows, meta):
+            meta_rows[k].append(v)
+        phrase_doc_rows.extend(pd_rows)
+    if lo == 0 and doc_ids:
+        # phrases present in phrase_docs but absent from taxonomy (dropped
+        # by the inner join, knowledge_graph/knowledge_graph.py:160-163)
+        for extra in ["orphan phrase", "unlisted topic"]:
             phrase_doc_rows.append(
                 (extra, doc_ids[0], meta_rows["pr_url"][0], meta_rows["pr_title"][0])
             )
-
     documents = pa.Table.from_pydict(
         {"doc_id": doc_ids, "spans": spans_col}, schema=DOCUMENTS_SCHEMA
     )
     doc_meta = pa.Table.from_pydict(meta_rows, schema=DOC_META_SCHEMA)
-
-    tax_rows = {"broad_topic": [], "phrase": []}
-    for topic, phrases in TOPIC_PHRASES.items():
-        for ph in phrases:
-            tax_rows["broad_topic"].append(_noise_key(rng, topic))
-            tax_rows["phrase"].append(_noise_key(rng, ph))
-    taxonomy = pa.Table.from_pydict(tax_rows, schema=TAXONOMY_SCHEMA)
-
     phrase_docs = pa.Table.from_pydict(
         {
             "phrase": [r[0] for r in phrase_doc_rows],
@@ -248,11 +244,58 @@ def generate_corpus(n_docs: int = 500, seed: int = 42) -> SynthCorpus:
         },
         schema=PHRASE_DOCS_SCHEMA,
     )
+    return documents, doc_meta, phrase_docs
 
+
+def build_taxonomy_table(seed: int) -> pa.Table:
+    rng = random.Random((seed << 8) ^ 0x7A3)
+    tax_rows = {"broad_topic": [], "phrase": []}
+    for topic, phrases in TOPIC_PHRASES.items():
+        for ph in phrases:
+            tax_rows["broad_topic"].append(_noise_key(rng, topic))
+            tax_rows["phrase"].append(_noise_key(rng, ph))
+    return pa.Table.from_pydict(tax_rows, schema=TAXONOMY_SCHEMA)
+
+
+def generate_corpus(n_docs: int = 500, seed: int = 42) -> SynthCorpus:
+    documents, doc_meta, phrase_docs = _gen_range(seed, 0, n_docs)
     return SynthCorpus(
         documents=documents,
         doc_meta=doc_meta,
-        taxonomy=taxonomy,
+        taxonomy=build_taxonomy_table(seed),
         phrase_docs=phrase_docs,
         gazetteer=build_gazetteer(),
     )
+
+
+def write_corpus_parallel(
+    out_dir: str, n_docs: int, seed: int = 42, num_shards: int = 32
+) -> None:
+    """Parallel corpus writer for bench-scale corpora: one Ray task per
+    shard generates docs [lo, hi) (per-doc RNG → identical content to the
+    sequential generator) and writes its own parquet files. Requires an
+    initialized Ray session (bench.py owns one)."""
+    import os
+
+    import ray
+
+    os.makedirs(f"{out_dir}/documents", exist_ok=True)
+    os.makedirs(f"{out_dir}/phrase_docs", exist_ok=True)
+    os.makedirs(f"{out_dir}/doc_meta", exist_ok=True)
+
+    @ray.remote
+    def gen_shard(k: int, lo: int, hi: int) -> int:
+        docs, meta, pdocs = _gen_range(seed, lo, hi)
+        pq.write_table(docs, f"{out_dir}/documents/part-{k:04d}.parquet")
+        pq.write_table(meta, f"{out_dir}/doc_meta/part-{k:04d}.parquet")
+        pq.write_table(pdocs, f"{out_dir}/phrase_docs/part-{k:04d}.parquet")
+        return hi - lo
+
+    per = (n_docs + num_shards - 1) // num_shards
+    refs = [
+        gen_shard.remote(k, k * per, min(n_docs, (k + 1) * per))
+        for k in range(num_shards)
+        if k * per < n_docs
+    ]
+    ray.get(refs)
+    pq.write_table(build_taxonomy_table(seed), f"{out_dir}/taxonomy.parquet")

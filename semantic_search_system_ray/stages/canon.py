@@ -144,10 +144,19 @@ def canonical_map_dict(
     than dict in that regime anyway."""
     from semantic_search_system_ray.functions.canon_spec import canonicalize_exact
 
-    distinct = distinct_surfaces(surfaces_ds)
-    sample = distinct.take(driver_threshold + 1)
-    if len(sample) <= driver_threshold:
-        return canonicalize_exact([r["surface"] for r in sample])
+    # per-batch distinct only (no global shuffle): the dict path is for
+    # vocabularies that fit the driver, where batches×|vocab| partial rows
+    # collect in well under the cost of a groupby round-trip. The final
+    # set() is the exact distinct.
+    partial = surfaces_ds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"surface": pa.array(sorted(set(t.column("surface").to_pylist())))}
+        ),
+        batch_format="pyarrow",
+    )
+    vocab = {r["surface"] for r in partial.take_all()}
+    if len(vocab) <= driver_threshold:
+        return canonicalize_exact(sorted(vocab))
     tbl = canonical_map_ds(surfaces_ds, **kwargs).to_pandas()
     return dict(zip(tbl["surface"], tbl["canonical"]))
 

@@ -115,3 +115,92 @@ def enrich_documents(
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     return docs_ds.map_batches(DocNLP, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Task-based fused path for the KG build: documents → FLAT rows directly
+# ---------------------------------------------------------------------------
+
+FLAT_SCHEMA = pa.schema(
+    [("rowkind", pa.string()),  # "T" = triple, "S" = mention surface
+     ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string())]
+)
+
+# Matcher cache keyed by the gazetteer's object ref: Ray reuses worker
+# PROCESSES across tasks, so a stateless map task gets actor-like state
+# amortization without actor-pool sizing or cold-start ramp — and the
+# streaming executor can schedule it on every free CPU immediately.
+_MATCHER_CACHE: dict[str, GazetteerMatcher] = {}
+
+
+def _cached_matcher(gaz_ref) -> GazetteerMatcher:
+    key = gaz_ref.hex() if isinstance(gaz_ref, ray.ObjectRef) else str(id(gaz_ref))
+    m = _MATCHER_CACHE.get(key)
+    if m is None:
+        gaz = ray.get(gaz_ref) if isinstance(gaz_ref, ray.ObjectRef) else gaz_ref
+        m = GazetteerMatcher(gaz)
+        _MATCHER_CACHE[key] = m
+    return m
+
+
+def extract_flat(docs_ds, gazetteer: dict[str, str]):
+    """documents → unified FLAT rows (triples "T" + mention surfaces "S")
+    in ONE fused task-based pass: segmentation, mention detection, SVO,
+    top-5 selection and flattening never leave the task. Per-doc
+    normalize_key is applied to topic objects here (reference semantics,
+    knowledge_graph/knowledge_graph.py:51-55)."""
+    from semantic_search_system_ray.functions.text import normalize_key
+
+    gaz_ref = ray.put(gazetteer)
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from semantic_search_system_ray.functions.extraction import process_text_spans
+
+    def flat_batch(batch: pa.Table) -> pa.Table:
+        matcher = _cached_matcher(gaz_ref)
+        # flatten the list<struct> spans column with Arrow kernels instead
+        # of to_pylist (which would build one Python dict per span — the
+        # dominant allocator churn in this hot path)
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        flat_struct = pc.list_flatten(spans_col)
+        parents = pc.list_parent_indices(spans_col).to_numpy(zero_copy_only=False)
+        is_text = pc.equal(flat_struct.field("kind"), "text")
+        texts_all = flat_struct.field("text").to_pylist()
+        offsets_all = flat_struct.field("offset").to_numpy(zero_copy_only=False)
+        text_mask = is_text.to_numpy(zero_copy_only=False)
+
+        kind, subj, pred, obj = [], [], [], []
+        # parents is non-decreasing (list order); walk doc ranges
+        boundaries = np.searchsorted(parents, np.arange(len(doc_ids) + 1))
+        for d_idx, doc_id in enumerate(doc_ids):
+            lo, hi = boundaries[d_idx], boundaries[d_idx + 1]
+            idx = [i for i in range(lo, hi) if text_mask[i] and texts_all[i]]
+            idx.sort(key=lambda i: offsets_all[i])  # span order = offset order
+            r = process_text_spans(doc_id, [texts_all[i] for i in idx], matcher)
+            for e in r.entities:
+                kind.append("T"); subj.append(doc_id)
+                pred.append("MENTIONS"); obj.append(e["text"])
+            for t in r.topics:
+                kind.append("T"); subj.append(doc_id)
+                pred.append("HAS_TOPIC"); obj.append(normalize_key(t["text"]))
+            for s, p, o in r.svo:
+                kind.append("T"); subj.append(s); pred.append(p); obj.append(o)
+            for s in r.mention_surfaces:
+                kind.append("S"); subj.append(s); pred.append(""); obj.append("")
+        return pa.Table.from_pydict(
+            {"rowkind": kind, "subj": subj, "pred": pred, "obj": obj},
+            schema=FLAT_SCHEMA,
+        )
+
+    # bounded batch size: a whole 30k-doc block would build millions of
+    # transient Python strings per call (GC/allocator thrash that worsens
+    # superlinearly with block size); ~2k docs per call keeps the working
+    # set small while still amortizing per-call overhead
+    return docs_ds.map_batches(
+        flat_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
+    )

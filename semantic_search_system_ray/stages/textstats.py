@@ -99,6 +99,25 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def doc_topic_words_batch(batch: pa.Table, top_k: int = 10) -> pa.Table:
+    """Per-doc top-k frequent non-stopword terms — the deterministic
+    surrogate for the reference's per-document LDA (a CountVectorizer+LDA
+    fit PER ROW, nlp/pr_local_nlp_pipeline.py:48-66 — per-row model ⇒
+    stateless map, no shuffle). Ties: first occurrence (Counter order)."""
+    from collections import Counter
+
+    texts = batch.column("text").to_pylist()
+    out = []
+    for t in texts:
+        toks = [w.lower() for w in re.findall(r"[A-Za-z]+", t or "")]
+        c = Counter(w for w in toks if w not in _STOPWORDS)
+        out.append([w for w, _n in c.most_common(top_k)])
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"),
+         "topic_words": pa.array(out, pa.list_(pa.string()))}
+    )
+
+
 def fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
     """Winnowing-style rolling-hash fingerprint: min token-window hash —
     a cheap deterministic doc signature for shard-level dedup triage."""

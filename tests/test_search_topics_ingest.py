@@ -1,0 +1,168 @@
+"""Search surface, taxonomy builder, ingest pipeline, parser tests."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from semantic_search_system_ray.functions.parsing import (
+    extract_html_body,
+    lenient_json_loads,
+    parse_expansion_lines,
+    parse_llm_json,
+    preprocess_text,
+)
+from semantic_search_system_ray.pipelines.ingest import (
+    ingest_html,
+    read_month,
+    write_month_partitioned,
+)
+from semantic_search_system_ray.pipelines.search import (
+    expand_query,
+    rerank,
+    search_expanded,
+    search_lexical,
+    search_vector,
+)
+from semantic_search_system_ray.pipelines.topic_model import build_taxonomy
+
+
+def test_parse_llm_json():
+    good = '```json\n{"entities": ["a"], "topics": ["b"], "summary": "s"}\n```'
+    assert parse_llm_json(good)["summary"] == "s"
+    assert parse_llm_json('{"entities": []}') is None  # missing keys
+    assert parse_llm_json("not json") is None
+
+
+def test_lenient_json_and_expansion_lines():
+    assert lenient_json_loads('{"a": [1, 2,], }') == {"a": [1, 2]}
+    assert parse_expansion_lines("1. foo bar\n2. baz\n\nx") == ["foo bar", "baz"]
+
+
+def test_preprocess_text():
+    out = preprocess_text("The Committees, discussed; JUMPED quickly!")
+    assert "the" not in out.split()
+    assert "committe" in out or "committee" in out  # suffix-stripped
+
+
+def test_extract_html_body():
+    html = (
+        "<html><h1>Big News</h1><div class='x evo-press-release__body y'>"
+        "<p>Hello, world! Funding: $5m</p></div></html>"
+    ).replace("'", '"')
+    out = extract_html_body(html)
+    assert out["title"] == "Big News"
+    assert out["content"] == "Hello world Funding 5m"
+    assert extract_html_body("") == {"title": "", "content": ""}
+
+
+def test_expand_query_dedup():
+    out = expand_query("fast query")
+    assert out[0] == "fast query"
+    assert "quick query" in out and "fast search" in out
+    assert len(out) == len(set(out))
+
+
+@pytest.fixture(scope="module")
+def search_docs(ray_session):
+    rows = [
+        ("d1", "hash join and table scan strategies for the query engine"),
+        ("d2", "gardening tips for the spring season"),
+        ("d3", "the table scan was slower than the hash join"),
+        ("d4", "a quick note about merge sort"),
+        ("d5", ""),
+    ]
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+        )
+    )
+
+
+def test_search_lexical_ranks_relevant(search_docs):
+    res = search_lexical(search_docs, "hash join table scan", k=3).take_all()
+    assert [r["doc_id"] for r in res][:2] == ["d3", "d1"] or [r["doc_id"] for r in res][:2] == ["d1", "d3"]
+    assert res[0]["normalized_score_100"] == 100.0
+    assert all("score" in r for r in res)
+
+
+def test_search_expanded_hits_synonyms(search_docs):
+    # "fast merge" expands to include "quick" — matches d4's "quick ... merge"
+    res = search_expanded(search_docs, "fast merge", k=2).take_all()
+    assert res[0]["doc_id"] == "d4"
+
+
+def test_rerank_preserves_columns(search_docs):
+    out = rerank(search_docs, "hash join", top_n=2).take_all()
+    assert out[0]["doc_id"] in ("d1", "d3")
+    assert {"doc_id", "text", "rerank_score"} <= set(out[0])
+
+
+def test_search_vector_runs(ray_session):
+    import numpy as np
+
+    from semantic_search_system_ray.functions.embed import hash_embed
+
+    phrases = ["clean energy", "solar power", "gardening"]
+    tbl = pa.Table.from_pydict(
+        {
+            "vec_id": [0, 1, 2],
+            "embedding": [hash_embed(p).tolist() for p in phrases],
+        }
+    )
+    res = search_vector(rd.from_arrow(tbl), "clean energy", k=2).take_all()
+    assert res[0]["vec_id"] == 0 and res[0]["score"] == 1.0
+
+
+def test_build_taxonomy(ray_session):
+    phrases = (
+        ["clean energy", "solar power", "wind energy", "fuel efficiency"]
+        + ["student loans", "public schools", "teacher training"]
+        + ["rail service", "highway safety", "public transit"]
+    )
+    ds = rd.from_items([{"phrase": p} for p in phrases])
+    tax = build_taxonomy(ds, num_topics=3).take_all()
+    assert len(tax) == len(phrases)
+    topics = {r["broad_topic"] for r in tax}
+    assert len(topics) <= 3
+    by_topic = {}
+    for r in tax:
+        by_topic.setdefault(r["broad_topic"], set()).add(r["phrase"])
+    # labels are members of their own cluster (G4 semantics)
+    for label, members in by_topic.items():
+        assert label in members
+    # deterministic across runs
+    tax2 = build_taxonomy(ds, num_topics=3).take_all()
+    assert sorted(map(tuple, (r.values() for r in tax))) == sorted(
+        map(tuple, (r.values() for r in tax2))
+    )
+
+
+def test_ingest_html_month_partitioned(ray_session, tmp_path):
+    rows = []
+    for i, (date, month) in enumerate(
+        [("March 5, 2021", "2021-03"), ("April 9, 2021", "2021-04"),
+         ("March 20, 2021", "2021-03")]
+    ):
+        rows.append(
+            {
+                "pr_url": f"https://x.test/{i}",
+                "pr_date": date,
+                "html": f'<h1>T{i}</h1><div class="page__content">body {i}, text!</div>',
+            }
+        )
+    ds = ingest_html(rd.from_items(rows))
+    out = str(tmp_path / "ingested")
+    write_month_partitioned(ds, out)
+    m3 = read_month(out, "2021-03").take_all()
+    assert len(m3) == 2
+    assert all(r["pr_date"].startswith("2021-03") for r in m3)
+    got = {r["pr_title"]: r["content"] for r in m3}
+    assert got["T0"] == "body 0 text"
+    # deterministic ids, re-ingest idempotent
+    ds2 = ingest_html(rd.from_items(rows)).take_all()
+    assert {r["doc_id"] for r in ds2} == {
+        r["doc_id"] for r in rd.read_parquet(out).take_all()
+    }
