@@ -567,8 +567,138 @@ SELECT doc_id FROM documents WHERE text LIKE '%hash join%'
 """
 
 
+# --------------------------------------------------------------------------
+# part / supplier coverage + set ops + per-group extrema
+# --------------------------------------------------------------------------
+
+def q_parts_by_brand(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_brand", "p_retailprice"])
+    out = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"), Sum("p_retailprice", alias_name="total_price")
+    )
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"p_brand": t.column("p_brand"), "n_parts": t.column("n_parts"),
+             "avg_price": pc.round(
+                 pc.divide(t.column("total_price"),
+                           pc.cast(t.column("n_parts"), pa.float64())), 2)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PARTS_BY_BRAND = """
+SELECT p_brand, count(*) AS n_parts, round(sum(p_retailprice) / count(*), 2) AS avg_price
+FROM part GROUP BY p_brand
+"""
+
+
+def q_supplier_topk(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_name", "s_acctbal"])
+    out = ds.sort(["s_acctbal", "s_suppkey"], descending=[True, False]).limit(5)
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"s_suppkey": t.column("s_suppkey"), "s_name": t.column("s_name"),
+             "s_acctbal": pc.round(t.column("s_acctbal"), 2)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SUPPLIER_TOPK = """
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier ORDER BY s_acctbal DESC, s_suppkey LIMIT 5
+"""
+
+
+def q_part_size_filter(sf_dir: str):
+    ds = rd.read_parquet(
+        _p(sf_dir, "part"),
+        columns=["p_partkey", "p_name", "p_size"],
+        filter=((pc.field("p_size") >= 10) & (pc.field("p_size") < 20)),
+    )
+    return ds
+
+
+SQL_PART_SIZE_FILTER = """
+SELECT p_partkey, p_name, p_size FROM part WHERE p_size >= 10 AND p_size < 20
+"""
+
+
+def q_union_names(sf_dir: str):
+    """ds.union of two renamed sources (§2.7 set ops; UNION ALL semantics)."""
+    r = rd.read_parquet(_p(sf_dir, "region"), columns=["r_name"]).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"name": t.column("r_name"), "src": pa.array(["region"] * t.num_rows)}
+        ),
+        batch_format="pyarrow",
+    )
+    n = rd.read_parquet(_p(sf_dir, "nation"), columns=["n_name"]).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"name": t.column("n_name"), "src": pa.array(["nation"] * t.num_rows)}
+        ),
+        batch_format="pyarrow",
+    )
+    return r.union(n)
+
+
+SQL_UNION_NAMES = """
+SELECT r_name AS name, 'region' AS src FROM region
+UNION ALL
+SELECT n_name AS name, 'nation' AS src FROM nation
+"""
+
+
+def q_events_extrema(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Min("value", alias_name="min_value"), Max("value", alias_name="max_value")
+    )
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"event_type": t.column("event_type"),
+             "min_value": pc.round(t.column("min_value"), 4),
+             "max_value": pc.round(t.column("max_value"), 4)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_EXTREMA = """
+SELECT event_type, round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_orders_per_customer_topk(sf_dir: str):
+    """Two-phase count per customer → deterministic top-20."""
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["o_custkey"]).aggregate([("o_custkey", "count")])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("o_custkey_count", alias_name="n_orders"))
+    )
+    return out.sort(["n_orders", "o_custkey"], descending=[True, False]).limit(20)
+
+
+SQL_ORDERS_PER_CUSTOMER_TOPK = """
+SELECT o_custkey, count(*) AS n_orders
+FROM orders GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 20
+"""
+
+
 QUERIES = {
     "search_like": q_search_like,
+    "parts_by_brand": q_parts_by_brand,
+    "supplier_topk": q_supplier_topk,
+    "part_size_filter": q_part_size_filter,
+    "union_names": q_union_names,
+    "events_extrema": q_events_extrema,
+    "orders_per_customer_topk": q_orders_per_customer_topk,
     "filter_date_range": q_filter_date_range,
     "filter_eq": q_filter_eq,
     "topk_orders": q_topk_orders,
@@ -589,6 +719,12 @@ QUERIES = {
 
 ORACLE_SQL = {
     "search_like": SQL_SEARCH_LIKE,
+    "parts_by_brand": SQL_PARTS_BY_BRAND,
+    "supplier_topk": SQL_SUPPLIER_TOPK,
+    "part_size_filter": SQL_PART_SIZE_FILTER,
+    "union_names": SQL_UNION_NAMES,
+    "events_extrema": SQL_EVENTS_EXTREMA,
+    "orders_per_customer_topk": SQL_ORDERS_PER_CUSTOMER_TOPK,
     "filter_date_range": SQL_FILTER_DATE_RANGE,
     "filter_eq": SQL_FILTER_EQ,
     "topk_orders": SQL_TOPK_ORDERS,
