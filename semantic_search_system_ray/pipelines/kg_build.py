@@ -245,11 +245,16 @@ def distinct_doc_partitioned(
     assert doc_col in columns, "doc-local distinct requires the doc id column"
 
     def split(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(columns).append_column(
+                "__boundary", pa.array([], pa.bool_())
+            )
+        # capture the straddle candidates from the ORIGINAL row order —
+        # the Arrow group_by distinct below reorders rows
+        orig_docs = batch.column(doc_col)
+        first, last = orig_docs[0].as_py(), orig_docs[len(orig_docs) - 1].as_py()
         batch = _distinct_batch(batch.select(columns))
         docs = batch.column(doc_col)
-        if len(docs) == 0:
-            return batch.append_column("__boundary", pa.array([], pa.bool_()))
-        first, last = docs[0].as_py(), docs[len(docs) - 1].as_py()
         mask = pc.or_(pc.equal(docs, first), pc.equal(docs, last))
         return batch.append_column("__boundary", mask)
 
