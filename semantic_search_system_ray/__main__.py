@@ -1,0 +1,97 @@
+"""CLI entry point — the ``ray job submit`` surface of the engine.
+
+Usage (local or as a Ray job driver script):
+
+    python -m semantic_search_system_ray kg-build \
+        --documents /data/corpus/documents \
+        --taxonomy /data/corpus/taxonomy.parquet \
+        --phrase-docs /data/corpus/phrase_docs \
+        --out /data/kg_out [--num-parts 64] [--num-cpus 32]
+
+    python -m semantic_search_system_ray synth --out /tmp/corpus --docs 10000
+
+Runs the checkpointed runner (Phase A per-partition with manifest commits,
+Phase B global finalize), so re-submitting the same job resumes from the
+last committed partition. This script OWNS the Ray session (guarded init);
+library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="semantic_search_system_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    kg = sub.add_parser("kg-build", help="checkpointed KG build (resumable)")
+    kg.add_argument("--documents", required=True)
+    kg.add_argument("--taxonomy", required=True)
+    kg.add_argument("--phrase-docs", required=True)
+    kg.add_argument("--out", required=True)
+    kg.add_argument("--num-parts", type=int, default=64)
+    kg.add_argument("--num-cpus", type=int, default=None)
+
+    syn = sub.add_parser("synth", help="generate a seeded synthetic corpus")
+    syn.add_argument("--out", required=True)
+    syn.add_argument("--docs", type=int, default=10_000)
+    syn.add_argument("--seed", type=int, default=42)
+    syn.add_argument("--shards", type=int, default=32)
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      ignore_reinit_error=True, logging_level="ERROR")
+        if getattr(args, "num_cpus", None):
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+    from semantic_search_system_ray.context import tune
+
+    tune(int(ray.cluster_resources().get("CPU", 8)))
+
+    try:
+        if args.cmd == "synth":
+            from semantic_search_system_ray.sources.synth import write_corpus_parallel
+
+            write_corpus_parallel(args.out, n_docs=args.docs, seed=args.seed,
+                                  num_shards=args.shards)
+            print(json.dumps({"out": args.out, "docs": args.docs}))
+            return 0
+
+        import pyarrow.parquet as pq
+
+        import ray.data as rd
+
+        from semantic_search_system_ray.pipelines.runner import run_kg
+        from semantic_search_system_ray.sources.synth import build_gazetteer
+        from semantic_search_system_ray.state.manifest import Manifest
+
+        res = run_kg(
+            args.documents,
+            pq.read_table(args.taxonomy),
+            rd.read_parquet(args.phrase_docs),
+            build_gazetteer(),
+            args.out,
+            num_parts=args.num_parts,
+        )
+        m = Manifest(args.out)
+        rec = m.record("triples", 0)
+        print(json.dumps({
+            "out": args.out,
+            "triples": rec.rows_out if rec else None,
+            "partitions": m.totals("raw_triples"),
+            "canon_entries": len(res.canon),
+        }))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

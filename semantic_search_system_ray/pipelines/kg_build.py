@@ -1,33 +1,39 @@
-"""The flagship pipeline: documents → enriched NLP → canonicalized,
+"""The flagship pipeline: documents → NLP extraction → canonicalized,
 deduplicated (subj, pred, obj) triples → node/edge/adjacency store.
 
-Dataflow (all lazy ray.data.Dataset stages; shuffles marked ✱):
+Dataflow (lazy ray.data.Dataset stages):
 
-  documents ──DocNLP actor pool──► enriched (doc-local, no shuffle)
-      enriched ─flatten─► raw triples          (doc-local)
-      enriched ─flatten─► mention surfaces ─✱distinct─► canonical map
-                                               (union-find CC, stages/canon.py)
-  taxonomy (tiny) ──ray.put broadcast──► IN_TOPIC triples (driver-side Arrow)
-  phrase_docs ──map_batches w/ broadcast taxonomy──► RELATES_TO_DOC triples
-  union(all triples) ─apply canon─ ─✱groupby(subj,pred,obj) dedup─► triples
-  triples ─► nodes(✱distinct) / edges / adjacency(✱groupby(src))
+  documents ──fused task map (stages/docnlp.extract_flat)──► FLAT rows
+      ├─ doc-keyed triples (MENTIONS / HAS_TOPIC): distinct across docs
+      │    BY CONSTRUCTION → per-block distinct + exact boundary repair
+      │    (distinct_doc_partitioned — no shuffle of the main data)
+      └─ vocabulary-bounded rows (SVO triples + mention surfaces): tiny
+           per-block partials → exact tree-combine distinct
+  surfaces ─► canonicalization (union-find over blocking keys; driver for
+      vocabularies that fit, stages/cc.py distributed CC otherwise) ─►
+      canon map broadcast, pred-aware application
+  taxonomy (tiny, ray.put broadcast) ─► IN_TOPIC; phrase_docs ─vectorized
+      broadcast join─► RELATES_TO_DOC — predicate spaces disjoint from the
+      doc-extracted ones, so per-branch dedup + union is exact
+  triples ─► nodes / edges / adjacency (groupby src)
 
 Reference semantics reproduced (cites into /root/reference):
 - per-doc entities/topics/summary contract = results.json / nlp/pr_aws_nlp.py:70-81;
 - taxonomy join on normalize_key both sides, inner (phrases missing from
   phrase-docs silently skipped) = knowledge_graph/knowledge_graph.py:138-163;
 - per-topic doc dedup (processed_docs_for_topic) = :170-186 — subsumed by
-  the global exact triple dedup since the edge tuple is identical;
-- exact dedup = hash-partitioned groupby + per-group first (G6).
+  exact distinct on the identical edge tuple (G6).
 
-Scale notes:
+Scale notes (measured, see BASELINE.md):
 - the taxonomy is the SMALL side (80 topics × ~8k phrases in the
-  reference) → broadcast dict via ray.put, read once per task — never a
+  reference) → broadcast dict via ray.put, read once per worker — never a
   shuffle join (SURVEY §2.4 J1);
-- triple dedup pre-aggregates per batch (pyarrow group_by distinct) before
-  the global groupby — the combiner halves shuffle volume on skewed preds;
-- nothing materializes the documents Dataset; only small derived tables
-  (canon map, taxonomy) are ever collected.
+- skew: per-block combiners collapse the 67%-of-docs head entity to one
+  row per block before anything moves; dedup scopes chosen so no
+  corpus-sized key shuffle exists anywhere in the plan;
+- nothing materializes the documents Dataset; the FLAT rows (≈50 bytes ×
+  rows) are the only pinned intermediate, and the checkpointed runner
+  (pipelines/runner.py) writes them to parquet per shard instead.
 """
 
 from __future__ import annotations
@@ -51,48 +57,6 @@ def _distinct_batch(batch: pa.Table) -> pa.Table:
     return batch.group_by(batch.column_names).aggregate([])
 
 
-def triples_from_enriched(enriched: rd.Dataset) -> rd.Dataset:
-    """Flatten enriched rows into raw triples. Columns subj/pred/obj plus
-    bitmask flags marking which side is an entity surface needing canon."""
-
-    def flatten(batch: pa.Table) -> pa.Table:
-        subj, pred, obj, canon_subj, canon_obj = [], [], [], [], []
-        doc_ids = batch.column("doc_id").to_pylist()
-        ents = batch.column("entities").to_pylist()
-        tops = batch.column("topics").to_pylist()
-        svos = batch.column("svo").to_pylist()
-        for d, es, ts, sv in zip(doc_ids, ents, tops, svos):
-            for e in es:
-                subj.append(d); pred.append("MENTIONS"); obj.append(e["text"])
-                canon_subj.append(False); canon_obj.append(True)
-            for t in ts:
-                subj.append(d); pred.append("HAS_TOPIC")
-                obj.append(normalize_key(t["text"]))
-                canon_subj.append(False); canon_obj.append(False)
-            for s in sv:
-                subj.append(s["subj"]); pred.append(s["pred"]); obj.append(s["obj"])
-                canon_subj.append(True); canon_obj.append(True)
-        return pa.Table.from_pydict(
-            {
-                "subj": pa.array(subj, pa.string()),
-                "pred": pa.array(pred, pa.string()),
-                "obj": pa.array(obj, pa.string()),
-                "canon_subj": pa.array(canon_subj, pa.bool_()),
-                "canon_obj": pa.array(canon_obj, pa.bool_()),
-            }
-        )
-
-    return enriched.map_batches(flatten, batch_format="pyarrow")
-
-
-def surfaces_from_enriched(enriched: rd.Dataset) -> rd.Dataset:
-    def flatten(batch: pa.Table) -> pa.Table:
-        out: list[str] = []
-        for surfs in batch.column("surfaces").to_pylist():
-            out.extend(surfs)
-        return pa.Table.from_pydict({"surface": pa.array(sorted(set(out)), pa.string())})
-
-    return enriched.map_batches(flatten, batch_format="pyarrow")
 
 
 def taxonomy_triples(taxonomy: pa.Table) -> tuple[pa.Table, dict[str, str]]:
@@ -272,10 +236,6 @@ def distinct_doc_partitioned(
     return inner.union(distinct_rows(boundary, columns, strategy="tree", out_blocks=8))
 
 
-def dedup_triples(triples: rd.Dataset) -> rd.Dataset:
-    """Exact distinct on (subj, pred, obj) — see distinct_rows."""
-    return distinct_rows(triples, ["subj", "pred", "obj"])
-
 
 @dataclass
 class KGResult:
@@ -292,54 +252,6 @@ FLAT_SCHEMA = pa.schema(
 _SVO_PREDS = frozenset(p for _v, p in VERB_PREDICATES)
 
 
-def flatten_all_from_enriched(enriched: rd.Dataset) -> rd.Dataset:
-    """One flattening pass emitting BOTH raw triples ("T" rows) and mention
-    surfaces ("S" rows) into a single unified stream, so downstream dedup
-    is one shuffle that overlaps with the NLP stage (no materialize
-    barrier, no second DocNLP execution). Canon flags are derivable from
-    the predicate: MENTIONS → canon obj; SVO predicates → canon both;
-    HAS_TOPIC / IN_TOPIC / RELATES_TO_DOC → canon nothing."""
-
-    def flatten(batch: pa.Table) -> pa.Table:
-        kind, subj, pred, obj = [], [], [], []
-        for d, es, ts, sv, surfs in zip(
-            batch.column("doc_id").to_pylist(),
-            batch.column("entities").to_pylist(),
-            batch.column("topics").to_pylist(),
-            batch.column("svo").to_pylist(),
-            batch.column("surfaces").to_pylist(),
-        ):
-            for e in es:
-                kind.append("T"); subj.append(d)
-                pred.append("MENTIONS"); obj.append(e["text"])
-            for t in ts:
-                kind.append("T"); subj.append(d)
-                pred.append("HAS_TOPIC"); obj.append(normalize_key(t["text"]))
-            for s in sv:
-                kind.append("T"); subj.append(s["subj"])
-                pred.append(s["pred"]); obj.append(s["obj"])
-            for s in surfs:
-                kind.append("S"); subj.append(s); pred.append(""); obj.append("")
-        return pa.Table.from_pydict(
-            {"rowkind": kind, "subj": subj, "pred": pred, "obj": obj},
-            schema=FLAT_SCHEMA,
-        )
-
-    return enriched.map_batches(flatten, batch_format="pyarrow")
-
-
-def _tag_triples(ds_or_tbl) -> rd.Dataset:
-    """(subj,pred,obj) rows → FLAT_SCHEMA ("T") rows."""
-    def tag(t: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [pa.array(["T"] * t.num_rows, pa.string()),
-             t.column("subj"), t.column("pred"), t.column("obj")],
-            schema=FLAT_SCHEMA,
-        )
-
-    if isinstance(ds_or_tbl, pa.Table):
-        return rd.from_arrow(tag(ds_or_tbl))
-    return ds_or_tbl.map_batches(tag, batch_format="pyarrow")
 
 
 def _canon_applier(canon: dict[str, str]):

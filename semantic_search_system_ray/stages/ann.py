@@ -49,7 +49,9 @@ def cosine_topk(
             self.q = ray.get(qref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.array(batch.column(id_col).to_pylist())
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
             mat = _as_matrix(batch.column(vec_col).to_pylist())
             sims = mat @ self.q
             # local top-k candidates only → tiny global sort
@@ -57,7 +59,7 @@ def cosine_topk(
             idx = np.argsort(-sims, kind="stable")[:take]
             return pa.Table.from_pydict(
                 {
-                    id_col: pa.array(ids[idx].tolist(), pa.int64()),
+                    id_col: ids.take(pa.array(idx)),  # preserves the id dtype
                     "score": pa.array(
                         [round(float(s), round_to) for s in sims[idx]], pa.float64()
                     ),
@@ -105,22 +107,24 @@ def lsh_bucket_topk(
             self.q, self.planes = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.array(batch.column(id_col).to_pylist())
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
             mat = _as_matrix(batch.column(vec_col).to_pylist())
             buckets = lsh_signature(mat, self.planes)
             mask = buckets == qbucket
-            ids, mat = ids[mask], mat[mask]
-            if not len(ids):
+            sel = np.where(mask)[0]
+            if not len(sel):
                 return pa.Table.from_pydict(
-                    {id_col: pa.array([], pa.int64()),
+                    {id_col: ids.take(pa.array([], pa.int64())),
                      "score": pa.array([], pa.float64())}
                 )
-            sims = mat @ self.q
-            take = min(k, len(ids))
+            sims = mat[sel] @ self.q
+            take = min(k, len(sel))
             idx = np.argsort(-sims, kind="stable")[:take]
             return pa.Table.from_pydict(
                 {
-                    id_col: pa.array(ids[idx].tolist(), pa.int64()),
+                    id_col: ids.take(pa.array(sel[idx])),  # preserves dtype
                     "score": pa.array(
                         [round(float(s), round_to) for s in sims[idx]], pa.float64()
                     ),

@@ -116,6 +116,26 @@ def test_search_vector_runs(ray_session):
     assert res[0]["vec_id"] == 0 and res[0]["score"] == 1.0
 
 
+def test_search_hybrid(search_docs, ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from semantic_search_system_ray.functions.embed import hash_embed
+    from semantic_search_system_ray.pipelines.search import search_hybrid
+
+    texts = {r["doc_id"]: r["text"] for r in search_docs.take_all()}
+    emb = pa.Table.from_pydict(
+        {"vec_id": list(texts.keys()),
+         "embedding": [hash_embed(t).tolist() for t in texts.values()]}
+    )
+    # vec_id as string ids matching doc_ids — hybrid joins candidates by id
+    res = search_hybrid(search_docs, rd.from_arrow(emb), "hash join table scan", k=3)
+    rows = res.take_all()
+    assert rows[0]["doc_id"] in ("d1", "d3")
+    assert rows[0]["hybrid_score"] >= rows[-1]["hybrid_score"]
+
+
 def test_build_taxonomy(ray_session):
     phrases = (
         ["clean energy", "solar power", "wind energy", "fuel efficiency"]
