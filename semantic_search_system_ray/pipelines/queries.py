@@ -691,8 +691,42 @@ FROM orders GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 20
 """
 
 
+def q_sessionize(sf_dir: str):
+    """Session windows over the events stream: per user, a new session
+    starts when the gap to the previous event exceeds 30 minutes
+    (guide's streaming-shaped pattern: partition by key, sort by ts
+    within the group, window with pandas inside ``map_groups``)."""
+    import pandas as pd
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]],
+             "n_events": [len(g)],
+             "n_sessions": [int(gaps.sum()) + 1]}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, count(*) AS n_events,
+       sum(CASE WHEN prev_ts IS NULL
+                 OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions
+FROM (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "search_like": q_search_like,
+    "sessionize": q_sessionize,
     "parts_by_brand": q_parts_by_brand,
     "supplier_topk": q_supplier_topk,
     "part_size_filter": q_part_size_filter,
@@ -719,6 +753,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "search_like": SQL_SEARCH_LIKE,
+    "sessionize": SQL_SESSIONIZE,
     "parts_by_brand": SQL_PARTS_BY_BRAND,
     "supplier_topk": SQL_SUPPLIER_TOPK,
     "part_size_filter": SQL_PART_SIZE_FILTER,
