@@ -136,6 +136,18 @@ def run_bench() -> dict:
     entrymod._kg_triples(SF_DIR).count()
     timings["kg_build_testdata"] = round(time.perf_counter() - t0, 3)
 
+    # enriched mode (DocNLP actor pool incl. 256-dim embeddings) over a
+    # slice of the spans corpus — the results.json-contract path
+    from semantic_search_system_ray.stages.docnlp import enrich_documents
+
+    t0 = time.perf_counter()
+    enrich_documents(
+        rd.read_parquet(f"{corpus}/documents").limit(20_000),
+        build_gazetteer(), concurrency=(2, max(2, NCPU // 2)),
+        batch_size=256, embed=True,
+    ).count()
+    timings["enrich_actor_pool_20k"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "kg_build_seconds (flagship triples pipeline over synthetic spans corpus)",
         "value": timings["kg_build"],

@@ -84,10 +84,20 @@ def sentence_split(text: str) -> list[str]:
 # Vectorized Arrow equivalents (zero-copy hot path)
 # ---------------------------------------------------------------------------
 
+# Python's unicode \s = Unicode Whitespace = \p{Z} separators plus the
+# ASCII controls and the C0 file/group/record/unit separators \x1c-\x1f
+# and NEL \x85. RE2's \s is ASCII-only; spell the full class out so the
+# Arrow kernels agree with the Python spec (property-tested).
+_RE2_WS = r"\s\p{Z}\x0b\x1c-\x1f\x85"
+
+
 def arrow_clean_text_ingest(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Vectorized clean_text_ingest; agrees element-wise with the scalar."""
-    out = pc.replace_substring_regex(arr, pattern=r"[^a-zA-Z0-9\s]", replacement="")
-    out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
+    """Vectorized clean_text_ingest; agrees element-wise with the scalar
+    (property-tested; see _RE2_WS for the whitespace-class parity note)."""
+    out = pc.replace_substring_regex(
+        arr, pattern=rf"[^a-zA-Z0-9{_RE2_WS}]", replacement=""
+    )
+    out = pc.replace_substring_regex(out, pattern=rf"[{_RE2_WS}]+", replacement=" ")
     return pc.utf8_trim_whitespace(out)
 
 
@@ -96,11 +106,16 @@ def arrow_clean_text_topic(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
 
     Python ``re`` treats ``\\w`` as unicode; Arrow's RE2 treats it as ASCII,
     so the RE2 pattern spells it out as ``\\p{L}\\p{N}_`` (unicode letters,
-    digits, underscore) — parity verified on unicode inputs in the unit test.
+    digits, underscore). Parity is property-tested for codepoints below
+    U+20000; above that RE2's older Unicode tables may classify new CJK
+    extension characters differently from CPython — irrelevant to the
+    corpus and the DuckDB oracle (also RE2).
     """
     out = pc.utf8_lower(arr)
-    out = pc.replace_substring_regex(out, pattern=r"[^\p{L}\p{N}_\s-]", replacement="")
-    out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
+    out = pc.replace_substring_regex(
+        out, pattern=rf"[^\p{{L}}\p{{N}}_{_RE2_WS}-]", replacement=""
+    )
+    out = pc.replace_substring_regex(out, pattern=rf"[{_RE2_WS}]+", replacement=" ")
     out = pc.utf8_trim_whitespace(out)
     return pc.fill_null(out, "")
 

@@ -467,7 +467,9 @@ FROM documents GROUP BY lang
 
 def _query_vec(sf_dir: str) -> np.ndarray:
     emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    row = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]
+    row = emb.map_batches(
+        lambda t: t.filter(pc.equal(t.column("vec_id"), 0)), batch_format="pyarrow"
+    ).take(1)[0]
     return np.asarray(row["embedding"], dtype=np.float64)
 
 

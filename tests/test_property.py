@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis): parity, idempotence, and
+partition-invariance properties that unit examples can miss."""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+import pyarrow as pa
+from hypothesis import given, settings
+
+from semantic_search_system_ray.functions.canon_spec import canonicalize_exact
+from semantic_search_system_ray.functions.scores import normalize_scores_to_100
+from semantic_search_system_ray.functions.text import (
+    arrow_clean_text_ingest,
+    arrow_clean_text_topic,
+    arrow_normalize_key,
+    clean_text_ingest,
+    clean_text_topic,
+    normalize_key,
+)
+
+# Alphabet capped at U+2FFF (Latin/Greek/Cyrillic/Hebrew/Arabic scripts,
+# all punctuation and separator blocks): Arrow's RE2 ships older Unicode
+# tables than CPython, so characters ADDED in recent Unicode versions
+# (e.g. U+31350 CJK Ext H, U+1E030 Cyrillic Ext-D — both Unicode 15)
+# classify differently — a documented, data-free divergence. Within the
+# capped range parity must be exact; CJK-basic is spot-checked below.
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    max_size=80,
+)
+
+
+def test_cjk_basic_parity():
+    texts = ["汉字 text", "テスト、です。", "한국어!"]
+    arr = pa.array(texts, pa.string())
+    assert arrow_clean_text_topic(arr).to_pylist() == [clean_text_topic(t) for t in texts]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(text_st, min_size=1, max_size=8))
+def test_arrow_python_cleaner_parity(texts):
+    arr = pa.array(texts, pa.string())
+    assert arrow_clean_text_ingest(arr).to_pylist() == [
+        clean_text_ingest(t) for t in texts
+    ]
+    assert arrow_clean_text_topic(arr).to_pylist() == [
+        clean_text_topic(t) for t in texts
+    ]
+    assert arrow_normalize_key(arr).to_pylist() == [normalize_key(t) for t in texts]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(text_st, min_size=1, max_size=12))
+def test_canonicalize_idempotent_and_order_free(surfaces):
+    c1 = canonicalize_exact(surfaces)
+    # order-free: shuffled input gives identical mapping
+    c2 = canonicalize_exact(list(reversed(surfaces)))
+    assert c1 == c2
+    # idempotent: canonical forms map to themselves
+    canon_forms = sorted(set(c1.values()) - {""})
+    if canon_forms:
+        c3 = canonicalize_exact(canon_forms)
+        assert all(c3[f] == f for f in canon_forms)
+    # canonical of each surface is in the same component as the surface
+    for s, canon in c1.items():
+        assert canonicalize_exact([s, canon])[s] == canonicalize_exact([s, canon])[canon]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.none(),
+            st.text(max_size=3),
+        ),
+        max_size=10,
+    )
+)
+def test_normalize_scores_bounds(scores):
+    res = normalize_scores_to_100([{"score": s} for s in scores])
+    for r in res:
+        v = r["normalized_score_100"]
+        assert 1.0 <= v <= 100.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(text_st, min_size=1, max_size=30), st.integers(1, 5))
+def test_top_n_matches_counter(parts, n):
+    from collections import Counter
+
+    from semantic_search_system_ray.functions.extraction import top_n_with_first_label
+
+    mentions = [(p, "X") for p in parts]
+    got = [e["text"] for e in top_n_with_first_label(mentions, n)]
+    ref = [k for k, _v in Counter(parts).most_common(n)]
+    assert got == ref
