@@ -29,13 +29,20 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # synthetic KG corpus sizing per scale factor (docs); seed fixed
-_CORPUS_DOCS = {"sf0.001": 500, "sf0.01": 8_000, "sf0.1": 2_000_000}
+# plain-bench corpus sizes (modest: a cold driver run generates the corpus
+# first, so the default keeps generation ~tens of seconds). The scaling
+# mode overrides to a larger corpus via BENCH_CORPUS_DOCS so the parallel
+# work dominates fixed costs (see run_scaling).
+_CORPUS_DOCS = {"sf0.001": 500, "sf0.01": 8_000, "sf0.1": 400_000}
+_SCALING_DOCS = 2_000_000
 _CORPUS_SEED = 42
 
 
 def _corpus_dir() -> str:
     sf_name = os.path.basename(SF_DIR.rstrip("/")) or "sf0.1"
-    n_docs = _CORPUS_DOCS.get(sf_name, 30_000)
+    n_docs = int(
+        os.environ.get("BENCH_CORPUS_DOCS", _CORPUS_DOCS.get(sf_name, 30_000))
+    )
     d = f"/tmp/kg_bench_corpus_{sf_name}_{n_docs}_{_CORPUS_SEED}"
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
@@ -167,13 +174,16 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
-                   BENCH_ONLY_KG="1")
+                   BENCH_ONLY_KG="1",
+                   BENCH_CORPUS_DOCS=os.environ.get(
+                       "BENCH_CORPUS_DOCS", str(_SCALING_DOCS)))
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    os.environ.setdefault("BENCH_CORPUS_DOCS", str(_SCALING_DOCS))
     _corpus_dir()  # build corpus once, shared by both runs
     # N vs 4N parallelism levels (default 4 vs 16). NOTE measured on this
     # box: beyond ~16 concurrent extraction workers the single shared
