@@ -6,15 +6,17 @@ All are Ray-Data-native compositions:
   groupby → per-group min representative. The hash column keeps long text
   out of the shuffle.
 - **minhash_lsh_clusters**: shingle → MinHash signature per doc (batch,
-  numpy) → explode to (band_id, band_hash, doc_id) rows → groupby bucket →
-  star candidate edges verified by signature agreement ≥ threshold →
-  distributed connected components (stages/cc.py) → cluster labels.
+  numpy) → explode to LEAN (band, band_hash, doc_id) rows (signatures
+  never ride the 16× explosion) → coarse-partition bucket grouping
+  (stages/util.coarse_grouped_apply — Ray's ~25µs/group cost paid P
+  times, not per bucket) → star candidate pairs → verified against the
+  broadcast signature table → connected components → cluster labels.
 - **simhash_clusters**: 64-bit SimHash per doc → 4×16-bit band buckets →
   candidates verified by Hamming distance ≤ k → components.
-- **ngram_jaccard_pairs**: MinHash-LSH candidate generation, then EXACT
-  character-n-gram Jaccard verification inside the bucket cogroup (shingle
-  sets travel with the rows — fine at verification scale because buckets
-  are small; at 100 TB you'd verify with signatures only and sample-audit).
+- **ngram_jaccard_pairs**: same lean LSH candidates (full pairwise within
+  capped buckets, since the OUTPUT is pairs), distinct-ed, then EXACT
+  char-n-gram Jaccard verification against the broadcast gram table
+  (beyond broadcast scale, hash-join the grams onto the pairs).
 - **embedding_cosine_dups**: all-pairs above a cosine threshold via a
   broadcast matrix (small collections) — the scale path is the LSH variant
   in stages/ann.py.
@@ -168,7 +170,10 @@ def _sig_rows(
 
 
 def _band_rows(batch: pa.Table, *, bands: int, rows_per_band: int) -> pa.Table:
-    out_id, out_band, out_hash, out_sig = [], [], [], []
+    """(doc_id, sig) → (doc_id, band, band_hash) — signatures do NOT travel
+    with the exploded band rows (16× duplication); candidate pairs are
+    verified against the broadcast signature table afterwards."""
+    out_id, out_band, out_hash = [], [], []
     sigs = batch.column("sig").to_pylist()
     ids = batch.column("doc_id").to_pylist()
     for i, sig in zip(ids, sigs):
@@ -177,15 +182,75 @@ def _band_rows(batch: pa.Table, *, bands: int, rows_per_band: int) -> pa.Table:
             out_id.append(i)
             out_band.append(b)
             out_hash.append(f"{stable_hash64(','.join(map(str, chunk))):016x}")
-            out_sig.append(sig)
     return pa.Table.from_pydict(
         {
             "doc_id": pa.array(out_id, pa.string()),
             "band": pa.array(out_band, pa.int32()),
             "band_hash": pa.array(out_hash, pa.string()),
-            "sig": pa.array(out_sig, pa.list_(pa.uint32(), len(sigs[0]) if sigs else 0)),
         }
     )
+
+
+_PAIR_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+
+def _bucket_pairs(g: "pd.DataFrame") -> pa.Table:
+    """One LSH bucket → star candidate pairs to the bucket-min doc —
+    sufficient for CLUSTERING (transitive closure recovers the component)."""
+    docs = sorted(set(g["doc_id"]))
+    rep = docs[0]
+    return pa.Table.from_pydict(
+        {"src": pa.array(docs[1:], pa.string()),
+         "dst": pa.array([rep] * (len(docs) - 1), pa.string())}
+    )
+
+
+def _bucket_all_pairs(g: "pd.DataFrame", cap: int = 64) -> pa.Table:
+    """One LSH bucket → ALL candidate pairs (needed when the OUTPUT is the
+    pair list, not clusters). Buckets above ``cap`` members fall back to
+    star pairs — a giant bucket means the banding threshold is too loose
+    for pairwise semantics anyway."""
+    docs = sorted(set(g["doc_id"]))
+    if len(docs) > cap:
+        return _bucket_pairs(g)
+    src, dst = [], []
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            src.append(docs[j])
+            dst.append(docs[i])
+    return pa.Table.from_pydict(
+        {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+    )
+
+
+def _verify_pairs_with_sigs(pairs: rd.Dataset, sigs: rd.Dataset, threshold: float):
+    """Filter candidate pairs by MinHash-signature agreement ≥ threshold.
+    Signatures broadcast via ray.put (a doc-count × num_perm uint32 matrix
+    — fine up to millions of docs; beyond that, hash-join sigs onto the
+    pairs instead)."""
+    rows = sigs.take_all()
+    sig_map = {r["doc_id"]: np.asarray(r["sig"], dtype=np.uint32) for r in rows}
+    ref = ray.put(sig_map)
+    _cache: dict[str, dict] = {}
+
+    def verify(t: pa.Table) -> pa.Table:
+        m = _cache.get("m")
+        if m is None:
+            m = ray.get(ref)
+            _cache["m"] = m
+        src = t.column("src").to_pylist()
+        dst = t.column("dst").to_pylist()
+        keep_s, keep_d = [], []
+        for a, b in zip(src, dst):
+            sa, sb = m.get(a), m.get(b)
+            if sa is not None and sb is not None and float((sa == sb).mean()) >= threshold:
+                keep_s.append(a)
+                keep_d.append(b)
+        return pa.Table.from_pydict(
+            {"src": pa.array(keep_s, pa.string()), "dst": pa.array(keep_d, pa.string())}
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
 
 
 def minhash_lsh_clusters(
@@ -205,33 +270,19 @@ def minhash_lsh_clusters(
         _sig_rows, batch_format="pyarrow",
         fn_kwargs=dict(text_col=text_col, id_col=id_col, num_perm=num_perm,
                        shingle_k=3),
-    )
+    ).materialize()  # reused: banding + pair verification
     banded = sigs.map_batches(
         _band_rows, batch_format="pyarrow",
         fn_kwargs=dict(bands=bands, rows_per_band=rows_per_band),
     )
 
-    def bucket_edges(g: pd.DataFrame) -> pa.Table:
-        docs = sorted(zip(g["doc_id"], g["sig"]), key=lambda x: x[0])
-        src, dst = [], []
-        if len(docs) > 1:
-            rep_id, rep_sig = docs[0]
-            rep_sig = np.asarray(rep_sig, dtype=np.uint32)
-            for d, s in docs[1:]:
-                est = float((np.asarray(s, dtype=np.uint32) == rep_sig).mean())
-                if est >= threshold:
-                    src.append(d)
-                    dst.append(rep_id)
-        return pa.Table.from_pydict(
-            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
-        )
+    from semantic_search_system_ray.stages.util import coarse_grouped_apply
 
-    edges = ensure_schema(
-        banded.groupby(["band", "band_hash"]).map_groups(
-            bucket_edges, batch_format="pandas"
-        ),
-        _EDGE_SCHEMA,
+    candidates = coarse_grouped_apply(
+        banded, ["band", "band_hash"], _bucket_pairs, _PAIR_SCHEMA,
+        min_group_size=2,
     )
+    edges = _verify_pairs_with_sigs(candidates, sigs, threshold)
     # node ids come straight from the input (don't re-run the signature
     # pass just to list ids)
     nodes = ds.map_batches(
@@ -301,11 +352,11 @@ def simhash_clusters(
             {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
         )
 
-    edges = ensure_schema(
-        sims.map_batches(band, batch_format="pyarrow")
-        .groupby(["band", "chunk"])
-        .map_groups(bucket_edges, batch_format="pandas"),
-        _EDGE_SCHEMA,
+    from semantic_search_system_ray.stages.util import coarse_grouped_apply
+
+    edges = coarse_grouped_apply(
+        sims.map_batches(band, batch_format="pyarrow"),
+        ["band", "chunk"], bucket_edges, _EDGE_SCHEMA, min_group_size=2,
     )
     nodes = ds.map_batches(
         lambda t: pa.Table.from_pydict(
@@ -331,7 +382,10 @@ def ngram_jaccard_pairs(
     bands: int = 16,
 ) -> rd.Dataset:
     """→ (id_a, id_b, jaccard) for pairs with EXACT char-n-gram Jaccard ≥
-    threshold, candidates from MinHash-LSH over the same n-gram sets."""
+    threshold. Candidates come from MinHash-LSH over the n-gram sets;
+    candidate PAIRS (ids only — gram sets never ride the exploded band
+    rows) are distinct-ed, then verified exactly against the broadcast
+    gram table (beyond broadcast scale, hash-join grams onto the pairs)."""
     rows_per_band = num_perm // bands
 
     def sig_rows(batch: pa.Table) -> pa.Table:
@@ -347,59 +401,56 @@ def ngram_jaccard_pairs(
              "grams": pa.array(grams, pa.list_(pa.string()))}
         )
 
-    sigs = ds.map_batches(sig_rows, batch_format="pyarrow")
+    sigs = ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
+    banded = sigs.map_batches(
+        _band_rows, batch_format="pyarrow",
+        fn_kwargs=dict(bands=bands, rows_per_band=rows_per_band),
+    )
 
-    def band_rows(batch: pa.Table) -> pa.Table:
-        out = {"doc_id": [], "band": [], "band_hash": [], "grams": []}
-        for i, sig, gs in zip(
-            batch.column("doc_id").to_pylist(), batch.column("sig").to_pylist(),
-            batch.column("grams").to_pylist(),
-        ):
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                out["doc_id"].append(i)
-                out["band"].append(b)
-                out["band_hash"].append(f"{stable_hash64(','.join(map(str, chunk))):016x}")
-                out["grams"].append(gs)
-        return pa.Table.from_pydict(
-            {"doc_id": pa.array(out["doc_id"], pa.string()),
-             "band": pa.array(out["band"], pa.int32()),
-             "band_hash": pa.array(out["band_hash"], pa.string()),
-             "grams": pa.array(out["grams"], pa.list_(pa.string()))}
-        )
+    from semantic_search_system_ray.pipelines.kg_build import distinct_rows
+    from semantic_search_system_ray.stages.util import coarse_grouped_apply
 
+    candidates = distinct_rows(
+        coarse_grouped_apply(
+            banded, ["band", "band_hash"], _bucket_all_pairs, _PAIR_SCHEMA,
+            min_group_size=2,
+        ),
+        ["src", "dst"],
+        strategy="tree",
+        out_blocks=8,
+    )
+
+    gram_map = {r["doc_id"]: frozenset(r["grams"]) for r in
+                sigs.select_columns(["doc_id", "grams"]).take_all()}
+    ref = ray.put(gram_map)
+    _cache: dict[str, dict] = {}
     pair_schema = pa.schema(
         [("id_a", pa.string()), ("id_b", pa.string()), ("jaccard", pa.float64())]
     )
 
-    def verify(g: pd.DataFrame) -> pa.Table:
-        docs = sorted(zip(g["doc_id"], g["grams"]), key=lambda x: x[0])
-        a, b, j = [], [], []
-        for x in range(len(docs)):
-            sx = set(docs[x][1])
-            for y in range(x + 1, len(docs)):
-                sy = set(docs[y][1])
-                inter = len(sx & sy)
-                if not inter:
-                    continue
-                jac = inter / len(sx | sy)
-                if jac >= threshold:
-                    a.append(docs[x][0]); b.append(docs[y][0]); j.append(round(jac, 6))
+    def verify(t: pa.Table) -> pa.Table:
+        m = _cache.get("m")
+        if m is None:
+            m = ray.get(ref)
+            _cache["m"] = m
+        a_out, b_out, j_out = [], [], []
+        for a, b in zip(t.column("src").to_pylist(), t.column("dst").to_pylist()):
+            sa, sb = m.get(a), m.get(b)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            jac = inter / len(sa | sb)
+            if jac >= threshold:
+                x, y = (a, b) if a < b else (b, a)
+                a_out.append(x); b_out.append(y); j_out.append(round(jac, 6))
         return pa.Table.from_pydict(
-            {"id_a": pa.array(a, pa.string()), "id_b": pa.array(b, pa.string()),
-             "jaccard": pa.array(j, pa.float64())}
+            {"id_a": pa.array(a_out, pa.string()), "id_b": pa.array(b_out, pa.string()),
+             "jaccard": pa.array(j_out, pa.float64())}
         )
 
-    pairs = ensure_schema(
-        sigs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(verify, batch_format="pandas"),
-        pair_schema,
-    )
-    # same pair can surface from multiple bands → distinct
-    return (
-        pairs.groupby(["id_a", "id_b", "jaccard"]).count().drop_columns(["count()"])
-    )
+    return candidates.map_batches(verify, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
