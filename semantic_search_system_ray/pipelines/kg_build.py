@@ -423,15 +423,14 @@ def nodes_from_triples(triples: rd.Dataset) -> rd.Dataset:
         )
         return t.group_by(["node_id", "kind"]).aggregate([])
 
-    return (
-        triples.map_batches(emit, batch_format="pyarrow")
-        .groupby(["node_id", "kind"])
-        .count()
-        .drop_columns(["count()"])
-        .map_batches(
-            lambda t: t.append_column("name", t.column("node_id")),
-            batch_format="pyarrow",
-        )
+    # node cardinality ≈ triple endpoints → use the partitioned distinct,
+    # not a per-key groupby
+    return distinct_rows(
+        triples.map_batches(emit, batch_format="pyarrow"),
+        ["node_id", "kind"],
+    ).map_batches(
+        lambda t: t.append_column("name", t.column("node_id")),
+        batch_format="pyarrow",
     )
 
 
@@ -445,19 +444,33 @@ def edges_from_triples(triples: rd.Dataset) -> rd.Dataset:
 
 
 def adjacency_from_edges(edges: rd.Dataset) -> rd.Dataset:
-    """src → sorted list<struct<dst, rel>> (✱groupby(src))."""
+    """src → sorted list<struct<dst, rel>> + degree. src cardinality is
+    corpus-sized, so the grouping runs via coarse partitions
+    (stages/util.coarse_grouped_apply), not a per-key groupby."""
     import pandas as pd
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
+    from semantic_search_system_ray.stages.util import coarse_grouped_apply
+
+    out_schema = pa.schema(
+        [
+            ("src", pa.string()),
+            ("neighbors", pa.list_(
+                pa.struct([("dst", pa.string()), ("rel", pa.string())]))),
+            ("degree", pa.int64()),
+        ]
+    )
+
+    def collect(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["dst", "rel"])
-        return pd.DataFrame(
+        return pa.Table.from_pydict(
             {
                 "src": [g["src"].iloc[0]],
                 "neighbors": [
                     [{"dst": d, "rel": r} for d, r in zip(g["dst"], g["rel"])]
                 ],
                 "degree": [len(g)],
-            }
+            },
+            schema=out_schema,
         )
 
-    return edges.groupby("src").map_groups(collect, batch_format="pandas")
+    return coarse_grouped_apply(edges, ["src"], collect, out_schema)

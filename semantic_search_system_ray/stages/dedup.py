@@ -139,12 +139,14 @@ def exact_dedup(
              "n_copies": pa.array([len(ids)], pa.int64())}
         )
 
+    from semantic_search_system_ray.stages.util import coarse_grouped_apply
+
     out_schema = pa.schema([("doc_id", pa.string()), ("n_copies", pa.int64())])
-    return ensure_schema(
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(pick_rep, batch_format="pandas"),
-        out_schema,
+    # content_hash cardinality ≈ doc count → coarse-partition grouping
+    # (Ray's per-group overhead would dominate a per-hash groupby)
+    return coarse_grouped_apply(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        ["content_hash"], pick_rep, out_schema,
     )
 
 
