@@ -133,14 +133,15 @@ def _q_fingerprint(sf_dir: str):
 
 
 def _q_ann_lsh(sf_dir: str):
-    import numpy as np
     import ray.data as rd
 
+    from semantic_search_system_ray.pipelines.queries import _query_vec
     from semantic_search_system_ray.stages.ann import lsh_bucket_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    row = ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]
-    q = np.asarray(row["embedding"], dtype=np.float64)
+    # vectorized query-vector fetch (Arrow filter kernel), not a per-row
+    # Python ds.filter(lambda)
+    q = _query_vec(sf_dir)
     return lsh_bucket_topk(ds, q, k=10, num_planes=4)
 
 

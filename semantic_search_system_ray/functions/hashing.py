@@ -28,6 +28,15 @@ def stable_hash64(s: str) -> int:
     )
 
 
+def stable_hash128_hex(s: str) -> str:
+    """Stable 128-bit content hash (blake2b, hex). Use this — not the
+    64-bit hash — as the dedup shuffle key: at 10^9–10^12 docs, 64-bit
+    birthday collisions become probable and would silently merge distinct
+    documents; 128 bits keep collision odds negligible while still tiny
+    relative to the text kept out of the shuffle."""
+    return hashlib.blake2b(s.encode("utf-8"), digest_size=16).hexdigest()
+
+
 def content_doc_id(content: str, prefix: str = "doc") -> str:
     """Deterministic surrogate id from content hash — replaces the
     reference's global auto-increment id (ingest/pr_meta_store_from_local.py:20-46),
@@ -60,8 +69,31 @@ def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarra
 _MH_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
 
+def _mulmod_p(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod (2^61 - 1) elementwise on uint64 arrays WITHOUT 64-bit
+    wraparound, via 31-bit split products + Mersenne shift reduction
+    (2^61 ≡ 1 mod p). Inputs must be < p; broadcasting allowed."""
+    P = np.uint64(_MERSENNE_P)
+    m31 = np.uint64((1 << 31) - 1)
+    m30 = np.uint64((1 << 30) - 1)
+    s31, s30, s61 = np.uint64(31), np.uint64(30), np.uint64(2)
+    a_hi, a_lo = a >> s31, a & m31          # a = a_hi·2^31 + a_lo, a_hi < 2^30
+    x_hi, x_lo = x >> s31, x & m31
+    # a·x = a_hi·x_hi·2^62 + (a_hi·x_lo + a_lo·x_hi)·2^31 + a_lo·x_lo
+    top = (s61 * a_hi * x_hi) % P           # 2^62 ≡ 2 (mod p); product < 2^61
+    mid = (a_hi * x_lo + a_lo * x_hi) % P   # each term < 2^61, sum < 2^62
+    # mid·2^31 mod p: mid = u·2^30 + v → u·2^61 + v·2^31 ≡ u + v·2^31
+    mid = ((mid >> s30) + ((mid & m30) << s31)) % P
+    low = (a_lo * x_lo) % P                 # < 2^62
+    return (top + mid + low) % P
+
+
 def minhash_signature(shingles, num_perm: int = 64, seed: int = 1) -> np.ndarray:
-    """MinHash signature (uint32[num_perm]) of a shingle set.
+    """MinHash signature (uint32[num_perm]) of a shingle set, using a
+    genuinely universal hash family (a·x + b) mod p over the 61-bit
+    Mersenne prime — the multiply is done with split-product Mersenne
+    reduction (``_mulmod_p``), not uint64 wraparound, so the pairwise
+    collision bound (and with it the Jaccard-estimate guarantee) holds.
 
     Empty input → all ``0xFFFFFFFF`` (matches nothing except other empties).
     """
@@ -72,9 +104,10 @@ def minhash_signature(shingles, num_perm: int = 64, seed: int = 1) -> np.ndarray
     if not shingles:
         return np.full(num_perm, _MAX_H, dtype=np.uint32)
     base = np.array([stable_hash64(s) for s in shingles], dtype=np.uint64)
+    base %= np.uint64(_MERSENNE_P)
     # (num_shingles, num_perm) universal hashes; min over shingles
-    hv = (np.outer(base, a) + b) % _MERSENNE_P
-    return (hv.min(axis=0) & _MAX_H).astype(np.uint32)
+    hv = (_mulmod_p(base[:, None], a[None, :]) + b) % np.uint64(_MERSENNE_P)
+    return (hv.min(axis=0) & np.uint64(_MAX_H)).astype(np.uint32)
 
 
 def simhash64(tokens: list[str]) -> int:

@@ -261,23 +261,30 @@ def _canon_applier(canon: dict[str, str]):
     canon_ref = ray.put(canon)
     _cache: dict[str, dict] = {}
 
+    import numpy as np
+
     def apply_canon(batch: pa.Table) -> pa.Table:
         c = _cache.get("c")
         if c is None:
             c = ray.get(canon_ref)
             _cache["c"] = c
-        subj = batch.column("subj").to_pylist()
-        pred = batch.column("pred").to_pylist()
-        obj = batch.column("obj").to_pylist()
-        subj = [c.get(s, s) if p in _SVO_PREDS else s for s, p in zip(subj, pred)]
-        obj = [
-            c.get(o, o) if (p == "MENTIONS" or p in _SVO_PREDS) else o
-            for o, p in zip(obj, pred)
-        ]
+        # vectorized: pandas C-level dict map + numpy masked select (the
+        # per-row `c.get(v, v)` loop was a measured hot-path cost)
+        pred = batch.column("pred").to_pandas()
+        subj = batch.column("subj").to_pandas()
+        obj = batch.column("obj").to_pandas()
+        is_svo = pred.isin(_SVO_PREDS).to_numpy()
+        is_obj_mapped = is_svo | (pred == "MENTIONS").to_numpy()
+        subj_m = subj.map(c)
+        obj_m = obj.map(c)
+        subj_out = np.where(is_svo & subj_m.notna().to_numpy(),
+                            subj_m.to_numpy(), subj.to_numpy())
+        obj_out = np.where(is_obj_mapped & obj_m.notna().to_numpy(),
+                           obj_m.to_numpy(), obj.to_numpy())
         return pa.Table.from_pydict(
-            {"subj": pa.array(subj, pa.string()),
-             "pred": pa.array(pred, pa.string()),
-             "obj": pa.array(obj, pa.string())}
+            {"subj": pa.array(subj_out, pa.string()),
+             "pred": batch.column("pred"),
+             "obj": pa.array(obj_out, pa.string())}
         )
 
     return apply_canon

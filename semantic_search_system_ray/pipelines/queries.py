@@ -251,30 +251,72 @@ GROUP BY r_name
 # --------------------------------------------------------------------------
 
 def q_revenue_by_priority(sf_dir: str):
+    """Large-large join expressed as ONE coarse-partition cogroup: lineitem
+    partials and orders are routed by orderkey hash into the same P
+    partitions; inside each partition a vectorized pandas merge joins them
+    and pre-aggregates to ≤5 priority rows — so the only global groupby is
+    over P×5 rows. (Replaces ``Dataset.join num_partitions=4``, which
+    starved a 32-CPU box: 15.2s → the cogroup uses every core.)"""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
     li = rd.read_parquet(
         _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
+    union_schema = pa.schema(
+        [("key", pa.int64()), ("rev", pa.float64()), ("priority", pa.string())]
+    )
 
-    def partial(t: pa.Table) -> pa.Table:
+    def li_partial(t: pa.Table) -> pa.Table:
+        # combiner: per-order partial revenue BEFORE the shuffle
         rev = pc.multiply(
             t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
         )
-        t2 = pa.Table.from_pydict({"l_orderkey": t.column("l_orderkey"), "rev": rev})
-        return t2.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        t2 = pa.Table.from_pydict({"key": t.column("l_orderkey"), "rev": rev})
+        agg = t2.group_by(["key"]).aggregate([("rev", "sum")])
+        return pa.Table.from_arrays(
+            [agg.column("key"), agg.column("rev_sum"),
+             pa.nulls(agg.num_rows, pa.string())],
+            schema=union_schema,
+        )
 
-    # combiner: per-order partial revenue BEFORE the join shuffle
-    li_agg = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_sum", alias_name="revenue"))
-    )
+    def orders_tag(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("o_orderkey"), pa.nulls(t.num_rows, pa.float64()),
+             t.column("o_orderpriority")],
+            schema=union_schema,
+        )
+
     orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
-    joined = li_agg.join(
-        orders, join_type="inner", num_partitions=4,
-        on=("l_orderkey",), right_on=("o_orderkey",),
+    combined = li.map_batches(li_partial, batch_format="pyarrow").union(
+        orders.map_batches(orders_tag, batch_format="pyarrow")
     )
-    out = joined.groupby("o_orderpriority").aggregate(
-        Sum("revenue", alias_name="revenue"), Count(alias_name="num_orders")
+    part_schema = pa.schema(
+        [("o_orderpriority", pa.string()), ("rev_part", pa.float64()),
+         ("n_part", pa.int64())]
+    )
+
+    def cogroup(df: pd.DataFrame) -> pa.Table:
+        li_rows = df[df["priority"].isna()]
+        od_rows = df[df["priority"].notna()]
+        if li_rows.empty or od_rows.empty:
+            return part_schema.empty_table()
+        rev = li_rows.groupby("key", sort=False)["rev"].sum()
+        j = od_rows[["key", "priority"]].merge(
+            rev.rename("revenue"), left_on="key", right_index=True, how="inner"
+        )
+        agg = j.groupby("priority", sort=False)["revenue"].agg(["sum", "size"])
+        return pa.Table.from_pydict(
+            {"o_orderpriority": agg.index.to_list(),
+             "rev_part": agg["sum"].to_list(),
+             "n_part": agg["size"].to_list()},
+            schema=part_schema,
+        )
+
+    parts = coarse_partition_apply(combined, ["key"], cogroup, part_schema)
+    out = parts.groupby("o_orderpriority").aggregate(
+        Sum("rev_part", alias_name="revenue"), Sum("n_part", alias_name="num_orders")
     )
     return out.map_batches(
         lambda t: pa.Table.from_pydict(
@@ -517,30 +559,24 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 # --------------------------------------------------------------------------
 
 def q_customers_without_orders(sf_dir: str):
-    """Customers with no order since 2000-01-01 — anti join via broadcast
-    key set (semi/anti pattern: ship the key set / Bloom filter, filter
-    inside map_batches; no shuffle)."""
+    """Customers with no order since 2000-01-01 — DISTRIBUTED anti join
+    (stages/util.coarse_anti_join): both sides route by key hash into the
+    same coarse partitions; the probe key set only ever exists
+    per-partition (bounded), never on the driver. Probe keys are
+    per-block distinct-ed before the shuffle (combiner)."""
     import datetime as dt
 
     orders = rd.read_parquet(
         _p(sf_dir, "orders"), columns=["o_custkey"],
         filter=(pc.field("o_orderdate") >= pa.scalar(dt.datetime(2000, 1, 1))),
     )
-    keys = set()
-    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        keys.update(b.column("o_custkey").to_pylist())
-    ref = ray.put(keys)
-
-    class _Anti:
-        def __init__(self):
-            self.keys = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = [k not in self.keys for k in t.column("c_custkey").to_pylist()]
-            return t.filter(pa.array(mask, pa.bool_()))
-
     cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
-    return cust.map_batches(_Anti, batch_format="pyarrow", concurrency=(1, 4))
+    from semantic_search_system_ray.stages.util import coarse_anti_join
+
+    return coarse_anti_join(
+        cust, orders, left_key="c_custkey", right_key="o_custkey",
+        out_schema=pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+    )
 
 
 SQL_CUSTOMERS_WITHOUT_ORDERS = """
@@ -695,29 +731,43 @@ FROM orders GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 20
 
 def q_sessionize(sf_dir: str):
     """Session windows over the events stream: per user, a new session
-    starts when the gap to the previous event exceeds 30 minutes
-    (guide's streaming-shaped pattern: partition by key, sort by ts
-    within the group, window with pandas inside ``map_groups``)."""
+    starts when the gap to the previous event exceeds 30 minutes.
+
+    Scale shape: user_id is a corpus-cardinality key, so this routes users
+    into coarse partitions (stages/util.coarse_partition_apply — the ONLY
+    groupby Ray sees has P groups) and runs the whole window computation
+    VECTORIZED per partition: one sort + shift/diff + one pandas groupby,
+    no per-user Python work."""
     import pandas as pd
 
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()), ("n_sessions", pa.int64())]
+    )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]],
-             "n_events": [len(g)],
-             "n_sessions": [int(gaps.sum()) + 1]}
+    def sessions(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = df["ts"].diff() > pd.Timedelta(minutes=30)
+        starts = (new_user | gap).astype("int64")
+        agg = (
+            df.assign(__start=starts)
+            .groupby("user_id", sort=False)
+            .agg(n_events=("ts", "size"), n_sessions=("__start", "sum"))
+            .reset_index()
         )
+        return pa.Table.from_pandas(agg, schema=out_schema, preserve_index=False)
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return coarse_partition_apply(ds, ["user_id"], sessions, out_schema)
 
 
 SQL_SESSIONIZE = """
 SELECT user_id, count(*) AS n_events,
-       sum(CASE WHEN prev_ts IS NULL
-                 OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions
+       CAST(sum(CASE WHEN prev_ts IS NULL
+                 OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions
 FROM (
   SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
   FROM events

@@ -175,10 +175,12 @@ def apply_canon_broadcast(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             for col in columns:
-                vals = batch.column(col).to_pylist()
-                mapped = [self.canon.get(v, v) for v in vals]
+                vals = batch.column(col).to_pandas()  # C-level dict map,
+                mapped = vals.map(self.canon)         # not a Python loop
+                out = vals.where(mapped.isna(), mapped)
                 batch = batch.set_column(
-                    batch.schema.get_field_index(col), col, pa.array(mapped, pa.string())
+                    batch.schema.get_field_index(col), col,
+                    pa.array(out.to_numpy(), pa.string()),
                 )
             return batch
 

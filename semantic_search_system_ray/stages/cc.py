@@ -67,7 +67,11 @@ def _edges_as_cg(t: pa.Table) -> pa.Table:
 
 
 def _emit_messages(g: pd.DataFrame) -> pa.Table:
-    lab = g.loc[g["is_label"], "label"].min()  # exactly one label row per key
+    lab_rows = g.loc[g["is_label"], "label"]  # exactly one label row per KNOWN key
+    # an edge may reference a node absent from `nodes`: no label row exists
+    # for it — use the key itself as its label (min() over empty → NaN
+    # would poison the string schema downstream)
+    lab = lab_rows.min() if len(lab_rows) else g["key"].iloc[0]
     nodes = [g["key"].iloc[0]] + list(g.loc[~g["is_label"], "src"])
     return pa.Table.from_arrays(
         [pa.array(nodes, pa.string()), pa.array([lab] * len(nodes), pa.string())],

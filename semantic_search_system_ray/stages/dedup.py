@@ -40,6 +40,7 @@ from semantic_search_system_ray.functions.hashing import (
     minhash_signature,
     simhash64,
     stable_hash64,
+    stable_hash128_hex,
     word_shingles,
 )
 from semantic_search_system_ray.functions.text import tokenize
@@ -120,11 +121,13 @@ def exact_dedup(
     ds: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> rd.Dataset:
     """(id, text) → one row per distinct text: (doc_id=min id, n_copies).
-    Shuffles 16-byte hashes + ids, never the text itself."""
+    Shuffles 16-BYTE (128-bit) hashes + ids, never the text itself —
+    128 bits because 64-bit birthday collisions become probable at the
+    10^9+-doc scale this targets and would silently merge distinct docs."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = [
-            f"{stable_hash64(t or ''):016x}" for t in batch.column(text_col).to_pylist()
+            stable_hash128_hex(t or "") for t in batch.column(text_col).to_pylist()
         ]
         ids = [str(v) for v in batch.column(id_col).to_pylist()]
         return pa.Table.from_pydict(

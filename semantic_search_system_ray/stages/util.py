@@ -1,6 +1,12 @@
-"""Small stage utilities."""
+"""Small stage utilities: schema coercion and the coarse-partition
+shuffle primitives (grouped apply, whole-partition apply, hash-join
+attach, anti join) that replace Ray's per-key groupby / Dataset.join on
+corpus-cardinality keys (measured ~25µs per GROUP in Ray's shuffle
+groupby; join crashes on empty hash partitions in 2.49)."""
 
 from __future__ import annotations
+
+import zlib
 
 import pyarrow as pa
 
@@ -27,6 +33,194 @@ def ensure_schema(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
     return ds.map_batches(fix, batch_format="pyarrow")
 
 
+def _default_partitions() -> int:
+    from ray.data import DataContext
+
+    return max(16, DataContext.get_current().min_parallelism)
+
+
+def _route_parts(t: pa.Table, keys: list[str], num_partitions: int) -> pa.Array:
+    """crc32 of the stringified key tuple, mod P — the coarse routing key.
+    Never ``pd.util.hash_pandas_object`` (returns corrupt repeated hashes
+    inside Ray workers on this stack)."""
+    import pyarrow.compute as pc
+
+    joined = pc.binary_join_element_wise(
+        *[pc.cast(t.column(k), pa.string()) for k in keys], "\x00"
+    )
+    crc = zlib.crc32
+    return pa.array(
+        [crc(s.encode()) % num_partitions for s in joined.to_pylist()], pa.int32()
+    )
+
+
+def coarse_partition_apply(
+    ds: rd.Dataset,
+    keys: list[str],
+    fn,
+    out_schema: pa.Schema,
+    *,
+    num_partitions: int | None = None,
+):
+    """Route rows into P coarse partitions by key hash (all rows of a key
+    land together) and run ``fn(partition: pd.DataFrame) -> pa.Table`` once
+    per PARTITION — ``fn`` does its own per-key work fully vectorized
+    (pandas groupby/merge), so Ray's per-group overhead is paid P times
+    total, not per key."""
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+
+    def route(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", _route_parts(t, keys, num_partitions))
+
+    def per_part(df) -> pa.Table:
+        return fn(df.drop(columns=["__part"]))
+
+    return ensure_schema(
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pandas"),
+        out_schema,
+    )
+
+
+def coarse_attach(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    attach_cols: list[str],
+    attach_as: list[str] | None = None,
+    out_schema: pa.Schema,
+    num_partitions: int | None = None,
+):
+    """Distributed hash join that ATTACHES ``attach_cols`` from ``right``
+    onto ``left`` rows by key equality (inner: left rows with no match are
+    dropped, mirroring the broadcast-lookup 'skip missing' semantics).
+
+    Both sides are routed into the same coarse partitions by key hash and
+    merged per-partition with pandas' C-level merge — no driver
+    materialization of either side, and none of Ray ``Dataset.join``'s
+    empty-hash-partition failures. ``out_schema`` = left payload columns
+    (minus nothing — list exactly what you want carried) + ``attach_as``.
+    Attach columns must be primitive (string/binary/number): serialize
+    lists to bytes before attaching (cheap, and it keeps nulls trivial
+    through the union)."""
+    if attach_as is None:
+        attach_as = attach_cols
+    left_cols = [n for n in out_schema.names if n not in attach_as]
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+
+    union_schema = pa.schema(
+        [("__key", pa.string())]
+        + [(n, out_schema.field(n).type) for n in left_cols]
+        + [(n, out_schema.field(n).type) for n in attach_as]
+        + [("__rhs", pa.bool_())]
+    )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        arrays = [pc.cast(t.column(left_key), pa.string())]
+        arrays += [t.column(c) for c in left_cols]
+        arrays += [pa.nulls(n, out_schema.field(a).type) for a in attach_as]
+        arrays += [pa.array([False] * n)]
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        arrays = [pc.cast(t.column(right_key), pa.string())]
+        arrays += [pa.nulls(n, out_schema.field(c).type) for c in left_cols]
+        arrays += [t.column(c) for c in attach_cols]
+        arrays += [pa.array([True] * n)]
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    combined = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def merge_part(df) -> pa.Table:
+        rhs = df[df["__rhs"]]
+        lhs = df[~df["__rhs"]]
+        if lhs.empty or rhs.empty:
+            return out_schema.empty_table()
+        lookup = rhs.drop_duplicates(subset="__key")[["__key"] + list(attach_as)]
+        merged = lhs[["__key"] + left_cols].merge(lookup, on="__key", how="inner")
+        return pa.Table.from_arrays(
+            [pa.array(merged[f.name].tolist(), f.type) for f in out_schema],
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        combined, ["__key"], merge_part, out_schema, num_partitions=num_partitions
+    )
+
+
+def coarse_anti_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    out_schema: pa.Schema,
+    num_partitions: int | None = None,
+):
+    """Distributed anti join: left rows whose key has NO match in right.
+    Same coarse-partition cogroup as ``coarse_attach`` — the probe-side key
+    set only ever exists per-partition (bounded), never on the driver."""
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+
+    union_schema = pa.schema(
+        [("__key", pa.string())]
+        + [(f.name, f.type) for f in out_schema]
+        + [("__rhs", pa.bool_())]
+    )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        arrays = [pc.cast(t.column(left_key), pa.string())]
+        arrays += [t.column(f.name) for f in out_schema]
+        arrays += [pa.array([False] * n)]
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # per-block distinct combiner: only unique keys ride the shuffle
+        keys = pc.cast(t.column(right_key), pa.string()).combine_chunks()
+        keys = pa.Table.from_arrays([keys], names=["k"]).group_by(["k"]).aggregate([])
+        n = keys.num_rows
+        arrays = [keys.column("k")]
+        arrays += [pa.nulls(n, f.type) for f in out_schema]
+        arrays += [pa.array([True] * n)]
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    combined = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def anti_part(df) -> pa.Table:
+        probe = set(df.loc[df["__rhs"], "__key"])
+        lhs = df[~df["__rhs"]]
+        keep = lhs[~lhs["__key"].isin(probe)]
+        return pa.Table.from_arrays(
+            [pa.array(keep[f.name].tolist(), f.type) for f in out_schema],
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        combined, ["__key"], anti_part, out_schema, num_partitions=num_partitions
+    )
+
+
 def coarse_grouped_apply(
     ds: rd.Dataset,
     keys: list[str],
@@ -46,22 +240,13 @@ def coarse_grouped_apply(
     ``fn(group: pd.DataFrame) -> pa.Table`` must return ``out_schema``
     rows; groups smaller than ``min_group_size`` are skipped (useful for
     candidate-pair generation where singleton buckets are noise)."""
-    import zlib
-
     import pandas as pd
-    import pyarrow.compute as pc
-    from ray.data import DataContext
 
     if num_partitions is None:
-        num_partitions = max(16, DataContext.get_current().min_parallelism)
-    crc = zlib.crc32
+        num_partitions = _default_partitions()
 
     def route(t: pa.Table) -> pa.Table:
-        joined = pc.binary_join_element_wise(
-            *[pc.cast(t.column(k), pa.string()) for k in keys], "\x00"
-        )
-        parts = [crc(s.encode()) % num_partitions for s in joined.to_pylist()]
-        return t.append_column("__part", pa.array(parts, pa.int32()))
+        return t.append_column("__part", _route_parts(t, keys, num_partitions))
 
     def per_part(df: pd.DataFrame) -> pa.Table:
         df = df.drop(columns=["__part"])
