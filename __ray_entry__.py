@@ -158,6 +158,22 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_media_dedup(sf_dir: str):
+    """Media features joined back into the dedup suite: near-dup media
+    span pairs (shared-asset reuse across docs). Runs the LSH-bucketed
+    scale path end-to-end (duplicate assets sit at cos≈1.0, where LSH
+    recall is ~1; exact-vs-LSH parity is pytest-gated in
+    tests/test_dedup_ann.py::test_cosine_dups_lsh_recall and
+    tests/test_media_textstats.py::test_media_near_dups_shared_assets)."""
+    import ray.data as rd
+
+    from semantic_search_system_ray.sources.documents import text_table_to_spans
+    from semantic_search_system_ray.stages.media import media_near_dups
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return media_near_dups(text_table_to_spans(docs), strategy="lsh")
+
+
 def _q_search_lexical(sf_dir: str):
     import ray.data as rd
 
@@ -225,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "fingerprint": _q_fingerprint,
             "ann_lsh": _q_ann_lsh,
             "media_features": _q_media_features,
+            "media_dedup": _q_media_dedup,
         }
     )
     return out

@@ -58,10 +58,13 @@ def _spans_for_text(doc_id: str, text: str) -> list[dict]:
         offset += len(sent) + 1
         h = hashlib.blake2b(f"{doc_id}:{i}".encode(), digest_size=4).digest()
         if h[0] % 7 == 0:
-            ref = hashlib.blake2b(f"{doc_id}:{i}:m".encode(), digest_size=8).hexdigest()
+            # refs draw from a shared 64-asset pool (web corpora reuse the
+            # same images/clips across pages) — so cross-doc media dedup
+            # (stages/media.media_near_dups) has real duplicate structure
             kind = ("image", "audio", "table")[h[1] % 3]
+            ref = f"media://asset-{h[2] % 64:02d}"
             spans.append(
-                {"kind": kind, "text": "", "media_ref": f"media://{ref}", "offset": offset}
+                {"kind": kind, "text": "", "media_ref": ref, "offset": offset}
             )
             offset += 1
     return spans

@@ -9,17 +9,19 @@ All are Ray-Data-native compositions:
   numpy) → explode to LEAN (band, band_hash, doc_id) rows (signatures
   never ride the 16× explosion) → coarse-partition bucket grouping
   (stages/util.coarse_grouped_apply — Ray's ~25µs/group cost paid P
-  times, not per bucket) → star candidate pairs → verified against the
-  broadcast signature table → connected components → cluster labels.
+  times, not per bucket) → star candidate pairs → signature verification
+  (broadcast map for small collections, DISTRIBUTED hash-join of sigs
+  onto pairs beyond VERIFY_BROADCAST_THRESHOLD — parity-tested) →
+  connected components → cluster labels.
 - **simhash_clusters**: 64-bit SimHash per doc → 4×16-bit band buckets →
   candidates verified by Hamming distance ≤ k → components.
 - **ngram_jaccard_pairs**: same lean LSH candidates (full pairwise within
   capped buckets, since the OUTPUT is pairs), distinct-ed, then EXACT
-  char-n-gram Jaccard verification against the broadcast gram table
-  (beyond broadcast scale, hash-join the grams onto the pairs).
-- **embedding_cosine_dups**: all-pairs above a cosine threshold via a
-  broadcast matrix (small collections) — the scale path is the LSH variant
-  in stages/ann.py.
+  char-n-gram Jaccard verification — broadcast gram table below
+  threshold, hash-join of serialized gram sets onto the pairs above it.
+- **embedding_cosine_dups**: exact all-pairs via broadcast matrix for
+  small collections; LSH-bucketed (multi-table hyperplane signatures,
+  in-bucket matmul, cross-table pair dedup) as the scale path.
 
 Every operator returns deterministic representatives (min doc id) so
 re-runs are idempotent.
@@ -228,11 +230,81 @@ def _bucket_all_pairs(g: "pd.DataFrame", cap: int = 64) -> pa.Table:
     )
 
 
+# How many docs the broadcast-verification path will tolerate before the
+# pipelines switch to the distributed hash-join path ("auto" mode). The
+# broadcast map costs ~0.5 KB/doc on the driver and in each worker.
+VERIFY_BROADCAST_THRESHOLD = 1_000_000
+
+
+def _sigs_binary(sigs: rd.Dataset) -> rd.Dataset:
+    """(doc_id, sig list<uint32>) → (doc_id, sig binary) — fixed-size-list
+    columns serialize to plain bytes so they ride the join shuffle as a
+    primitive column (nullable through unions, pandas-safe)."""
+
+    def ser(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t.column("doc_id"),
+                "sig": pa.array(
+                    [np.asarray(s, dtype=np.uint32).tobytes()
+                     for s in t.column("sig").to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    return sigs.map_batches(ser, batch_format="pyarrow")
+
+
+def _verify_pairs_join(
+    pairs: rd.Dataset, sigs: rd.Dataset, threshold: float
+) -> rd.Dataset:
+    """Distributed verification: hash-join each pair endpoint's signature
+    onto the pair (stages/util.coarse_attach — both sides shuffled by key
+    into coarse partitions, pandas C-merge inside), then compare
+    signatures vectorized. NOTHING is materialized on the driver; the full
+    signature table rides two bounded shuffles (~256 B/doc). Pairs whose
+    endpoint lacks a signature drop out (inner join) — same semantics as
+    the broadcast path's ``m.get(...) is None`` skip."""
+    from semantic_search_system_ray.stages.util import coarse_attach
+
+    sb = _sigs_binary(sigs)
+    step1 = coarse_attach(
+        pairs, sb, left_key="src", right_key="doc_id",
+        attach_cols=["sig"], attach_as=["sig_a"],
+        out_schema=pa.schema(
+            [("src", pa.string()), ("dst", pa.string()), ("sig_a", pa.binary())]
+        ),
+    )
+    step2 = coarse_attach(
+        step1, sb, left_key="dst", right_key="doc_id",
+        attach_cols=["sig"], attach_as=["sig_b"],
+        out_schema=pa.schema(
+            [("src", pa.string()), ("dst", pa.string()),
+             ("sig_a", pa.binary()), ("sig_b", pa.binary())]
+        ),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        aa = np.stack(
+            [np.frombuffer(x, dtype=np.uint32) for x in t.column("sig_a").to_pylist()]
+        )
+        bb = np.stack(
+            [np.frombuffer(x, dtype=np.uint32) for x in t.column("sig_b").to_pylist()]
+        )
+        keep = (aa == bb).mean(axis=1) >= threshold
+        return t.select(["src", "dst"]).filter(pa.array(keep))
+
+    return step2.map_batches(verify, batch_format="pyarrow")
+
+
 def _verify_pairs_with_sigs(pairs: rd.Dataset, sigs: rd.Dataset, threshold: float):
-    """Filter candidate pairs by MinHash-signature agreement ≥ threshold.
-    Signatures broadcast via ray.put (a doc-count × num_perm uint32 matrix
-    — fine up to millions of docs; beyond that, hash-join sigs onto the
-    pairs instead)."""
+    """Broadcast verification (small-collection path): signatures travel
+    via ray.put (a doc-count × num_perm uint32 matrix); each batch checks
+    its pairs against the in-memory map. Beyond
+    ``VERIFY_BROADCAST_THRESHOLD`` docs use ``_verify_pairs_join``."""
     rows = sigs.take_all()
     sig_map = {r["doc_id"]: np.asarray(r["sig"], dtype=np.uint32) for r in rows}
     ref = ray.put(sig_map)
@@ -267,9 +339,16 @@ def minhash_lsh_clusters(
     bands: int = 16,
     threshold: float = 0.7,
     max_rounds: int = 8,
+    verify: str = "auto",
 ) -> rd.Dataset:
     """→ (doc_id, cluster): near-dup cluster representative (min doc id in
-    the transitive closure of verified candidate pairs)."""
+    the transitive closure of verified candidate pairs).
+
+    ``verify``: "broadcast" (signature map via ray.put — small
+    collections), "join" (distributed hash-join of signatures onto pairs —
+    the 100 TB path, no driver materialization), or "auto" (switch on
+    ``VERIFY_BROADCAST_THRESHOLD`` docs). Both paths produce identical
+    edges (parity-tested)."""
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
         _sig_rows, batch_format="pyarrow",
@@ -287,7 +366,12 @@ def minhash_lsh_clusters(
         banded, ["band", "band_hash"], _bucket_pairs, _PAIR_SCHEMA,
         min_group_size=2,
     )
-    edges = _verify_pairs_with_sigs(candidates, sigs, threshold)
+    if verify == "auto":
+        verify = "broadcast" if sigs.count() <= VERIFY_BROADCAST_THRESHOLD else "join"
+    if verify == "join":
+        edges = _verify_pairs_join(candidates, sigs, threshold)
+    else:
+        edges = _verify_pairs_with_sigs(candidates, sigs, threshold)
     # node ids come straight from the input (don't re-run the signature
     # pass just to list ids)
     nodes = ds.map_batches(
@@ -376,6 +460,77 @@ def simhash_clusters(
 # n-gram Jaccard pairs (LSH candidates + exact verification)
 # --------------------------------------------------------------------------
 
+_GRAM_SEP = "\x1f"
+_JACCARD_SCHEMA = pa.schema(
+    [("id_a", pa.string()), ("id_b", pa.string()), ("jaccard", pa.float64())]
+)
+
+
+def _jaccard_of_serialized(sa: str, sb: str) -> float:
+    a = set(sa.split(_GRAM_SEP)) if sa else set()
+    b = set(sb.split(_GRAM_SEP)) if sb else set()
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    if not inter:
+        return 0.0
+    return inter / (len(a) + len(b) - inter)
+
+
+def _verify_grams_join(
+    candidates: rd.Dataset, sigs: rd.Dataset, threshold: float
+) -> rd.Dataset:
+    """Distributed exact-Jaccard verification: gram sets (serialized to one
+    string per doc) hash-join onto the candidate pairs via coarse_attach —
+    no driver materialization of the gram table."""
+    from semantic_search_system_ray.stages.util import coarse_attach
+
+    grams = sigs.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "doc_id": t.column("doc_id"),
+                "g": pa.array(
+                    [_GRAM_SEP.join(g) for g in t.column("grams").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    step1 = coarse_attach(
+        candidates, grams, left_key="src", right_key="doc_id",
+        attach_cols=["g"], attach_as=["g_a"],
+        out_schema=pa.schema(
+            [("src", pa.string()), ("dst", pa.string()), ("g_a", pa.string())]
+        ),
+    )
+    step2 = coarse_attach(
+        step1, grams, left_key="dst", right_key="doc_id",
+        attach_cols=["g"], attach_as=["g_b"],
+        out_schema=pa.schema(
+            [("src", pa.string()), ("dst", pa.string()),
+             ("g_a", pa.string()), ("g_b", pa.string())]
+        ),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        a_out, b_out, j_out = [], [], []
+        for a, b, sa, sb in zip(
+            t.column("src").to_pylist(), t.column("dst").to_pylist(),
+            t.column("g_a").to_pylist(), t.column("g_b").to_pylist(),
+        ):
+            jac = _jaccard_of_serialized(sa, sb)
+            if jac >= threshold:
+                x, y = (a, b) if a < b else (b, a)
+                a_out.append(x); b_out.append(y); j_out.append(round(jac, 6))
+        return pa.Table.from_pydict(
+            {"id_a": a_out, "id_b": b_out, "jaccard": j_out},
+            schema=_JACCARD_SCHEMA,
+        )
+
+    return step2.map_batches(verify, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(
     ds: rd.Dataset,
     *,
@@ -385,12 +540,15 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
+    verify: str = "auto",
 ) -> rd.Dataset:
     """→ (id_a, id_b, jaccard) for pairs with EXACT char-n-gram Jaccard ≥
     threshold. Candidates come from MinHash-LSH over the n-gram sets;
     candidate PAIRS (ids only — gram sets never ride the exploded band
-    rows) are distinct-ed, then verified exactly against the broadcast
-    gram table (beyond broadcast scale, hash-join grams onto the pairs)."""
+    rows) are distinct-ed, then verified exactly — against a broadcast
+    gram table below ``VERIFY_BROADCAST_THRESHOLD`` docs, else by
+    hash-joining the gram sets onto the pairs (``verify="join"``, the
+    100 TB path; parity-tested against broadcast)."""
     rows_per_band = num_perm // bands
 
     def sig_rows(batch: pa.Table) -> pa.Table:
@@ -425,13 +583,16 @@ def ngram_jaccard_pairs(
         out_blocks=8,
     )
 
+    if verify == "auto":
+        verify = "broadcast" if sigs.count() <= VERIFY_BROADCAST_THRESHOLD else "join"
+    if verify == "join":
+        return _verify_grams_join(candidates, sigs, threshold)
+
     gram_map = {r["doc_id"]: frozenset(r["grams"]) for r in
                 sigs.select_columns(["doc_id", "grams"]).take_all()}
     ref = ray.put(gram_map)
     _cache: dict[str, dict] = {}
-    pair_schema = pa.schema(
-        [("id_a", pa.string()), ("id_b", pa.string()), ("jaccard", pa.float64())]
-    )
+    pair_schema = _JACCARD_SCHEMA
 
     def verify(t: pa.Table) -> pa.Table:
         m = _cache.get("m")
@@ -468,11 +629,35 @@ def embedding_cosine_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    strategy: str = "auto",
+    broadcast_threshold: int = 200_000,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 13,
 ) -> rd.Dataset:
-    """→ (id_a, id_b, cos_sim) for all pairs with cosine ≥ threshold,
-    id_a < id_b. The full (id, matrix) is broadcast via ray.put; each batch
-    computes a (batch × all) float64 matmul. For collections too big to
-    broadcast, use ann.lsh_buckets to restrict comparisons."""
+    """→ (id_a, id_b, cos_sim) for pairs with cosine ≥ threshold, id_a <
+    id_b (int ids compare numerically, others lexicographically).
+
+    - ``strategy="exact"``: EXACT all-pairs — the full normalized (id,
+      matrix) broadcasts via ray.put; each batch does a (batch × all)
+      matmul. Right answer for collections that fit a worker
+      (≤ ``broadcast_threshold`` rows).
+    - ``strategy="lsh"``: the 100 TB path — random-hyperplane LSH buckets
+      (``num_tables`` independent tables × ``num_planes`` bits; seeded,
+      deterministic) restrict comparison to same-bucket rows via a
+      coarse-partition group apply; duplicate pair hits across tables are
+      deduplicated. Approximate: recall controlled by num_tables ×
+      num_planes (miss prob (1-p^planes)^tables, p = 1 - θ/π).
+    - ``strategy="auto"``: exact below ``broadcast_threshold``, else lsh.
+    """
+    if strategy == "auto":
+        strategy = "exact" if ds.count() <= broadcast_threshold else "lsh"
+    if strategy == "lsh":
+        return _cosine_dups_lsh(
+            ds, id_col=id_col, vec_col=vec_col, threshold=threshold,
+            num_planes=num_planes, num_tables=num_tables, seed=seed,
+        )
+
     rows = ds.select_columns([id_col, vec_col]).take_all()
     ids = np.array([r[id_col] for r in rows])
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
@@ -486,6 +671,7 @@ def embedding_cosine_dups(
             self.ids, self.mat = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            id_type = batch.schema.field(id_col).type
             bids = np.array(batch.column(id_col).to_pylist())
             bmat = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
             bn = np.linalg.norm(bmat, axis=1)
@@ -497,11 +683,108 @@ def embedding_cosine_dups(
                 hits = np.where(sims[r] >= threshold)[0]
                 for c in hits:
                     if bids[r] < self.ids[c]:
-                        ia.append(int(bids[r])); ib.append(int(self.ids[c]))
+                        ia.append(bids[r].item()); ib.append(self.ids[c].item())
                         cs.append(round(float(sims[r, c]), 6))
             return pa.Table.from_pydict(
-                {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
+                {"id_a": pa.array(ia, id_type), "id_b": pa.array(ib, id_type),
                  "cos_sim": pa.array(cs, pa.float64())}
             )
 
     return ds.map_batches(_Pairs, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _cosine_dups_lsh(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    num_planes: int,
+    num_tables: int,
+    seed: int,
+) -> rd.Dataset:
+    """LSH-bucketed near-dup pairs: every vector lands in ``num_tables``
+    buckets (one per independent hyperplane table); all-pairs cosine runs
+    ONLY within buckets (coarse-partition grouping — bucket count ≈ corpus
+    size, so never a per-key Ray groupby); a same-keyed pass dedups pair
+    hits found by multiple tables. Vectors ride the bucket shuffle
+    normalized + serialized (float64 bytes) — ``num_tables`` × duplication
+    of the vector payload is the standard LSH space/recall trade."""
+    from semantic_search_system_ray.stages.ann import lsh_signature
+    from semantic_search_system_ray.stages.util import coarse_grouped_apply
+
+    probe = ds.take(1)
+    if not probe:
+        return rd.from_arrow(
+            pa.schema(
+                [("id_a", pa.string()), ("id_b", pa.string()),
+                 ("cos_sim", pa.float64())]
+            ).empty_table()
+        )
+    dim = len(probe[0][vec_col])
+    id_type = pa.int64() if isinstance(probe[0][id_col], int) else pa.string()
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(num_tables, num_planes, dim))
+    planes_ref = ray.put(planes)
+    pair_schema = pa.schema(
+        [("id_a", id_type), ("id_b", id_type), ("cos_sim", pa.float64())]
+    )
+
+    class _Bucketize:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            mat = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            n = np.linalg.norm(mat, axis=1)
+            n[n == 0] = 1.0
+            mat = mat / n[:, None]
+            vec_bytes = [row.tobytes() for row in mat]
+            out_bucket, out_id, out_vec = [], [], []
+            for ti in range(self.planes.shape[0]):
+                sig = lsh_signature(mat, self.planes[ti])
+                for i, s in enumerate(sig):
+                    out_bucket.append(f"{ti}:{int(s)}")
+                    out_id.append(ids[i])
+                    out_vec.append(vec_bytes[i])
+            return pa.Table.from_pydict(
+                {"bucket": pa.array(out_bucket, pa.string()),
+                 "vid": pa.array(out_id, id_type),
+                 "vec": pa.array(out_vec, pa.binary())}
+            )
+
+    bucketed = ds.map_batches(_Bucketize, batch_format="pyarrow", concurrency=(1, 8))
+
+    def bucket_pairs(g) -> pa.Table:
+        ids = list(g["vid"])
+        mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
+        sims = mat @ mat.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = sims[iu, ju] >= threshold
+        ia, ib, cs = [], [], []
+        for i, j in zip(iu[mask], ju[mask]):
+            a, b = ids[i], ids[j]
+            if b < a:
+                a, b = b, a
+            if a == b:
+                continue
+            ia.append(a); ib.append(b)
+            cs.append(round(float(sims[i, j]), 6))
+        return pa.Table.from_pydict(
+            {"id_a": ia, "id_b": ib, "cos_sim": cs}, schema=pair_schema
+        )
+
+    raw_pairs = coarse_grouped_apply(
+        bucketed, ["bucket"], bucket_pairs, pair_schema, min_group_size=2
+    )
+
+    def first_row(g) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"id_a": [g["id_a"].iloc[0]], "id_b": [g["id_b"].iloc[0]],
+             "cos_sim": [g["cos_sim"].iloc[0]]},
+            schema=pair_schema,
+        )
+
+    # same pair can surface from several tables → keyed dedup (keeps one)
+    return coarse_grouped_apply(raw_pairs, ["id_a", "id_b"], first_row, pair_schema)

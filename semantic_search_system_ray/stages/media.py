@@ -94,6 +94,53 @@ class MediaFeatures:
         )
 
 
+def media_features(docs_ds: rd.Dataset, *, concurrency=(1, 4), batch_size: int = 64) -> rd.Dataset:
+    """documents (doc_id, spans) → one feature row per media span."""
+    return flatten_media_spans(docs_ds).map_batches(
+        MediaFeatures, batch_format="pyarrow",
+        concurrency=concurrency, batch_size=batch_size,
+    )
+
+
+def media_near_dups(
+    docs_ds: rd.Dataset,
+    *,
+    threshold: float = 0.99,
+    strategy: str = "auto",
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """Media near-dup pairs — joins the media FEATURE vectors back into the
+    dedup suite (media is a first-class column, not a dead end): decode →
+    feature vectors → embedding-cosine near-dup over
+    ``stages.dedup.embedding_cosine_dups`` (exact broadcast below its
+    threshold, LSH-bucketed at scale). Span identity is
+    ``doc_id#offset#media_ref`` so the pair list names both the document
+    and the span; cos ≥ threshold pairs ≈ re-used media across docs (the
+    stub features are injective in media_ref, so ≥0.99 ⇒ same ref)."""
+    from semantic_search_system_ray.stages.dedup import embedding_cosine_dups
+
+    feats = media_features(docs_ds, concurrency=concurrency)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        span_id = pc.binary_join_element_wise(
+            t.column("doc_id"),
+            pc.cast(t.column("offset"), pa.string()),
+            t.column("media_ref"),
+            "#",
+        )
+        return pa.Table.from_pydict(
+            {"span_id": span_id, "features": t.column("features")}
+        )
+
+    return embedding_cosine_dups(
+        feats.map_batches(keyed, batch_format="pyarrow"),
+        id_col="span_id", vec_col="features",
+        threshold=threshold, strategy=strategy,
+    )
+
+
 def media_kind_stats(docs_ds: rd.Dataset) -> rd.Dataset:
     """Per-kind span counts — cheap sanity aggregate over media spans."""
     media = flatten_media_spans(docs_ds)

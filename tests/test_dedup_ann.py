@@ -134,6 +134,61 @@ def test_lsh_topk_subset_of_bucket(vec_ds):
     assert len(got) <= 5
 
 
+def test_minhash_join_verify_parity(dup_corpus):
+    """The distributed hash-join verification path must produce the same
+    clustering as the broadcast path (the scale switch must be invisible)."""
+    broadcast = {
+        r["doc_id"]: r["cluster"]
+        for r in minhash_lsh_clusters(dup_corpus, threshold=0.5,
+                                      verify="broadcast").take_all()
+    }
+    join = {
+        r["doc_id"]: r["cluster"]
+        for r in minhash_lsh_clusters(dup_corpus, threshold=0.5,
+                                      verify="join").take_all()
+    }
+    assert broadcast == join
+
+
+def test_ngram_join_verify_parity(dup_corpus):
+    broadcast = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_corpus, threshold=0.7,
+                                     verify="broadcast").take_all()
+    }
+    join = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_corpus, threshold=0.7,
+                                     verify="join").take_all()
+    }
+    assert broadcast == join
+
+
+def test_cosine_dups_lsh_recall(ray_session):
+    """LSH-bucketed near-dup pairs recover the exact path's high-cosine
+    pairs on a planted corpus (8 tables × 8 planes; deterministic seed)."""
+    rng = np.random.RandomState(23)
+    vecs, ids = [], []
+    for fam in range(10):
+        base = rng.normal(size=32)
+        for j in range(3):  # 3 near-copies per family, cos ≈ 0.999
+            v = base + rng.normal(scale=0.02, size=32)
+            ids.append(fam * 10 + j)
+            vecs.append(v.astype(np.float32).tolist())
+    for i in range(100):  # background noise
+        ids.append(1000 + i)
+        vecs.append(rng.normal(size=32).astype(np.float32).tolist())
+    ds = rd.from_arrow(pa.Table.from_pydict({"vec_id": ids, "embedding": vecs}))
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_cosine_dups(ds, threshold=0.99, strategy="exact").take_all()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           embedding_cosine_dups(ds, threshold=0.99, strategy="lsh").take_all()}
+    assert exact, "planted families must produce exact pairs"
+    assert lsh <= exact or not (lsh - exact)  # LSH never invents pairs
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} too low"
+
+
 def test_embedding_cosine_dups_pairs(ray_session):
     rng = np.random.RandomState(11)
     base = rng.normal(size=32)

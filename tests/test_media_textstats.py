@@ -77,3 +77,44 @@ def test_textstats_stages(ray_session):
     assert len(set(fps.values())) == 3
     fps2 = {r["doc_id"]: r["fingerprint"] for r in ds.map_batches(fingerprint_batch, batch_format="pyarrow").take_all()}
     assert fps == fps2
+
+
+def test_media_near_dups_shared_assets(ray_session):
+    """Spans embedding the SAME asset in different docs must pair up
+    (features joined back into the dedup suite); distinct assets must not."""
+    from semantic_search_system_ray.stages.media import media_near_dups
+
+    spans_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("spans", pa.list_(pa.struct(
+                [("kind", pa.string()), ("text", pa.string()),
+                 ("media_ref", pa.string()), ("offset", pa.int32())]))),
+        ]
+    )
+
+    def doc(doc_id, refs):
+        spans = [{"kind": "text", "text": "intro words here", "media_ref": "", "offset": 0}]
+        for i, ref in enumerate(refs):
+            spans.append({"kind": "image", "text": "", "media_ref": ref, "offset": 10 + i})
+        return {"doc_id": doc_id, "spans": spans}
+
+    docs = rd.from_arrow(
+        pa.Table.from_pylist(
+            [
+                doc("a", ["media://shared-1", "media://only-a"]),
+                doc("b", ["media://shared-1"]),
+                doc("c", ["media://only-c"]),
+            ],
+            schema=spans_schema,
+        )
+    )
+    pairs = media_near_dups(docs, strategy="exact").take_all()
+    keyed = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ("a#10#media://shared-1", "b#10#media://shared-1") in keyed
+    assert all("only" not in a and "only" not in b for a, b in keyed)
+
+    # LSH path finds the same shared-asset pair
+    lsh = {(r["id_a"], r["id_b"])
+           for r in media_near_dups(docs, strategy="lsh").take_all()}
+    assert ("a#10#media://shared-1", "b#10#media://shared-1") in lsh
