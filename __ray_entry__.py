@@ -6,9 +6,12 @@
 - ``queries()`` — one callable per implemented operator (SURVEY.md §2 +
   the training-data operator suite); each takes ``sf_dir``.
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-  (same column names, same rounding). Non-SQL ops (KG extraction, minhash/
-  simhash clustering, LSH ANN, heuristic lang-id/quality/fingerprint) are
-  intentionally absent → the driver records rows-only checks for them.
+  (same column names, same rounding), incl. generated oracles for the
+  text-analysis/search suite (pipelines/text_oracles.py). Genuinely
+  non-SQL ops (KG extraction, minhash/simhash clustering — blake2b-seeded
+  signatures, LSH ANN — seeded hyperplanes, k-means taxonomy, media
+  features) are intentionally absent → the driver records rows-only
+  checks for them; each has pytest coverage instead.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
@@ -175,12 +178,22 @@ def _q_media_dedup(sf_dir: str):
 
 
 def _q_search_lexical(sf_dir: str):
+    import pyarrow.compute as pc
     import ray.data as rd
 
     from semantic_search_system_ray.pipelines.search import search_lexical
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return search_lexical(docs, "hash join table scan", k=20)
+    out = search_lexical(docs, "hash join table scan", k=20)
+    # normalized score rounded to 4dp on BOTH sides of the oracle compare
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("normalized_score_100"),
+            "normalized_score_100",
+            pc.round(t.column("normalized_score_100"), 4),
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _q_search_rerank(sf_dir: str):
@@ -214,12 +227,24 @@ def _q_taxonomy_build(sf_dir: str):
 
 
 def _q_doc_topic_words(sf_dir: str):
+    import pyarrow as pa_
     import ray.data as rd
 
     from semantic_search_system_ray.stages.textstats import doc_topic_words_batch
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(doc_topic_words_batch, batch_format="pyarrow")
+    out = ds.map_batches(doc_topic_words_batch, batch_format="pyarrow")
+    # list<string> → ' '-joined string so the driver's value hash is
+    # list-free (the SQL oracle string_aggs identically)
+    return out.map_batches(
+        lambda t: pa_.Table.from_pydict(
+            {"doc_id": t.column("doc_id"),
+             "topic_words": pa_.array(
+                 [" ".join(v) for v in t.column("topic_words").to_pylist()],
+                 pa_.string())}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -248,6 +273,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from semantic_search_system_ray.pipelines import text_oracles as tox
     from semantic_search_system_ray.pipelines.queries import ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    out = dict(ORACLE_SQL)
+    out.update(
+        {
+            # generated from the same constants the engine stages use
+            "search_lexical": tox.sql_search_lexical(
+                ["hash", "join", "table", "scan"], k=20
+            ),
+            "search_rerank": tox.sql_search_rerank(
+                ["merge", "sort", "window"], k_candidates=30, top_n=10
+            ),
+            "ngram_jaccard": tox.sql_ngram_jaccard(n=3, threshold=0.8),
+            "fingerprint": tox.sql_fingerprint(window=8),
+            "doc_topic_words": tox.sql_doc_topic_words(top_k=10),
+            "langid": tox.sql_langid(),
+            "quality_score": tox.sql_quality_score(),
+        }
+    )
+    return out

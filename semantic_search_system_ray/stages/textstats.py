@@ -119,23 +119,28 @@ def doc_topic_words_batch(batch: pa.Table, top_k: int = 10) -> pa.Table:
 
 
 def fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
-    """Winnowing-style rolling-hash fingerprint: min token-window hash —
-    a cheap deterministic doc signature for shard-level dedup triage."""
+    """Winnowing-style fingerprint: lexicographic-min MD5 hex over token
+    windows — a cheap deterministic doc signature for shard-level dedup
+    triage. MD5 (not blake2b) so the DuckDB oracle can reproduce it
+    exactly (``md5()`` is SQL-expressible; min over hex strings ≡ min over
+    the 128-bit values)."""
+    import hashlib
+
     texts = batch.column("text").to_pylist()
     fps = []
     for t in texts:
         toks = re.findall(r"\w+", (t or "").lower())
         if not toks:
-            fps.append("0" * 16)
+            fps.append("0" * 32)
             continue
         if len(toks) < window:
-            h = min(stable_hash64(" ".join(toks[i:]) ) for i in range(len(toks)))
+            windows = (" ".join(toks[i:]) for i in range(len(toks)))
         else:
-            h = min(
-                stable_hash64(" ".join(toks[i : i + window]))
+            windows = (
+                " ".join(toks[i : i + window])
                 for i in range(len(toks) - window + 1)
             )
-        fps.append(f"{h:016x}")
+        fps.append(min(hashlib.md5(w.encode("utf-8")).hexdigest() for w in windows))
     return pa.Table.from_pydict(
         {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, pa.string())}
     )
