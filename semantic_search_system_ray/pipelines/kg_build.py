@@ -66,6 +66,8 @@ def taxonomy_triples(taxonomy: pa.Table) -> tuple[pa.Table, dict[str, str]]:
     subj, pred, obj = [], [], []
     seen = set()
     for row in taxonomy.to_pylist():
+        if not row.get("phrase"):
+            continue  # null-phrase row = empty topic (state/taxonomy.py)
         t_norm = normalize_key(row["broad_topic"])
         p_norm = normalize_key(row["phrase"])
         phrase_to_topic.setdefault(p_norm, t_norm)

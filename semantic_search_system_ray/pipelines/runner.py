@@ -107,6 +107,20 @@ def run_phase_a(
     manifest = Manifest(out_dir)
     plan = plan_partitions(documents_path, num_parts)
     done = manifest.committed("raw_triples")
+    # Resume-plan guard: a committed partition's recorded file list must
+    # match the CURRENT plan for that index — resuming with a different
+    # num_parts or a changed input directory would silently mix old-plan
+    # and new-plan partitions (dropping or double-processing documents).
+    for k in sorted(done):
+        rec = manifest.record("raw_triples", k)
+        recorded = (rec.extra or {}).get("files") if rec else None
+        current = plan[k] if k < len(plan) else None
+        if recorded is not None and recorded != current:
+            raise RuntimeError(
+                f"resume plan mismatch for partition {k}: committed files "
+                f"{recorded} != current plan {current} — rerun with the "
+                "original num_parts/input, or clear the manifest"
+            )
     newly = 0
     for k, files in enumerate(plan):
         if k in done:
@@ -186,6 +200,59 @@ def run_phase_b(
     manifest.commit_partition("nodes", 0, rows_in=n_out, rows_out=rd.read_parquet(nodes_dir).count())
     manifest.commit_partition("adjacency", 0, rows_in=n_out, rows_out=rd.read_parquet(adj_dir).count())
     return KGResult(triples=triples_written, enriched=None, canon=canon)
+
+
+def refresh_taxonomy(
+    taxonomy: pa.Table,
+    phrase_docs: rd.Dataset,
+    out_dir: str,
+) -> rd.Dataset:
+    """Incremental rebuild after a taxonomy CRUD edit (state/taxonomy.py,
+    SURVEY §2.10): ONLY the taxonomy-dependent branches (IN_TOPIC +
+    RELATES_TO_DOC — predicate spaces disjoint from the doc-extracted
+    triples) are recomputed; the committed doc-extracted triples are
+    reused untouched, so no re-extraction of the corpus happens. Commits a
+    new ``triples`` version (delete → write → marker) and returns it."""
+    manifest = Manifest(out_dir)
+    if 0 not in manifest.committed("triples"):
+        raise RuntimeError("no committed triples; run the full build first")
+    prior = rd.read_parquet(manifest.partition_dir("triples", 0))
+    import pyarrow.compute as pc
+
+    kept = prior.map_batches(
+        lambda t: t.filter(
+            pc.invert(
+                pc.is_in(
+                    t.column("pred"),
+                    value_set=pa.array(["IN_TOPIC", "RELATES_TO_DOC"]),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # pin BEFORE the partition dir is wiped below
+
+    from semantic_search_system_ray.pipelines.kg_build import (
+        distinct_doc_partitioned,
+    )
+
+    tax_tbl, phrase_to_topic = taxonomy_triples(taxonomy)
+    rel = distinct_doc_partitioned(
+        relates_to_doc_triples(phrase_docs, phrase_to_topic),
+        ["subj", "pred", "obj"],
+        doc_col="obj",
+    )
+    triples = kept.union(rd.from_arrow(tax_tbl), rel)
+
+    final_dir = manifest.begin_partition("triples", 0)
+    triples.write_parquet(final_dir)
+    written = rd.read_parquet(final_dir)
+    manifest.commit_partition(
+        "triples", 0,
+        rows_in=kept.count(), rows_out=written.count(),
+        checksum=_triples_checksum(written),
+        extra={"refresh": "taxonomy"},
+    )
+    return written
 
 
 def run_kg(

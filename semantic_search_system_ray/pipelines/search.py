@@ -158,6 +158,80 @@ def rerank(
     )
 
 
+def search_reranked(
+    docs: rd.Dataset,
+    query: str,
+    k: int = 10,
+    *,
+    candidates: int | None = None,
+) -> rd.Dataset:
+    """Lexical retrieve → deterministic rerank (the reference's Pro path:
+    retrieve wide, rerank, cut to top-k)."""
+    wide = search_lexical(docs, query, candidates or k * 3)
+    ids = {r["doc_id"] for r in wide.take_all()}
+    cand = docs.map_batches(
+        lambda t, ids=ids: t.filter(
+            pa.array([str(v) in ids for v in t.column("doc_id").to_pylist()])
+        ),
+        batch_format="pyarrow",
+    )
+    return rerank(cand, query, top_n=k)
+
+
+def _strategy_lexical(docs, embeddings, query, k):
+    return search_lexical(docs, query, k)
+
+
+def _strategy_vector(docs, embeddings, query, k):
+    return search_vector(embeddings, query, k)
+
+
+def _strategy_hybrid(docs, embeddings, query, k):
+    return search_hybrid(docs, embeddings, query, k)
+
+
+def _strategy_expanded(docs, embeddings, query, k):
+    return search_expanded(docs, query, k)
+
+
+def _strategy_reranked(docs, embeddings, query, k):
+    return search_reranked(docs, query, k)
+
+
+#: Mode-string → strategy dispatch — the reference's search registry
+#: (utils/utils.py:41-57, main_app.py:42-48: "Simple"/"Advanced"/"Pro"
+#: strings select a search function). Uniform signature
+#: ``(docs, embeddings, query, k) -> Dataset``; register new strategies by
+#: inserting here (the §2.10 extension point).
+STRATEGY_REGISTRY: dict[str, "object"] = {
+    "lexical": _strategy_lexical,
+    "vector": _strategy_vector,
+    "hybrid": _strategy_hybrid,
+    "expanded": _strategy_expanded,
+    "reranked": _strategy_reranked,
+}
+
+
+def run_search(
+    mode: str,
+    docs: rd.Dataset | None,
+    embeddings: rd.Dataset | None,
+    query: str,
+    k: int = 10,
+) -> rd.Dataset:
+    """Dispatch a search by mode string. Unknown mode → ValueError naming
+    the registered modes (the reference silently returns [] on an unknown
+    mode, utils/utils.py:41-57 — an error is strictly more debuggable and
+    the contract the registry documents)."""
+    try:
+        strategy = STRATEGY_REGISTRY[mode]
+    except KeyError:
+        raise ValueError(
+            f"unknown search mode {mode!r}; registered: {sorted(STRATEGY_REGISTRY)}"
+        ) from None
+    return strategy(docs, embeddings, query, k)
+
+
 def search_hybrid(
     docs: rd.Dataset,
     embeddings: rd.Dataset,
