@@ -110,6 +110,12 @@ def arrow_clean_text_topic(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     U+20000; above that RE2's older Unicode tables may classify new CJK
     extension characters differently from CPython — irrelevant to the
     corpus and the DuckDB oracle (also RE2).
+
+    Known lowercase divergence (SpecialCasing.txt): CPython implements
+    full case mapping — Σ→ς in Final_Sigma position, İ→'i\\u0307' —
+    while Arrow's ``utf8_lower`` (and DuckDB's ``lower``) use the simple
+    per-codepoint map (Σ→σ, İ→i̇ single-step). The vectorized functions
+    follow the simple map; affects only those two codepoints.
     """
     out = pc.utf8_lower(arr)
     out = pc.replace_substring_regex(

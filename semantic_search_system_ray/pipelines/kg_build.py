@@ -53,8 +53,19 @@ from semantic_search_system_ray.schemas import TRIPLES_SCHEMA
 
 
 def _distinct_batch(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: local distinct before the global dedup shuffle."""
-    return batch.group_by(batch.column_names).aggregate([])
+    """Per-batch combiner: local distinct before the global dedup shuffle.
+
+    The result is SORTED (all columns, subj first): Arrow ``group_by``
+    reorders rows, and the doc-local dedup (``distinct_doc_partitioned``)
+    relies on every produced block keeping one doc's rows CONTIGUOUS so
+    that any later mechanical re-chunking (Ray dynamic block splitting,
+    parquet row-group splits at read) leaves a block-straddling doc at the
+    edges of the resulting chunks. Sorting restores that invariant after
+    the group_by — a contiguous slice of a doc-sorted block always has its
+    straddlers as the first/last rows, which is exactly what the boundary
+    repair inspects."""
+    out = batch.group_by(batch.column_names).aggregate([])
+    return out.sort_by([(c, "ascending") for c in out.column_names])
 
 
 
@@ -206,7 +217,17 @@ def distinct_doc_partitioned(
     and deduplicated exactly with a tiny tree distinct, then unioned back.
     No shuffle of the main data ever happens; this is the classic
     sorted-run dedup, keyed by the pipeline's one partitioning key
-    (doc id) carried from ingest."""
+    (doc id) carried from ingest.
+
+    Invariant (made real by ``_distinct_batch``'s doc-sort): every
+    upstream PRODUCED block keeps one doc's rows contiguous, so any
+    mechanical re-chunking between producer and this stage (Ray dynamic
+    block splitting, parquet row-group splits on the Phase-B re-read) is a
+    contiguous slice of a doc-contiguous stream — a straddling doc is
+    necessarily the first/last doc of each affected chunk, which is what
+    ``split`` inspects. Each doc also lives in exactly ONE produced block
+    (extraction emits a doc in a single ``map_batches`` call), so no doc
+    can be scattered into >2 chunks without appearing at their edges."""
 
     assert doc_col in columns, "doc-local distinct requires the doc id column"
 

@@ -25,11 +25,7 @@ import pyarrow as pa
 
 import ray
 
-from semantic_search_system_ray.functions.embed import hash_embed
-from semantic_search_system_ray.functions.extraction import (
-    GazetteerMatcher,
-    process_document,
-)
+from semantic_search_system_ray.functions.extraction import GazetteerMatcher
 from semantic_search_system_ray.schemas import EMBED_DIM
 
 ENRICHED_SCHEMA = pa.schema(
@@ -73,15 +69,38 @@ class DocNLP:
         self.embed = embed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # Arrow-kernel span flattening (pc.list_flatten +
+        # list_parent_indices), shared with the fused flat path — NOT
+        # spans.to_pylist(), which builds one Python dict per span and was
+        # the measured 23× per-doc gap between the two paths.
+        import pyarrow.compute as pc
+
+        from semantic_search_system_ray.functions.embed import hash_embed_many
+        from semantic_search_system_ray.functions.extraction import process_text_spans
+
         doc_ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
+        spans_col = batch.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        flat_struct = pc.list_flatten(spans_col)
+        parents = pc.list_parent_indices(spans_col).to_numpy(zero_copy_only=False)
+        text_mask = pc.equal(flat_struct.field("kind"), "text").to_numpy(
+            zero_copy_only=False
+        )
+        texts_all = flat_struct.field("text").to_pylist()
+        offsets_all = flat_struct.field("offset").to_numpy(zero_copy_only=False)
+        boundaries = np.searchsorted(parents, np.arange(len(doc_ids) + 1))
+
         out = {
             "doc_id": [], "entities": [], "topics": [], "summary": [],
-            "svo": [], "surfaces": [], "embedding": [],
+            "svo": [], "surfaces": [],
         }
-        zero = np.zeros(EMBED_DIM, dtype=np.float32)
-        for doc_id, spans in zip(doc_ids, spans_col):
-            r = process_document(doc_id, spans or [], self.matcher)
+        summaries = []
+        for d_idx, doc_id in enumerate(doc_ids):
+            lo, hi = boundaries[d_idx], boundaries[d_idx + 1]
+            idx = [i for i in range(lo, hi) if text_mask[i] and texts_all[i]]
+            idx.sort(key=lambda i: offsets_all[i])  # span order = offset order
+            r = process_text_spans(doc_id, [texts_all[i] for i in idx], self.matcher)
             out["doc_id"].append(r.doc_id)
             out["entities"].append(r.entities)
             out["topics"].append(r.topics)
@@ -90,9 +109,13 @@ class DocNLP:
                 [{"subj": s, "pred": p, "obj": o} for s, p, o in r.svo]
             )
             out["surfaces"].append(r.mention_surfaces)
-            out["embedding"].append(
-                hash_embed(r.summary) if (self.embed and r.summary) else zero
-            )
+            summaries.append(r.summary)
+
+        if self.embed:
+            emb = hash_embed_many(summaries)  # empty summary → zero vector
+        else:
+            emb = np.zeros((len(summaries), EMBED_DIM), dtype=np.float32)
+        out["embedding"] = list(emb)
         return pa.Table.from_pydict(out, schema=ENRICHED_SCHEMA)
 
 

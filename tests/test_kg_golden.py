@@ -133,3 +133,31 @@ def test_graph_materialize(kg, ray_session):
     assert total_deg == len(engine)
     srcs = {r["src"] for r in adj}
     assert len(srcs) == len(adj)  # one adjacency row per src
+
+
+def test_distinct_doc_partitioned_straddler_and_sort(ray_session):
+    """Cross-block duplicate of a straddling doc is repaired exactly, and
+    _distinct_batch emits doc-sorted blocks (the invariant that keeps
+    straddlers at chunk edges under any later mechanical re-chunking)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from semantic_search_system_ray.pipelines.kg_build import (
+        _distinct_batch,
+        distinct_doc_partitioned,
+    )
+
+    cols = ["subj", "pred", "obj"]
+    t1 = pa.table({"subj": ["a", "a", "b"], "pred": ["P"] * 3, "obj": ["x", "y", "x"]})
+    t2 = pa.table({"subj": ["b", "c"], "pred": ["P", "P"], "obj": ["x", "y"]})
+    ds = rd.from_arrow([t1, t2])  # doc b straddles blocks with a dup row
+    out = sorted(
+        (r["subj"], r["pred"], r["obj"])
+        for r in distinct_doc_partitioned(ds, cols, doc_col="subj").take_all()
+    )
+    assert out == [("a", "P", "x"), ("a", "P", "y"), ("b", "P", "x"), ("c", "P", "y")]
+
+    db = _distinct_batch(
+        pa.table({"subj": ["z", "a", "z"], "pred": ["P", "P", "Q"], "obj": ["1", "2", "3"]})
+    )
+    assert db.column("subj").to_pylist() == sorted(db.column("subj").to_pylist())

@@ -24,8 +24,16 @@ from semantic_search_system_ray.functions.text import (
 # (e.g. U+31350 CJK Ext H, U+1E030 Cyrillic Ext-D — both Unicode 15)
 # classify differently — a documented, data-free divergence. Within the
 # capped range parity must be exact; CJK-basic is spot-checked below.
+# Two SpecialCasing.txt lowercase exceptions are also excluded — CPython
+# implements full case mapping (Σ→ς in Final_Sigma position; İ→i+U+0307),
+# Arrow's utf8_lower is the simple per-codepoint map. Documented in
+# arrow_clean_text_topic/arrow_normalize_key (functions/text.py).
 text_st = st.text(
-    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    alphabet=st.characters(
+        blacklist_categories=("Cs",),
+        blacklist_characters="İΣ",
+        max_codepoint=0x2FFF,
+    ),
     max_size=80,
 )
 
