@@ -85,10 +85,20 @@ def run_bench() -> dict:
 
     corpus = _corpus_dir()
 
-    # warm the OS page cache (untimed) so we measure compute + shuffle
-    rd.read_parquet(f"{corpus}/documents").count()
-    for t in ("lineitem", "orders", "documents", "embeddings", "events"):
-        rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
+    # warm the OS page cache (untimed) so we measure compute + shuffle —
+    # read the ACTUAL BYTES (Dataset.count() on parquet is metadata-only
+    # and warms nothing; measured: a dropped cache adds tens of seconds of
+    # disk I/O to the timed high-concurrency leg)
+    import glob as _glob
+
+    for pattern in [f"{corpus}/documents/*.parquet"] + [
+        f"{SF_DIR}/{t}.parquet"
+        for t in ("lineitem", "orders", "documents", "embeddings", "events")
+    ]:
+        for f in _glob.glob(pattern):
+            with open(f, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
 
     timings: dict[str, float] = {}
 

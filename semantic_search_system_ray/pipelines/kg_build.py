@@ -54,18 +54,24 @@ from semantic_search_system_ray.schemas import TRIPLES_SCHEMA
 
 def _distinct_batch(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: local distinct before the global dedup shuffle.
+    Row order of the output is arbitrary (Arrow group_by reorders)."""
+    return batch.group_by(batch.column_names).aggregate([])
 
-    The result is SORTED (all columns, subj first): Arrow ``group_by``
-    reorders rows, and the doc-local dedup (``distinct_doc_partitioned``)
-    relies on every produced block keeping one doc's rows CONTIGUOUS so
-    that any later mechanical re-chunking (Ray dynamic block splitting,
-    parquet row-group splits at read) leaves a block-straddling doc at the
-    edges of the resulting chunks. Sorting restores that invariant after
-    the group_by — a contiguous slice of a doc-sorted block always has its
-    straddlers as the first/last rows, which is exactly what the boundary
-    repair inspects."""
+
+def _distinct_batch_doc_sorted(batch: pa.Table, doc_col: str = "subj") -> pa.Table:
+    """Per-batch distinct whose output is sorted by the DOC column — used
+    at every point that PRODUCES doc-keyed blocks (the fused flat stream
+    in build_triples / run_phase_a). The doc-local dedup
+    (``distinct_doc_partitioned``) relies on every produced block keeping
+    one doc's rows CONTIGUOUS so that any later mechanical re-chunking
+    (Ray dynamic block splitting, parquet row-group splits at read) leaves
+    a block-straddling doc at the EDGES of the resulting chunks — which is
+    exactly what the boundary repair inspects. A single-column sort
+    restores that invariant after the group_by reorder at ~1/4 the cost of
+    a full-row sort (measured on the 2M-doc bench); combiners whose output
+    never feeds the doc-local dedup use the unsorted ``_distinct_batch``."""
     out = batch.group_by(batch.column_names).aggregate([])
-    return out.sort_by([(c, "ascending") for c in out.column_names])
+    return out.sort_by([(doc_col, "ascending")])
 
 
 
@@ -219,7 +225,7 @@ def distinct_doc_partitioned(
     sorted-run dedup, keyed by the pipeline's one partitioning key
     (doc id) carried from ingest.
 
-    Invariant (made real by ``_distinct_batch``'s doc-sort): every
+    Invariant (made real by ``_distinct_batch_doc_sorted``): every
     upstream PRODUCED block keeps one doc's rows contiguous, so any
     mechanical re-chunking between producer and this stage (Ray dynamic
     block splitting, parquet row-group splits on the Phase-B re-read) is a
@@ -404,7 +410,7 @@ def build_triples(
     from semantic_search_system_ray.stages.docnlp import extract_flat
 
     flat = extract_flat(documents, gazetteer).map_batches(
-        _distinct_batch, batch_format="pyarrow", batch_size=None
+        _distinct_batch_doc_sorted, batch_format="pyarrow", batch_size=None
     ).materialize()
     triples, canon = finalize_triples(flat)
 

@@ -132,10 +132,12 @@ def run_phase_a(
         # (triples + surface rows) -> block-local distinct -> write.
         # NO shuffle here: doc-contiguity of rows must survive into the
         # written files (Phase B's doc-local dedup depends on it).
-        from semantic_search_system_ray.pipelines.kg_build import _distinct_batch
+        from semantic_search_system_ray.pipelines.kg_build import (
+            _distinct_batch_doc_sorted,
+        )
 
         flat = extract_flat(docs, gazetteer).map_batches(
-            _distinct_batch, batch_format="pyarrow", batch_size=None
+            _distinct_batch_doc_sorted, batch_format="pyarrow", batch_size=None
         )
         raw_dir = manifest.begin_partition("raw_triples", k)
         flat.write_parquet(raw_dir)

@@ -20,8 +20,33 @@ import ray
 import ray.data as rd
 
 
+def list_column_to_matrix(col) -> np.ndarray:
+    """list<float> column → (rows, dim) float64 matrix WITHOUT building
+    Python lists: flatten the Arrow child values zero-copy and reshape
+    (valid when all rows share one length — checked). Falls back to
+    np.array(to_pylist()) for ragged input."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.FixedSizeListArray):
+        dim = col.type.list_size
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        return vals.astype(np.float64, copy=False).reshape(len(col), dim)
+    if isinstance(col, (pa.ListArray, pa.LargeListArray)) and len(col):
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        if (widths == widths[0]).all():
+            vals = col.flatten().to_numpy(zero_copy_only=False)
+            return (
+                vals.astype(np.float64, copy=False)
+                .reshape(len(col), int(widths[0]))
+            )
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
 def _as_matrix(col) -> np.ndarray:
-    m = np.array(col, dtype=np.float64)
+    m = list_column_to_matrix(col) if isinstance(
+        col, (pa.Array, pa.ChunkedArray)
+    ) else np.array(col, dtype=np.float64)
     n = np.linalg.norm(m, axis=1)
     n[n == 0] = 1.0
     return m / n[:, None]
@@ -52,7 +77,7 @@ def cosine_topk(
             ids = batch.column(id_col)
             if isinstance(ids, pa.ChunkedArray):
                 ids = ids.combine_chunks()
-            mat = _as_matrix(batch.column(vec_col).to_pylist())
+            mat = _as_matrix(batch.column(vec_col))
             sims = mat @ self.q
             # local top-k candidates only → tiny global sort
             take = min(k, len(ids))
@@ -110,7 +135,7 @@ def lsh_bucket_topk(
             ids = batch.column(id_col)
             if isinstance(ids, pa.ChunkedArray):
                 ids = ids.combine_chunks()
-            mat = _as_matrix(batch.column(vec_col).to_pylist())
+            mat = _as_matrix(batch.column(vec_col))
             buckets = lsh_signature(mat, self.planes)
             mask = buckets == qbucket
             sel = np.where(mask)[0]

@@ -672,8 +672,10 @@ def embedding_cosine_dups(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             id_type = batch.schema.field(id_col).type
+            from semantic_search_system_ray.stages.ann import list_column_to_matrix
+
             bids = np.array(batch.column(id_col).to_pylist())
-            bmat = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            bmat = list_column_to_matrix(batch.column(vec_col))
             bn = np.linalg.norm(bmat, axis=1)
             bn[bn == 0] = 1.0
             bmat = bmat / bn[:, None]
@@ -735,8 +737,10 @@ def _cosine_dups_lsh(
             self.planes = ray.get(planes_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from semantic_search_system_ray.stages.ann import list_column_to_matrix
+
             ids = batch.column(id_col).to_pylist()
-            mat = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            mat = list_column_to_matrix(batch.column(vec_col))
             n = np.linalg.norm(mat, axis=1)
             n[n == 0] = 1.0
             mat = mat / n[:, None]

@@ -143,7 +143,7 @@ def test_distinct_doc_partitioned_straddler_and_sort(ray_session):
     import ray.data as rd
 
     from semantic_search_system_ray.pipelines.kg_build import (
-        _distinct_batch,
+        _distinct_batch_doc_sorted,
         distinct_doc_partitioned,
     )
 
@@ -157,7 +157,7 @@ def test_distinct_doc_partitioned_straddler_and_sort(ray_session):
     )
     assert out == [("a", "P", "x"), ("a", "P", "y"), ("b", "P", "x"), ("c", "P", "y")]
 
-    db = _distinct_batch(
+    db = _distinct_batch_doc_sorted(
         pa.table({"subj": ["z", "a", "z"], "pred": ["P", "P", "Q"], "obj": ["1", "2", "3"]})
     )
     assert db.column("subj").to_pylist() == sorted(db.column("subj").to_pylist())

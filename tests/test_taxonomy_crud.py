@@ -121,3 +121,39 @@ def test_strategy_registry(ray_session):
     assert rer[0]["doc_id"] == "b" and "rerank_score" in rer[0]
     with pytest.raises(ValueError, match="unknown search mode"):
         run_search("Pro", docs, None, "x")
+
+
+def test_json_source_sink_round_trip(ray_session, tmp_path):
+    """S4/S5: record-array JSON source, JSONL sink, taxonomy dict JSON."""
+    import json
+
+    from semantic_search_system_ray.sources.jsonio import (
+        load_taxonomy_json,
+        read_json_records,
+        save_taxonomy_json,
+        write_json_records,
+    )
+
+    # reference press_releases.json shape: top-level array of dicts
+    arr_path = tmp_path / "records.json"
+    records = [{"url": f"u{i}", "title": f"t{i}"} for i in range(5)]
+    arr_path.write_text(json.dumps(records, indent=2))
+    ds = read_json_records(str(arr_path))
+    assert sorted(r["url"] for r in ds.take_all()) == [f"u{i}" for i in range(5)]
+
+    # JSONL sink → re-read through the streaming path
+    out = tmp_path / "out"
+    write_json_records(ds, str(out))
+    back = read_json_records(str(out))
+    assert back.count() == 5
+
+    # taxonomy dict shape round-trip with save normalization
+    tax_path = tmp_path / "topics.json"
+    tax_path.write_text(json.dumps({"joins": ["sort merge", "hash join", "hash join"]}))
+    tax = load_taxonomy_json(str(tax_path))
+    assert tax.topics == {"joins": ["hash join", "sort merge"]}  # dedup + sort
+    tax.add_phrase("joins", "nested loop")
+    save_taxonomy_json(tax, str(tax_path))
+    assert load_taxonomy_json(str(tax_path)).topics["joins"] == [
+        "hash join", "nested loop", "sort merge"
+    ]
