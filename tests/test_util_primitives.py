@@ -1,0 +1,86 @@
+"""Direct unit tests for the coarse-partition shuffle primitives
+(stages/util): grouped apply, whole-partition apply, hash-join attach,
+anti join — the building blocks the dedup/query pipelines compose."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from semantic_search_system_ray.stages.util import (
+    coarse_anti_join,
+    coarse_attach,
+    coarse_grouped_apply,
+    coarse_partition_apply,
+)
+
+
+def test_coarse_partition_apply_routes_all_rows_of_key_together(ray_session):
+    t = pa.table({"k": ["a", "b", "a", "c", "b", "a"], "v": [1, 2, 3, 4, 5, 6]})
+    out_schema = pa.schema([("k", pa.string()), ("total", pa.int64())])
+
+    def per_part(df) -> pa.Table:
+        agg = df.groupby("k", sort=False)["v"].sum().reset_index()
+        return pa.Table.from_pydict(
+            {"k": agg["k"], "total": agg["v"]}, schema=out_schema
+        )
+
+    # two blocks → rows of key 'a'/'b' span blocks; routing must reunite them
+    ds = rd.from_arrow([t.slice(0, 3), t.slice(3)])
+    got = {r["k"]: r["total"] for r in
+           coarse_partition_apply(ds, ["k"], per_part, out_schema).take_all()}
+    assert got == {"a": 10, "b": 7, "c": 4}
+
+
+def test_coarse_attach_inner_semantics(ray_session):
+    left = rd.from_arrow(pa.table(
+        {"src": ["x", "y", "z"], "dst": ["p", "q", "r"]}
+    ))
+    right = rd.from_arrow(pa.table(
+        {"doc_id": ["x", "z", "z"], "payload": ["PX", "PZ1", "PZ2"]}
+    ))
+    out_schema = pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("pay", pa.string())]
+    )
+    got = sorted(
+        (r["src"], r["dst"], r["pay"])
+        for r in coarse_attach(
+            left, right, left_key="src", right_key="doc_id",
+            attach_cols=["payload"], attach_as=["pay"], out_schema=out_schema,
+        ).take_all()
+    )
+    # 'y' has no match → dropped (inner); duplicate rhs keys → first wins
+    assert [g[:2] for g in got] == [("x", "p"), ("z", "r")]
+    assert got[0][2] == "PX" and got[1][2] in {"PZ1", "PZ2"}
+
+
+def test_coarse_anti_join(ray_session):
+    left = rd.from_arrow(pa.table(
+        {"c_custkey": [1, 2, 3, 4], "c_name": ["a", "b", "c", "d"]}
+    ))
+    right = rd.from_arrow(pa.table({"o_custkey": [2, 4, 4]}))
+    out_schema = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())])
+    got = sorted(
+        r["c_custkey"]
+        for r in coarse_anti_join(
+            left, right, left_key="c_custkey", right_key="o_custkey",
+            out_schema=out_schema,
+        ).take_all()
+    )
+    assert got == [1, 3]
+
+
+def test_coarse_grouped_apply_min_group_size(ray_session):
+    t = pa.table({"k": ["a", "a", "b"], "v": ["1", "2", "3"]})
+    out_schema = pa.schema([("k", pa.string()), ("n", pa.int64())])
+
+    def fn(g) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"k": [g["k"].iloc[0]], "n": [len(g)]}, schema=out_schema
+        )
+
+    got = {r["k"]: r["n"] for r in coarse_grouped_apply(
+        rd.from_arrow(t), ["k"], fn, out_schema, min_group_size=2
+    ).take_all()}
+    assert got == {"a": 2}  # singleton group 'b' skipped
