@@ -62,12 +62,11 @@ def _empty_phrase_docs():
 
 
 def _kg_triples(sf_dir: str):
-    import ray.data as rd
-
     from semantic_search_system_ray.pipelines.kg_build import build_triples
     from semantic_search_system_ray.sources.documents import text_table_to_spans
+    from semantic_search_system_ray.pipelines.queries import read_docs
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_docs(sf_dir, ["doc_id", "text"])
     spans = text_table_to_spans(docs)
     res = build_triples(
         spans, _testdata_taxonomy_table(), _empty_phrase_docs(),
@@ -82,56 +81,50 @@ def entry() -> Any:
 
 
 def _q_minhash_clusters(sf_dir: str):
-    import ray.data as rd
-
     from semantic_search_system_ray.stages.dedup import minhash_lsh_clusters
+    from semantic_search_system_ray.pipelines.queries import read_docs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
     return minhash_lsh_clusters(ds, threshold=0.6)
 
 
 def _q_simhash(sf_dir: str):
-    import ray.data as rd
-
     from semantic_search_system_ray.stages.dedup import simhash_table
+    from semantic_search_system_ray.pipelines.queries import read_docs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
     return simhash_table(ds)
 
 
 def _q_ngram_jaccard(sf_dir: str):
-    import ray.data as rd
-
     from semantic_search_system_ray.stages.dedup import ngram_jaccard_pairs
+    from semantic_search_system_ray.pipelines.queries import read_docs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
     return ngram_jaccard_pairs(ds, threshold=0.8)
 
 
 def _q_langid(sf_dir: str):
-    import ray.data as rd
-
     from semantic_search_system_ray.stages.textstats import LangId
+    from semantic_search_system_ray.pipelines.queries import read_docs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
 
 
 def _q_quality(sf_dir: str):
-    import ray.data as rd
-
     from semantic_search_system_ray.stages.textstats import QualityScore
+    from semantic_search_system_ray.pipelines.queries import read_docs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 4))
 
 
 def _q_fingerprint(sf_dir: str):
-    import ray.data as rd
-
     from semantic_search_system_ray.stages.textstats import fingerprint_batch
+    from semantic_search_system_ray.pipelines.queries import read_docs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
@@ -149,12 +142,11 @@ def _q_ann_lsh(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    import ray.data as rd
-
     from semantic_search_system_ray.sources.documents import text_table_to_spans
     from semantic_search_system_ray.stages.media import MediaFeatures, flatten_media_spans
+    from semantic_search_system_ray.pipelines.queries import read_docs
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_docs(sf_dir, ["doc_id", "text"])
     media = flatten_media_spans(text_table_to_spans(docs))
     return media.map_batches(
         MediaFeatures, batch_format="pyarrow", concurrency=(1, 4), batch_size=64
@@ -168,22 +160,20 @@ def _q_media_dedup(sf_dir: str):
     recall is ~1; exact-vs-LSH parity is pytest-gated in
     tests/test_dedup_ann.py::test_cosine_dups_lsh_recall and
     tests/test_media_textstats.py::test_media_near_dups_shared_assets)."""
-    import ray.data as rd
-
     from semantic_search_system_ray.sources.documents import text_table_to_spans
     from semantic_search_system_ray.stages.media import media_near_dups
+    from semantic_search_system_ray.pipelines.queries import read_docs
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_docs(sf_dir, ["doc_id", "text"])
     return media_near_dups(text_table_to_spans(docs), strategy="lsh")
 
 
 def _q_search_lexical(sf_dir: str):
     import pyarrow.compute as pc
-    import ray.data as rd
-
     from semantic_search_system_ray.pipelines.search import search_lexical
+    from semantic_search_system_ray.pipelines.queries import read_docs
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_docs(sf_dir, ["doc_id", "text"])
     out = search_lexical(docs, "hash join table scan", k=20)
     # normalized score rounded to 4dp on BOTH sides of the oracle compare
     return out.map_batches(
@@ -197,11 +187,10 @@ def _q_search_lexical(sf_dir: str):
 
 
 def _q_search_rerank(sf_dir: str):
-    import ray.data as rd
-
     from semantic_search_system_ray.pipelines.search import rerank, search_lexical
+    from semantic_search_system_ray.pipelines.queries import read_docs
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_docs(sf_dir, ["doc_id", "text"])
     top = search_lexical(docs, "merge sort window", k=30)
     ids = {r["doc_id"] for r in top.take_all()}
     candidates = docs.map_batches(
@@ -228,11 +217,10 @@ def _q_taxonomy_build(sf_dir: str):
 
 def _q_doc_topic_words(sf_dir: str):
     import pyarrow as pa_
-    import ray.data as rd
-
     from semantic_search_system_ray.stages.textstats import doc_topic_words_batch
+    from semantic_search_system_ray.pipelines.queries import read_docs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
     out = ds.map_batches(doc_topic_words_batch, batch_format="pyarrow")
     # list<string> → ' '-joined string so the driver's value hash is
     # list-free (the SQL oracle string_aggs identically)

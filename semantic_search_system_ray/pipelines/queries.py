@@ -48,6 +48,17 @@ def _p(sf_dir: str, table: str) -> str:
     return f"{sf_dir}/{table}.parquet"
 
 
+def read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    """Read the documents table with blocks sized to the cluster: a
+    SINGLE parquet file otherwise yields 1-2 blocks, serializing every
+    per-doc CPU stage downstream (minhash, lang-id, NLP). At real scale
+    the corpus is many files and the override is a no-op-ish ceiling."""
+    n = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return rd.read_parquet(
+        _p(sf_dir, "documents"), columns=columns, override_num_blocks=n
+    )
+
+
 # --------------------------------------------------------------------------
 # filters / sources (S10-S13)
 # --------------------------------------------------------------------------
@@ -385,7 +396,7 @@ FROM orders, stats
 # --------------------------------------------------------------------------
 
 def q_dedup_exact(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
     return exact_dedup(ds, text_col="text", id_col="doc_id")
 
 
@@ -440,7 +451,7 @@ FROM events GROUP BY 1, 2
 # --------------------------------------------------------------------------
 
 def q_token_count(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(token_count_batch, batch_format="pyarrow")
 
 
@@ -453,7 +464,7 @@ def q_word_topk(sf_dir: str):
     """Global top-50 words: per-batch Counter partials (combiner — the head
     word collapses to one row per batch regardless of skew), global sum,
     deterministic (cnt DESC, word ASC) top-k."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    ds = read_docs(sf_dir, ["text"])
 
     def partial(t: pa.Table) -> pa.Table:
         c: Counter[str] = Counter()
@@ -591,7 +602,7 @@ WHERE c_custkey NOT IN
 # --------------------------------------------------------------------------
 
 def q_search_like(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
         lambda t: pa.Table.from_pydict(
             {"doc_id": t.filter(pc.match_substring(t.column("text"), "hash join")).column("doc_id")}
