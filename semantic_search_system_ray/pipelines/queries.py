@@ -787,8 +787,108 @@ GROUP BY user_id
 """
 
 
+def q_events_sliding(sf_dir: str):
+    """SLIDING time-window aggregate (beyond the tumbling q_events_hourly):
+    per event_type, the 3-hour trailing sum of values at each hour bucket.
+    Two-phase hourly partials (combiner) → the only shuffle is the tiny
+    (type, hour) groupby → per-type vectorized window via cumsum +
+    searchsorted (event_type cardinality is small, so a plain
+    ``groupby.map_groups`` is the right tool — no coarse routing needed)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        t2 = pa.Table.from_pydict(
+            {"event_type": t.column("event_type"), "hour": hour,
+             "value": t.column("value")}
+        )
+        return t2.group_by(["event_type", "hour"]).aggregate([("value", "sum")])
+
+    hourly = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("value_sum", alias_name="hour_sum"))
+    )
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.string()),
+         ("sliding_sum", pa.float64())]
+    )
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour", kind="mergesort")
+        hours = g["hour"].to_numpy()
+        sums = g["hour_sum"].to_numpy()
+        csum = np.concatenate([[0.0], np.cumsum(sums)])
+        lo = np.searchsorted(hours, hours - np.timedelta64(2, "h"), side="left")
+        sliding = csum[np.arange(1, len(sums) + 1)] - csum[lo]
+        return pd.DataFrame(
+            {"event_type": g["event_type"],
+             "hour": pd.Series(g["hour"]).dt.strftime("%Y-%m-%d %H:00:00"),
+             "sliding_sum": np.round(sliding, 3)}
+        )
+
+    return ensure_schema(
+        hourly.groupby("event_type").map_groups(window, batch_format="pandas"),
+        out_schema,
+    )
+
+
+SQL_EVENTS_SLIDING = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       round(sum(sum(value)) OVER (PARTITION BY event_type
+             ORDER BY date_trunc('hour', ts)
+             RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW), 3)
+         AS sliding_sum
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_orders_asof(sf_dir: str):
+    """Backward AS-OF join (stages/util.coarse_asof_join — an operator Ray
+    Data lacks): for every event, the date of the user's most recent order
+    at-or-before the event timestamp. Right side pre-distincts to
+    (custkey, date) so exact-tie payloads are deterministic (DuckDB ASOF
+    picks an arbitrary row among ties, as documented on the operator)."""
+    from semantic_search_system_ray.stages.util import coarse_asof_join
+
+    events = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+
+    def dedup_dates(t: pa.Table) -> pa.Table:
+        t = t.group_by(["o_custkey", "o_orderdate"]).aggregate([])
+        return t.append_column(
+            "last_order_date", pc.strftime(t.column("o_orderdate"), format="%Y-%m-%d")
+        )
+
+    right = orders.map_batches(dedup_dates, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("last_order_date", pa.string())]
+    )
+    return coarse_asof_join(
+        events, right,
+        left_key="user_id", right_key="o_custkey",
+        left_on="ts", right_on="o_orderdate",
+        out_schema=out_schema, right_cols=["last_order_date"],
+    )
+
+
+SQL_ORDERS_ASOF = """
+SELECT e.event_id, e.user_id, strftime(o.o_orderdate, '%Y-%m-%d') AS last_order_date
+FROM events e ASOF JOIN
+     (SELECT DISTINCT o_custkey, o_orderdate FROM orders) o
+ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
 QUERIES = {
     "search_like": q_search_like,
+    "events_sliding": q_events_sliding,
+    "orders_asof": q_orders_asof,
     "sessionize": q_sessionize,
     "parts_by_brand": q_parts_by_brand,
     "supplier_topk": q_supplier_topk,
@@ -816,6 +916,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "search_like": SQL_SEARCH_LIKE,
+    "events_sliding": SQL_EVENTS_SLIDING,
+    "orders_asof": SQL_ORDERS_ASOF,
     "sessionize": SQL_SESSIONIZE,
     "parts_by_brand": SQL_PARTS_BY_BRAND,
     "supplier_topk": SQL_SUPPLIER_TOPK,

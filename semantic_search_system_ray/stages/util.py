@@ -221,6 +221,97 @@ def coarse_anti_join(
     )
 
 
+def coarse_asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    left_on: str,
+    right_on: str,
+    out_schema: pa.Schema,
+    right_cols: list[str],
+    num_partitions: int | None = None,
+):
+    """Distributed backward AS-OF join — an operator Ray Data lacks
+    (SURVEY §2.4 notes the reference has none either; this is part of the
+    beyond-reference training-data toolkit). For every left row, attach
+    the right row of the same key with the greatest ``right_on`` ≤
+    ``left_on`` (inner: left rows with no earlier right row drop, matching
+    DuckDB ``ASOF JOIN`` semantics, which is the paired oracle).
+
+    Partitioning assumption: all rows of one KEY fit one coarse partition
+    (same contract as every coarse_* primitive). Inside a partition the
+    match runs via ``pandas.merge_asof`` (C-level, sorted-merge). If the
+    right side can hold duplicate (key, on) rows with DIFFERING payloads,
+    dedupe it first — both this and DuckDB pick an arbitrary row among
+    exact ties.
+
+    ``out_schema`` = left payload columns (minus the key/on if not listed)
+    + ``right_cols``; the ``left_on`` column may be included in the output
+    by listing it in ``out_schema``."""
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+    left_cols = [n for n in out_schema.names if n not in right_cols]
+
+    union_schema = pa.schema(
+        [("__key", pa.string()), ("__on", pa.timestamp("us"))]
+        + [(n, out_schema.field(n).type) for n in left_cols]
+        + [(n, out_schema.field(n).type) for n in right_cols]
+        + [("__rhs", pa.bool_())]
+    )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        arrays = [pc.cast(t.column(left_key), pa.string()),
+                  pc.cast(t.column(left_on), pa.timestamp("us"))]
+        arrays += [t.column(c) for c in left_cols]
+        arrays += [pa.nulls(n, out_schema.field(c).type) for c in right_cols]
+        arrays += [pa.array([False] * n)]
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        arrays = [pc.cast(t.column(right_key), pa.string()),
+                  pc.cast(t.column(right_on), pa.timestamp("us"))]
+        arrays += [pa.nulls(n, out_schema.field(c).type) for c in left_cols]
+        arrays += [t.column(c) for c in right_cols]
+        arrays += [pa.array([True] * n)]
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    combined = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def asof_part(df) -> pa.Table:
+        import pandas as pd
+
+        rhs = df[df["__rhs"]]
+        lhs = df[~df["__rhs"]]
+        if lhs.empty or rhs.empty:
+            return out_schema.empty_table()
+        lhs = lhs.sort_values("__on", kind="mergesort")
+        rhs = rhs.sort_values("__on", kind="mergesort")
+        merged = pd.merge_asof(
+            lhs[["__key", "__on"] + left_cols],
+            rhs[["__key", "__on"] + right_cols],
+            on="__on", by="__key", direction="backward",
+        )
+        merged = merged.dropna(subset=right_cols)  # inner semantics
+        return pa.Table.from_arrays(
+            [pa.array(merged[f.name].tolist(), f.type) for f in out_schema],
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        combined, ["__key"], asof_part, out_schema, num_partitions=num_partitions
+    )
+
+
 def coarse_grouped_apply(
     ds: rd.Dataset,
     keys: list[str],

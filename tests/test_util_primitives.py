@@ -84,3 +84,32 @@ def test_coarse_grouped_apply_min_group_size(ray_session):
         rd.from_arrow(t), ["k"], fn, out_schema, min_group_size=2
     ).take_all()}
     assert got == {"a": 2}  # singleton group 'b' skipped
+
+
+def test_coarse_asof_join_backward(ray_session):
+    import datetime as dt
+
+    from semantic_search_system_ray.stages.util import coarse_asof_join
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    left = rd.from_arrow(pa.table({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [10, 10, 10, 20],
+        "ts": [ts("2024-01-05"), ts("2024-01-01"), ts("2024-02-01"), ts("2024-01-05")],
+    }))
+    right = rd.from_arrow(pa.table({
+        "o_custkey": [10, 10, 20],
+        "o_orderdate": [ts("2024-01-03"), ts("2024-01-20"), ts("2024-03-01")],
+        "tag": ["jan3", "jan20", "mar1"],
+    }))
+    out_schema = pa.schema([("event_id", pa.int64()), ("tag", pa.string())])
+    got = {r["event_id"]: r["tag"] for r in coarse_asof_join(
+        left, right, left_key="user_id", right_key="o_custkey",
+        left_on="ts", right_on="o_orderdate",
+        out_schema=out_schema, right_cols=["tag"],
+    ).take_all()}
+    # event 1: greatest date ≤ Jan5 is Jan3; event 2: none ≤ Jan1 → dropped;
+    # event 3: Jan20; event 4 (user 20): Mar1 is after Jan5 → dropped
+    assert got == {1: "jan3", 3: "jan20"}
