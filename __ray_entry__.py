@@ -168,6 +168,29 @@ def _q_media_dedup(sf_dir: str):
     return media_near_dups(text_table_to_spans(docs), strategy="lsh")
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct counts (stages/sketch.py) over events —
+    approximate BY DESIGN, so no SQL oracle (a hash compare against exact
+    COUNT(DISTINCT) would be meaningless); accuracy (±5%) and block-merge
+    invariance are pytest-gated
+    (tests/test_util_primitives.py::test_hll_approx_distinct_accuracy)."""
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.sketch import approx_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return pa_.Table.from_pydict(
+        {
+            "metric": ["approx_distinct_users", "approx_distinct_event_types"],
+            "value": [
+                approx_distinct(ev, "user_id"),
+                approx_distinct(ev, "event_type"),
+            ],
+        }
+    )
+
+
 def _q_search_lexical(sf_dir: str):
     import pyarrow.compute as pc
     from semantic_search_system_ray.pipelines.search import search_lexical
@@ -255,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_lsh": _q_ann_lsh,
             "media_features": _q_media_features,
             "media_dedup": _q_media_dedup,
+            "approx_distinct": _q_approx_distinct,
         }
     )
     return out

@@ -885,10 +885,81 @@ ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """
 
 
+def q_purchase_click_window(sf_dir: str):
+    """RANGE JOIN (another operator Ray Data lacks): per 'purchase' event,
+    how many of the same user's 'click' events landed in the hour before
+    it — the classic funnel-attribution interval join. One coarse-partition
+    cogroup keyed by user; inside a partition the interval counting is
+    fully vectorized — clicks collapse to a composite (key_code·C +
+    ts_rel) sorted array and every purchase's window becomes two
+    np.searchsorted probes. No per-key Python loop."""
+    import numpy as np
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"],
+        filter=(pc.field("event_type").isin(["purchase", "click"])),
+    )
+    union_schema = pa.schema(
+        [("key", pa.int64()), ("ts", pa.timestamp("us")),
+         ("event_id", pa.int64())]  # null event_id ⇒ click (probe side)
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        is_purchase = pc.equal(t.column("event_type"), "purchase")
+        eid = pc.if_else(is_purchase, t.column("event_id"),
+                         pa.nulls(t.num_rows, pa.int64()))
+        return pa.Table.from_arrays(
+            [t.column("user_id"), pc.cast(t.column("ts"), pa.timestamp("us")), eid],
+            schema=union_schema,
+        )
+
+    combined = ds.map_batches(tag, batch_format="pyarrow")
+    out_schema = pa.schema([("event_id", pa.int64()), ("n_clicks", pa.int64())])
+    HOUR = np.int64(3_600_000_000)  # 1h in µs
+
+    def count_window(df: pd.DataFrame) -> pa.Table:
+        purch_mask = df["event_id"].notna().to_numpy()
+        if not purch_mask.any() or purch_mask.all():
+            return out_schema.empty_table()
+        ts_all = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keys, codes_all = np.unique(df["key"].to_numpy(), return_inverse=True)
+        C = np.int64(1) << np.int64(62 - int(len(keys)).bit_length())
+        rel = ts_all - ts_all.min() + HOUR  # keep window starts ≥ 0
+        assert rel.max() < C
+        composite = codes_all.astype(np.int64) * C + rel
+        click_comp = np.sort(composite[~purch_mask])
+        p_comp = composite[purch_mask]
+        lo = np.searchsorted(click_comp, p_comp - HOUR, side="left")
+        hi = np.searchsorted(click_comp, p_comp, side="left")  # strictly before
+        n = hi - lo
+        keep = n > 0
+        return pa.Table.from_pydict(
+            {"event_id": df["event_id"].to_numpy()[purch_mask][keep].astype(np.int64),
+             "n_clicks": n[keep]},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(combined, ["key"], count_window, out_schema)
+
+
+SQL_PURCHASE_CLICK_WINDOW = """
+SELECT p.event_id, count(*) AS n_clicks
+FROM events p JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
 QUERIES = {
     "search_like": q_search_like,
     "events_sliding": q_events_sliding,
     "orders_asof": q_orders_asof,
+    "purchase_click_window": q_purchase_click_window,
     "sessionize": q_sessionize,
     "parts_by_brand": q_parts_by_brand,
     "supplier_topk": q_supplier_topk,
@@ -918,6 +989,7 @@ ORACLE_SQL = {
     "search_like": SQL_SEARCH_LIKE,
     "events_sliding": SQL_EVENTS_SLIDING,
     "orders_asof": SQL_ORDERS_ASOF,
+    "purchase_click_window": SQL_PURCHASE_CLICK_WINDOW,
     "sessionize": SQL_SESSIONIZE,
     "parts_by_brand": SQL_PARTS_BY_BRAND,
     "supplier_topk": SQL_SUPPLIER_TOPK,

@@ -113,3 +113,22 @@ def test_coarse_asof_join_backward(ray_session):
     # event 1: greatest date ≤ Jan5 is Jan3; event 2: none ≤ Jan1 → dropped;
     # event 3: Jan20; event 4 (user 20): Mar1 is after Jan5 → dropped
     assert got == {1: "jan3", 3: "jan20"}
+
+
+def test_hll_approx_distinct_accuracy(ray_session):
+    """HLL estimate within ~3σ (5%) of exact on 50k values of known
+    cardinality, and invariant to block structure (mergeability)."""
+    import numpy as np
+
+    from semantic_search_system_ray.stages.sketch import approx_distinct
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 10_000, size=50_000)  # ~10k distinct (coupon-collected)
+    exact = len(set(vals.tolist()))
+    t = pa.table({"v": vals})
+    one_block = rd.from_arrow(t)
+    many_blocks = rd.from_arrow([t.slice(i * 5000, 5000) for i in range(10)])
+    e1 = approx_distinct(one_block, "v")
+    e2 = approx_distinct(many_blocks, "v")
+    assert e1 == e2  # register merge is exact → block-structure invariant
+    assert abs(e1 - exact) / exact < 0.05
