@@ -41,6 +41,19 @@ def main(argv: list[str] | None = None) -> int:
     syn.add_argument("--seed", type=int, default=42)
     syn.add_argument("--shards", type=int, default=32)
 
+    rt = sub.add_parser(
+        "refresh-taxonomy",
+        help="incremental rebuild after a taxonomy edit (only the "
+             "IN_TOPIC/RELATES_TO_DOC branches recompute; committed "
+             "extraction partitions are reused untouched)",
+    )
+    rt.add_argument("--taxonomy", required=True,
+                    help="topic->phrases JSON (reference topic_mapping.json "
+                         "shape) or a (broad_topic, phrase) parquet file")
+    rt.add_argument("--phrase-docs", required=True)
+    rt.add_argument("--out", required=True, help="existing KG out dir (manifest)")
+    rt.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     import ray
@@ -67,6 +80,20 @@ def main(argv: list[str] | None = None) -> int:
         import pyarrow.parquet as pq
 
         import ray.data as rd
+
+        if args.cmd == "refresh-taxonomy":
+            from semantic_search_system_ray.pipelines.runner import refresh_taxonomy
+            from semantic_search_system_ray.sources.jsonio import load_taxonomy_json
+
+            if args.taxonomy.endswith(".json"):
+                tax_tbl = load_taxonomy_json(args.taxonomy).to_table()
+            else:
+                tax_tbl = pq.read_table(args.taxonomy)
+            triples = refresh_taxonomy(
+                tax_tbl, rd.read_parquet(args.phrase_docs), args.out
+            )
+            print(json.dumps({"out": args.out, "triples": triples.count()}))
+            return 0
 
         from semantic_search_system_ray.pipelines.runner import run_kg
         from semantic_search_system_ray.sources.synth import build_gazetteer
