@@ -141,6 +141,8 @@ def run_bench() -> dict:
     for name in (
         "groupby_lineitem", "revenue_by_priority", "word_topk", "topk_orders",
         "ann_cosine", "dedup_exact", "events_hourly", "minhash_clusters",
+        "sessionize", "orders_asof", "purchase_click_window", "events_sliding",
+        "customers_without_orders",
     ):
         t0 = time.perf_counter()
         out = qs[name](SF_DIR)
