@@ -162,35 +162,61 @@ def q_groupby_lineitem(sf_dir: str):
     cutoff = pa.scalar(dt.datetime(1998, 9, 2))
 
     def partial(t: pa.Table) -> pa.Table:
+        # Money/quantity sums run in SCALED INTEGERS (cents / scale-4):
+        # float addition is order-dependent (partial-sum + shuffle order ≠
+        # DuckDB's order), and a last-ulp difference at a .005 boundary
+        # flips a 2dp round — observed at sf0.001. Integer sums are
+        # order-independent; both sides then do the IDENTICAL bigint→double
+        # division before rounding, so the lossy step is bit-equal too.
         t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
-        disc_price = pc.multiply(
-            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        qty_c = pc.cast(pc.round(pc.multiply(t.column("l_quantity"),
+                                             pa.scalar(100.0))), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                               pa.scalar(100.0))), pa.int64())
+        disc_h = pc.cast(pc.round(pc.multiply(t.column("l_discount"),
+                                              pa.scalar(100.0))), pa.int64())
+        dp_s4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_h))
+        t2 = pa.Table.from_pydict(
+            {"l_returnflag": t.column("l_returnflag"),
+             "l_linestatus": t.column("l_linestatus"),
+             "qty_c": qty_c, "price_c": price_c, "dp_s4": dp_s4}
         )
-        t = t.append_column("disc_price", disc_price)
-        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
-             ("disc_price", "sum"), ("l_quantity", "count")]
+        return t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("dp_s4", "sum"),
+             ("qty_c", "count")]
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity_sum", alias_name="sum_qty"),
-        Sum("l_extendedprice_sum", alias_name="sum_base_price"),
-        Sum("disc_price_sum", alias_name="sum_disc_price"),
-        Sum("l_quantity_count", alias_name="count_order"),
+        Sum("qty_c_sum", alias_name="qty_c"),
+        Sum("price_c_sum", alias_name="price_c"),
+        Sum("dp_s4_sum", alias_name="dp_s4"),
+        Sum("qty_c_count", alias_name="count_order"),
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        avg_qty = pc.divide(t.column("sum_qty"), pc.cast(t.column("count_order"), pa.float64()))
+        # Rounding is done in INTEGER space too (half-away = (2x+d)//(2d)
+        # for positive x): DuckDB's and Arrow's round(double, n) scale by
+        # 10^n with different intermediate precision and can disagree by
+        # one ulp at .5 boundaries — with integer rounding both sides
+        # divide the SAME integer by the same power of ten, bit-equal.
+        qty_c = t.column("qty_c")
+        price_c = t.column("price_c")
+        n = t.column("count_order")
+        two = pa.scalar(2, pa.int64())
+        disc_r2 = pc.divide(pc.add(t.column("dp_s4"), pa.scalar(50, pa.int64())),
+                            pa.scalar(100, pa.int64()))
+        avg_num = pc.add(pc.multiply(pc.multiply(qty_c, pa.scalar(100, pa.int64())), two), n)
+        avg_r4 = pc.divide(avg_num, pc.multiply(two, n))
         return pa.Table.from_pydict(
             {
                 "l_returnflag": t.column("l_returnflag"),
                 "l_linestatus": t.column("l_linestatus"),
-                "sum_qty": pc.round(t.column("sum_qty"), 2),
-                "sum_base_price": pc.round(t.column("sum_base_price"), 2),
-                "sum_disc_price": pc.round(t.column("sum_disc_price"), 2),
-                "avg_qty": pc.round(avg_qty, 4),
-                "count_order": t.column("count_order"),
+                "sum_qty": pc.divide(pc.cast(qty_c, pa.float64()), pa.scalar(100.0)),
+                "sum_base_price": pc.divide(pc.cast(price_c, pa.float64()), pa.scalar(100.0)),
+                "sum_disc_price": pc.divide(pc.cast(disc_r2, pa.float64()), pa.scalar(100.0)),
+                "avg_qty": pc.divide(pc.cast(avg_r4, pa.float64()), pa.scalar(10000.0)),
+                "count_order": n,
             }
         )
 
@@ -198,15 +224,22 @@ def q_groupby_lineitem(sf_dir: str):
 
 
 SQL_GROUPBY_LINEITEM = """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS dp_s4
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+       CAST(sum(qty_c) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(sum(price_c) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST((sum(dp_s4) + 50) // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
+       CAST((2 * sum(qty_c) * 100 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
+         AS avg_qty,
        count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+FROM s GROUP BY l_returnflag, l_linestatus
 """
 
 
@@ -229,28 +262,34 @@ def q_region_rollup(sf_dir: str):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             rname = [self.n2rname[n] for n in t.column("c_nationkey").to_pylist()]
+            # cents (scaled int): order-independent exact sums; the data
+            # is 2dp so round(x·100) is never at a .5 boundary
+            cents = pc.cast(pc.round(pc.multiply(t.column("c_acctbal"),
+                                                 pa.scalar(100.0))), pa.int64())
             return pa.Table.from_pydict(
-                {"r_name": pa.array(rname, pa.string()),
-                 "c_acctbal": t.column("c_acctbal")}
+                {"r_name": pa.array(rname, pa.string()), "acct_c": cents}
             )
 
     cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"])
     tagged = cust.map_batches(_Tag, batch_format="pyarrow", concurrency=(1, 4))
     out = tagged.groupby("r_name").aggregate(
-        Count(alias_name="num_customers"), Sum("c_acctbal", alias_name="total_acctbal")
+        Count(alias_name="num_customers"), Sum("acct_c", alias_name="acct_c")
     )
     return out.map_batches(
         lambda t: pa.Table.from_pydict(
             {"r_name": t.column("r_name"),
              "num_customers": t.column("num_customers"),
-             "total_acctbal": pc.round(t.column("total_acctbal"), 2)}
+             "total_acctbal": pc.divide(pc.cast(t.column("acct_c"), pa.float64()),
+                                        pa.scalar(100.0))}
         ),
         batch_format="pyarrow",
     )
 
 
 SQL_REGION_ROLLUP = """
-SELECT r_name, count(*) AS num_customers, round(sum(c_acctbal), 2) AS total_acctbal
+SELECT r_name, count(*) AS num_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_acctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
@@ -276,14 +315,19 @@ def q_revenue_by_priority(sf_dir: str):
         _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
     union_schema = pa.schema(
-        [("key", pa.int64()), ("rev", pa.float64()), ("priority", pa.string())]
+        [("key", pa.int64()), ("rev", pa.int64()), ("priority", pa.string())]
     )
 
     def li_partial(t: pa.Table) -> pa.Table:
-        # combiner: per-order partial revenue BEFORE the shuffle
-        rev = pc.multiply(
-            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
-        )
+        # combiner: per-order partial revenue BEFORE the shuffle — in
+        # SCALED INTEGERS (cents × discount-hundredths, scale 4): float
+        # sums are addition-order-dependent and a last-ulp difference at a
+        # rounding boundary flips the 2dp output vs the oracle
+        price_c = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                               pa.scalar(100.0))), pa.int64())
+        disc_h = pc.cast(pc.round(pc.multiply(t.column("l_discount"),
+                                              pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_h))
         t2 = pa.Table.from_pydict({"key": t.column("l_orderkey"), "rev": rev})
         agg = t2.group_by(["key"]).aggregate([("rev", "sum")])
         return pa.Table.from_arrays(
@@ -304,7 +348,7 @@ def q_revenue_by_priority(sf_dir: str):
         orders.map_batches(orders_tag, batch_format="pyarrow")
     )
     part_schema = pa.schema(
-        [("o_orderpriority", pa.string()), ("rev_part", pa.float64()),
+        [("o_orderpriority", pa.string()), ("rev_part", pa.int64()),
          ("n_part", pa.int64())]
     )
 
@@ -313,40 +357,55 @@ def q_revenue_by_priority(sf_dir: str):
         od_rows = df[df["priority"].notna()]
         if li_rows.empty or od_rows.empty:
             return part_schema.empty_table()
-        rev = li_rows.groupby("key", sort=False)["rev"].sum()
+        # nullable Int64 keeps the sums integer-exact (the null-bearing
+        # union column would otherwise coerce to float64, whose integer
+        # exactness ends at 2^53 — too small for scale-4 cents at corpus
+        # scale)
+        rev = (
+            li_rows.assign(rev=li_rows["rev"].astype("Int64"))
+            .groupby("key", sort=False)["rev"].sum()
+        )
         j = od_rows[["key", "priority"]].merge(
             rev.rename("revenue"), left_on="key", right_index=True, how="inner"
         )
         agg = j.groupby("priority", sort=False)["revenue"].agg(["sum", "size"])
         return pa.Table.from_pydict(
             {"o_orderpriority": agg.index.to_list(),
-             "rev_part": agg["sum"].to_list(),
+             "rev_part": agg["sum"].astype("int64").to_list(),
              "n_part": agg["size"].to_list()},
             schema=part_schema,
         )
 
     parts = coarse_partition_apply(combined, ["key"], cogroup, part_schema)
     out = parts.groupby("o_orderpriority").aggregate(
-        Sum("rev_part", alias_name="revenue"), Sum("n_part", alias_name="num_orders")
+        Sum("rev_part", alias_name="rev_s4"), Sum("n_part", alias_name="num_orders")
     )
-    return out.map_batches(
-        lambda t: pa.Table.from_pydict(
+
+    def finish(t: pa.Table) -> pa.Table:
+        # integer half-away round to cents, then one bigint→double divide —
+        # bit-identical to the oracle's (sum + 50) // 100 / 100.0
+        cents = pc.divide(pc.add(t.column("rev_s4"), pa.scalar(50, pa.int64())),
+                          pa.scalar(100, pa.int64()))
+        return pa.Table.from_pydict(
             {"o_orderpriority": t.column("o_orderpriority"),
-             "revenue": pc.round(t.column("revenue"), 2),
+             "revenue": pc.divide(pc.cast(cents, pa.float64()), pa.scalar(100.0)),
              "num_orders": t.column("num_orders")}
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_REVENUE_BY_PRIORITY = """
-SELECT o_orderpriority,
-       round(sum(revenue), 2) AS revenue,
-       count(*) AS num_orders
-FROM (
-  SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+WITH li AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_s4
   FROM lineitem GROUP BY l_orderkey
-) li JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       CAST((sum(rev_s4) + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
+       count(*) AS num_orders
+FROM li JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
 
@@ -622,22 +681,37 @@ SELECT doc_id FROM documents WHERE text LIKE '%hash join%'
 
 def q_parts_by_brand(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_brand", "p_retailprice"])
-    out = ds.groupby("p_brand").aggregate(
-        Count(alias_name="n_parts"), Sum("p_retailprice", alias_name="total_price")
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"p_brand": t.column("p_brand"),
+             "price_c": pc.cast(pc.round(pc.multiply(t.column("p_retailprice"),
+                                                     pa.scalar(100.0))), pa.int64())}
+        )
+
+    out = ds.map_batches(to_cents, batch_format="pyarrow").groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"), Sum("price_c", alias_name="price_c")
     )
-    return out.map_batches(
-        lambda t: pa.Table.from_pydict(
-            {"p_brand": t.column("p_brand"), "n_parts": t.column("n_parts"),
-             "avg_price": pc.round(
-                 pc.divide(t.column("total_price"),
-                           pc.cast(t.column("n_parts"), pa.float64())), 2)}
-        ),
-        batch_format="pyarrow",
-    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # integer half-away average to cents: (2·sum + n) // (2n), then one
+        # bigint→double divide — bit-identical to the oracle
+        n = t.column("n_parts")
+        two = pa.scalar(2, pa.int64())
+        avg_c = pc.divide(pc.add(pc.multiply(t.column("price_c"), two), n),
+                          pc.multiply(two, n))
+        return pa.Table.from_pydict(
+            {"p_brand": t.column("p_brand"), "n_parts": n,
+             "avg_price": pc.divide(pc.cast(avg_c, pa.float64()), pa.scalar(100.0))}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_PARTS_BY_BRAND = """
-SELECT p_brand, count(*) AS n_parts, round(sum(p_retailprice) / count(*), 2) AS avg_price
+SELECT p_brand, count(*) AS n_parts,
+       CAST((2 * sum(CAST(round(p_retailprice * 100) AS BIGINT)) + count(*))
+            // (2 * count(*)) AS DOUBLE) / 100.0 AS avg_price
 FROM part GROUP BY p_brand
 """
 
