@@ -96,8 +96,18 @@ def build_taxonomy(
         for r in emb.map_batches(hash_rows, batch_format="pyarrow")
         .sort("h").limit(num_topics).take_all()
     ]
-    seed_rows = {r["phrase"]: r["embedding"] for r in emb.take_all()
-                 if r["phrase"] in set(seeds)}
+    # fetch ONLY the K seed vectors (vectorized Arrow filter) — never
+    # take_all() the full embedding table onto the driver
+    import pyarrow.compute as pc
+
+    seed_arr = pa.array(sorted(set(seeds)))
+    seed_rows = {
+        r["phrase"]: r["embedding"]
+        for r in emb.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("phrase"), value_set=seed_arr)),
+            batch_format="pyarrow",
+        ).take_all()
+    }
     centroids = np.array([seed_rows[p] for p in seeds], dtype=np.float64)
 
     def _assign_batches(cent_ref):
@@ -106,7 +116,9 @@ def build_taxonomy(
                 self.cent = ray.get(cent_ref)
 
             def __call__(self, t: pa.Table) -> pa.Table:
-                mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+                from semantic_search_system_ray.stages.ann import list_column_to_matrix
+
+                mat = list_column_to_matrix(t.column("embedding"))
                 sims = mat @ self.cent.T  # embeddings are L2-normalized
                 cid = np.argmax(sims, axis=1).astype(np.int32)
                 return pa.Table.from_pydict(
@@ -127,7 +139,9 @@ def build_taxonomy(
 
         # two-phase centroid update: per-batch partial sums per cluster
         def partial(t: pa.Table) -> pa.Table:
-            mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+            from semantic_search_system_ray.stages.ann import list_column_to_matrix
+
+            mat = list_column_to_matrix(t.column("embedding"))
             cid = np.array(t.column("cluster").to_pylist())
             rows = {"cluster": [], "vec_sum": [], "n": []}
             for c in np.unique(cid):
