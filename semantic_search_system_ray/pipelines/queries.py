@@ -509,6 +509,32 @@ FROM events GROUP BY 1, 2
 # text analysis
 # --------------------------------------------------------------------------
 
+def q_train_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split by id hash
+    (stages/textstats.train_split_batch) — split assignment is a pure
+    function of the id, so it survives reshuffles and corpus growth."""
+    from semantic_search_system_ray.stages.textstats import train_split_batch
+
+    ds = read_docs(sf_dir, ["doc_id"])
+    return ds.map_batches(train_split_batch, batch_format="pyarrow")
+
+
+def _sql_train_split() -> str:
+    from semantic_search_system_ray.stages.textstats import SPLIT_BOUNDS
+
+    (t_name, t_bound), (v_name, v_bound) = SPLIT_BOUNDS
+    return f"""
+SELECT doc_id,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{t_bound}' THEN '{t_name}'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < '{v_bound}' THEN '{v_name}'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+SQL_TRAIN_SPLIT = _sql_train_split()
+
+
 def q_token_count(sf_dir: str):
     ds = read_docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(token_count_batch, batch_format="pyarrow")
@@ -1034,6 +1060,7 @@ QUERIES = {
     "events_sliding": q_events_sliding,
     "orders_asof": q_orders_asof,
     "purchase_click_window": q_purchase_click_window,
+    "train_split": q_train_split,
     "sessionize": q_sessionize,
     "parts_by_brand": q_parts_by_brand,
     "supplier_topk": q_supplier_topk,
@@ -1064,6 +1091,7 @@ ORACLE_SQL = {
     "events_sliding": SQL_EVENTS_SLIDING,
     "orders_asof": SQL_ORDERS_ASOF,
     "purchase_click_window": SQL_PURCHASE_CLICK_WINDOW,
+    "train_split": SQL_TRAIN_SPLIT,
     "sessionize": SQL_SESSIONIZE,
     "parts_by_brand": SQL_PARTS_BY_BRAND,
     "supplier_topk": SQL_SUPPLIER_TOPK,

@@ -118,6 +118,34 @@ def doc_topic_words_batch(batch: pa.Table, top_k: int = 10) -> pa.Table:
     )
 
 
+# 80 / 10 / 10 split boundaries as md5-hex prefixes: lexicographic order
+# on the hex digest equals numeric order on the 128-bit hash, so
+# `digest < bound` buckets rows deterministically at the stated fractions
+# (and identically in the DuckDB oracle, which compares the same strings).
+SPLIT_BOUNDS = (("train", "c" + "c" * 31), ("val", "e" + "6" * 31))  # 0.8, 0.9
+
+
+def train_split_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic train/val/test assignment by content-independent id
+    hash — the split survives reshuffles, re-runs and corpus growth
+    (every id keeps its split forever), which row-number splits do not."""
+    import hashlib
+
+    ids = [str(v) for v in batch.column(id_col).to_pylist()]
+    splits = []
+    for i in ids:
+        h = hashlib.md5(i.encode("utf-8")).hexdigest()
+        if h < SPLIT_BOUNDS[0][1]:
+            splits.append("train")
+        elif h < SPLIT_BOUNDS[1][1]:
+            splits.append("val")
+        else:
+            splits.append("test")
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column(id_col), "split": pa.array(splits, pa.string())}
+    )
+
+
 def fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
     """Winnowing-style fingerprint: lexicographic-min MD5 hex over token
     windows — a cheap deterministic doc signature for shard-level dedup

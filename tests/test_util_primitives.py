@@ -132,3 +132,22 @@ def test_hll_approx_distinct_accuracy(ray_session):
     e2 = approx_distinct(many_blocks, "v")
     assert e1 == e2  # register merge is exact → block-structure invariant
     assert abs(e1 - exact) / exact < 0.05
+
+
+def test_train_split_deterministic_fractions(ray_session):
+    from semantic_search_system_ray.stages.textstats import train_split_batch
+
+    ids = pa.table({"doc_id": list(range(20_000))})
+    out = rd.from_arrow(ids).map_batches(
+        train_split_batch, batch_format="pyarrow"
+    ).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.01
+    assert abs(frac["val"] - 0.1) < 0.005
+    assert abs(frac["test"] - 0.1) < 0.005
+    # pure function of the id: same id → same split on a reshuffled subset
+    sub = rd.from_arrow(ids.slice(5000, 1000)).random_shuffle(seed=1).map_batches(
+        train_split_batch, batch_format="pyarrow"
+    ).to_pandas().set_index("doc_id")["split"]
+    full = out.set_index("doc_id")["split"]
+    assert (full.loc[sub.index] == sub).all()
