@@ -535,6 +535,30 @@ FROM documents
 SQL_TRAIN_SPLIT = _sql_train_split()
 
 
+def q_redact_pii(sf_dir: str):
+    """PII scrub over the documents table (emails/phones/SSNs → tokens) —
+    byte-exact vs the oracle because BOTH sides run the same patterns
+    through RE2 (Arrow kernel / DuckDB regexp_replace)."""
+    from semantic_search_system_ray.stages.textstats import redact_pii_batch
+
+    ds = read_docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(redact_pii_batch, batch_format="pyarrow")
+
+
+def _sql_redact_pii() -> str:
+    from semantic_search_system_ray.stages.textstats import PII_PATTERNS
+
+    expr = "text"
+    for pattern, token in PII_PATTERNS:
+        # DuckDB '...' literals are not backslash-escaped: only quotes double
+        esc = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{esc}', '{token}', 'g')"
+    return f"SELECT doc_id, {expr} AS text_redacted FROM documents"
+
+
+SQL_REDACT_PII = _sql_redact_pii()
+
+
 def q_token_count(sf_dir: str):
     ds = read_docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(token_count_batch, batch_format="pyarrow")
@@ -1061,6 +1085,7 @@ QUERIES = {
     "orders_asof": q_orders_asof,
     "purchase_click_window": q_purchase_click_window,
     "train_split": q_train_split,
+    "redact_pii": q_redact_pii,
     "sessionize": q_sessionize,
     "parts_by_brand": q_parts_by_brand,
     "supplier_topk": q_supplier_topk,
@@ -1092,6 +1117,7 @@ ORACLE_SQL = {
     "orders_asof": SQL_ORDERS_ASOF,
     "purchase_click_window": SQL_PURCHASE_CLICK_WINDOW,
     "train_split": SQL_TRAIN_SPLIT,
+    "redact_pii": SQL_REDACT_PII,
     "sessionize": SQL_SESSIONIZE,
     "parts_by_brand": SQL_PARTS_BY_BRAND,
     "supplier_topk": SQL_SUPPLIER_TOPK,

@@ -118,6 +118,27 @@ def doc_topic_words_batch(batch: pa.Table, top_k: int = 10) -> pa.Table:
     )
 
 
+# PII redaction patterns (RE2-safe: no backrefs/lookaround) — applied with
+# Arrow's RE2 kernel so the DuckDB oracle (also RE2) matches byte-exactly.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def redact_pii_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized PII redaction (emails / phone numbers / SSN-shaped ids)
+    — a standard pre-training scrub pass. Zero-copy Arrow RE2 kernels; no
+    Python row loop."""
+    text = batch.column("text")
+    for pattern, token in PII_PATTERNS:
+        text = pc.replace_substring_regex(text, pattern=pattern, replacement=token)
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"), "text_redacted": text}
+    )
+
+
 # 80 / 10 / 10 split boundaries as md5-hex prefixes: lexicographic order
 # on the hex digest equals numeric order on the 128-bit hash, so
 # `digest < bound` buckets rows deterministically at the stated fractions

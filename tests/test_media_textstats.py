@@ -118,3 +118,21 @@ def test_media_near_dups_shared_assets(ray_session):
     lsh = {(r["id_a"], r["id_b"])
            for r in media_near_dups(docs, strategy="lsh").take_all()}
     assert ("a#10#media://shared-1", "b#10#media://shared-1") in lsh
+
+
+def test_redact_pii(ray_session):
+    from semantic_search_system_ray.stages.textstats import redact_pii_batch
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["mail me at a.b+c@ex-ample.co.uk now",
+                 "call 555-123-4567 or 555.987.6543; ssn 123-45-6789",
+                 "clean text with no pii"],
+    })
+    out = rd.from_arrow(t).map_batches(
+        redact_pii_batch, batch_format="pyarrow"
+    ).take_all()
+    red = {r["doc_id"]: r["text_redacted"] for r in out}
+    assert red[1] == "mail me at <EMAIL> now"
+    assert red[2] == "call <PHONE> or <PHONE>; ssn <SSN>"
+    assert red[3] == "clean text with no pii"
