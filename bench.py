@@ -85,20 +85,28 @@ def run_bench() -> dict:
 
     corpus = _corpus_dir()
 
-    # warm the OS page cache (untimed) so we measure compute + shuffle —
-    # read the ACTUAL BYTES (Dataset.count() on parquet is metadata-only
-    # and warms nothing; measured: a dropped cache adds tens of seconds of
-    # disk I/O to the timed high-concurrency leg)
+    # Warm the OS page cache (untimed) by reading the ACTUAL BYTES —
+    # Dataset.count() on parquet is metadata-only and warms nothing, and a
+    # dropped cache adds tens of seconds of disk I/O to a timed leg
+    # (measured). The host EVICTS aggressively, so warming happens again
+    # right before each timed section, not once up front.
     import glob as _glob
 
-    for pattern in [f"{corpus}/documents/*.parquet"] + [
-        f"{SF_DIR}/{t}.parquet"
-        for t in ("lineitem", "orders", "documents", "embeddings", "events")
-    ]:
-        for f in _glob.glob(pattern):
-            with open(f, "rb") as fh:
-                while fh.read(1 << 24):
-                    pass
+    def _warm(*patterns: str) -> None:
+        for pattern in patterns:
+            for f in _glob.glob(pattern):
+                with open(f, "rb") as fh:
+                    while fh.read(1 << 24):
+                        pass
+
+    def _warm_sf() -> None:
+        _warm(*[
+            f"{SF_DIR}/{t}.parquet"
+            for t in ("lineitem", "orders", "documents", "embeddings", "events",
+                      "customer", "part", "supplier", "nation", "region")
+        ])
+
+    _warm(f"{corpus}/documents/*.parquet")
 
     timings: dict[str, float] = {}
 
@@ -144,6 +152,7 @@ def run_bench() -> dict:
         "sessionize", "orders_asof", "purchase_click_window", "events_sliding",
         "customers_without_orders",
     ):
+        _warm_sf()  # re-warm: the host evicts between queries
         t0 = time.perf_counter()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):
@@ -151,6 +160,7 @@ def run_bench() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # KG build over the driver's flat documents table (spans-adapted)
+    _warm_sf()
     t0 = time.perf_counter()
     entrymod._kg_triples(SF_DIR).count()
     timings["kg_build_testdata"] = round(time.perf_counter() - t0, 3)
@@ -159,6 +169,7 @@ def run_bench() -> dict:
     # slice of the spans corpus — the results.json-contract path
     from semantic_search_system_ray.stages.docnlp import enrich_documents
 
+    _warm(f"{corpus}/documents/*.parquet")
     t0 = time.perf_counter()
     enrich_documents(
         rd.read_parquet(f"{corpus}/documents").limit(20_000),
