@@ -12,8 +12,8 @@ Operator ↔ SURVEY §2 mapping:
 - q_groupby_lineitem: G-class grouped aggregation, two-phase (per-batch
   pyarrow combiner → global groupby) — the salted/partial pattern.
 - q_region_rollup: J1 broadcast hash join (dims via ray.put).
-- q_revenue_by_priority: large-large hash join (Dataset.join) after a
-  combiner pre-aggregation on the fact side.
+- q_revenue_by_priority: large-large join as ONE coarse-partition cogroup
+  (combiner pre-aggregation on the fact side; scaled-int money sums).
 - q_distinct_segments: §2.7 set ops.
 - q_minmax_normalize: G7 min-max score normalization (two-phase).
 - q_dedup_exact: exact dedup by content hash (§2.7 + dedup suite).
@@ -22,7 +22,10 @@ Operator ↔ SURVEY §2 mapping:
   kernels; two-phase word counts).
 - q_ann_cosine: brute-force cosine top-k over embeddings (T2 exact).
 - q_cosine_dups: embedding-cosine near-dup pairs.
-- q_customers_without_orders: anti join via broadcast key set.
+- q_customers_without_orders: distributed anti join (coarse cogroup).
+- q_orders_asof / q_purchase_click_window: as-of + interval range joins.
+- q_events_sliding / q_sessionize: sliding windows / session windows.
+- q_train_split / q_redact_pii: training-data split + PII scrub.
 """
 
 from __future__ import annotations
@@ -647,7 +650,8 @@ SQL_ANN_COSINE = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT vec_id,
-         round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 4) AS score
+         round(CAST(list_cosine_similarity(embedding, (SELECT qv FROM q)) AS DOUBLE), 4)
+           AS score
   FROM embeddings
 )
 SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
@@ -668,7 +672,8 @@ def q_cosine_dups(sf_dir: str):
 
 SQL_COSINE_DUPS = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 3) AS cos_sim
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3)
+         AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """
