@@ -512,6 +512,62 @@ FROM events GROUP BY 1, 2
 # text analysis
 # --------------------------------------------------------------------------
 
+def q_corpus_clean(sf_dir: str):
+    """The canonical training-data CURATION composition: exact dedup
+    (min-id representative per distinct text) ∘ quality gate — the
+    surviving corpus with provenance (n_copies, quality). Stages compose
+    lazily: QualityScore actor map → exact_dedup (hash-only shuffle) →
+    distributed semi join (coarse_attach) of quality onto the
+    representatives; nothing materializes driver-side."""
+    from semantic_search_system_ray.stages.dedup import exact_dedup
+    from semantic_search_system_ray.stages.textstats import QualityScore
+    from semantic_search_system_ray.stages.util import coarse_attach
+
+    docs = read_docs(sf_dir, ["doc_id", "text"])
+    reps = exact_dedup(docs)  # (doc_id: string, n_copies)
+    quality = docs.map_batches(
+        QualityScore, batch_format="pyarrow", concurrency=(1, 4)
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.string()),
+             "quality": t.column("quality")}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = coarse_attach(
+        reps, quality, left_key="doc_id", right_key="doc_id",
+        attach_cols=["quality"],
+        out_schema=pa.schema(
+            [("doc_id", pa.string()), ("n_copies", pa.int64()),
+             ("quality", pa.float64())]
+        ),
+    )
+    return joined.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("quality"), 0.68)),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_corpus_clean() -> str:
+    """Compose the oracle from the SAME generated quality SQL the
+    quality_score oracle uses — one formula, no drift."""
+    from semantic_search_system_ray.pipelines.text_oracles import sql_quality_score
+
+    return f"""
+WITH q AS ({sql_quality_score()}),
+reps AS (
+  SELECT CAST(min(doc_id) AS VARCHAR) AS doc_id, count(*) AS n_copies
+  FROM documents GROUP BY text
+)
+SELECT r.doc_id, r.n_copies, q.quality
+FROM reps r JOIN q ON r.doc_id = CAST(q.doc_id AS VARCHAR)
+WHERE q.quality >= 0.68
+"""
+
+
+SQL_CORPUS_CLEAN = _sql_corpus_clean()
+
+
 def q_train_split(sf_dir: str):
     """Deterministic 80/10/10 train/val/test split by id hash
     (stages/textstats.train_split_batch) — split assignment is a pure
@@ -1091,6 +1147,7 @@ QUERIES = {
     "purchase_click_window": q_purchase_click_window,
     "train_split": q_train_split,
     "redact_pii": q_redact_pii,
+    "corpus_clean": q_corpus_clean,
     "sessionize": q_sessionize,
     "parts_by_brand": q_parts_by_brand,
     "supplier_topk": q_supplier_topk,
@@ -1123,6 +1180,7 @@ ORACLE_SQL = {
     "purchase_click_window": SQL_PURCHASE_CLICK_WINDOW,
     "train_split": SQL_TRAIN_SPLIT,
     "redact_pii": SQL_REDACT_PII,
+    "corpus_clean": SQL_CORPUS_CLEAN,
     "sessionize": SQL_SESSIONIZE,
     "parts_by_brand": SQL_PARTS_BY_BRAND,
     "supplier_topk": SQL_SUPPLIER_TOPK,
