@@ -340,6 +340,7 @@ def minhash_lsh_clusters(
     threshold: float = 0.7,
     max_rounds: int = 8,
     verify: str = "auto",
+    driver_edge_threshold: int = 500_000,
 ) -> rd.Dataset:
     """→ (doc_id, cluster): near-dup cluster representative (min doc id in
     the transitive closure of verified candidate pairs).
@@ -380,7 +381,8 @@ def minhash_lsh_clusters(
         ),
         batch_format="pyarrow",
     )
-    return _cluster_labels(nodes, edges, max_rounds=max_rounds)
+    return _cluster_labels(nodes, edges, max_rounds=max_rounds,
+                           driver_edge_threshold=driver_edge_threshold)
 
 
 # --------------------------------------------------------------------------

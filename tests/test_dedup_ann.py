@@ -201,3 +201,19 @@ def test_embedding_cosine_dups_pairs(ray_session):
     pairs = {(r["id_a"], r["id_b"]) for r in embedding_cosine_dups(ds, threshold=0.95).take_all()}
     assert (0, 1) in pairs
     assert all(p[1] != 2 and p[0] != 2 for p in pairs)
+
+
+def test_minhash_distributed_cc_parity(dup_corpus):
+    """Forcing the distributed connected-components path (edge threshold 0)
+    must yield the same clustering as the driver union-find."""
+    driver = {
+        r["doc_id"]: r["cluster"]
+        for r in minhash_lsh_clusters(dup_corpus, threshold=0.5).take_all()
+    }
+    dist = {
+        r["doc_id"]: r["cluster"]
+        for r in minhash_lsh_clusters(
+            dup_corpus, threshold=0.5, driver_edge_threshold=0
+        ).take_all()
+    }
+    assert driver == dist
