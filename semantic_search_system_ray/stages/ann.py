@@ -114,9 +114,14 @@ def lsh_bucket_topk(
     num_planes: int = 8,
     seed: int = 17,
     round_to: int = 6,
+    probes: int = 1,
 ) -> rd.Dataset:
-    """Approximate top-k: search only the query's hyperplane bucket.
-    Recall trades off with num_planes (2^planes buckets)."""
+    """Approximate top-k: search the query's hyperplane bucket plus all
+    buckets within Hamming distance ``probes`` of it (multi-probe LSH —
+    the standard recall lever: the nearest misses live one flipped
+    hyperplane away, so probing them costs num_planes extra buckets
+    instead of a whole extra table). Recall trades off with num_planes
+    (2^planes buckets) and ``probes``."""
     dim = len(query)
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(num_planes, dim))
@@ -125,11 +130,19 @@ def lsh_bucket_topk(
     if qn > 0:
         q = q / qn
     qbucket = int(lsh_signature(q[None, :], planes)[0])
-    ref = ray.put((q, planes))
+    probe_buckets = {qbucket}
+    if probes >= 1:
+        probe_buckets |= {qbucket ^ (1 << b) for b in range(num_planes)}
+    if probes >= 2:
+        for b1 in range(num_planes):
+            for b2 in range(b1 + 1, num_planes):
+                probe_buckets.add(qbucket ^ (1 << b1) ^ (1 << b2))
+    probe_arr = np.array(sorted(probe_buckets), dtype=np.int64)
+    ref = ray.put((q, planes, probe_arr))
 
     class _Score:
         def __init__(self):
-            self.q, self.planes = ray.get(ref)
+            self.q, self.planes, self.probe = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col)
@@ -137,7 +150,7 @@ def lsh_bucket_topk(
                 ids = ids.combine_chunks()
             mat = _as_matrix(batch.column(vec_col))
             buckets = lsh_signature(mat, self.planes)
-            mask = buckets == qbucket
+            mask = np.isin(buckets, self.probe)
             sel = np.where(mask)[0]
             if not len(sel):
                 return pa.Table.from_pydict(

@@ -217,3 +217,28 @@ def test_minhash_distributed_cc_parity(dup_corpus):
         ).take_all()
     }
     assert driver == dist
+
+
+def test_lsh_topk_multiprobe_recall(ray_session):
+    """Multi-probe (Hamming ≤ 1, ≤ 2) monotonically improves recall, and
+    with probes=2 the PLANTED near-neighbors (cos ≈ 0.99 — the regime LSH
+    targets) are all recovered."""
+    rng = np.random.RandomState(41)
+    q = rng.normal(size=32)
+    vecs = [(q + rng.normal(scale=0.05, size=32)).astype(np.float32).tolist()
+            for _ in range(5)]                      # ids 0-4: true neighbors
+    vecs += [rng.normal(size=32).astype(np.float32).tolist() for _ in range(200)]
+    ds = rd.from_arrow(pa.Table.from_pydict(
+        {"vec_id": list(range(len(vecs))), "embedding": vecs}
+    ))
+    exact = {r["vec_id"] for r in cosine_topk(ds, q, k=5).take_all()}
+    assert exact == {0, 1, 2, 3, 4}
+
+    def recall(p):
+        got = {r["vec_id"] for r in
+               lsh_bucket_topk(ds, q, k=5, num_planes=6, probes=p).take_all()}
+        return len(got & exact) / len(exact)
+
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert r0 <= r1 <= r2
+    assert r2 == 1.0
