@@ -141,6 +141,19 @@ def _q_ann_lsh(sf_dir: str):
     return lsh_bucket_topk(ds, q, k=10, num_planes=4)
 
 
+def _q_ann_ivf(sf_dir: str):
+    """IVF approximate top-k (seeded coarse quantizer, nprobe lists) —
+    approximate by design (rows-only); recall + full-probe==exact are
+    pytest-gated (tests/test_dedup_ann.py::test_ivf_topk_recall)."""
+    import ray.data as rd
+
+    from semantic_search_system_ray.pipelines.queries import _query_vec
+    from semantic_search_system_ray.stages.ann import ivf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, _query_vec(sf_dir), k=10, nlist=16, nprobe=4)
+
+
 def _q_media_features(sf_dir: str):
     from semantic_search_system_ray.sources.documents import text_table_to_spans
     from semantic_search_system_ray.stages.media import MediaFeatures, flatten_media_spans
@@ -276,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "quality_score": _q_quality,
             "fingerprint": _q_fingerprint,
             "ann_lsh": _q_ann_lsh,
+            "ann_ivf": _q_ann_ivf,
             "media_features": _q_media_features,
             "media_dedup": _q_media_dedup,
             "approx_distinct": _q_approx_distinct,

@@ -104,6 +104,98 @@ def lsh_signature(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return out
 
 
+def train_ivf_centroids(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    sample: int = 2048,
+    iters: int = 5,
+    seed: int = 29,
+) -> np.ndarray:
+    """Train an IVF coarse quantizer: seeded k-means on a bounded SAMPLE
+    (first ``sample`` rows by storage order via ``limit`` — deterministic,
+    no shuffle; at corpus scale a few thousand vectors suffice for a
+    coarse quantizer). Returns L2-normalized (nlist, dim) centroids."""
+    rows = ds.limit(sample).take_all()
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    mat = mat / n[:, None]
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                cent[c] = v / nv if nv > 0 else v
+    return cent
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """IVF approximate top-k — the inverted-file scale path: a coarse
+    k-means quantizer partitions the collection into ``nlist`` lists; the
+    query scores ONLY rows whose nearest centroid is among its ``nprobe``
+    closest lists (fraction scanned ≈ nprobe/nlist). Quantizer trains on a
+    bounded sample (or pass precomputed ``centroids`` to amortize across
+    queries); per batch the list assignment + masked matmul are fully
+    vectorized."""
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, vec_col=vec_col, nlist=nlist)
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    probe = np.argsort(-(centroids @ q), kind="stable")[:nprobe]
+    ref = ray.put((q, centroids, set(int(p) for p in probe)))
+
+    class _Score:
+        def __init__(self):
+            self.q, self.cent, self.probe = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            mat = _as_matrix(batch.column(vec_col))
+            assign = np.argmax(mat @ self.cent.T, axis=1)
+            mask = np.isin(assign, list(self.probe))
+            sel = np.where(mask)[0]
+            if not len(sel):
+                return pa.Table.from_pydict(
+                    {id_col: ids.take(pa.array([], pa.int64())),
+                     "score": pa.array([], pa.float64())}
+                )
+            sims = mat[sel] @ self.q
+            take = min(k, len(sel))
+            idx = np.argsort(-sims, kind="stable")[:take]
+            return pa.Table.from_pydict(
+                {
+                    id_col: ids.take(pa.array(sel[idx])),
+                    "score": pa.array(
+                        [round(float(s), round_to) for s in sims[idx]], pa.float64()
+                    ),
+                }
+            )
+
+    scored = ds.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 8))
+    return scored.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
 def lsh_bucket_topk(
     ds: rd.Dataset,
     query: np.ndarray,

@@ -242,3 +242,26 @@ def test_lsh_topk_multiprobe_recall(ray_session):
     r0, r1, r2 = recall(0), recall(1), recall(2)
     assert r0 <= r1 <= r2
     assert r2 == 1.0
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF probe of the nearest lists recovers planted near-neighbors; a
+    full probe (nprobe == nlist) equals exact brute force."""
+    from semantic_search_system_ray.stages.ann import ivf_topk
+
+    rng = np.random.RandomState(53)
+    q = rng.normal(size=32)
+    vecs = [(q + rng.normal(scale=0.05, size=32)).astype(np.float32).tolist()
+            for _ in range(5)]
+    vecs += [rng.normal(size=32).astype(np.float32).tolist() for _ in range(300)]
+    ds = rd.from_arrow(pa.Table.from_pydict(
+        {"vec_id": list(range(len(vecs))), "embedding": vecs}
+    ))
+    exact = [r["vec_id"] for r in cosine_topk(ds, q, k=5).take_all()]
+    assert set(exact) == {0, 1, 2, 3, 4}
+    got = [r["vec_id"] for r in ivf_topk(ds, q, k=5, nlist=8, nprobe=2).take_all()]
+    assert set(got) & set(exact), "planted neighbors live in the probed lists"
+    recall = len(set(got) & set(exact)) / 5
+    assert recall >= 0.8
+    full = [r["vec_id"] for r in ivf_topk(ds, q, k=5, nlist=8, nprobe=8).take_all()]
+    assert full == exact  # probing every list == brute force
