@@ -106,7 +106,12 @@ def coarse_attach(
     (minus nothing — list exactly what you want carried) + ``attach_as``.
     Attach columns must be primitive (string/binary/number): serialize
     lists to bytes before attaching (cheap, and it keeps nulls trivial
-    through the union)."""
+    through the union).
+
+    Caveat: int64 payload columns ride the null-bearing union as pandas
+    float64 inside the partition merge — integer exactness ends at 2^53,
+    so pass ids that can exceed it as STRINGS (the dedup pipelines already
+    do)."""
     if attach_as is None:
         attach_as = attach_cols
     left_cols = [n for n in out_schema.names if n not in attach_as]
@@ -249,7 +254,9 @@ def coarse_asof_join(
 
     ``out_schema`` = left payload columns (minus the key/on if not listed)
     + ``right_cols``; the ``left_on`` column may be included in the output
-    by listing it in ``out_schema``."""
+    by listing it in ``out_schema``. Same int64-beyond-2^53 caveat as
+    ``coarse_attach`` (null-bearing union → pandas float64): use string
+    ids at extreme scale."""
     if num_partitions is None:
         num_partitions = _default_partitions()
     left_cols = [n for n in out_schema.names if n not in right_cols]
