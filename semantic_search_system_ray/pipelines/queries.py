@@ -568,6 +568,49 @@ WHERE q.quality >= 0.68
 SQL_CORPUS_CLEAN = _sql_corpus_clean()
 
 
+def q_trigram_logprob(sf_dir: str):
+    """Perplexity-style quality signal: per-doc mean add-one-smoothed log
+    probability of its char trigrams under a model TRAINED ON THE CORPUS
+    ITSELF (two passes: vocabulary-bounded count aggregation → broadcast →
+    per-doc scoring). Low scores flag out-of-distribution / junk text —
+    the KenLM-filtering shape without a model download."""
+    import ray as ray_
+
+    from semantic_search_system_ray.stages.textstats import (
+        TrigramLogProb,
+        trigram_model,
+    )
+
+    docs = read_docs(sf_dir, ["doc_id", "text"])
+    model = trigram_model(docs)
+    ref = ray_.put(model)
+    return docs.map_batches(
+        TrigramLogProb, fn_constructor_kwargs={"model_ref": ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+
+SQL_TRIGRAM_LOGPROB = """
+WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(s) - 1),
+                               i -> substr(s, CAST(i AS INT), 3))) AS gram
+  FROM t WHERE len(s) >= 3
+),
+counts AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+tot AS (SELECT (SELECT count(*) FROM g) AS n, (SELECT count(*) FROM counts) AS v)
+SELECT t.doc_id,
+       coalesce(lp.v, 0.0) AS trigram_logprob
+FROM t LEFT JOIN (
+  SELECT g.doc_id,
+         round(avg(ln((counts.c + 1.0) / (tot.n + tot.v))), 6) AS v
+  FROM g JOIN counts USING (gram), tot
+  GROUP BY g.doc_id
+) lp ON t.doc_id = lp.doc_id
+"""
+
+
 def q_train_split(sf_dir: str):
     """Deterministic 80/10/10 train/val/test split by id hash
     (stages/textstats.train_split_batch) — split assignment is a pure
@@ -1148,6 +1191,7 @@ QUERIES = {
     "train_split": q_train_split,
     "redact_pii": q_redact_pii,
     "corpus_clean": q_corpus_clean,
+    "trigram_logprob": q_trigram_logprob,
     "sessionize": q_sessionize,
     "parts_by_brand": q_parts_by_brand,
     "supplier_topk": q_supplier_topk,
@@ -1181,6 +1225,7 @@ ORACLE_SQL = {
     "train_split": SQL_TRAIN_SPLIT,
     "redact_pii": SQL_REDACT_PII,
     "corpus_clean": SQL_CORPUS_CLEAN,
+    "trigram_logprob": SQL_TRIGRAM_LOGPROB,
     "sessionize": SQL_SESSIONIZE,
     "parts_by_brand": SQL_PARTS_BY_BRAND,
     "supplier_topk": SQL_SUPPLIER_TOPK,

@@ -118,6 +118,71 @@ def doc_topic_words_batch(batch: pa.Table, top_k: int = 10) -> pa.Table:
     )
 
 
+def trigram_model(ds: "object", *, text_col: str = "text"):
+    """Train a char-trigram unigram-count model over the corpus (pass 1 of
+    perplexity-style quality scoring): per-batch Counters (combiner) →
+    global sum → broadcastable {gram: count} dict + (total, vocab) —
+    vocabulary-bounded (charset³ in practice ≪ corpus), the same
+    small-side-broadcast shape as the taxonomy."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            s = (t or "").lower()
+            for i in range(len(s) - 2):
+                c[s[i : i + 3]] += 1
+        return pa.Table.from_pydict(
+            {"gram": list(c.keys()), "cnt": pa.array(list(c.values()), pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    model = {r["gram"]: r["cnt"] for r in counts.take_all()}
+    total = sum(model.values())
+    return model, total, len(model)
+
+
+class TrigramLogProb:
+    """Actor stage (pass 2): per-doc mean add-one-smoothed log probability
+    of its char trigrams under the corpus model — the deterministic
+    sandbox surrogate for KenLM-style perplexity filtering (low scores ⇒
+    out-of-distribution / junk text). Model broadcast via ray.put, read
+    once per actor."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        if isinstance(model_ref, ray.ObjectRef):
+            model_ref = ray.get(model_ref)
+        self.model, self.total, self.vocab = model_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        denom = float(self.total + self.vocab)
+        out = []
+        for t in batch.column("text").to_pylist():
+            s = (t or "").lower()
+            if len(s) < 3:
+                out.append(0.0)
+                continue
+            acc = 0.0
+            n = len(s) - 2
+            for i in range(n):
+                acc += math.log((self.model.get(s[i : i + 3], 0) + 1.0) / denom)
+            out.append(round(acc / n, 6))
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "trigram_logprob": pa.array(out, pa.float64())}
+        )
+
+
 # PII redaction patterns (RE2-safe: no backrefs/lookaround) — applied with
 # Arrow's RE2 kernel so the DuckDB oracle (also RE2) matches byte-exactly.
 PII_PATTERNS = [
