@@ -223,17 +223,18 @@ def _q_search_lexical(sf_dir: str):
 
 
 def _q_search_rerank(sf_dir: str):
+    import pyarrow.compute as pc
+
     from semantic_search_system_ray.pipelines.search import rerank, search_lexical
     from semantic_search_system_ray.pipelines.queries import read_docs
 
     docs = read_docs(sf_dir, ["doc_id", "text"])
     top = search_lexical(docs, "merge sort window", k=30)
-    ids = {r["doc_id"] for r in top.take_all()}
+    # bounded candidate-id fetch (k ≤ 30) → vectorized is_in filter
+    ids = pa.array(sorted({str(r["doc_id"]) for r in top.take_all()}), pa.string())
     candidates = docs.map_batches(
         lambda t, ids=ids: t.filter(
-            __import__("pyarrow").array(
-                [str(v) in ids for v in t.column("doc_id").to_pylist()]
-            )
+            pc.is_in(pc.cast(t.column("doc_id"), pa.string()), value_set=ids)
         ),
         batch_format="pyarrow",
     )

@@ -176,19 +176,14 @@ def distinct_rows(
         out_blocks = max(16, DataContext.get_current().min_parallelism)
 
     if strategy == "partition":
-        import zlib
+        from semantic_search_system_ray.stages.util import _route_parts, ensure_schema
 
-        from semantic_search_system_ray.stages.util import ensure_schema
-
-        crc = zlib.crc32
         num_partitions = out_blocks
 
         def route(t: pa.Table) -> pa.Table:
-            joined = pc.binary_join_element_wise(
-                *[t.column(c) for c in columns], "\x00"
+            return t.append_column(
+                "part", _route_parts(t, columns, num_partitions)
             )
-            parts = [crc(s.encode()) % num_partitions for s in joined.to_pylist()]
-            return t.append_column("part", pa.array(parts, pa.int32()))
 
         def per_part(g: pa.Table) -> pa.Table:
             return g.drop_columns(["part"]).group_by(columns).aggregate([])

@@ -1021,7 +1021,13 @@ def q_events_sliding(sf_dir: str):
     Two-phase hourly partials (combiner) → the only shuffle is the tiny
     (type, hour) groupby → per-type vectorized window via cumsum +
     searchsorted (event_type cardinality is small, so a plain
-    ``groupby.map_groups`` is the right tool — no coarse routing needed)."""
+    ``groupby.map_groups`` is the right tool — no coarse routing needed).
+
+    Values are fixed-precision (2dp) → summed as SCALED INT64 cents, one
+    bigint→double divide + round at the end, mirrored exactly by the SQL
+    oracle — float partial sums are order-dependent under Ray's parallel
+    aggregation and np.round is banker's vs DuckDB's half-away, the same
+    last-ulp hash-flip class the money queries eliminated."""
     import numpy as np
     import pandas as pd
 
@@ -1029,16 +1035,16 @@ def q_events_sliding(sf_dir: str):
 
     def bucket(t: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
         t2 = pa.Table.from_pydict(
-            {"event_type": t.column("event_type"), "hour": hour,
-             "value": t.column("value")}
+            {"event_type": t.column("event_type"), "hour": hour, "cents": cents}
         )
-        return t2.group_by(["event_type", "hour"]).aggregate([("value", "sum")])
+        return t2.group_by(["event_type", "hour"]).aggregate([("cents", "sum")])
 
     hourly = (
         ds.map_batches(bucket, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
-        .aggregate(Sum("value_sum", alias_name="hour_sum"))
+        .aggregate(Sum("cents_sum", alias_name="hour_cents"))
     )
     out_schema = pa.schema(
         [("event_type", pa.string()), ("hour", pa.string()),
@@ -1048,14 +1054,17 @@ def q_events_sliding(sf_dir: str):
     def window(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("hour", kind="mergesort")
         hours = g["hour"].to_numpy()
-        sums = g["hour_sum"].to_numpy()
-        csum = np.concatenate([[0.0], np.cumsum(sums)])
+        sums = g["hour_cents"].to_numpy().astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(sums)])
         lo = np.searchsorted(hours, hours - np.timedelta64(2, "h"), side="left")
-        sliding = csum[np.arange(1, len(sums) + 1)] - csum[lo]
+        sliding_cents = csum[np.arange(1, len(sums) + 1)] - csum[lo]
+        # one int→double divide; 2dp payload means round(x, 3) is exact on
+        # both sides (identical doubles in engine and oracle)
+        sliding = np.round(sliding_cents / 100.0, 3)
         return pd.DataFrame(
             {"event_type": g["event_type"],
              "hour": pd.Series(g["hour"]).dt.strftime("%Y-%m-%d %H:00:00"),
-             "sliding_sum": np.round(sliding, 3)}
+             "sliding_sum": sliding}
         )
 
     return ensure_schema(
@@ -1067,9 +1076,11 @@ def q_events_sliding(sf_dir: str):
 SQL_EVENTS_SLIDING = """
 SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
-       round(sum(sum(value)) OVER (PARTITION BY event_type
+       round(sum(sum(CAST(round(value * 100) AS BIGINT))) OVER (
+             PARTITION BY event_type
              ORDER BY date_trunc('hour', ts)
-             RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW), 3)
+             RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)
+             / 100.0, 3)
          AS sliding_sum
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
@@ -1120,7 +1131,10 @@ def q_purchase_click_window(sf_dir: str):
     cogroup keyed by user; inside a partition the interval counting is
     fully vectorized — clicks collapse to a composite (key_code·C +
     ts_rel) sorted array and every purchase's window becomes two
-    np.searchsorted probes. No per-key Python loop."""
+    np.searchsorted probes. If the partition's time span is too wide for
+    the composite (C = 2^(62-bitlen(n_keys)) µs), a per-key lexsorted
+    fallback runs instead — correct at any span, checked in every run
+    mode (not an assert)."""
     import numpy as np
     import pandas as pd
 
@@ -1154,19 +1168,41 @@ def q_purchase_click_window(sf_dir: str):
             return out_schema.empty_table()
         ts_all = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         keys, codes_all = np.unique(df["key"].to_numpy(), return_inverse=True)
+        codes_all = codes_all.astype(np.int64)
         C = np.int64(1) << np.int64(62 - int(len(keys)).bit_length())
         rel = ts_all - ts_all.min() + HOUR  # keep window starts ≥ 0
-        assert rel.max() < C
-        composite = codes_all.astype(np.int64) * C + rel
-        click_comp = np.sort(composite[~purch_mask])
-        p_comp = composite[purch_mask]
-        lo = np.searchsorted(click_comp, p_comp - HOUR, side="left")
-        hi = np.searchsorted(click_comp, p_comp, side="left")  # strictly before
+        p_eids = df["event_id"].to_numpy()[purch_mask].astype(np.int64)
+        if rel.max() < C:
+            # fast path: (key, ts) packs into one int64 composite — two
+            # global searchsorted probes cover every purchase
+            composite = codes_all * C + rel
+            click_comp = np.sort(composite[~purch_mask])
+            p_comp = composite[purch_mask]
+            lo = np.searchsorted(click_comp, p_comp - HOUR, side="left")
+            hi = np.searchsorted(click_comp, p_comp, side="left")  # strictly before
+        else:
+            # composite would overflow (partition time span ≥ C given this
+            # key cardinality) — fall back to per-key searchsorted over a
+            # (code, ts)-lexsorted click array. Loud and correct in every
+            # run mode (the old `assert` vanished under python -O).
+            cl_codes = codes_all[~purch_mask]
+            cl_ts = rel[~purch_mask]
+            order = np.lexsort((cl_ts, cl_codes))
+            cl_codes, cl_ts = cl_codes[order], cl_ts[order]
+            p_codes = codes_all[purch_mask]
+            p_ts = rel[purch_mask]
+            blk_lo = np.searchsorted(cl_codes, p_codes, side="left")
+            blk_hi = np.searchsorted(cl_codes, p_codes, side="right")
+            lo = np.empty(len(p_ts), dtype=np.int64)
+            hi = np.empty(len(p_ts), dtype=np.int64)
+            for i in range(len(p_ts)):  # per-purchase probe, overflow regime only
+                a, b = blk_lo[i], blk_hi[i]
+                lo[i] = a + np.searchsorted(cl_ts[a:b], p_ts[i] - HOUR, side="left")
+                hi[i] = a + np.searchsorted(cl_ts[a:b], p_ts[i], side="left")
         n = hi - lo
         keep = n > 0
         return pa.Table.from_pydict(
-            {"event_id": df["event_id"].to_numpy()[purch_mask][keep].astype(np.int64),
-             "n_clicks": n[keep]},
+            {"event_id": p_eids[keep], "n_clicks": n[keep]},
             schema=out_schema,
         )
 

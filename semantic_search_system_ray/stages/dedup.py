@@ -653,6 +653,10 @@ def embedding_cosine_dups(
     - ``strategy="auto"``: exact below ``broadcast_threshold``, else lsh.
     """
     if strategy == "auto":
+        # materialize before branching: count() on an unmaterialized
+        # Dataset executes the upstream pipeline, and BOTH branches read
+        # the data again right after — without this the input ran twice
+        ds = ds.materialize()
         strategy = "exact" if ds.count() <= broadcast_threshold else "lsh"
     if strategy == "lsh":
         return _cosine_dups_lsh(
@@ -762,7 +766,21 @@ def _cosine_dups_lsh(
 
     bucketed = ds.map_batches(_Bucketize, batch_format="pyarrow", concurrency=(1, 8))
 
+    # Bucket-size cap: a degenerate bucket (many identical/zero vectors,
+    # duplicated across num_tables tables) would otherwise trigger an
+    # O(n²) dense matmul per partition. Oversized buckets are truncated to
+    # the ``bucket_cap`` members with the smallest ids (deterministic) and
+    # the drop is logged (no-silent-caps convention) — a bucket this hot
+    # means the plane count is too low for the collection anyway.
+    bucket_cap = 512
+
     def bucket_pairs(g) -> pa.Table:
+        if len(g) > bucket_cap:
+            print(
+                f"[cosine_dups_lsh] bucket over cap: {len(g)} members, "
+                f"keeping {bucket_cap} smallest ids ({len(g) - bucket_cap} dropped)"
+            )
+            g = g.sort_values("vid", kind="mergesort").head(bucket_cap)
         ids = list(g["vid"])
         mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
         sims = mat @ mat.T

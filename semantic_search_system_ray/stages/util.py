@@ -39,6 +39,13 @@ def _default_partitions() -> int:
     return max(16, DataContext.get_current().min_parallelism)
 
 
+# Sentinel routing key for null key tuples: binary_join_element_wise emits
+# null when ANY component is null, so nulls are hashed via this marker —
+# all-null-key rows land in one partition (consistent routing; a real key
+# colliding with the sentinel merely shares the partition, never the group).
+_NULL_KEY = "\x00\x00__null__"
+
+
 def _route_parts(t: pa.Table, keys: list[str], num_partitions: int) -> pa.Array:
     """crc32 of the stringified key tuple, mod P — the coarse routing key.
     Deliberately the simple per-row crc loop: a fully numpy-vectorized
@@ -46,7 +53,10 @@ def _route_parts(t: pa.Table, keys: list[str], num_partitions: int) -> pa.Array:
     4-5 extra memory passes over the byte buffer cost what the Python
     loop costs), and crc32 is battle-tested. ~1 µs/row; routing is <5% of
     any shuffle stage that uses it. Never ``pd.util.hash_pandas_object``
-    (returns corrupt repeated hashes inside Ray workers on this stack)."""
+    (returns corrupt repeated hashes inside Ray workers on this stack).
+    Null key components route via ``_NULL_KEY`` (see above) instead of
+    crashing; per-primitive null-key SEMANTICS are documented on each
+    caller (groupby primitives keep null groups, joins drop null keys)."""
     import pyarrow.compute as pc
 
     joined = pc.binary_join_element_wise(
@@ -54,7 +64,9 @@ def _route_parts(t: pa.Table, keys: list[str], num_partitions: int) -> pa.Array:
     )
     crc = zlib.crc32
     return pa.array(
-        [crc(s.encode()) % num_partitions for s in joined.to_pylist()], pa.int32()
+        [crc((s if s is not None else _NULL_KEY).encode()) % num_partitions
+         for s in joined.to_pylist()],
+        pa.int32(),
     )
 
 
@@ -70,7 +82,10 @@ def coarse_partition_apply(
     land together) and run ``fn(partition: pd.DataFrame) -> pa.Table`` once
     per PARTITION — ``fn`` does its own per-key work fully vectorized
     (pandas groupby/merge), so Ray's per-group overhead is paid P times
-    total, not per key."""
+    total, not per key. Rows with null key components are routed (one
+    sentinel partition) and handed to ``fn`` like any others — ``fn``
+    decides their semantics (use ``dropna=False`` in a pandas groupby to
+    keep them as a group)."""
     if num_partitions is None:
         num_partitions = _default_partitions()
 
@@ -112,6 +127,16 @@ def coarse_attach(
     lists to bytes before attaching (cheap, and it keeps nulls trivial
     through the union).
 
+    Null join keys on either side are DROPPED (SQL inner-join semantics:
+    null never equals null — pandas merge would wrongly match NaN keys).
+
+    Duplicate right-side keys: the attach picks ONE right row per key,
+    chosen DETERMINISTICALLY as the minimum over (key, *attach columns) —
+    block arrival order never decides. Callers with a unique-right-key
+    contract (all current ones) are unaffected; callers that can see
+    duplicate keys with differing payloads get a stable, documented pick
+    rather than a silent arbitrary one.
+
     Caveat: int64 payload columns ride the null-bearing union as pandas
     float64 inside the partition merge — integer exactness ends at 2^53,
     so pass ids that can exceed it as STRINGS (the dedup pipelines already
@@ -132,8 +157,11 @@ def coarse_attach(
     def tag_left(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        key = pc.cast(t.column(left_key), pa.string())
+        t = t.filter(pc.is_valid(key))  # null keys never match: drop early
+        key = pc.cast(t.column(left_key), pa.string())
         n = t.num_rows
-        arrays = [pc.cast(t.column(left_key), pa.string())]
+        arrays = [key]
         arrays += [t.column(c) for c in left_cols]
         arrays += [pa.nulls(n, out_schema.field(a).type) for a in attach_as]
         arrays += [pa.array([False] * n)]
@@ -142,8 +170,11 @@ def coarse_attach(
     def tag_right(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        key = pc.cast(t.column(right_key), pa.string())
+        t = t.filter(pc.is_valid(key))
+        key = pc.cast(t.column(right_key), pa.string())
         n = t.num_rows
-        arrays = [pc.cast(t.column(right_key), pa.string())]
+        arrays = [key]
         arrays += [pa.nulls(n, out_schema.field(c).type) for c in left_cols]
         arrays += [t.column(c) for c in attach_cols]
         arrays += [pa.array([True] * n)]
@@ -158,7 +189,12 @@ def coarse_attach(
         lhs = df[~df["__rhs"]]
         if lhs.empty or rhs.empty:
             return out_schema.empty_table()
-        lookup = rhs.drop_duplicates(subset="__key")[["__key"] + list(attach_as)]
+        # deterministic pick among duplicate right keys: min over
+        # (key, *attach cols) — never block arrival order
+        lookup = (
+            rhs.sort_values(["__key"] + list(attach_as), kind="mergesort")
+            .drop_duplicates(subset="__key")[["__key"] + list(attach_as)]
+        )
         merged = lhs[["__key"] + left_cols].merge(lookup, on="__key", how="inner")
         return pa.Table.from_arrays(
             [pa.array(merged[f.name].tolist(), f.type) for f in out_schema],
@@ -181,7 +217,10 @@ def coarse_anti_join(
 ):
     """Distributed anti join: left rows whose key has NO match in right.
     Same coarse-partition cogroup as ``coarse_attach`` — the probe-side key
-    set only ever exists per-partition (bounded), never on the driver."""
+    set only ever exists per-partition (bounded), never on the driver.
+    Null keys follow SQL ``NOT EXISTS`` semantics: a null left key never
+    matches anything (row KEPT); null right keys are dropped from the
+    probe set."""
     if num_partitions is None:
         num_partitions = _default_partitions()
 
@@ -205,6 +244,7 @@ def coarse_anti_join(
 
         # per-block distinct combiner: only unique keys ride the shuffle
         keys = pc.cast(t.column(right_key), pa.string()).combine_chunks()
+        keys = keys.filter(pc.is_valid(keys))  # null probe keys match nothing
         keys = pa.Table.from_arrays([keys], names=["k"]).group_by(["k"]).aggregate([])
         n = keys.num_rows
         arrays = [keys.column("k")]
@@ -275,6 +315,10 @@ def coarse_asof_join(
     def tag_left(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        key = pc.cast(t.column(left_key), pa.string())
+        on = pc.cast(t.column(left_on), pa.timestamp("us"))
+        # null key or null timestamp can never match (inner semantics)
+        t = t.filter(pc.and_(pc.is_valid(key), pc.is_valid(on)))
         n = t.num_rows
         arrays = [pc.cast(t.column(left_key), pa.string()),
                   pc.cast(t.column(left_on), pa.timestamp("us"))]
@@ -286,6 +330,9 @@ def coarse_asof_join(
     def tag_right(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        key = pc.cast(t.column(right_key), pa.string())
+        on = pc.cast(t.column(right_on), pa.timestamp("us"))
+        t = t.filter(pc.and_(pc.is_valid(key), pc.is_valid(on)))
         n = t.num_rows
         arrays = [pc.cast(t.column(right_key), pa.string()),
                   pc.cast(t.column(right_on), pa.timestamp("us"))]
@@ -341,7 +388,9 @@ def coarse_grouped_apply(
 
     ``fn(group: pd.DataFrame) -> pa.Table`` must return ``out_schema``
     rows; groups smaller than ``min_group_size`` are skipped (useful for
-    candidate-pair generation where singleton buckets are noise)."""
+    candidate-pair generation where singleton buckets are noise). A null
+    key is a GROUP (pandas ``dropna=False``), matching Ray's native
+    groupby semantics."""
     import pandas as pd
 
     if num_partitions is None:
@@ -353,7 +402,7 @@ def coarse_grouped_apply(
     def per_part(df: pd.DataFrame) -> pa.Table:
         df = df.drop(columns=["__part"])
         outs = []
-        for _k, g in df.groupby(keys, sort=False):
+        for _k, g in df.groupby(keys, sort=False, dropna=False):
             if len(g) >= min_group_size:
                 outs.append(fn(g))
         outs = [o for o in outs if o is not None and o.num_rows > 0]

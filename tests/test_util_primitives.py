@@ -151,3 +151,122 @@ def test_train_split_deterministic_fractions(ray_session):
     ).to_pandas().set_index("doc_id")["split"]
     full = out.set_index("doc_id")["split"]
     assert (full.loc[sub.index] == sub).all()
+
+
+def test_coarse_primitives_null_keys(ray_session):
+    """Null join/group keys must not crash the crc router (advice r2):
+    groupby primitives keep null as a group; joins drop null keys
+    (SQL semantics)."""
+    left = rd.from_arrow(pa.table(
+        {"k": ["a", None, "b", None], "v": [1, 2, 3, 4]}
+    ))
+    right = rd.from_arrow(pa.table(
+        {"rk": ["a", None], "payload": ["PA", "PNULL"]}
+    ))
+
+    # grouped apply: null is a group (matches Ray native groupby)
+    out_schema = pa.schema([("k", pa.string()), ("total", pa.int64())])
+
+    def agg(g) -> pa.Table:
+        k = g["k"].iloc[0]
+        return pa.Table.from_pydict(
+            {"k": [None if (k != k or k is None) else k],
+             "total": [int(g["v"].sum())]},
+            schema=out_schema,
+        )
+
+    from semantic_search_system_ray.stages.util import coarse_grouped_apply
+
+    got = {r["k"]: r["total"] for r in
+           coarse_grouped_apply(left, ["k"], agg, out_schema).take_all()}
+    assert got == {"a": 1, "b": 3, None: 6}
+
+    # attach: null left keys and null right keys are dropped (inner join)
+    attach_schema = pa.schema([("v", pa.int64()), ("payload", pa.string())])
+    rows = sorted(
+        (r["v"], r["payload"])
+        for r in coarse_attach(
+            left, right, left_key="k", right_key="rk",
+            attach_cols=["payload"], out_schema=attach_schema,
+        ).take_all()
+    )
+    assert rows == [(1, "PA")]
+
+    # anti join: null left keys KEPT (never match), null right keys ignored
+    anti_schema = pa.schema([("k", pa.string()), ("v", pa.int64())])
+    kept = sorted(
+        r["v"] for r in coarse_anti_join(
+            left, right, left_key="k", right_key="rk", out_schema=anti_schema
+        ).take_all()
+    )
+    assert kept == [2, 3, 4]
+
+
+def test_coarse_attach_duplicate_right_keys_deterministic(ray_session):
+    """Duplicate right keys pick the MIN (key, attach) row, independent of
+    block arrival order (advice r2)."""
+    left = rd.from_arrow(pa.table({"k": ["z"], "v": [1]}))
+    out_schema = pa.schema([("v", pa.int64()), ("p", pa.string())])
+    for order in ([("z", "B"), ("z", "A")], [("z", "A"), ("z", "B")]):
+        right = rd.from_arrow([
+            pa.table({"rk": [order[0][0]], "p": [order[0][1]]}),
+            pa.table({"rk": [order[1][0]], "p": [order[1][1]]}),
+        ])
+        got = coarse_attach(
+            left, right, left_key="k", right_key="rk",
+            attach_cols=["p"], out_schema=out_schema,
+        ).take_all()
+        assert [(r["v"], r["p"]) for r in got] == [(1, "A")]
+
+
+def test_purchase_window_overflow_fallback_parity(ray_session, tmp_path):
+    """The composite-overflow fallback (wide time span) must agree with
+    the fast composite path (advice r2: loud/correct in all run modes)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    # Force the overflow branch: C = 2^(62 - bitlen(keys_per_partition)) µs.
+    # ~200k distinct users over 16 partitions → ~12.5k keys each → bitlen 14
+    # → C = 2^48 µs ≈ 8.9 years, while the span below is ~40 years, so
+    # rel.max() >= C in every partition. Clustered (click, purchase) pairs
+    # guarantee real matches despite the sparse timeline.
+    n_noise = 30_000
+    base = pd.Timestamp("1990-01-01").value // 1000
+    span = int(40 * 365.25 * 24 * 3600 * 1e6)
+    noise_ts = base + rng.randint(0, span, size=n_noise)
+    noise_users = rng.randint(0, 200_000, size=n_noise)
+    noise_type = np.where(rng.rand(n_noise) < 0.3, "purchase", "click")
+    n_pairs = 1_000
+    pair_users = rng.randint(0, 200_000, size=n_pairs)
+    click_ts = base + rng.randint(0, span - 10**9, size=n_pairs)
+    purch_ts = click_ts + int(10 * 60 * 1e6)  # purchase 10 min after click
+    df = pd.DataFrame({
+        "event_id": np.arange(n_noise + 2 * n_pairs),
+        "user_id": np.concatenate([noise_users, pair_users, pair_users]),
+        "event_type": np.concatenate(
+            [noise_type, ["click"] * n_pairs, ["purchase"] * n_pairs]
+        ),
+        "ts": pd.to_datetime(
+            np.concatenate([noise_ts, click_ts, purch_ts]), unit="us"
+        ),
+        "value": 1.0,
+    })
+    d = tmp_path / "events.parquet"
+    df.to_parquet(d)
+
+    from semantic_search_system_ray.pipelines.queries import q_purchase_click_window
+
+    got = {r["event_id"]: r["n_clicks"]
+           for r in q_purchase_click_window(str(tmp_path)).take_all()}
+
+    # exact reference: per-purchase pandas count
+    exp = {}
+    clicks = df[df.event_type == "click"]
+    for _, p in df[df.event_type == "purchase"].iterrows():
+        m = clicks[(clicks.user_id == p.user_id)
+                   & (clicks.ts >= p.ts - pd.Timedelta(hours=1))
+                   & (clicks.ts < p.ts)]
+        if len(m):
+            exp[int(p.event_id)] = len(m)
+    assert got == exp
