@@ -7,11 +7,14 @@
   the training-data operator suite); each takes ``sf_dir``.
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
   (same column names, same rounding), incl. generated oracles for the
-  text-analysis/search suite (pipelines/text_oracles.py). Genuinely
-  non-SQL ops (KG extraction, minhash/simhash clustering — blake2b-seeded
-  signatures, LSH ANN — seeded hyperplanes, k-means taxonomy, media
-  features) are intentionally absent → the driver records rows-only
-  checks for them; each has pytest coverage instead.
+  text-analysis/search suite AND the flagship ``kg_triples`` pipeline
+  (pipelines/text_oracles.py — the greedy gazetteer matcher collapses to
+  closed form over the clean word-soup corpus; assumptions pinned in
+  tests/test_kg_oracle_assumptions.py). Genuinely non-SQL ops
+  (minhash clustering — blake2b-seeded signatures, LSH ANN — seeded
+  hyperplanes, k-means taxonomy, media features) are intentionally
+  absent → the driver records rows-only checks for them; each has pytest
+  coverage instead.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
@@ -50,15 +53,53 @@ def _testdata_taxonomy_table() -> pa.Table:
     )
 
 
-def _empty_phrase_docs():
-    import ray.data as rd
+# Deterministic phrase→docs fixture (reference ``topics.json`` shape,
+# knowledge_graph/knowledge_graph.py:160-186): phrase i (list order below)
+# relates to every doc with doc_id % 5 == i % 5. The last phrase is NOT in
+# the taxonomy → exercises the inner-join drop. SQL-expressible, so the
+# RELATES_TO_DOC branch sits on the driver's hash gate (round-2 verdict
+# item 3 — was an always-empty table).
+TESTDATA_PHRASE_LIST: list[str] = [
+    "hash join", "sort merge", "table scan", "stream",
+    "window", "vector", "batch", "group query",
+    "missing phrase",  # not in TESTDATA_TAXONOMY → dropped by the join
+]
 
-    return rd.from_arrow(
-        pa.Table.from_pydict(
-            {"phrase": pa.array([], pa.string()), "doc_id": pa.array([], pa.string()),
-             "url": pa.array([], pa.string()), "title": pa.array([], pa.string())}
+
+def _testdata_phrase_docs(sf_dir: str):
+    """(phrase, doc_id, url, title) rows, doc-contiguous within each block
+    (the layout contract of distinct_doc_partitioned's boundary repair)."""
+    import numpy as np
+
+    from semantic_search_system_ray.pipelines.queries import read_docs
+
+    res_phrases: dict[int, list[str]] = {}
+    for i, p in enumerate(TESTDATA_PHRASE_LIST):
+        res_phrases.setdefault(i % 5, []).append(p)
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = np.sort(t.column("doc_id").to_numpy(zero_copy_only=False))
+        docs_out, phr_out = [], []
+        for r, plist in res_phrases.items():
+            sel = ids[ids % 5 == r]
+            for p in plist:
+                docs_out.append(sel)
+                phr_out.append(np.full(len(sel), p, dtype=object))
+        docs = np.concatenate(docs_out)
+        phr = np.concatenate(phr_out)
+        order = np.argsort(docs, kind="stable")  # doc-contiguous layout
+        docs, phr = docs[order], phr[order]
+        n = len(docs)
+        return pa.Table.from_pydict(
+            {
+                "phrase": pa.array(phr, pa.string()),
+                "doc_id": pa.array([str(x) for x in docs.tolist()], pa.string()),
+                "url": pa.array([""] * n, pa.string()),
+                "title": pa.array([""] * n, pa.string()),
+            }
         )
-    )
+
+    return read_docs(sf_dir, ["doc_id"]).map_batches(emit, batch_format="pyarrow")
 
 
 def _kg_triples(sf_dir: str):
@@ -69,7 +110,7 @@ def _kg_triples(sf_dir: str):
     docs = read_docs(sf_dir, ["doc_id", "text"])
     spans = text_table_to_spans(docs)
     res = build_triples(
-        spans, _testdata_taxonomy_table(), _empty_phrase_docs(),
+        spans, _testdata_taxonomy_table(), _testdata_phrase_docs(sf_dir),
         TESTDATA_GAZETTEER, concurrency=(1, 4), batch_size=128,
     )
     return res.triples
@@ -307,6 +348,9 @@ def oracle_sql() -> dict[str, str]:
     out.update(
         {
             # generated from the same constants the engine stages use
+            "kg_triples": tox.sql_kg_triples(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
             "search_lexical": tox.sql_search_lexical(
                 ["hash", "join", "table", "scan"], k=20
             ),

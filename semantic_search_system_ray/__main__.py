@@ -113,7 +113,10 @@ def main(argv: list[str] | None = None) -> int:
             "out": args.out,
             "triples": rec.rows_out if rec else None,
             "partitions": m.totals("raw_triples"),
-            "canon_entries": len(res.canon),
+            "canon_entries": (
+                len(res.canon) if isinstance(res.canon, dict)
+                else res.canon.count()  # regime-3 distributed map
+            ),
         }))
         return 0
     finally:

@@ -215,3 +215,144 @@ SELECT doc_id, n_chars, n_words,
          AS quality
 FROM ratios
 """
+
+
+def sql_kg_triples(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """DuckDB oracle for the FLAGSHIP kg_triples pipeline over the driver's
+    word-soup documents (round-2 verdict item 2 — the headline pipeline
+    joins the hard rows+schema+hash gate).
+
+    Reproduces, in SQL, exactly what the engine computes on THIS corpus:
+
+    - span layout (sources/documents._spans_for_text): the corpus has no
+      sentence punctuation and single-space words (asserted by the paired
+      pytest), so a doc is ONE span when len(text) <= 200, else 12-word
+      chunks; media spans carry no text. Chunk = regex match scope.
+    - gazetteer matching (functions/extraction.GazetteerMatcher): longest-
+      first, left-to-right, non-overlapping, word-bounded. Over clean
+      word-soup this reduces to: a 2-word phrase matches at word i iff
+      (w[i], w[i+1]) is a phrase, both words in the same chunk, and i is
+      not consumed by a previous match. Consecutive pairable positions
+      form runs in which matches land at even offsets (the greedy
+      recurrence collapsed to closed form); a 1-word surface matches when
+      its position is neither consumed nor a 2-word match start.
+    - top-5 per class: Counter.most_common semantics = count DESC, first
+      occurrence ASC (insertion-order ties) — ROW_NUMBER over
+      (cnt DESC, min(pos) ASC).
+    - canonicalization: for THIS gazetteer every surface is lowercase with
+      a unique (first,last)-token signature, so the canonical map is the
+      identity (asserted by the paired pytest) and the SQL omits the
+      union-find; the engine still runs its full canon machinery.
+    - no SVO triples: the corpus vocabulary contains none of the verb
+      surfaces (asserted by the paired pytest).
+    - IN_TOPIC from the taxonomy VALUES; RELATES_TO_DOC from the
+      deterministic phrase->docs rule (phrase i -> docs with doc_id % 5 ==
+      i % 5), inner-joined to the taxonomy (phrases outside it drop).
+    """
+    pairs = sorted(s for s in gazetteer if " " in s)
+    singles = sorted(s for s in gazetteer if " " not in s)
+    pair_list = ", ".join(_sql_str(s) for s in pairs)
+    single_list = ", ".join(_sql_str(s) for s in singles)
+    gaz_values = ", ".join(
+        f"({_sql_str(s)}, {_sql_str(l)})" for s, l in sorted(gazetteer.items())
+    )
+    tax_rows = []
+    phrase_to_topic = {}
+    for topic, ps in taxonomy.items():
+        for p in ps:
+            phrase_to_topic.setdefault(p.strip().lower(), topic.strip().lower())
+            tax_rows.append((p.strip().lower(), topic.strip().lower()))
+    tax_values = ", ".join(
+        f"({_sql_str(p)}, {_sql_str(t)})" for p, t in sorted(set(tax_rows))
+    )
+    relates_rows = sorted(
+        {
+            (phrase_to_topic[p.strip().lower()], i % 5)
+            for i, p in enumerate(phrase_list)
+            if p.strip().lower() in phrase_to_topic
+        }
+    )
+    relates_values = ", ".join(f"({_sql_str(t)}, {r})" for t, r in relates_rows)
+    return f"""
+WITH doc AS (
+  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS d,
+         length(text) > 200 AS chunked,
+         string_split(text, ' ') AS ws
+  FROM documents
+),
+words AS (
+  SELECT d, chunked,
+         unnest(ws) AS w,
+         unnest(generate_series(1, len(ws))) - 1 AS pos
+  FROM doc
+),
+marks AS (
+  SELECT d, pos, w,
+         CASE WHEN chunked THEN pos // 12 ELSE 0 END AS chunk,
+         lead(w) OVER (PARTITION BY d ORDER BY pos) AS w2,
+         CASE WHEN chunked THEN (pos + 1) // 12 ELSE 0 END AS next_chunk
+  FROM words
+),
+pairable AS (
+  SELECT d, pos, w, chunk, w2,
+         (w2 IS NOT NULL AND chunk = next_chunk
+          AND (w || ' ' || w2) IN ({pair_list})) AS is_pair
+  FROM marks
+),
+match2 AS (
+  SELECT d, pos, w || ' ' || w2 AS surface
+  FROM (
+    SELECT d, pos, w, w2,
+           ROW_NUMBER() OVER (PARTITION BY d, chunk, run_id ORDER BY pos) - 1 AS off
+    FROM (
+      SELECT d, pos, w, chunk, w2,
+             pos - ROW_NUMBER() OVER (PARTITION BY d, chunk ORDER BY pos) AS run_id
+      FROM pairable WHERE is_pair
+    )
+  )
+  WHERE off % 2 = 0
+),
+match1 AS (
+  SELECT p.d, p.pos, p.w AS surface
+  FROM pairable p
+  LEFT JOIN match2 cur ON cur.d = p.d AND cur.pos = p.pos
+  LEFT JOIN match2 prev ON prev.d = p.d AND prev.pos = p.pos - 1
+  WHERE p.w IN ({single_list}) AND cur.pos IS NULL AND prev.pos IS NULL
+),
+matches AS (
+  SELECT m.d, m.pos, m.surface, g.label
+  FROM (SELECT * FROM match2 UNION ALL SELECT * FROM match1) m
+  JOIN (VALUES {gaz_values}) AS g(surface, label) ON g.surface = m.surface
+),
+ranked AS (
+  SELECT d, surface,
+         CASE WHEN label = 'TOPIC' THEN 'topic' ELSE 'ent' END AS cls,
+         count(*) AS cnt, min(pos) AS first_pos
+  FROM matches
+  WHERE label IN ('TOPIC', 'PERSON', 'ORG', 'GPE')
+  GROUP BY d, surface, label
+),
+top5 AS (
+  SELECT d, surface, cls FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY d, cls ORDER BY cnt DESC, first_pos) AS rk
+    FROM ranked
+  ) WHERE rk <= 5
+)
+SELECT subj, pred, obj FROM (
+  SELECT d AS subj, 'MENTIONS' AS pred, surface AS obj FROM top5 WHERE cls = 'ent'
+  UNION
+  SELECT d, 'HAS_TOPIC', surface FROM top5 WHERE cls = 'topic'
+  UNION
+  SELECT phrase, 'IN_TOPIC', topic
+  FROM (VALUES {tax_values}) AS t(phrase, topic)
+  UNION
+  SELECT r.topic, 'RELATES_TO_DOC', doc.d
+  FROM (VALUES {relates_values}) AS r(topic, res)
+  JOIN doc ON doc.did % 5 = r.res
+)
+"""

@@ -206,6 +206,83 @@ def coarse_attach(
     )
 
 
+def coarse_map_column(
+    ds: rd.Dataset,
+    mapping: rd.Dataset,
+    *,
+    col: str,
+    key_col: str,
+    value_col: str,
+    out_schema: pa.Schema,
+    num_partitions: int | None = None,
+):
+    """Replace ``ds[col]`` with ``mapping[value_col]`` where ``ds[col] ==
+    mapping[key_col]``, IDENTITY where no mapping row exists — the
+    distributed left-join-with-fallback used to apply a canonical map too
+    large to broadcast as a dict (stages/canon). Both sides ride one
+    coarse cogroup keyed on the mapped value; pandas C-level merge per
+    partition. ``col`` must be a STRING column (the identity fallback
+    reuses the stringified key). NOTE: the cogroup re-routes rows by
+    ``col`` hash, so any
+    upstream block-contiguity invariant (e.g. doc-contiguous rows) does
+    NOT survive this operator — callers in that regime must follow with a
+    shuffle-based distinct, not a block-local one."""
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+    other_cols = [n for n in out_schema.names if n != col]
+
+    union_schema = pa.schema(
+        [("__key", pa.string())]
+        + [(n, out_schema.field(n).type) for n in other_cols]
+        + [("__mapped", pa.string()), ("__rhs", pa.bool_())]
+    )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        arrays = [pc.cast(t.column(col), pa.string())]
+        arrays += [t.column(c) for c in other_cols]
+        arrays += [pa.nulls(n, pa.string()), pa.array([False] * n)]
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        arrays = [pc.cast(t.column(key_col), pa.string())]
+        arrays += [pa.nulls(n, out_schema.field(c).type) for c in other_cols]
+        arrays += [pc.cast(t.column(value_col), pa.string()),
+                   pa.array([True] * n)]
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    combined = ds.map_batches(tag_left, batch_format="pyarrow").union(
+        mapping.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def map_part(df) -> pa.Table:
+        rhs = df[df["__rhs"]]
+        lhs = df[~df["__rhs"]]
+        if lhs.empty:
+            return out_schema.empty_table()
+        lookup = (
+            rhs.sort_values(["__key", "__mapped"], kind="mergesort")
+            .drop_duplicates(subset="__key")[["__key", "__mapped"]]
+        )
+        merged = lhs[["__key"] + other_cols].merge(lookup, on="__key", how="left")
+        merged[col] = merged["__mapped"].where(
+            merged["__mapped"].notna(), merged["__key"]
+        )
+        return pa.Table.from_arrays(
+            [pa.array(merged[f.name].tolist(), f.type) for f in out_schema],
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        combined, ["__key"], map_part, out_schema, num_partitions=num_partitions
+    )
+
+
 def coarse_anti_join(
     left: rd.Dataset,
     right: rd.Dataset,
