@@ -362,6 +362,10 @@ def oracle_sql() -> dict[str, str]:
             "doc_topic_words": tox.sql_doc_topic_words(top_k=10),
             "langid": tox.sql_langid(),
             "quality_score": tox.sql_quality_score(),
+            # simhash joined the hard gate in r3: the per-token hash is
+            # md5-based (== DuckDB md5_number_lower), so the 64-bit
+            # signature is recomputed entirely in SQL
+            "simhash": tox.sql_simhash(),
         }
     )
     return out

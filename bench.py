@@ -110,20 +110,34 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
-    # --- headline: flagship KG build over the spans corpus
-    t0 = time.perf_counter()
-    res = build_triples(
-        rd.read_parquet(f"{corpus}/documents"),
-        __import__("pyarrow.parquet", fromlist=["read_table"]).read_table(
-            f"{corpus}/taxonomy.parquet"
-        ),
-        rd.read_parquet(_phrase_docs_path(corpus)),
-        build_gazetteer(),
-        concurrency=(2, max(2, NCPU // 2)),
-        batch_size=256,
-    )
-    n_triples = res.triples.count()
-    timings["kg_build"] = round(time.perf_counter() - t0, 3)
+    # --- headline: flagship KG build over the spans corpus.
+    # Median of 3 runs (verdict r2 item 5): same-code kg_build swings
+    # 13-26s run-to-run on this host (actor ramp + load); the median with
+    # reported spread stops round-over-round comparisons chasing noise.
+    # Scaling mode keeps a single run (its corpus is 5x larger and the
+    # two legs are compared same-session, where repeats agree).
+    n_runs = 1 if os.environ.get("BENCH_ONLY_KG") else 3
+    kg_times = []
+    for _ in range(n_runs):
+        _warm(f"{corpus}/documents/*.parquet")
+        t0 = time.perf_counter()
+        res = build_triples(
+            rd.read_parquet(f"{corpus}/documents"),
+            __import__("pyarrow.parquet", fromlist=["read_table"]).read_table(
+                f"{corpus}/taxonomy.parquet"
+            ),
+            rd.read_parquet(_phrase_docs_path(corpus)),
+            build_gazetteer(),
+            concurrency=(2, max(2, NCPU // 2)),
+            batch_size=256,
+        )
+        n_triples = res.triples.count()
+        kg_times.append(round(time.perf_counter() - t0, 3))
+    kg_times.sort()
+    timings["kg_build"] = kg_times[len(kg_times) // 2]
+    if n_runs > 1:
+        timings["kg_build_min"] = kg_times[0]
+        timings["kg_build_max"] = kg_times[-1]
 
     n_docs = rd.read_parquet(f"{corpus}/documents").count()
 
@@ -166,13 +180,24 @@ def run_bench() -> dict:
     timings["kg_build_testdata"] = round(time.perf_counter() - t0, 3)
 
     # enriched mode (DocNLP actor pool incl. 256-dim embeddings) over a
-    # slice of the spans corpus — the results.json-contract path
+    # slice of the spans corpus — the results.json-contract path.
+    # The 20k slice is pre-materialized into NCPU blocks OUTSIDE the timer
+    # (verdict r2 item 7: `read.limit()` fed the pool from 1-2 upstream
+    # blocks, serializing the actors behind the limit — the bench then
+    # measured pool starvation, not enrich throughput, vs the profiled
+    # 0.76 ms/doc steady state).
     from semantic_search_system_ray.stages.docnlp import enrich_documents
 
     _warm(f"{corpus}/documents/*.parquet")
+    slice_20k = (
+        rd.read_parquet(f"{corpus}/documents")
+        .limit(20_000)
+        .repartition(max(8, NCPU))
+        .materialize()
+    )
     t0 = time.perf_counter()
     enrich_documents(
-        rd.read_parquet(f"{corpus}/documents").limit(20_000),
+        slice_20k,
         build_gazetteer(), concurrency=(2, max(2, NCPU // 2)),
         batch_size=256, embed=True,
     ).count()

@@ -110,15 +110,27 @@ def minhash_signature(shingles, num_perm: int = 64, seed: int = 1) -> np.ndarray
     return (hv.min(axis=0) & np.uint64(_MAX_H)).astype(np.uint32)
 
 
+def md5_hash64(s: str) -> int:
+    """Unsigned 64-bit token hash matching DuckDB's ``md5_number_lower``
+    (bytes 8..16 of the md5 digest, little-endian) — chosen for simhash so
+    the signature is RECOMPUTABLE in plain SQL and the simhash query sits
+    on the driver's hash gate. Bit quality is equivalent to any md5 slice;
+    blake2b (stable_hash64) stays the default everywhere else."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
+
+
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over token unigrams (frequency-weighted)."""
+    """64-bit SimHash over token unigrams (frequency-weighted), md5-based
+    per-token hash (see md5_hash64 — SQL-recomputable)."""
     if not tokens:
         return 0
     acc = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        h = stable_hash64(t)
+    # frequency weighting via unique+counts: one hash per DISTINCT token
+    uniq, counts = np.unique(np.array(tokens, dtype=object), return_counts=True)
+    for t, c in zip(uniq, counts):
+        h = md5_hash64(t)
         bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
+        acc += np.where(bits.astype(bool), c, -c)
     out = 0
     for i in range(64):
         if acc[i] > 0:

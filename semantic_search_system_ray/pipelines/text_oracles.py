@@ -356,3 +356,39 @@ SELECT subj, pred, obj FROM (
   JOIN doc ON doc.did % 5 = r.res
 )
 """
+
+
+def sql_simhash() -> str:
+    """DuckDB oracle for the per-doc 64-bit SimHash signature
+    (stages/dedup.simhash_table). Recomputable in SQL because the
+    per-token hash is md5-based (functions/hashing.md5_hash64 ==
+    DuckDB ``md5_number_lower``: digest bytes 8..16, little-endian).
+    Bit b of the signature is set iff the frequency-weighted ±1 vote of
+    that bit over all token occurrences is > 0. Powers of two are exact
+    (2**i is a pure power — double-exact up to 2^63, cast to HUGEINT
+    before the integer sum, so no float accumulation)."""
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS w
+  FROM documents
+),
+th AS (SELECT doc_id, md5_number_lower(w) AS h FROM toks),
+bits AS (
+  SELECT doc_id, bi.i AS i,
+         sum(CASE WHEN (h >> bi.i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) bi
+  GROUP BY doc_id, bi.i
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0
+                       THEN CAST(2::HUGEINT ** i AS HUGEINT)
+                       ELSE 0::HUGEINT END) AS UBIGINT) AS sim
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(lpad(lower(hex(s.sim)), 16, '0'), '0000000000000000') AS simhash
+FROM (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
+LEFT JOIN sh s USING (doc_id)
+"""
