@@ -74,15 +74,24 @@ def _decode(media_ref: str, kind: str) -> np.ndarray:
 
 class MediaFeatures:
     """Actor stage: media spans → feature vectors + simple typed metadata.
-    State (a real model / codec context) loads once per actor."""
+    State (a real model / codec context) loads once per actor.
 
-    def __init__(self):
-        self.dim = MEDIA_FEATURE_DIM  # stands in for model/codec handles
+    ``decode`` is the PLUGGABLE seam: a callable ``(media_ref, kind) ->
+    np.ndarray[dim]`` (e.g. a PIL/torchvision or torchaudio wrapper) plus
+    its output ``dim``. Defaults to the sandbox stub; a real decoder drops
+    in WITHOUT touching the pipeline — pass it through
+    ``fn_constructor_kwargs`` so it ships to each actor once (pytest
+    injects a fake decoder end-to-end through media_near_dups)."""
+
+    def __init__(self, decode=None, dim: int | None = None):
+        self.decode = decode if decode is not None else _decode
+        self.dim = dim if dim is not None else MEDIA_FEATURE_DIM
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
         kinds = batch.column("kind").to_pylist()
-        feats = [ _decode(r, k).tolist() for r, k in zip(refs, kinds) ]
+        feats = [np.asarray(self.decode(r, k), dtype=np.float32).tolist()
+                 for r, k in zip(refs, kinds)]
         return pa.Table.from_pydict(
             {
                 "doc_id": batch.column("doc_id"),
@@ -94,11 +103,22 @@ class MediaFeatures:
         )
 
 
-def media_features(docs_ds: rd.Dataset, *, concurrency=(1, 4), batch_size: int = 64) -> rd.Dataset:
-    """documents (doc_id, spans) → one feature row per media span."""
+def media_features(
+    docs_ds: rd.Dataset,
+    *,
+    concurrency=(1, 4),
+    batch_size: int = 64,
+    decode=None,
+    dim: int | None = None,
+) -> rd.Dataset:
+    """documents (doc_id, spans) → one feature row per media span.
+    ``decode``/``dim`` inject a real decoder (see MediaFeatures)."""
+    kwargs = {}
+    if decode is not None or dim is not None:
+        kwargs["fn_constructor_kwargs"] = {"decode": decode, "dim": dim}
     return flatten_media_spans(docs_ds).map_batches(
         MediaFeatures, batch_format="pyarrow",
-        concurrency=concurrency, batch_size=batch_size,
+        concurrency=concurrency, batch_size=batch_size, **kwargs,
     )
 
 
@@ -108,6 +128,8 @@ def media_near_dups(
     threshold: float = 0.99,
     strategy: str = "auto",
     concurrency=(1, 4),
+    decode=None,
+    dim: int | None = None,
 ) -> rd.Dataset:
     """Media near-dup pairs — joins the media FEATURE vectors back into the
     dedup suite (media is a first-class column, not a dead end): decode →
@@ -119,7 +141,9 @@ def media_near_dups(
     stub features are injective in media_ref, so ≥0.99 ⇒ same ref)."""
     from semantic_search_system_ray.stages.dedup import embedding_cosine_dups
 
-    feats = media_features(docs_ds, concurrency=concurrency)
+    feats = media_features(
+        docs_ds, concurrency=concurrency, decode=decode, dim=dim
+    )
 
     def keyed(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

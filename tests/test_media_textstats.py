@@ -136,3 +136,42 @@ def test_redact_pii(ray_session):
     assert red[1] == "mail me at <EMAIL> now"
     assert red[2] == "call <PHONE> or <PHONE>; ssn <SSN>"
     assert red[3] == "clean text with no pii"
+
+
+def test_media_decode_hook_injected_end_to_end(ray_session, small_corpus):
+    """Verdict r2 item 10: a replacement decoder drops into MediaFeatures
+    (fn_constructor_kwargs seam) and flows through media_near_dups without
+    touching the pipeline."""
+    from semantic_search_system_ray.stages.media import (
+        flatten_media_spans,
+        media_features,
+        media_near_dups,
+    )
+
+    def _fake_decoder(media_ref: str, kind: str):
+        # closure -> cloudpickled BY VALUE (a test-module-level function
+        # would pickle by reference and fail to import inside Ray workers)
+        import numpy as np
+
+        basis = {"image": 0, "audio": 1, "table": 2}
+        v = np.zeros(4, dtype=np.float32)
+        v[basis.get(kind, 3)] = 1.0
+        return v
+
+    docs = rd.from_arrow(small_corpus.documents)
+    feats = media_features(docs, decode=_fake_decoder, dim=4).take_all()
+    assert feats and all(len(f["features"]) == 4 for f in feats)
+    kinds = {f["kind"] for f in feats}
+
+    pairs = media_near_dups(
+        docs, decode=_fake_decoder, dim=4, strategy="exact", threshold=0.999
+    ).take_all()
+    # one-hot by kind → every same-kind span pair is a dup: expect exactly
+    # sum over kinds of C(n_kind, 2) pairs
+    n_by_kind = {}
+    media_rows = flatten_media_spans(docs).take_all()
+    for r in media_rows:
+        n_by_kind[r["kind"]] = n_by_kind.get(r["kind"], 0) + 1
+    expected_pairs = sum(n * (n - 1) // 2 for n in n_by_kind.values())
+    assert len(pairs) == expected_pairs
+    assert kinds == set(n_by_kind)
