@@ -122,6 +122,10 @@ def entry() -> Any:
 
 
 def _q_minhash_clusters(sf_dir: str):
+    """No SQL oracle: signatures use blake2b-seeded Mersenne universal
+    hashing (not expressible in DuckDB) and cluster labels need iterative
+    connected components; LSH-vs-exact parity and both verification paths
+    are pytest-gated (tests/test_dedup_ann.py)."""
     from semantic_search_system_ray.stages.dedup import minhash_lsh_clusters
     from semantic_search_system_ray.pipelines.queries import read_docs
 
@@ -170,6 +174,9 @@ def _q_fingerprint(sf_dir: str):
 
 
 def _q_ann_lsh(sf_dir: str):
+    """No SQL oracle: bucket membership depends on seeded random
+    hyperplanes — approximate BY DESIGN; recall ≥ target vs the exact
+    top-k is pytest-gated (tests/test_dedup_ann.py)."""
     import ray.data as rd
 
     from semantic_search_system_ray.pipelines.queries import _query_vec
@@ -196,15 +203,45 @@ def _q_ann_ivf(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """Media span features — ON the hard gate since r3: the span layout
+    (md5-derived injection) and the stub feature derivation inputs are
+    SQL-recomputable, so the driver hash-checks doc/kind/ref/offset plus
+    ``feat_sig`` = md5 of the per-dim hash inputs. The float vector is a
+    pure documented function of those inputs (pytest-pinned:
+    tests/test_media_textstats.py::test_stub_features_match_sig_inputs)."""
+    import hashlib
+
     from semantic_search_system_ray.sources.documents import text_table_to_spans
-    from semantic_search_system_ray.stages.media import MediaFeatures, flatten_media_spans
+    from semantic_search_system_ray.stages.media import (
+        MediaFeatures,
+        _decode_hashes,
+        flatten_media_spans,
+    )
     from semantic_search_system_ray.pipelines.queries import read_docs
 
     docs = read_docs(sf_dir, ["doc_id", "text"])
     media = flatten_media_spans(text_table_to_spans(docs))
-    return media.map_batches(
+    feats = media.map_batches(
         MediaFeatures, batch_format="pyarrow", concurrency=(1, 4), batch_size=64
     )
+
+    def with_sig(t: pa.Table) -> pa.Table:
+        sigs = []
+        for r, k in zip(t.column("media_ref").to_pylist(),
+                        t.column("kind").to_pylist()):
+            joined = ",".join(f"{h:016x}" for h in _decode_hashes(r, k))
+            sigs.append(hashlib.md5(joined.encode()).hexdigest())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t.column("doc_id"),
+                "kind": t.column("kind"),
+                "media_ref": t.column("media_ref"),
+                "offset": t.column("offset"),
+                "feat_sig": pa.array(sigs, pa.string()),
+            }
+        )
+
+    return feats.map_batches(with_sig, batch_format="pyarrow")
 
 
 def _q_media_dedup(sf_dir: str):
@@ -283,6 +320,11 @@ def _q_search_rerank(sf_dir: str):
 
 
 def _q_taxonomy_build(sf_dir: str):
+    """No SQL oracle: k-means over hash embeddings is iterative (not
+    SQL-expressible); determinism contract: fixed seed + deterministic
+    input (word_topk is itself oracle-checked) ⇒ stable row count and
+    membership, pinned by the seeded-fixture golden in
+    tests/test_search_topics_ingest.py."""
     import ray.data as rd
 
     from semantic_search_system_ray.pipelines.queries import q_word_topk
@@ -366,6 +408,14 @@ def oracle_sql() -> dict[str, str]:
             # md5-based (== DuckDB md5_number_lower), so the 64-bit
             # signature is recomputed entirely in SQL
             "simhash": tox.sql_simhash(),
+            # media span layout + stub-feature derivation are md5-based
+            # since r3 → integer-exact SQL recomputation (no float compare)
+            "media_features": tox.sql_media_features(
+                __import__(
+                    "semantic_search_system_ray.stages.media",
+                    fromlist=["MEDIA_FEATURE_DIM"],
+                ).MEDIA_FEATURE_DIM
+            ),
         }
     )
     return out

@@ -392,3 +392,67 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
 LEFT JOIN sh s USING (doc_id)
 """
+
+
+def sql_media_features(dim: int) -> str:
+    """DuckDB oracle for the media_features query: recomputes the
+    md5-derived span layout (sources/documents._spans_for_text — media
+    injected after sentence i when md5_hash64(doc:i) % 7 == 0, kind/ref
+    from the same hash, cumulative offsets) and the stub feature
+    derivation inputs (stages/media._decode_hashes) as ``feat_sig`` —
+    all integer/string exact, no float comparisons. The float vector is
+    a pure pinned function of those inputs (see pytest)."""
+    return f"""
+WITH doc AS (
+  SELECT CAST(doc_id AS VARCHAR) AS d, text,
+         length(text) > 200 AS chunked,
+         string_split(text, ' ') AS ws
+  FROM documents
+),
+sent AS (
+  SELECT d, i, sent_len FROM (
+    SELECT d, pos // 12 AS i,
+           sum(length(w)) + count(*) - 1 AS sent_len
+    FROM (
+      SELECT d, unnest(ws) AS w,
+             unnest(generate_series(1, len(ws))) - 1 AS pos
+      FROM doc WHERE chunked
+    )
+    GROUP BY d, pos // 12
+  )
+  UNION ALL
+  SELECT d, 0 AS i, length(text) AS sent_len FROM doc WHERE NOT chunked
+),
+hashed AS (
+  SELECT d, i, sent_len, md5_number_lower(d || ':' || CAST(i AS VARCHAR)) AS h
+  FROM sent
+),
+placed AS (
+  SELECT d, i, h,
+         sum(sent_len + 1) OVER (
+           PARTITION BY d ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         + coalesce(sum(CASE WHEN h % 7 = 0 THEN 1 ELSE 0 END) OVER (
+             PARTITION BY d ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS media_offset
+  FROM hashed
+),
+media AS (
+  SELECT d AS doc_id,
+         CASE ((h // 7) % 3)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'table' END AS kind,
+         'media://asset-' || lpad(CAST((h // 21) % 64 AS VARCHAR), 2, '0')
+           AS media_ref,
+         CAST(media_offset AS INTEGER) AS "offset"
+  FROM placed WHERE h % 7 = 0
+)
+SELECT doc_id, kind, media_ref, "offset",
+       md5(array_to_string(
+         list_transform(generate_series(0, {dim - 1}),
+           j -> lpad(lower(hex(md5_number_lower(
+                  kind || ':' || media_ref || ':' || CAST(j AS VARCHAR)))),
+                16, '0')),
+         ',')) AS feat_sig
+FROM media
+"""

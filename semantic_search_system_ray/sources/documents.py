@@ -15,8 +15,6 @@ the driver's TPC-H-ish testdata too.
 
 from __future__ import annotations
 
-import hashlib
-
 import pyarrow as pa
 
 import ray.data as rd
@@ -43,9 +41,16 @@ def _spans_for_text(doc_id: str, text: str) -> list[dict]:
     """Deterministic spans from flat text: sentences + interleaved media.
 
     A media span is injected after sentence ``i`` when
-    blake2b(doc_id, i) % 7 == 0 (~14%, mirroring the reference corpus'
-    measured media fraction). Offsets are cumulative and strictly monotone.
+    md5_hash64(doc_id:i) % 7 == 0 (~14%, mirroring the reference corpus'
+    measured media fraction); kind and asset ref derive from the same
+    hash. md5 (not blake2b) so the span layout is RECOMPUTABLE in DuckDB
+    SQL (functions/hashing.md5_hash64 == ``md5_number_lower``) — this puts
+    the media_features query on the driver's hash gate
+    (text_oracles.sql_media_features). Offsets are cumulative and
+    strictly monotone.
     """
+    from semantic_search_system_ray.functions.hashing import md5_hash64
+
     sentences = sentence_split(text) or ([text] if text else [])
     # word-soup testdata has no sentence punctuation: chunk every 12 words
     if len(sentences) == 1 and len(text) > 200:
@@ -56,13 +61,13 @@ def _spans_for_text(doc_id: str, text: str) -> list[dict]:
     for i, sent in enumerate(sentences):
         spans.append({"kind": "text", "text": sent, "media_ref": "", "offset": offset})
         offset += len(sent) + 1
-        h = hashlib.blake2b(f"{doc_id}:{i}".encode(), digest_size=4).digest()
-        if h[0] % 7 == 0:
+        h = md5_hash64(f"{doc_id}:{i}")
+        if h % 7 == 0:
             # refs draw from a shared 64-asset pool (web corpora reuse the
             # same images/clips across pages) — so cross-doc media dedup
             # (stages/media.media_near_dups) has real duplicate structure
-            kind = ("image", "audio", "table")[h[1] % 3]
-            ref = f"media://asset-{h[2] % 64:02d}"
+            kind = ("image", "audio", "table")[(h // 7) % 3]
+            ref = f"media://asset-{(h // 21) % 64:02d}"
             spans.append(
                 {"kind": kind, "text": "", "media_ref": ref, "offset": offset}
             )

@@ -15,8 +15,6 @@ Memory note: real binary payloads make rows wide → use small
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -57,17 +55,28 @@ def flatten_media_spans(docs_ds: rd.Dataset) -> rd.Dataset:
     return docs_ds.map_batches(flatten, batch_format="pyarrow")
 
 
+def _decode_hashes(media_ref: str, kind: str) -> list[int]:
+    """The integer inputs of the stub feature vector: one md5_hash64 per
+    dimension (pure function of (kind, ref, dim)). Split out so the
+    media_features ORACLE can verify the derivation with integer-exact
+    SQL (md5_number_lower) instead of float comparisons."""
+    from semantic_search_system_ray.functions.hashing import md5_hash64
+
+    return [md5_hash64(f"{kind}:{media_ref}:{j}") for j in range(MEDIA_FEATURE_DIM)]
+
+
 def _decode(media_ref: str, kind: str) -> np.ndarray:
-    """STUB decode: deterministic pseudo-features from the ref hash.
+    """STUB decode: deterministic pseudo-features from per-dim md5 hashes
+    (uniform in [-1, 1), then L2-normalized).
 
     A real deployment replaces this with PIL/torchvision (image),
     torchaudio (audio), or a table parser — none installable here (no
     network). Raising NotImplementedError instead would kill the smoke
-    path, so the stub returns a seeded vector; the seam is THIS function.
-    """
-    h = hashlib.blake2b(f"{kind}:{media_ref}".encode(), digest_size=8).digest()
-    rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
-    v = rng.normal(size=MEDIA_FEATURE_DIM)
+    path, so the stub returns a deterministic vector; the seam is the
+    ``decode`` hook on MediaFeatures. md5-derived (not RandomState) so
+    the derivation inputs are SQL-recomputable (see _decode_hashes)."""
+    hs = np.array(_decode_hashes(media_ref, kind), dtype=np.float64)
+    v = (hs / float(1 << 64)) * 2.0 - 1.0
     n = np.linalg.norm(v)
     return (v / n if n > 0 else v).astype(np.float32)
 

@@ -175,3 +175,26 @@ def test_media_decode_hook_injected_end_to_end(ray_session, small_corpus):
     expected_pairs = sum(n * (n - 1) // 2 for n in n_by_kind.values())
     assert len(pairs) == expected_pairs
     assert kinds == set(n_by_kind)
+
+
+def test_stub_features_match_sig_inputs():
+    """The media_features oracle verifies the integer HASH INPUTS
+    (feat_sig); this pins the float vector as the documented pure
+    function of those inputs, closing the loop: sig match + this test
+    => vector match."""
+    import numpy as np
+
+    from semantic_search_system_ray.stages.media import (
+        MEDIA_FEATURE_DIM,
+        _decode,
+        _decode_hashes,
+    )
+
+    for ref, kind in [("media://asset-07", "image"), ("media://asset-63", "table")]:
+        hs = np.array(_decode_hashes(ref, kind), dtype=np.float64)
+        v = (hs / float(1 << 64)) * 2.0 - 1.0
+        n = np.linalg.norm(v)
+        expected = (v / n if n > 0 else v).astype(np.float32)
+        got = _decode(ref, kind)
+        assert got.shape == (MEDIA_FEATURE_DIM,)
+        assert np.array_equal(got, expected)
