@@ -122,10 +122,11 @@ def entry() -> Any:
 
 
 def _q_minhash_clusters(sf_dir: str):
-    """No SQL oracle: signatures use blake2b-seeded Mersenne universal
-    hashing (not expressible in DuckDB) and cluster labels need iterative
-    connected components; LSH-vs-exact parity and both verification paths
-    are pytest-gated (tests/test_dedup_ann.py)."""
+    """ON the hard gate since r3: md5-based shingle + band hashes make
+    the full pipeline (signatures → banding → verified pairs →
+    components) recomputable in one SQL statement
+    (text_oracles.sql_minhash_clusters — recursive-CTE closure over the
+    small verified-edge graph)."""
     from semantic_search_system_ray.stages.dedup import minhash_lsh_clusters
     from semantic_search_system_ray.pipelines.queries import read_docs
 
@@ -416,6 +417,8 @@ def oracle_sql() -> dict[str, str]:
                     fromlist=["MEDIA_FEATURE_DIM"],
                 ).MEDIA_FEATURE_DIM
             ),
+            # full minhash pipeline in SQL (md5-based hashes since r3)
+            "minhash_clusters": tox.sql_minhash_clusters(threshold=0.6),
         }
     )
     return out

@@ -103,7 +103,10 @@ def minhash_signature(shingles, num_perm: int = 64, seed: int = 1) -> np.ndarray
     a, b = _MH_CACHE[key]
     if not shingles:
         return np.full(num_perm, _MAX_H, dtype=np.uint32)
-    base = np.array([stable_hash64(s) for s in shingles], dtype=np.uint64)
+    # md5-based shingle hash (== DuckDB md5_number_lower) so the whole
+    # signature is recomputable in SQL (text_oracles.sql_minhash_clusters);
+    # uniformity is equivalent to the previous blake2b slice
+    base = np.array([md5_hash64(s) for s in shingles], dtype=np.uint64)
     base %= np.uint64(_MERSENNE_P)
     # (num_shingles, num_perm) universal hashes; min over shingles
     hv = (_mulmod_p(base[:, None], a[None, :]) + b) % np.uint64(_MERSENNE_P)

@@ -456,3 +456,105 @@ SELECT doc_id, kind, media_ref, "offset",
          ',')) AS feat_sig
 FROM media
 """
+
+
+def sql_minhash_clusters(
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+    seed: int = 1,
+) -> str:
+    """DuckDB oracle for the FULL minhash_lsh_clusters pipeline
+    (stages/dedup): shingling → universal-hash MinHash signatures →
+    LSH banding → star candidate pairs → signature verification →
+    connected components, all in one SQL statement.
+
+    Expressible because (r3): the shingle hash is md5-based
+    (functions/hashing.md5_hash64 == ``md5_number_lower``), the band
+    bucket key is an md5 prefix (same hash ⇒ identical buckets,
+    collisions included), the (a, b) Mersenne universal-hash parameters
+    are deterministic seeded CONSTANTS inlined as VALUES, the mulmod is
+    exact in HUGEINT ((a·h + b) mod (2^61−1), products < 2^122), and the
+    min-label components of the (small) verified-edge graph are a
+    recursive transitive closure. Mask-after-min matches the engine
+    (min over 61-bit values, then low 32 bits)."""
+    from semantic_search_system_ray.functions.hashing import (
+        _MERSENNE_P,
+        _minhash_params,
+    )
+
+    a, b = _minhash_params(num_perm, seed)
+    perm_values = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
+    )
+    rows_per_band = num_perm // bands
+    return f"""
+WITH RECURSIVE doc AS (
+  SELECT CAST(doc_id AS VARCHAR) AS d,
+         regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ws
+  FROM documents
+),
+pos AS (
+  SELECT d, ws,
+         unnest(generate_series(1, greatest(len(ws) - {shingle_k - 1}, 1))) AS i
+  FROM doc WHERE len(ws) >= 1
+),
+shing AS (
+  SELECT DISTINCT d,
+         CASE WHEN len(ws) < {shingle_k} THEN array_to_string(ws, ' ')
+              ELSE array_to_string(ws[i : i + {shingle_k - 1}], ' ') END AS s
+  FROM pos
+),
+sigv AS (
+  SELECT d, p.i AS perm,
+         CAST(min((CAST(p.a AS HUGEINT)
+                   * CAST(md5_number_lower(sh.s) % {_MERSENNE_P} AS HUGEINT)
+                   + p.b) % {_MERSENNE_P}) % 4294967296 AS UBIGINT) AS sv
+  FROM shing sh CROSS JOIN (VALUES {perm_values}) AS p(i, a, b)
+  GROUP BY d, p.i
+),
+sig AS (
+  SELECT d, list(CAST(sv AS VARCHAR) ORDER BY perm) AS sl,
+         list(sv ORDER BY perm) AS slv
+  FROM sigv GROUP BY d
+),
+band AS (
+  SELECT d, bb.b AS band,
+         substr(md5(array_to_string(
+           sl[{rows_per_band} * bb.b + 1 : {rows_per_band} * bb.b + {rows_per_band}],
+           ',')), 1, 16) AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT b1.d AS src, m.mn AS dst
+  FROM band b1
+  JOIN (SELECT band, band_hash, min(d) AS mn, count(*) AS n
+        FROM band GROUP BY band, band_hash) m
+    USING (band, band_hash)
+  WHERE m.n >= 2 AND b1.d <> m.mn
+),
+edge AS (
+  SELECT c.src, c.dst
+  FROM cand c
+  JOIN sig sa ON sa.d = c.src
+  JOIN sig sb ON sb.d = c.dst
+  WHERE CAST(len(list_filter(generate_series(1, {num_perm}),
+                             i -> sa.slv[i] = sb.slv[i])) AS DOUBLE)
+        / {num_perm} >= {threshold}
+),
+sym AS (
+  SELECT src AS a, dst AS b FROM edge
+  UNION SELECT dst, src FROM edge
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+labels AS (
+  SELECT a AS d, least(a, min(b)) AS cluster FROM reach GROUP BY a
+)
+SELECT dd.d AS doc_id, coalesce(l.cluster, dd.d) AS cluster
+FROM doc dd LEFT JOIN labels l ON l.d = dd.d
+"""

@@ -179,7 +179,12 @@ def _sig_rows(
 def _band_rows(batch: pa.Table, *, bands: int, rows_per_band: int) -> pa.Table:
     """(doc_id, sig) → (doc_id, band, band_hash) — signatures do NOT travel
     with the exploded band rows (16× duplication); candidate pairs are
-    verified against the broadcast signature table afterwards."""
+    verified against the broadcast signature table afterwards. The band
+    hash is a 16-hex md5 prefix of the joined chunk — md5 (not blake2b)
+    so bucket membership is recomputable in the SQL oracle (same hash ⇒
+    same buckets, collisions and all)."""
+    import hashlib
+
     out_id, out_band, out_hash = [], [], []
     sigs = batch.column("sig").to_pylist()
     ids = batch.column("doc_id").to_pylist()
@@ -188,7 +193,9 @@ def _band_rows(batch: pa.Table, *, bands: int, rows_per_band: int) -> pa.Table:
             chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
             out_id.append(i)
             out_band.append(b)
-            out_hash.append(f"{stable_hash64(','.join(map(str, chunk))):016x}")
+            out_hash.append(
+                hashlib.md5(",".join(map(str, chunk)).encode()).hexdigest()[:16]
+            )
     return pa.Table.from_pydict(
         {
             "doc_id": pa.array(out_id, pa.string()),
