@@ -383,6 +383,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
+def _sql_stratified_sample() -> str:
+    from semantic_search_system_ray.pipelines import text_oracles as tox
+    from semantic_search_system_ray.pipelines.queries import (
+        SAMPLE_DEFAULT_RATE,
+        SAMPLE_RATES,
+    )
+    from semantic_search_system_ray.stages.curation import (
+        SAMPLE_MOD,
+        sample_thresholds,
+    )
+
+    return tox.sql_stratified_sample(
+        "lang",
+        sample_thresholds(SAMPLE_RATES),
+        int(SAMPLE_DEFAULT_RATE * SAMPLE_MOD),
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from semantic_search_system_ray.pipelines import text_oracles as tox
     from semantic_search_system_ray.pipelines.queries import ORACLE_SQL
@@ -419,6 +437,15 @@ def oracle_sql() -> dict[str, str]:
             ),
             # full minhash pipeline in SQL (md5-based hashes since r3)
             "minhash_clusters": tox.sql_minhash_clusters(threshold=0.6),
+            # r3 curation ops (stages/curation) — md5 decisions, exact SQL
+            "stratified_sample": _sql_stratified_sample(),
+            "contamination": tox.sql_contamination(
+                __import__(
+                    "semantic_search_system_ray.pipelines.queries",
+                    fromlist=["BENCHMARK_NGRAMS"],
+                ).BENCHMARK_NGRAMS,
+                n=3,
+            ),
         }
     )
     return out

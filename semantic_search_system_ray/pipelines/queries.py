@@ -512,6 +512,51 @@ FROM events GROUP BY 1, 2
 # text analysis
 # --------------------------------------------------------------------------
 
+# Corpus-rebalance fixture: downsample the dominant 'en' stratum (the
+# classic data-mixture rebalance); other languages keep everything.
+SAMPLE_RATES = {"en": 0.3}
+SAMPLE_DEFAULT_RATE = 1.0
+
+# Decontamination fixture: word trigrams "from an eval benchmark" — four
+# that really occur in the word-soup corpus plus one that cannot.
+BENCHMARK_NGRAMS = [
+    "stream table hash",
+    "row column sort",
+    "window fast query",
+    "part filter scan",
+    "heldout benchmark gram",
+]
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum hash sampling (stages/curation) — the
+    corpus-rebalance op: md5-keyed keep decision, reproducible and
+    resumable (identical sample on retry; never random())."""
+    from semantic_search_system_ray.stages.curation import stratified_sample
+
+    docs = read_docs(sf_dir, ["doc_id", "text", "lang"])
+    out = stratified_sample(
+        docs, key_col="lang", id_col="doc_id",
+        rates=SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE,
+    )
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.string()),
+             "lang": t.column("lang")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark n-gram decontamination (stages/curation): flag docs
+    sharing word trigrams with the broadcast benchmark set."""
+    from semantic_search_system_ray.stages.curation import contamination_check
+
+    docs = read_docs(sf_dir, ["doc_id", "text"])
+    return contamination_check(docs, BENCHMARK_NGRAMS, n=3)
+
+
 def q_corpus_clean(sf_dir: str):
     """The canonical training-data CURATION composition: exact dedup
     (min-id representative per distinct text) ∘ quality gate — the
@@ -1220,6 +1265,8 @@ GROUP BY p.event_id
 
 
 QUERIES = {
+    "stratified_sample": q_stratified_sample,
+    "contamination": q_contamination,
     "search_like": q_search_like,
     "events_sliding": q_events_sliding,
     "orders_asof": q_orders_asof,

@@ -558,3 +558,52 @@ labels AS (
 SELECT dd.d AS doc_id, coalesce(l.cluster, dd.d) AS cluster
 FROM doc dd LEFT JOIN labels l ON l.d = dd.d
 """
+
+
+def sql_stratified_sample(
+    key_col: str, thresholds: dict[str, int], default_threshold: int
+) -> str:
+    """DuckDB oracle for stages/curation.stratified_sample: identical
+    md5-based keep decision (md5_number_lower == md5_hash64), integer
+    thresholds computed once and inlined (engine uses the same ints)."""
+    whens = " ".join(
+        f"WHEN {_sql_str(k)} THEN {t}" for k, t in sorted(thresholds.items())
+    )
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, {key_col}
+FROM documents
+WHERE md5_number_lower({key_col} || ':' || CAST(doc_id AS VARCHAR)) % 1000000
+      < CASE {key_col} {whens} ELSE {default_threshold} END
+"""
+
+
+def sql_contamination(benchmark_ngrams: list[str], n: int) -> str:
+    """DuckDB oracle for stages/curation.contamination_check: same word
+    n-grams (token regex parity), count of DISTINCT benchmark grams
+    present per doc."""
+    bench_values = ", ".join(f"({_sql_str(g)})" for g in sorted(set(benchmark_ngrams)))
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ws[i : i + {n - 1}], ' ') AS g
+  FROM (
+    SELECT doc_id, ws,
+           unnest(generate_series(1, greatest(len(ws) - {n - 1}, 0))) AS i
+    FROM toks WHERE len(ws) >= {n}
+  )
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_matched
+  FROM grams JOIN (VALUES {bench_values}) AS b(g) USING (g)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(h.n_matched, 0) AS n_matched,
+       coalesce(h.n_matched, 0) > 0 AS contaminated
+FROM toks t LEFT JOIN hits h USING (doc_id)
+"""

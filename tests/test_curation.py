@@ -1,0 +1,67 @@
+"""Curation operators (stages/curation): deterministic stratified
+sampling and benchmark decontamination."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from semantic_search_system_ray.stages.curation import (
+    contamination_check,
+    stratified_sample,
+)
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    n = 20_000
+    langs = ["en", "de", "fr", "zh"]
+    t = pa.table({
+        "doc_id": list(range(n)),
+        "lang": [langs[i % 4] for i in range(n)],
+    })
+    ds = rd.from_arrow(t)
+    out = stratified_sample(
+        ds, key_col="lang", id_col="doc_id",
+        rates={"en": 0.25, "de": 0.0}, default_rate=1.0,
+    ).take_all()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert "de" not in by_lang                      # rate 0 → nothing
+    assert len(by_lang["fr"]) == n // 4             # default 1.0 → all
+    assert len(by_lang["zh"]) == n // 4
+    frac_en = len(by_lang["en"]) / (n // 4)
+    assert abs(frac_en - 0.25) < 0.03               # md5 ≈ uniform
+
+    # pure function of the row: identical sample on a reshuffled rerun
+    again = stratified_sample(
+        rd.from_arrow(t).random_shuffle(seed=5),
+        key_col="lang", id_col="doc_id",
+        rates={"en": 0.25, "de": 0.0}, default_rate=1.0,
+    ).take_all()
+    assert {(r["lang"], r["doc_id"]) for r in again} == {
+        (r["lang"], r["doc_id"]) for r in out
+    }
+
+
+def test_contamination_ground_truth(ray_session):
+    docs = pa.table({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": [
+            "the quick brown fox jumps",        # contains 'quick brown fox'
+            "quick brown dog sleeps",           # no benchmark gram
+            "THE QUICK BROWN FOX again quick brown fox",  # case-folded; set semantics
+            "",                                  # empty
+        ],
+    })
+    out = {
+        r["doc_id"]: (r["n_matched"], r["contaminated"])
+        for r in contamination_check(
+            rd.from_arrow(docs),
+            ["quick brown fox", "lazy dog naps"], n=3,
+        ).take_all()
+    }
+    assert out == {
+        "a": (1, True), "b": (0, False), "c": (1, True), "d": (0, False)
+    }
