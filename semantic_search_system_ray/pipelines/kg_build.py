@@ -573,11 +573,15 @@ def edges_from_triples(triples: rd.Dataset) -> rd.Dataset:
 
 def adjacency_from_edges(edges: rd.Dataset) -> rd.Dataset:
     """src → sorted list<struct<dst, rel>> + degree. src cardinality is
-    corpus-sized, so the grouping runs via coarse partitions
-    (stages/util.coarse_grouped_apply), not a per-key groupby."""
+    corpus-sized, so the grouping runs via coarse partitions — and the
+    per-PARTITION build is fully vectorized (one sort + numpy group
+    boundaries + a zero-copy Arrow ListArray from offsets), never one
+    Python table per key (r3: the per-key ``pa.Table.from_pydict`` loop
+    was the last rowwise builder on a corpus-sized output)."""
+    import numpy as np
     import pandas as pd
 
-    from semantic_search_system_ray.stages.util import coarse_grouped_apply
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
 
     out_schema = pa.schema(
         [
@@ -588,17 +592,24 @@ def adjacency_from_edges(edges: rd.Dataset) -> rd.Dataset:
         ]
     )
 
-    def collect(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["dst", "rel"])
-        return pa.Table.from_pydict(
-            {
-                "src": [g["src"].iloc[0]],
-                "neighbors": [
-                    [{"dst": d, "rel": r} for d, r in zip(g["dst"], g["rel"])]
-                ],
-                "degree": [len(g)],
-            },
+    def build(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        df = df.sort_values(["src", "dst", "rel"], kind="mergesort")
+        src = df["src"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        offsets = np.r_[starts, len(src)].astype(np.int32)
+        struct = pa.StructArray.from_arrays(
+            [pa.array(df["dst"].to_numpy(), pa.string()),
+             pa.array(df["rel"].to_numpy(), pa.string())],
+            ["dst", "rel"],
+        )
+        neighbors = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+        return pa.Table.from_arrays(
+            [pa.array(src[starts], pa.string()),
+             neighbors,
+             pa.array(np.diff(offsets).astype(np.int64), pa.int64())],
             schema=out_schema,
         )
 
-    return coarse_grouped_apply(edges, ["src"], collect, out_schema)
+    return coarse_partition_apply(edges, ["src"], build, out_schema)
