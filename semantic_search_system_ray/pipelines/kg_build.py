@@ -531,22 +531,31 @@ _NODE_KINDS = {
 
 
 def nodes_from_triples(triples: rd.Dataset) -> rd.Dataset:
-    """Distinct typed nodes. SVO predicates type both ends ENTITY."""
+    """Distinct typed nodes. SVO predicates type both ends ENTITY.
+    Endpoint kinds are mapped with Arrow kernels (a small CASE over the
+    fixed predicate set), never a Python row loop — this runs over every
+    triple."""
 
     def emit(batch: pa.Table) -> pa.Table:
-        node_id, kind = [], []
-        for s, p, o in zip(
-            batch.column("subj").to_pylist(),
-            batch.column("pred").to_pylist(),
-            batch.column("obj").to_pylist(),
-        ):
-            ks, ko = _NODE_KINDS.get(p, ("ENTITY", "ENTITY"))
-            node_id.append(s); kind.append(ks)
-            node_id.append(o); kind.append(ko)
+        pred = batch.column("pred")
+        subj_kind = pa.array(["ENTITY"] * batch.num_rows, pa.string())
+        obj_kind = subj_kind
+        for p, (ks, ko) in _NODE_KINDS.items():
+            mask = pc.equal(pred, p)
+            subj_kind = pc.if_else(mask, ks, subj_kind)
+            obj_kind = pc.if_else(mask, ko, obj_kind)
         t = pa.Table.from_pydict(
             {
-                "node_id": pa.array(node_id, pa.string()),
-                "kind": pa.array(kind, pa.string()),
+                "node_id": pa.concat_arrays(
+                    [pc.cast(batch.column("subj"), pa.string()).combine_chunks(),
+                     pc.cast(batch.column("obj"), pa.string()).combine_chunks()]
+                ),
+                "kind": pa.concat_arrays(
+                    [subj_kind.combine_chunks()
+                     if isinstance(subj_kind, pa.ChunkedArray) else subj_kind,
+                     obj_kind.combine_chunks()
+                     if isinstance(obj_kind, pa.ChunkedArray) else obj_kind]
+                ),
             }
         )
         return t.group_by(["node_id", "kind"]).aggregate([])

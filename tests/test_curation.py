@@ -65,3 +65,24 @@ def test_contamination_ground_truth(ray_session):
     assert out == {
         "a": (1, True), "b": (0, False), "c": (1, True), "d": (0, False)
     }
+
+
+def test_md5_hash64_matches_duckdb_md5_number_lower():
+    """Pin the cross-system hash contract every r3 oracle rests on:
+    functions/hashing.md5_hash64 == DuckDB md5_number_lower (md5 digest
+    bytes 8..16, little-endian) — checked over ASCII, unicode, and
+    edge-case strings."""
+    import duckdb
+
+    from semantic_search_system_ray.functions.hashing import md5_hash64
+
+    con = duckdb.connect()
+    samples = [
+        "", "a", "hello world", "media://asset-07:image:3",
+        "0:0", "doc123:17", "üñïçödé ωστε 漢字", "x" * 1000, "\t\n ",
+    ]
+    for s in samples:
+        got = con.execute(
+            "SELECT md5_number_lower(?)", [s]
+        ).fetchone()[0]
+        assert got == md5_hash64(s), s
