@@ -6,15 +6,17 @@
 - ``queries()`` — one callable per implemented operator (SURVEY.md §2 +
   the training-data operator suite); each takes ``sf_dir``.
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-  (same column names, same rounding), incl. generated oracles for the
-  text-analysis/search suite AND the flagship ``kg_triples`` pipeline
-  (pipelines/text_oracles.py — the greedy gazetteer matcher collapses to
-  closed form over the clean word-soup corpus; assumptions pinned in
-  tests/test_kg_oracle_assumptions.py). Genuinely non-SQL ops
-  (minhash clustering — blake2b-seeded signatures, LSH ANN — seeded
-  hyperplanes, k-means taxonomy, media features) are intentionally
-  absent → the driver records rows-only checks for them; each has pytest
-  coverage instead.
+  (same column names, same rounding): generated oracles
+  (pipelines/text_oracles.py) cover the text-analysis/search suite, the
+  flagship ``kg_triples`` pipeline + its graph materializations
+  (``kg_nodes``, ``kg_adjacency`` — the matcher collapses to closed form
+  over the clean word-soup corpus; assumptions pinned in
+  tests/test_kg_oracle_assumptions.py), the FULL minhash clustering
+  pipeline, simhash signatures, media span layout + features, and the
+  curation ops (md5-based hashing wherever a hash must be
+  SQL-recomputable). The five genuinely non-SQL ops (seeded-hyperplane
+  ANN, k-means taxonomy, HLL sketch, LSH media dedup) are rows-only with
+  a one-line justification on each callable and pytest coverage instead.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
@@ -114,6 +116,49 @@ def _kg_triples(sf_dir: str):
         TESTDATA_GAZETTEER, concurrency=(1, 4), batch_size=128,
     )
     return res.triples
+
+
+def _q_kg_nodes(sf_dir: str):
+    """Graph-materialize node table (distinct typed endpoints) — ON the
+    hard gate: its oracle reuses the kg_triples SQL as a subquery."""
+    from semantic_search_system_ray.pipelines.kg_build import nodes_from_triples
+
+    return nodes_from_triples(_kg_triples(sf_dir))
+
+
+def _q_kg_adjacency(sf_dir: str):
+    """Graph-materialize adjacency store — ON the hard gate: the
+    list<struct> neighbor column is serialized to a 'dst|rel;…' string
+    (sorted by (dst, rel), the operator's documented order) so the
+    driver's list-free value hash can compare it; the oracle string_aggs
+    identically over the kg_triples SQL."""
+    import pyarrow.compute as pc
+
+    from semantic_search_system_ray.pipelines.kg_build import (
+        adjacency_from_edges,
+        edges_from_triples,
+    )
+
+    adj = adjacency_from_edges(edges_from_triples(_kg_triples(sf_dir)))
+
+    def serialize(t: pa.Table) -> pa.Table:
+        col = t.column("neighbors")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col)
+        joined = pc.binary_join_element_wise(
+            flat.field("dst"), flat.field("rel"), "|"
+        )
+        lists = pa.ListArray.from_arrays(col.offsets, joined)
+        return pa.Table.from_pydict(
+            {
+                "src": t.column("src"),
+                "neighbors": pc.binary_join(lists, ";"),
+                "degree": t.column("degree"),
+            }
+        )
+
+    return adj.map_batches(serialize, batch_format="pyarrow")
 
 
 def entry() -> Any:
@@ -363,6 +408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(
         {
             "kg_triples": _kg_triples,
+            "kg_nodes": _q_kg_nodes,
+            "kg_adjacency": _q_kg_adjacency,
             "search_lexical": _q_search_lexical,
             "search_rerank": _q_search_rerank,
             "taxonomy_build": _q_taxonomy_build,
@@ -410,6 +457,12 @@ def oracle_sql() -> dict[str, str]:
         {
             # generated from the same constants the engine stages use
             "kg_triples": tox.sql_kg_triples(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_nodes": tox.sql_kg_nodes(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_adjacency": tox.sql_kg_adjacency(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "search_lexical": tox.sql_search_lexical(

@@ -607,3 +607,53 @@ SELECT t.doc_id,
        coalesce(h.n_matched, 0) > 0 AS contaminated
 FROM toks t LEFT JOIN hits h USING (doc_id)
 """
+
+
+def sql_kg_nodes(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for the graph-materialize node table: distinct typed
+    endpoints of the kg_triples oracle (reused verbatim as a subquery —
+    one source of truth). Kind mapping mirrors kg_build._NODE_KINDS
+    (SVO predicates would type both ends ENTITY; none occur on this
+    corpus, which the kg oracle's assumption tests pin)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples})
+SELECT DISTINCT node_id, kind, node_id AS name FROM (
+  SELECT subj AS node_id,
+         CASE pred WHEN 'MENTIONS' THEN 'DOC' WHEN 'HAS_TOPIC' THEN 'DOC'
+                   WHEN 'IN_TOPIC' THEN 'PHRASE'
+                   WHEN 'RELATES_TO_DOC' THEN 'BROAD_TOPIC'
+                   ELSE 'ENTITY' END AS kind
+  FROM t
+  UNION ALL
+  SELECT obj,
+         CASE pred WHEN 'MENTIONS' THEN 'ENTITY' WHEN 'HAS_TOPIC' THEN 'TOPIC'
+                   WHEN 'IN_TOPIC' THEN 'BROAD_TOPIC'
+                   WHEN 'RELATES_TO_DOC' THEN 'DOC'
+                   ELSE 'ENTITY' END
+  FROM t
+)
+"""
+
+
+def sql_kg_adjacency(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for the adjacency store (kg_build.adjacency_from_edges):
+    per-src neighbor list serialized 'dst|rel;…' in (dst, rel) order —
+    the operator's documented sort — plus degree; built over the
+    kg_triples oracle subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples})
+SELECT subj AS src,
+       string_agg(obj || '|' || pred, ';' ORDER BY obj, pred) AS neighbors,
+       count(*) AS degree
+FROM t GROUP BY subj
+"""
