@@ -164,7 +164,7 @@ def run_bench() -> dict:
         "groupby_lineitem", "revenue_by_priority", "word_topk", "topk_orders",
         "ann_cosine", "dedup_exact", "events_hourly", "minhash_clusters",
         "sessionize", "orders_asof", "purchase_click_window", "events_sliding",
-        "customers_without_orders",
+        "customers_without_orders", "stratified_sample", "contamination",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         t0 = time.perf_counter()
