@@ -158,6 +158,18 @@ def test_build_taxonomy(ray_session):
     assert sorted(map(tuple, (r.values() for r in tax))) == sorted(
         map(tuple, (r.values() for r in tax2))
     )
+    # exact-membership golden (seeded hash embeddings + seeded k-means ⇒
+    # this is the pinned deterministic contract the rows-only driver
+    # query advertises; hash-embedding "semantics" are shape, not meaning)
+    assert {k: sorted(v) for k, v in by_topic.items()} == {
+        "clean energy": ["clean energy", "wind energy"],
+        "student loans": ["student loans"],
+        "public schools": [
+            "fuel efficiency", "highway safety", "public schools",
+            "public transit", "rail service", "solar power",
+            "teacher training",
+        ],
+    }
 
 
 def test_ingest_html_month_partitioned(ray_session, tmp_path):
