@@ -41,13 +41,11 @@ from semantic_search_system_ray.functions.hashing import (
     hamming64,
     minhash_signature,
     simhash64,
-    stable_hash64,
     stable_hash128_hex,
     word_shingles,
 )
 from semantic_search_system_ray.functions.text import tokenize
 from semantic_search_system_ray.stages.cc import min_label_components
-from semantic_search_system_ray.stages.util import ensure_schema
 
 _EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
 
