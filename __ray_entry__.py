@@ -492,6 +492,8 @@ def oracle_sql() -> dict[str, str]:
             "minhash_clusters": tox.sql_minhash_clusters(threshold=0.6),
             # r3 curation ops (stages/curation) — md5 decisions, exact SQL
             "stratified_sample": _sql_stratified_sample(),
+            "repetition": tox.sql_repetition(n=3),
+            "inverted_index": tox.sql_inverted_index(),
             "contamination": tox.sql_contamination(
                 __import__(
                     "semantic_search_system_ray.pipelines.queries",

@@ -557,6 +557,22 @@ def q_contamination(sf_dir: str):
     return contamination_check(docs, BENCHMARK_NGRAMS, n=3)
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style intra-doc n-gram repetition metric (stages/curation):
+    boilerplate/spam flagging for the curation suite."""
+    from semantic_search_system_ray.stages.curation import repetition_score
+
+    return repetition_score(read_docs(sf_dir, ["doc_id", "text"]), n=3)
+
+
+def q_inverted_index(sf_dir: str):
+    """Term → postings inverted-index materialization (stages/curation):
+    the search-system core, as a first-class Dataset op."""
+    from semantic_search_system_ray.stages.curation import build_inverted_index
+
+    return build_inverted_index(read_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_corpus_clean(sf_dir: str):
     """The canonical training-data CURATION composition: exact dedup
     (min-id representative per distinct text) ∘ quality gate — the
@@ -1267,6 +1283,8 @@ GROUP BY p.event_id
 QUERIES = {
     "stratified_sample": q_stratified_sample,
     "contamination": q_contamination,
+    "repetition": q_repetition,
+    "inverted_index": q_inverted_index,
     "search_like": q_search_like,
     "events_sliding": q_events_sliding,
     "orders_asof": q_orders_asof,

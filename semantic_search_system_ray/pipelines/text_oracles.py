@@ -657,3 +657,50 @@ SELECT subj AS src,
        count(*) AS degree
 FROM t GROUP BY subj
 """
+
+
+def sql_repetition(n: int) -> str:
+    """DuckDB oracle for stages/curation.repetition_score: same token
+    n-grams; the ratio is one integer division on both sides (bit-equal
+    doubles, no rounding step to diverge on)."""
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ws
+  FROM documents
+),
+counts AS (
+  SELECT doc_id,
+         greatest(len(ws) - {n - 1}, 0) AS n_grams,
+         CASE WHEN len(ws) >= {n} THEN (
+           SELECT count(DISTINCT array_to_string(t.ws[i : i + {n - 1}], ' '))
+           FROM unnest(generate_series(1, len(t.ws) - {n - 1})) AS u(i)
+         ) ELSE 0 END AS n_distinct
+  FROM toks t
+)
+SELECT doc_id, n_grams, n_distinct,
+       CASE WHEN n_grams > 0
+            THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_grams
+            ELSE 0.0 END AS rep_ratio
+FROM counts
+"""
+
+
+def sql_inverted_index(min_df: int = 1, max_df: int | None = None) -> str:
+    """DuckDB oracle for stages/curation.build_inverted_index: distinct
+    (term, doc) pairs → df + ','-joined postings in ascending string
+    order."""
+    having = f"HAVING count(*) >= {min_df}"
+    if max_df is not None:
+        having += f" AND count(*) <= {max_df}"
+    return f"""
+WITH td AS (
+  SELECT DISTINCT
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS term,
+         CAST(doc_id AS VARCHAR) AS d
+  FROM documents
+)
+SELECT term, count(*) AS df,
+       string_agg(d, ',' ORDER BY d) AS postings
+FROM td GROUP BY term {having}
+"""

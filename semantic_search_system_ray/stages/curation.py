@@ -103,3 +103,115 @@ def contamination_check(
             )
 
     return ds.map_batches(_Check, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def repetition_score(
+    ds: rd.Dataset,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Gopher-style intra-document repetition metric: the fraction of
+    word n-gram OCCURRENCES that are repeats of an earlier n-gram in the
+    same doc — ``rep_ratio = 1 - distinct/total`` (0 for docs shorter
+    than n tokens). High values flag boilerplate/spammy docs; compose
+    with the quality gate. Doc-local → shuffle-free. The ratio is ONE
+    integer division (no rounding), so the engine and the SQL oracle
+    produce bit-identical doubles."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, total, distinct, ratio = [], [], [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            toks = [w.lower() for w in tokenize(t or "")]
+            tot = max(len(toks) - n + 1, 0)
+            dis = len({" ".join(toks[j : j + n]) for j in range(tot)})
+            ids.append(str(i))
+            total.append(tot)
+            distinct.append(dis)
+            ratio.append(1.0 - dis / tot if tot else 0.0)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "n_grams": pa.array(total, pa.int64()),
+                "n_distinct": pa.array(distinct, pa.int64()),
+                "rep_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def build_inverted_index(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> rd.Dataset:
+    """Materialize a term → postings inverted index: (term, df, postings)
+    with postings = ','-joined doc ids in ascending STRING order — the
+    search-system core the reference delegates to OpenSearch (S14), here
+    a first-class Dataset materialization.
+
+    Shape: per-block DISTINCT (term, doc) pairs (the combiner — a
+    stopword term collapses to ≤1 row per block per doc, never one per
+    occurrence), then ONE coarse partition pass per term hash builds the
+    posting strings fully vectorized (sort + group offsets + Arrow list
+    join — same zero-copy pattern as the KG adjacency store).
+    ``min_df``/``max_df`` drop too-rare/too-common terms (at web scale a
+    stopword posting row is corpus-sized; cap it out explicitly)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        terms, docs = [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            d = str(i)
+            for w in set(tokenize((t or "").lower())):
+                terms.append(w)
+                docs.append(d)
+        t2 = pa.Table.from_pydict(
+            {"term": pa.array(terms, pa.string()), "d": pa.array(docs, pa.string())}
+        )
+        return t2.group_by(["term", "d"]).aggregate([])  # block-local distinct
+
+    out_schema = pa.schema(
+        [("term", pa.string()), ("df", pa.int64()), ("postings", pa.string())]
+    )
+
+    def build(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        df = df.drop_duplicates(["term", "d"]).sort_values(
+            ["term", "d"], kind="mergesort"
+        )
+        terms = df["term"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1]])
+        offsets = np.r_[starts, len(terms)].astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(df["d"].to_numpy(), pa.string()),
+        )
+        dfreq = np.diff(offsets).astype(np.int64)
+        keep = dfreq >= min_df
+        if max_df is not None:
+            keep &= dfreq <= max_df
+        return pa.Table.from_arrays(
+            [pa.array(terms[starts], pa.string()),
+             pa.array(dfreq, pa.int64()),
+             pc.binary_join(lists, ",")],
+            schema=out_schema,
+        ).filter(pa.array(keep))
+
+    return coarse_partition_apply(
+        ds.map_batches(pairs, batch_format="pyarrow"), ["term"], build, out_schema
+    )

@@ -86,3 +86,43 @@ def test_md5_hash64_matches_duckdb_md5_number_lower():
             "SELECT md5_number_lower(?)", [s]
         ).fetchone()[0]
         assert got == md5_hash64(s), s
+
+
+def test_repetition_score_ground_truth(ray_session):
+    from semantic_search_system_ray.stages.curation import repetition_score
+
+    docs = pa.table({
+        "doc_id": ["a", "b", "c"],
+        "text": [
+            "x y z x y z x y z",   # 7 trigrams, 3 distinct → 4/7 repeated
+            "p q r s",             # 2 trigrams, both distinct → 0.0
+            "u v",                 # shorter than n → 0 grams, ratio 0.0
+        ],
+    })
+    out = {r["doc_id"]: r for r in repetition_score(
+        rd.from_arrow(docs), n=3
+    ).take_all()}
+    assert (out["a"]["n_grams"], out["a"]["n_distinct"]) == (7, 3)
+    assert abs(out["a"]["rep_ratio"] - (1 - 3 / 7)) < 1e-12
+    assert out["b"]["rep_ratio"] == 0.0
+    assert (out["c"]["n_grams"], out["c"]["rep_ratio"]) == (0, 0.0)
+
+
+def test_inverted_index_postings_and_df_caps(ray_session):
+    from semantic_search_system_ray.stages.curation import build_inverted_index
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta", "beta gamma beta", "gamma beta alpha"],
+    })
+    ds = rd.from_arrow([docs.slice(0, 2), docs.slice(2)])  # multi-block
+    idx = {r["term"]: (r["df"], r["postings"]) for r in
+           build_inverted_index(ds).take_all()}
+    assert idx == {
+        "alpha": (2, "1,3"),
+        "beta": (3, "1,2,3"),
+        "gamma": (2, "2,3"),
+    }
+    capped = {r["term"] for r in
+              build_inverted_index(ds, min_df=2, max_df=2).take_all()}
+    assert capped == {"alpha", "gamma"}  # 'beta' (df=3) capped out
