@@ -142,6 +142,8 @@ def _q_kg_adjacency(sf_dir: str):
     adj = adjacency_from_edges(edges_from_triples(_kg_triples(sf_dir)))
 
     def serialize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         col = t.column("neighbors")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -149,7 +151,12 @@ def _q_kg_adjacency(sf_dir: str):
         joined = pc.binary_join_element_wise(
             flat.field("dst"), flat.field("rel"), "|"
         )
-        lists = pa.ListArray.from_arrays(col.offsets, joined)
+        # rebuild offsets from lengths: col.offsets of a zero-copy SLICED
+        # block is not rebased to 0 and would misalign against the
+        # (correctly de-sliced) list_flatten output
+        lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), joined)
         return pa.Table.from_pydict(
             {
                 "src": t.column("src"),
