@@ -113,9 +113,14 @@ def main(argv: list[str] | None = None) -> int:
             "out": args.out,
             "triples": rec.rows_out if rec else None,
             "partitions": m.totals("raw_triples"),
+            # canon_entries = NON-IDENTITY merge count in every regime
+            # (regime-1 dicts include identity entries; counting them
+            # would make the metric jump 4 orders of magnitude across the
+            # regime threshold and break round-over-round comparison)
             "canon_entries": (
-                len(res.canon) if isinstance(res.canon, dict)
-                else res.canon.count()  # regime-3 distributed map
+                sum(1 for k, v in res.canon.items() if k != v)
+                if isinstance(res.canon, dict)
+                else res.canon.count()  # regime-3 map is non-identity-only
             ),
         }))
         return 0

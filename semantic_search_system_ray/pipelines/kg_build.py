@@ -176,13 +176,18 @@ def distinct_rows(
         out_blocks = max(16, DataContext.get_current().min_parallelism)
 
     if strategy == "partition":
-        from semantic_search_system_ray.stages.util import _route_parts, ensure_schema
+        from semantic_search_system_ray.stages.util import (
+            _polars_routing,
+            _route_parts,
+            ensure_schema,
+        )
 
         num_partitions = out_blocks
+        use_polars = _polars_routing()  # driver-decided, captured by value
 
         def route(t: pa.Table) -> pa.Table:
             return t.append_column(
-                "part", _route_parts(t, columns, num_partitions)
+                "part", _route_parts(t, columns, num_partitions, use_polars)
             )
 
         def per_part(g: pa.Table) -> pa.Table:

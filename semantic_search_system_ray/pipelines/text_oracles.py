@@ -255,8 +255,10 @@ def sql_kg_triples(
     """
     pairs = sorted(s for s in gazetteer if " " in s)
     singles = sorted(s for s in gazetteer if " " not in s)
-    pair_list = ", ".join(_sql_str(s) for s in pairs)
-    single_list = ", ".join(_sql_str(s) for s in singles)
+    # degenerate gazetteers (no pairs / no singles) must still generate
+    # valid SQL: `IN ()` is a parser error; '' can never equal a token
+    pair_list = ", ".join(_sql_str(s) for s in pairs) or "''"
+    single_list = ", ".join(_sql_str(s) for s in singles) or "''"
     gaz_values = ", ".join(
         f"({_sql_str(s)}, {_sql_str(l)})" for s, l in sorted(gazetteer.items())
     )
@@ -266,9 +268,11 @@ def sql_kg_triples(
         for p in ps:
             phrase_to_topic.setdefault(p.strip().lower(), topic.strip().lower())
             tax_rows.append((p.strip().lower(), topic.strip().lower()))
+    # empty VALUES lists are parser errors: sentinel rows that the
+    # trailing filter removes keep degenerate inputs valid
     tax_values = ", ".join(
         f"({_sql_str(p)}, {_sql_str(t)})" for p, t in sorted(set(tax_rows))
-    )
+    ) or "('', '')"
     relates_rows = sorted(
         {
             (phrase_to_topic[p.strip().lower()], i % 5)
@@ -276,7 +280,9 @@ def sql_kg_triples(
             if p.strip().lower() in phrase_to_topic
         }
     )
-    relates_values = ", ".join(f"({_sql_str(t)}, {r})" for t, r in relates_rows)
+    relates_values = ", ".join(
+        f"({_sql_str(t)}, {r})" for t, r in relates_rows
+    ) or "('', -1)"
     return f"""
 WITH doc AS (
   SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS d,
@@ -349,11 +355,11 @@ SELECT subj, pred, obj FROM (
   SELECT d, 'HAS_TOPIC', surface FROM top5 WHERE cls = 'topic'
   UNION
   SELECT phrase, 'IN_TOPIC', topic
-  FROM (VALUES {tax_values}) AS t(phrase, topic)
+  FROM (VALUES {tax_values}) AS t(phrase, topic) WHERE phrase <> ''
   UNION
   SELECT r.topic, 'RELATES_TO_DOC', doc.d
   FROM (VALUES {relates_values}) AS r(topic, res)
-  JOIN doc ON doc.did % 5 = r.res
+  JOIN doc ON doc.did % 5 = r.res AND r.res >= 0
 )
 """
 
@@ -421,7 +427,10 @@ sent AS (
     GROUP BY d, pos // 12
   )
   UNION ALL
-  SELECT d, 0 AS i, length(text) AS sent_len FROM doc WHERE NOT chunked
+  -- empty text yields NO sentence (engine: sentence_split('') -> []) and
+  -- therefore no media injection slot
+  SELECT d, 0 AS i, length(text) AS sent_len
+  FROM doc WHERE NOT chunked AND length(text) > 0
 ),
 hashed AS (
   SELECT d, i, sent_len, md5_number_lower(d || ':' || CAST(i AS VARCHAR)) AS h
@@ -513,6 +522,13 @@ sigv AS (
                    + p.b) % {_MERSENNE_P}) % 4294967296 AS UBIGINT) AS sv
   FROM shing sh CROSS JOIN (VALUES {perm_values}) AS p(i, a, b)
   GROUP BY d, p.i
+  UNION ALL
+  -- zero-token docs: the engine's empty-shingle signature is all
+  -- 0xFFFFFFFF (matches nothing except other empties — which therefore
+  -- band together and cluster, exactly as the engine does)
+  SELECT d, p.i AS perm, CAST(4294967295 AS UBIGINT) AS sv
+  FROM doc CROSS JOIN (VALUES {perm_values}) AS p(i, a, b)
+  WHERE len(ws) = 0
 ),
 sig AS (
   SELECT d, list(CAST(sv AS VARCHAR) ORDER BY perm) AS sl,
@@ -569,11 +585,17 @@ def sql_stratified_sample(
     whens = " ".join(
         f"WHEN {_sql_str(k)} THEN {t}" for k, t in sorted(thresholds.items())
     )
+    # a WHEN-less CASE is a parser error: with no per-stratum overrides
+    # the threshold is simply the default
+    case = (
+        f"CASE {key_col} {whens} ELSE {default_threshold} END"
+        if whens else str(default_threshold)
+    )
     return f"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id, {key_col}
 FROM documents
 WHERE md5_number_lower({key_col} || ':' || CAST(doc_id AS VARCHAR)) % 1000000
-      < CASE {key_col} {whens} ELSE {default_threshold} END
+      < {case}
 """
 
 
@@ -581,7 +603,10 @@ def sql_contamination(benchmark_ngrams: list[str], n: int) -> str:
     """DuckDB oracle for stages/curation.contamination_check: same word
     n-grams (token regex parity), count of DISTINCT benchmark grams
     present per doc."""
-    bench_values = ", ".join(f"({_sql_str(g)})" for g in sorted(set(benchmark_ngrams)))
+    # empty benchmark set must still generate valid SQL (nothing matches '')
+    bench_values = ", ".join(
+        f"({_sql_str(g)})" for g in sorted(set(benchmark_ngrams))
+    ) or "('')"
     return f"""
 WITH toks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -79,15 +79,30 @@ def _default_partitions(
 _NULL_KEY = "\x00\x00__null__"
 
 
-def _route_parts(t: pa.Table, keys: list[str], num_partitions: int) -> pa.Array:
+def _polars_routing() -> bool:
+    """Decide the routing hash ONCE, on the DRIVER, at closure-creation
+    time — the bool is captured by value into the route closure, so every
+    worker uses the SAME hash. A per-process ImportError fallback would
+    silently split a key across partitions on a heterogeneous cluster
+    (some workers with polars, some without); with the captured flag, a
+    worker missing polars fails LOUDLY instead."""
+    import importlib.util
+
+    return importlib.util.find_spec("polars") is not None
+
+
+def _route_parts(
+    t: pa.Table, keys: list[str], num_partitions: int, use_polars: bool
+) -> pa.Array:
     """Hash of the stringified key tuple, mod P — the coarse routing key.
 
-    Primary path: polars ``Series.hash`` over the joined Arrow column —
-    zero-copy in, vectorized (re-measured at the 2M-doc scaling volume:
-    0.05 s/M rows vs 1.2 s/M for the per-row crc loop, 23×; the round-1
-    \"vectorizing doesn't pay\" note was a small-batch artifact, see
-    BASELINE.md). Routing needs only WITHIN-JOB consistency (same key →
-    same partition in one run), which any fixed-seed hash provides; the
+    Primary path (``use_polars``, decided once per job via
+    ``_polars_routing``): polars ``Series.hash`` over the joined Arrow
+    column — zero-copy in, vectorized (re-measured at the 2M-doc scaling
+    volume: 0.05 s/M rows vs 1.2 s/M for the per-row crc loop, 23×; the
+    round-1 \"vectorizing doesn't pay\" note was a small-batch artifact,
+    see BASELINE.md). Routing needs only WITHIN-JOB consistency (same key
+    → same partition in one run), which any fixed-seed hash provides; the
     true per-key grouping downstream uses the real columns, so hash choice
     never affects results. Fallback: the crc32 loop (battle-tested, no
     polars dependency). Never ``pd.util.hash_pandas_object`` (returns
@@ -103,19 +118,18 @@ def _route_parts(t: pa.Table, keys: list[str], num_partitions: int) -> pa.Array:
     joined = pc.binary_join_element_wise(
         *[pc.cast(t.column(k), pa.string()) for k in keys], "\x00"
     )
-    try:
+    if use_polars:
         import polars as pl
 
         h = pl.from_arrow(joined).hash(seed=0) % num_partitions
         out = h.cast(pl.Int32).to_arrow()
         return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
-    except ImportError:
-        crc = zlib.crc32
-        return pa.array(
-            [crc((s if s is not None else _NULL_KEY).encode()) % num_partitions
-             for s in joined.to_pylist()],
-            pa.int32(),
-        )
+    crc = zlib.crc32
+    return pa.array(
+        [crc((s if s is not None else _NULL_KEY).encode()) % num_partitions
+         for s in joined.to_pylist()],
+        pa.int32(),
+    )
 
 
 def coarse_partition_apply(
@@ -137,8 +151,12 @@ def coarse_partition_apply(
     if num_partitions is None:
         num_partitions = _default_partitions(ds)
 
+    use_polars = _polars_routing()  # driver-decided, captured by value
+
     def route(t: pa.Table) -> pa.Table:
-        return t.append_column("__part", _route_parts(t, keys, num_partitions))
+        return t.append_column(
+            "__part", _route_parts(t, keys, num_partitions, use_polars)
+        )
 
     def per_part(df) -> pa.Table:
         return fn(df.drop(columns=["__part"]))
@@ -270,7 +288,10 @@ def coarse_map_column(
     large to broadcast as a dict (stages/canon). Both sides ride one
     coarse cogroup keyed on the mapped value; pandas C-level merge per
     partition. ``col`` must be a STRING column (the identity fallback
-    reuses the stringified key). NOTE: the cogroup re-routes rows by
+    reuses the stringified key). Null semantics: a null ``ds[col]`` value
+    stays null (identity — null never equals a mapping key), and null
+    ``mapping[key_col]`` rows are dropped (pandas merge would otherwise
+    wrongly match None keys to None). NOTE: the cogroup re-routes rows by
     ``col`` hash, so any
     upstream block-contiguity invariant (e.g. doc-contiguous rows) does
     NOT survive this operator — callers in that regime must follow with a
@@ -297,6 +318,8 @@ def coarse_map_column(
     def tag_right(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        key = pc.cast(t.column(key_col), pa.string())
+        t = t.filter(pc.is_valid(key))  # null mapping keys match nothing
         n = t.num_rows
         arrays = [pc.cast(t.column(key_col), pa.string())]
         arrays += [pa.nulls(n, out_schema.field(c).type) for c in other_cols]
@@ -521,8 +544,12 @@ def coarse_grouped_apply(
     if num_partitions is None:
         num_partitions = _default_partitions(ds)
 
+    use_polars = _polars_routing()  # driver-decided, captured by value
+
     def route(t: pa.Table) -> pa.Table:
-        return t.append_column("__part", _route_parts(t, keys, num_partitions))
+        return t.append_column(
+            "__part", _route_parts(t, keys, num_partitions, use_polars)
+        )
 
     def per_part(df: pd.DataFrame) -> pa.Table:
         df = df.drop(columns=["__part"])

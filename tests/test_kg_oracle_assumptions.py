@@ -25,7 +25,10 @@ def test_corpus_is_clean_word_soup(sf_dir):
     texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
     bad = re.compile(r"[^a-z ]|  | $|^ ")
     for t in texts.column("text").to_pylist():
-        assert t is not None and not bad.search(t), f"dirty text in {sf_dir}"
+        # non-empty matters too: empty docs take engine-only code paths
+        # (no spans, all-max minhash sig) that the oracles special-case
+        assert t, f"empty text in {sf_dir}"
+        assert not bad.search(t), f"dirty text in {sf_dir}"
 
 
 def test_no_svo_verb_surfaces_in_corpus():
