@@ -573,6 +573,64 @@ def q_inverted_index(sf_dir: str):
     return build_inverted_index(read_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_events_quantiles(sf_dir: str):
+    """EXACT distributed quantiles via bounded-cardinality integer
+    histograms (stages/sketch.exact_quantiles_histogram): per-block
+    Arrow histograms combine into one global histogram sized by the
+    VALUE DOMAIN (~10^4 cells for a 2dp metric), not the row count —
+    exact p50/p90/p99 at any scale without a global sort."""
+    from semantic_search_system_ray.stages.sketch import exact_quantiles_histogram
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["value"])
+    rows = exact_quantiles_histogram(ev, "value", [0.5, 0.9, 0.99])
+    return pa.Table.from_pydict(
+        {"q": [r[0] for r in rows], "value": [r[1] for r in rows]}
+    )
+
+
+SQL_EVENTS_QUANTILES = """
+SELECT unnest([0.5, 0.9, 0.99]) AS q,
+       unnest(quantile_disc(value, [0.5, 0.9, 0.99])) AS value
+FROM events
+"""
+
+
+def q_orders_topk_per_priority(sf_dir: str):
+    """Per-GROUP top-k (windowed rank) with a combiner
+    (stages/util.grouped_topk): top-3 orders by price per priority —
+    each block pre-trims to its local per-group top-3, so only
+    |groups|·k rows per block reach the final combine."""
+    from semantic_search_system_ray.stages.util import grouped_topk
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
+    )
+    out = grouped_topk(
+        ds, ["o_orderpriority"], ["o_totalprice", "o_orderkey"],
+        descending=[True, False], k=3,
+    )
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"o_orderpriority": t.column("o_orderpriority"),
+             "o_orderkey": t.column("o_orderkey"),
+             "o_totalprice": pc.round(t.column("o_totalprice"), 2)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ORDERS_TOPK_PER_PRIORITY = """
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
 def q_corpus_clean(sf_dir: str):
     """The canonical training-data CURATION composition: exact dedup
     (min-id representative per distinct text) ∘ quality gate — the
@@ -1285,6 +1343,8 @@ QUERIES = {
     "contamination": q_contamination,
     "repetition": q_repetition,
     "inverted_index": q_inverted_index,
+    "events_quantiles": q_events_quantiles,
+    "orders_topk_per_priority": q_orders_topk_per_priority,
     "search_like": q_search_like,
     "events_sliding": q_events_sliding,
     "orders_asof": q_orders_asof,
@@ -1321,6 +1381,8 @@ QUERIES = {
 ORACLE_SQL = {
     "search_like": SQL_SEARCH_LIKE,
     "events_sliding": SQL_EVENTS_SLIDING,
+    "events_quantiles": SQL_EVENTS_QUANTILES,
+    "orders_topk_per_priority": SQL_ORDERS_TOPK_PER_PRIORITY,
     "orders_asof": SQL_ORDERS_ASOF,
     "purchase_click_window": SQL_PURCHASE_CLICK_WINDOW,
     "train_split": SQL_TRAIN_SPLIT,

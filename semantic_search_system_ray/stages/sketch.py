@@ -82,3 +82,51 @@ def approx_distinct(ds: rd.Dataset, col: str, *, p: int = 12) -> int:
     ).take_all()
     regs = hll_merge([r["regs"] for r in parts], p)
     return int(round(hll_estimate(regs)))
+
+
+def exact_quantiles_histogram(
+    ds, col: str, qs: list[float], *, scale: int = 100
+):
+    """EXACT distributed quantiles for fixed-precision numeric columns —
+    the bounded-cardinality trick: values scale to integers (default
+    cents), per-block Arrow ``group_by().count()`` histograms combine
+    into one global histogram whose size is the DISTINCT-VALUE count
+    (bounded by the value domain, NOT the row count — ~10^4 cells for a
+    2dp metric regardless of 10^12 rows), and quantiles read off the
+    cumulative counts on the driver. Matches DuckDB ``quantile_disc``:
+    element at index ceil(q·n) − 1 of the sorted multiset.
+
+    Returns a list of (q, value) tuples; value = cell/scale as one
+    float division (same double both engine- and oracle-side)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column(col), float(scale))), pa.int64()
+        )
+        t2 = pa.Table.from_pydict({"cell": cents})
+        out = t2.group_by(["cell"]).aggregate([("cell", "count")])
+        return out.rename_columns(["cell", "n"])
+
+    parts = ds.map_batches(hist, batch_format="pyarrow")
+    merged = parts.groupby("cell").sum("n")
+    rows = merged.take_all()  # bounded by the VALUE DOMAIN, not row count
+    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+    counts = np.array([r["sum(n)"] for r in rows], dtype=np.int64)
+    order = np.argsort(cells)
+    cells, counts = cells[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        if n == 0:
+            out.append((q, None))
+            continue
+        target = math.ceil(q * n)
+        idx = int(np.searchsorted(cum, max(target, 1), side="left"))
+        out.append((q, cells[idx] / float(scale)))
+    return out

@@ -568,3 +568,37 @@ def coarse_grouped_apply(
         .map_groups(per_part, batch_format="pandas"),
         out_schema,
     )
+
+
+def grouped_topk(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    sort_cols: list[str],
+    *,
+    descending: list[bool],
+    k: int,
+):
+    """Per-GROUP top-k (windowed rank) with a COMBINER: every block keeps
+    only its local per-group top-k (pandas C-level sort + groupby.head),
+    so at most |groups|·k rows per block ride the final single-task
+    combine — never the full table. Right for low-cardinality groups
+    (priorities, languages, status codes); corpus-cardinality groups
+    should use ``coarse_grouped_apply`` instead. Ties beyond the sort
+    columns must be broken BY the sort columns (pass a unique last sort
+    key) for deterministic output."""
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(
+            sort_cols, ascending=[not d for d in descending], kind="mergesort"
+        )
+        return pa.Table.from_pandas(
+            df.groupby(group_cols, sort=False, dropna=False).head(k),
+            schema=t.schema, preserve_index=False,
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=None)
+    )

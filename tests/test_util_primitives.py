@@ -314,3 +314,56 @@ def test_partitions_sized_from_data_not_cpus(ray_session, monkeypatch):
     }
     assert got_default == got_wide
     assert got_default[0] == int((keys == 0).sum())
+
+
+def test_grouped_topk_combiner_parity(ray_session):
+    """Per-group top-k must match the exact pandas window result even
+    when groups span many blocks (the per-block pre-trim is a combiner,
+    not an approximation)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    n = 9000
+    df = pd.DataFrame({
+        "grp": rng.choice(["a", "b", "c", "d"], size=n),
+        "key": np.arange(n),
+        "val": rng.rand(n).round(6),
+    })
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    ds = rd.from_arrow([t.slice(i * 1000, 1000) for i in range(9)])
+
+    from semantic_search_system_ray.stages.util import grouped_topk
+
+    got = sorted(
+        (r["grp"], r["key"], r["val"])
+        for r in grouped_topk(
+            ds, ["grp"], ["val", "key"], descending=[True, False], k=5
+        ).take_all()
+    )
+    exp = sorted(
+        df.sort_values(["val", "key"], ascending=[False, True])
+        .groupby("grp", sort=False).head(5)
+        .itertuples(index=False, name=None)
+    )
+    exp = sorted((g, k, v) for g, k, v in exp)
+    assert got == exp
+
+
+def test_exact_quantiles_histogram(ray_session):
+    """Histogram quantiles must equal the exact sorted-multiset rule
+    (ceil(q*n)-1) on a multi-block 2dp dataset."""
+    import math
+
+    import numpy as np
+
+    from semantic_search_system_ray.stages.sketch import exact_quantiles_histogram
+
+    rng = np.random.RandomState(5)
+    vals = np.round(rng.exponential(scale=20.0, size=30_000), 2)
+    t = pa.table({"value": vals})
+    ds = rd.from_arrow([t.slice(i * 3000, 3000) for i in range(10)])
+    got = dict(exact_quantiles_histogram(ds, "value", [0.5, 0.9, 0.99]))
+    s = np.sort(vals)
+    for q in (0.5, 0.9, 0.99):
+        assert got[q] == s[math.ceil(q * len(s)) - 1]
