@@ -372,6 +372,18 @@ def _q_search_rerank(sf_dir: str):
     return rerank(candidates, "merge sort window", top_n=10)
 
 
+def _q_rag_answer(sf_dir: str):
+    """Grounded RAG QA (reference A10, app.py:20-66) with the LLM
+    composer replaced by a deterministic extractive surrogate — same
+    stand-in policy as the NER gazetteer; retrieve->rank->compose is the
+    real pipeline, fully oracle-checked."""
+    from semantic_search_system_ray.pipelines.search import rag_answer
+    from semantic_search_system_ray.pipelines.queries import read_docs
+
+    docs = read_docs(sf_dir, ["doc_id", "text"])
+    return rag_answer(docs, "stream table hash window", k=5)
+
+
 def _q_taxonomy_build(sf_dir: str):
     """No SQL oracle: k-means over hash embeddings is iterative (not
     SQL-expressible); determinism contract: fixed seed + deterministic
@@ -419,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_adjacency": _q_kg_adjacency,
             "search_lexical": _q_search_lexical,
             "search_rerank": _q_search_rerank,
+            "rag_answer": _q_rag_answer,
             "taxonomy_build": _q_taxonomy_build,
             "doc_topic_words": _q_doc_topic_words,
             "minhash_clusters": _q_minhash_clusters,
@@ -477,6 +490,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             "search_rerank": tox.sql_search_rerank(
                 ["merge", "sort", "window"], k_candidates=30, top_n=10
+            ),
+            "rag_answer": tox.sql_rag_answer(
+                ["stream", "table", "hash", "window"], k=5
             ),
             "ngram_jaccard": tox.sql_ngram_jaccard(n=3, threshold=0.8),
             "fingerprint": tox.sql_fingerprint(window=8),

@@ -256,3 +256,72 @@ def search_hybrid(
     return rd.from_arrow(tbl).sort(
         ["hybrid_score", "doc_id"], descending=[True, False]
     ).limit(k)
+
+
+def rag_answer(
+    docs: rd.Dataset, query: str, *, k: int = 5
+) -> rd.Dataset:
+    """Grounded extractive QA — the reference's A10 RAG answerer
+    (app.py:20-66: retrieve top-k, compose an answer from the retrieved
+    text) with the LLM composer replaced by a DETERMINISTIC extractive
+    surrogate, same as the NER gazetteer stands in for spaCy: retrieve
+    top-k lexically, then per retrieved doc pick the best supporting
+    SNIPPET — the 12-word chunk (the corpus' sentence unit; whole text
+    when ≤200 chars) containing the most DISTINCT query tokens, first
+    chunk on ties. Fully deterministic ⇒ exact SQL oracle
+    (text_oracles.sql_rag_answer).
+
+    Output: (rank, doc_id, score, snippet) — rank is the retrieval
+    order (score desc, doc_id asc)."""
+    top = search_lexical(docs, query, k=k)
+    rows = top.take_all()  # k rows — bounded driver fetch
+    order = {str(r["doc_id"]): (i + 1, float(r["score"])) for i, r in enumerate(rows)}
+    qtoks = sorted({t.lower() for t in tokenize(query)})
+
+    import pyarrow.compute as pc
+
+    ids = pa.array(sorted(order), pa.string())
+
+    def snippet(batch: pa.Table) -> pa.Table:
+        out_rank, out_id, out_score, out_snip = [], [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            d = str(i)
+            if d not in order:
+                continue
+            t = t or ""
+            words = t.split()
+            if len(t) > 200:
+                chunks = [
+                    " ".join(words[j : j + 12]) for j in range(0, len(words), 12)
+                ]
+            else:
+                chunks = [t]
+            best_i, best_ov = 0, -1
+            for ci, c in enumerate(chunks):
+                cw = set(c.split())
+                ov = sum(1 for q in qtoks if q in cw)
+                if ov > best_ov:  # strict: first chunk wins ties
+                    best_i, best_ov = ci, ov
+            rank, score = order[d]
+            out_rank.append(rank)
+            out_id.append(d)
+            out_score.append(score)
+            out_snip.append(chunks[best_i] if chunks else "")
+        return pa.Table.from_pydict(
+            {
+                "rank": pa.array(out_rank, pa.int64()),
+                "doc_id": pa.array(out_id, pa.string()),
+                "score": pa.array(out_score, pa.float64()),
+                "snippet": pa.array(out_snip, pa.string()),
+            }
+        )
+
+    candidates = docs.map_batches(
+        lambda t: t.filter(
+            pc.is_in(pc.cast(t.column("doc_id"), pa.string()), value_set=ids)
+        ),
+        batch_format="pyarrow",
+    )
+    return candidates.map_batches(snippet, batch_format="pyarrow")

@@ -729,3 +729,56 @@ SELECT term, count(*) AS df,
        string_agg(d, ',' ORDER BY d) AS postings
 FROM td GROUP BY term {having}
 """
+
+
+def sql_rag_answer(query_tokens: list[str], k: int) -> str:
+    """DuckDB oracle for the grounded extractive RAG surrogate
+    (pipelines/search.rag_answer): lexical top-k (same generated scoring
+    as sql_search_lexical) + per-doc best 12-word-chunk snippet by
+    DISTINCT-query-token overlap, first chunk on ties."""
+    qlist = ", ".join(_sql_str(t) for t in sorted(set(query_tokens))) or "''"
+    mult = 1 + len(set(query_tokens))
+    return f"""
+WITH scored AS (
+  SELECT CAST(doc_id AS VARCHAR) AS d, text,
+         CASE WHEN len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) = 0
+              THEN 0.0
+              ELSE round(CAST(len(list_filter(
+                     regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'),
+                     x -> list_contains([{qlist}], x))) AS DOUBLE)
+                   / len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'))
+                   * {mult}, 6) END AS score
+  FROM documents
+),
+topk AS (
+  SELECT d, text, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, d) AS "rank"
+  FROM scored ORDER BY score DESC, d LIMIT {k}
+),
+chunks AS (
+  SELECT d, "rank", score, chunk_i,
+         string_agg(w, ' ' ORDER BY pos) AS chunk
+  FROM (
+    SELECT d, "rank", score,
+           CASE WHEN length(text) > 200 THEN pos // 12 ELSE 0 END AS chunk_i,
+           pos, w
+    FROM (
+      SELECT d, "rank", score, text,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos
+      FROM topk
+    )
+  ) GROUP BY d, "rank", score, chunk_i
+),
+best AS (
+  SELECT d, "rank", score, chunk,
+         ROW_NUMBER() OVER (PARTITION BY d ORDER BY ov DESC, chunk_i) AS rk
+  FROM (
+    SELECT *,
+           len(list_filter([{qlist}],
+               q -> list_contains(string_split(chunk, ' '), q))) AS ov
+    FROM chunks
+  )
+)
+SELECT "rank", d AS doc_id, score, chunk AS snippet FROM best WHERE rk = 1
+"""
