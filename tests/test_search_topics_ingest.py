@@ -198,3 +198,38 @@ def test_ingest_html_month_partitioned(ray_session, tmp_path):
     assert {r["doc_id"] for r in ds2} == {
         r["doc_id"] for r in rd.read_parquet(out).take_all()
     }
+
+def test_rag_answer_extractive_snippets(ray_session):
+    """A10 surrogate: top-k retrieval order + best-chunk selection with
+    first-chunk tie-break, on a corpus with known overlap structure."""
+    import pyarrow as pa
+
+    from semantic_search_system_ray.pipelines.search import rag_answer
+
+    long_tail = " ".join(["pad"] * 30)  # forces >200 chars → 12-word chunks
+    docs = pa.table({
+        "doc_id": ["a", "b", "c"],
+        "text": [
+            # chunk 0 has 1 query token, chunk 1 has 2 → chunk 1 wins
+            "alpha beta gamma delta eps zeta eta theta iota kappa lam mu "
+            "QUERYONE QUERYTWO x y z w v u t s r q " + long_tail,
+            # both chunks have 1 token → FIRST chunk wins the tie
+            "QUERYONE b c d e f g h i j k l "
+            "QUERYTWO n o p q r s t u v w x " + long_tail,
+            "no match here",
+        ],
+    })
+    # lowercase corpus convention doesn't matter for this unit test —
+    # the matcher lowercases query tokens, chunk words stay as-is, so use
+    # lowercase markers
+    docs = pa.table({
+        "doc_id": ["a", "b", "c"],
+        "text": [t.lower() for t in docs.column("text").to_pylist()],
+    })
+    out = {r["doc_id"]: r for r in rag_answer(
+        rd.from_arrow(docs), "queryone querytwo", k=2
+    ).take_all()}
+    assert set(out) == {"a", "b"}          # c scores 0 and k=2
+    assert out["a"]["rank"] in (1, 2) and out["b"]["rank"] in (1, 2)
+    assert "queryone querytwo" in out["a"]["snippet"]   # 2-token chunk won
+    assert out["b"]["snippet"].startswith("queryone b c d")  # tie → first
