@@ -372,6 +372,18 @@ def _q_search_rerank(sf_dir: str):
     return rerank(candidates, "merge sort window", top_n=10)
 
 
+def _q_search_bm25(sf_dir: str):
+    """BM25 retrieval (the reference's OpenSearch default scorer,
+    rebuilt): one query-term-bounded aggregate pass broadcast into a
+    vectorized scorer — deterministic cross-system (|q| ln() calls on
+    one libm; the rest IEEE arithmetic), oracle-checked."""
+    from semantic_search_system_ray.pipelines.search import search_bm25
+    from semantic_search_system_ray.pipelines.queries import read_docs
+
+    docs = read_docs(sf_dir, ["doc_id", "text"])
+    return search_bm25(docs, "stream table hash window", k=10)
+
+
 def _q_rag_answer(sf_dir: str):
     """Grounded RAG QA (reference A10, app.py:20-66) with the LLM
     composer replaced by a deterministic extractive surrogate — same
@@ -432,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "search_lexical": _q_search_lexical,
             "search_rerank": _q_search_rerank,
             "rag_answer": _q_rag_answer,
+            "search_bm25": _q_search_bm25,
             "taxonomy_build": _q_taxonomy_build,
             "doc_topic_words": _q_doc_topic_words,
             "minhash_clusters": _q_minhash_clusters,
@@ -490,6 +503,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             "search_rerank": tox.sql_search_rerank(
                 ["merge", "sort", "window"], k_candidates=30, top_n=10
+            ),
+            "search_bm25": tox.sql_bm25(
+                ["stream", "table", "hash", "window"], k=10
             ),
             "rag_answer": tox.sql_rag_answer(
                 ["stream", "table", "hash", "window"], k=5

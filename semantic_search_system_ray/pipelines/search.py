@@ -325,3 +325,87 @@ def rag_answer(
         batch_format="pyarrow",
     )
     return candidates.map_batches(snippet, batch_format="pyarrow")
+
+
+def search_bm25(
+    docs: rd.Dataset, query: str, *, k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> rd.Dataset:
+    """BM25-ranked retrieval (Robertson/Sparck Jones; the classic the
+    reference delegates to OpenSearch's default scorer). Deterministic
+    cross-system by construction: idf needs only |query| ln() calls
+    (same libm as DuckDB on one host) and everything else is IEEE
+    +,*,/ on identical inputs, so the SQL oracle reproduces scores
+    bit-for-bit before the shared 6dp round.
+
+    Plan shape: ONE tiny aggregate pass (N, total length, per-term df —
+    all query-term-bounded) broadcast to a vectorized scoring map; no
+    shuffle of the corpus. Output: (rank, doc_id, score)."""
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    qtoks = sorted({t.lower() for t in tokenize(query)})
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        total_len = 0
+        dfs = {q: 0 for q in qtoks}
+        for t in texts:
+            toks = [w.lower() for w in tokenize(t or "")]
+            total_len += len(toks)
+            s = set(toks)
+            for q in qtoks:
+                if q in s:
+                    dfs[q] += 1
+        return pa.Table.from_pydict(
+            {"n": [n], "total_len": [total_len],
+             **{f"df_{i}": [dfs[q]] for i, q in enumerate(qtoks)}}
+        )
+
+    agg = docs.map_batches(stats, batch_format="pyarrow").sum(
+        ["n", "total_len"] + [f"df_{i}" for i in range(len(qtoks))]
+    )
+    n_docs = int(agg["sum(n)"])
+    avgdl = (agg["sum(total_len)"] / n_docs) if n_docs else 0.0
+    idf = {
+        q: math.log(1.0 + (n_docs - int(agg[f"sum(df_{i})"]) + 0.5)
+                    / (int(agg[f"sum(df_{i})"]) + 0.5))
+        for i, q in enumerate(qtoks)
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = [str(v) for v in batch.column("doc_id").to_pylist()]
+        texts = batch.column("text").to_pylist()
+        out = np.zeros(len(ids), dtype=np.float64)
+        dls = np.zeros(len(ids), dtype=np.float64)
+        tfs = {q: np.zeros(len(ids), dtype=np.float64) for q in qtoks}
+        for r, t in enumerate(texts):
+            toks = [w.lower() for w in tokenize(t or "")]
+            dls[r] = len(toks)
+            for q in qtoks:
+                tfs[q][r] = toks.count(q)
+        denom_base = k1 * (1.0 - b + b * (dls / avgdl)) if avgdl else k1
+        for q in qtoks:
+            tf = tfs[q]
+            out += idf[q] * (tf * (k1 + 1.0)) / (tf + denom_base)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.string()),
+             "score": pc.round(pa.array(out, pa.float64()), 6)}
+        )
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    top = scored.sort(["score", "doc_id"], descending=[True, False]).limit(k)
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        # runs on the single coalesced top-k block (k rows), sorted order
+        # preserved by repartition(1)
+        return pa.Table.from_pydict(
+            {"rank": pa.array(range(1, t.num_rows + 1), pa.int64()),
+             "doc_id": t.column("doc_id"), "score": t.column("score")}
+        )
+
+    return top.repartition(1).map_batches(
+        add_rank, batch_format="pyarrow", batch_size=None
+    )

@@ -782,3 +782,47 @@ best AS (
 )
 SELECT "rank", d AS doc_id, score, chunk AS snippet FROM best WHERE rk = 1
 """
+
+
+def sql_bm25(query_tokens: list[str], k: int, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB oracle for pipelines/search.search_bm25 — bit-identical
+    scores: idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (same libm as the
+    engine on one host), tf saturation in IEEE +,*,/ on identical
+    inputs, shared 6dp round."""
+    qlist = ", ".join(_sql_str(t) for t in sorted(set(query_tokens))) or "''"
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS d,
+         regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS tk
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+  FROM toks
+),
+term AS (
+  SELECT q, count(*) FILTER (WHERE list_contains(tk, q)) AS df
+  FROM toks CROSS JOIN (SELECT unnest([{qlist}]) AS q) qq
+  GROUP BY q
+),
+idf AS (
+  SELECT q, ln(1.0 + (s.n - df + 0.5) / (df + 0.5)) AS w
+  FROM term, stats s
+),
+scored AS (
+  SELECT t.d,
+         round(sum(
+           i.w * (tf * ({k1} + 1.0))
+               / (tf + {k1} * (1.0 - {b} + {b} * (len(t.tk) / s.avgdl)))
+         ), 6) AS score
+  FROM toks t CROSS JOIN stats s
+  CROSS JOIN idf i
+  CROSS JOIN LATERAL (
+    SELECT CAST(len(list_filter(t.tk, x -> x = i.q)) AS DOUBLE) AS tf
+  ) f
+  GROUP BY t.d
+)
+SELECT ROW_NUMBER() OVER (ORDER BY score DESC, d) AS "rank",
+       d AS doc_id, score
+FROM scored ORDER BY score DESC, d LIMIT {k}
+"""

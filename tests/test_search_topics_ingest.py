@@ -233,3 +233,31 @@ def test_rag_answer_extractive_snippets(ray_session):
     assert out["a"]["rank"] in (1, 2) and out["b"]["rank"] in (1, 2)
     assert "queryone querytwo" in out["a"]["snippet"]   # 2-token chunk won
     assert out["b"]["snippet"].startswith("queryone b c d")  # tie → first
+
+
+def test_search_bm25_ranking_properties(ray_session):
+    """BM25 sanity: rare-term docs outrank common-term docs; tf saturates;
+    length normalization penalizes padding."""
+    import pyarrow as pa
+
+    from semantic_search_system_ray.pipelines.search import search_bm25
+
+    docs = pa.table({
+        "doc_id": ["rare", "common", "saturated", "padded"],
+        "text": [
+            "zebra walks",                          # rare term once
+            "the and of to in",                     # only stopword-common terms
+            "zebra zebra zebra zebra zebra zebra",  # tf saturation
+            "zebra " + " ".join(["pad"] * 40),      # long doc penalty
+        ],
+    })
+    out = {r["doc_id"]: (r["rank"], r["score"]) for r in search_bm25(
+        rd.from_arrow(docs), "zebra", k=4
+    ).take_all()}
+    assert out["common"][1] == 0.0
+    # tf saturation: 6 occurrences score more than 1 but far less than 6x
+    assert out["saturated"][1] > out["rare"][1]
+    assert out["saturated"][1] < 3 * out["rare"][1]
+    # length normalization: same tf, longer doc scores lower
+    assert out["padded"][1] < out["rare"][1]
+    assert [d for d, (r, _s) in sorted(out.items(), key=lambda kv: kv[1][0])][-1] == "common"
