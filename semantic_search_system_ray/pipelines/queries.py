@@ -595,6 +595,28 @@ FROM events
 """
 
 
+def q_events_quantiles_by_type(sf_dir: str):
+    """Per-GROUP exact quantiles (grouped variant of the histogram
+    trick): p50/p95 of event value per event_type."""
+    from semantic_search_system_ray.stages.sketch import (
+        exact_grouped_quantiles_histogram,
+    )
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    cols = exact_grouped_quantiles_histogram(ev, "event_type", "value", [0.5, 0.95])
+    return pa.Table.from_pydict(
+        {"event_type": cols["group"], "q": cols["q"], "value": cols["value"]}
+    )
+
+
+SQL_EVENTS_QUANTILES_BY_TYPE = """
+SELECT event_type,
+       unnest([0.5, 0.95]) AS q,
+       unnest(quantile_disc(value, [0.5, 0.95])) AS value
+FROM events GROUP BY event_type
+"""
+
+
 def q_orders_topk_per_priority(sf_dir: str):
     """Per-GROUP top-k (windowed rank) with a combiner
     (stages/util.grouped_topk): top-3 orders by price per priority —
@@ -1344,6 +1366,7 @@ QUERIES = {
     "repetition": q_repetition,
     "inverted_index": q_inverted_index,
     "events_quantiles": q_events_quantiles,
+    "events_quantiles_by_type": q_events_quantiles_by_type,
     "orders_topk_per_priority": q_orders_topk_per_priority,
     "search_like": q_search_like,
     "events_sliding": q_events_sliding,
@@ -1382,6 +1405,7 @@ ORACLE_SQL = {
     "search_like": SQL_SEARCH_LIKE,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_quantiles": SQL_EVENTS_QUANTILES,
+    "events_quantiles_by_type": SQL_EVENTS_QUANTILES_BY_TYPE,
     "orders_topk_per_priority": SQL_ORDERS_TOPK_PER_PRIORITY,
     "orders_asof": SQL_ORDERS_ASOF,
     "purchase_click_window": SQL_PURCHASE_CLICK_WINDOW,

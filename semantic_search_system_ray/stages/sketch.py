@@ -130,3 +130,49 @@ def exact_quantiles_histogram(
         idx = int(np.searchsorted(cum, max(target, 1), side="left"))
         out.append((q, cells[idx] / float(scale)))
     return out
+
+
+def exact_grouped_quantiles_histogram(
+    ds, group_col: str, col: str, qs: list[float], *, scale: int = 100
+):
+    """Per-GROUP exact quantiles, same bounded-cardinality histogram trick
+    as ``exact_quantiles_histogram``: per-block (group, cell) count
+    histograms → one global groupby over |groups|·|value domain| cells →
+    per-group cumulative counts on the driver (bounded by domain size,
+    not row count). Returns a pyarrow-ready dict of columns
+    (group, q, value)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column(col), float(scale))), pa.int64()
+        )
+        t2 = pa.Table.from_pydict({"g": t.column(group_col), "cell": cents})
+        out = t2.group_by(["g", "cell"]).aggregate([("cell", "count")])
+        return out.rename_columns(["g", "cell", "n"])
+
+    parts = ds.map_batches(hist, batch_format="pyarrow")
+    merged = parts.groupby(["g", "cell"]).sum("n")
+    rows = merged.take_all()  # |groups| x |value domain| — bounded
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append((r["cell"], r["sum(n)"]))
+    out_g, out_q, out_v = [], [], []
+    for g in sorted(by_g):
+        cells = np.array([c for c, _ in by_g[g]], dtype=np.int64)
+        counts = np.array([n for _, n in by_g[g]], dtype=np.int64)
+        order = np.argsort(cells)
+        cells, counts = cells[order], counts[order]
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        for q in qs:
+            target = max(math.ceil(q * n), 1)
+            idx = int(np.searchsorted(cum, target, side="left"))
+            out_g.append(g)
+            out_q.append(q)
+            out_v.append(cells[idx] / float(scale))
+    return {"group": out_g, "q": out_q, "value": out_v}
