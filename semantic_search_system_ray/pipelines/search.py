@@ -291,7 +291,10 @@ def rag_answer(
             if d not in order:
                 continue
             t = t or ""
-            words = t.split()
+            # split(" ") (single-space, empties kept), NOT split(): the
+            # oracle's string_split(text, ' ') does not split on \n/\t or
+            # collapse runs — one convention on both sides
+            words = t.split(" ")
             if len(t) > 200:
                 chunks = [
                     " ".join(words[j : j + 12]) for j in range(0, len(words), 12)
@@ -300,7 +303,7 @@ def rag_answer(
                 chunks = [t]
             best_i, best_ov = 0, -1
             for ci, c in enumerate(chunks):
-                cw = set(c.split())
+                cw = set(c.lower().split(" "))  # case-folded like retrieval
                 ov = sum(1 for q in qtoks if q in cw)
                 if ov > best_ov:  # strict: first chunk wins ties
                     best_i, best_ov = ci, ov
@@ -339,7 +342,14 @@ def search_bm25(
 
     Plan shape: ONE tiny aggregate pass (N, total length, per-term df —
     all query-term-bounded) broadcast to a vectorized scoring map; no
-    shuffle of the corpus. Output: (rank, doc_id, score)."""
+    shuffle of the corpus. Output: (rank, doc_id, score).
+
+    Determinism detail: per-term contributions are accumulated in SORTED
+    query-token order on both sides — the oracle sums via
+    list_sum(list(... ORDER BY q)), not a plain hash-aggregate sum whose
+    accumulation order DuckDB does not pin (FP addition is
+    non-associative; an unpinned order could flip the shared 6dp round
+    at a boundary ulp)."""
     import math
 
     import numpy as np
@@ -381,11 +391,14 @@ def search_bm25(
         out = np.zeros(len(ids), dtype=np.float64)
         dls = np.zeros(len(ids), dtype=np.float64)
         tfs = {q: np.zeros(len(ids), dtype=np.float64) for q in qtoks}
+        from collections import Counter
+
         for r, t in enumerate(texts):
             toks = [w.lower() for w in tokenize(t or "")]
             dls[r] = len(toks)
+            cnt = Counter(toks)  # one pass, all term frequencies
             for q in qtoks:
-                tfs[q][r] = toks.count(q)
+                tfs[q][r] = cnt[q]
         denom_base = k1 * (1.0 - b + b * (dls / avgdl)) if avgdl else k1
         for q in qtoks:
             tf = tfs[q]

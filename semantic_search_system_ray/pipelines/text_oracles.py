@@ -21,23 +21,31 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _lexical_score_sql(qlist: str, mult: int, text_expr: str = "text") -> str:
+    """The ONE lexical overlap-score expression shared by every oracle
+    that ranks documents (search_lexical / search_rerank / rag_answer):
+    round(hits / n_tokens * (1 + |q|), 6), 0.0 for token-less docs.
+    Single source of truth — a tokenization or rounding change here
+    tracks all three oracles at once."""
+    toks = f"regexp_extract_all(lower({text_expr}), '{_TOKEN_RE_SQL}')"
+    return (
+        f"CASE WHEN len({toks}) = 0 THEN 0.0 "
+        f"ELSE round(CAST(len(list_filter({toks}, "
+        f"x -> list_contains([{qlist}], x))) AS DOUBLE) "
+        f"/ len({toks}) * {mult}, 6) END"
+    )
+
+
 def sql_search_lexical(query_tokens: list[str], k: int) -> str:
     """Token-overlap scoring + min-max normalize + top-k (pipelines/
     search.search_lexical): score = round(hits/len(toks)·(1+|q|), 6)."""
     qlist = ", ".join(_sql_str(t) for t in sorted(set(query_tokens)))
     mult = 1 + len(set(query_tokens))
     return f"""
-WITH toks AS (
+WITH scored AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS tk
+         {_lexical_score_sql(qlist, mult)} AS score
   FROM documents
-),
-scored AS (
-  SELECT doc_id,
-         CASE WHEN len(tk) = 0 THEN 0.0
-              ELSE round(CAST(len(list_filter(tk, x -> list_contains([{qlist}], x))) AS DOUBLE)
-                         / len(tk) * {mult}, 6) END AS score
-  FROM toks
 ),
 stats AS (SELECT min(score) AS mn, max(score) AS mx FROM scored)
 SELECT doc_id, score,
@@ -60,11 +68,7 @@ def sql_search_rerank(query_tokens: list[str], k_candidates: int, top_n: int) ->
     return f"""
 WITH scored AS (
   SELECT doc_id, text,
-         CASE WHEN len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) = 0 THEN 0.0
-              ELSE round(CAST(len(list_filter(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'),
-                                              x -> list_contains([{qlist}], x))) AS DOUBLE)
-                         / len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) * {mult}, 6)
-         END AS score
+         {_lexical_score_sql(qlist, mult)} AS score
   FROM documents
 ),
 top_c AS (
@@ -741,13 +745,7 @@ def sql_rag_answer(query_tokens: list[str], k: int) -> str:
     return f"""
 WITH scored AS (
   SELECT CAST(doc_id AS VARCHAR) AS d, text,
-         CASE WHEN len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) = 0
-              THEN 0.0
-              ELSE round(CAST(len(list_filter(
-                     regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'),
-                     x -> list_contains([{qlist}], x))) AS DOUBLE)
-                   / len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'))
-                   * {mult}, 6) END AS score
+         {_lexical_score_sql(qlist, mult)} AS score
   FROM documents
 ),
 topk AS (
@@ -776,7 +774,7 @@ best AS (
   FROM (
     SELECT *,
            len(list_filter([{qlist}],
-               q -> list_contains(string_split(chunk, ' '), q))) AS ov
+               q -> list_contains(string_split(lower(chunk), ' '), q))) AS ov
     FROM chunks
   )
 )
@@ -810,11 +808,15 @@ idf AS (
   FROM term, stats s
 ),
 scored AS (
+  -- list_sum over a q-ORDERED list pins the FP accumulation order to the
+  -- engine's sorted-token loop (a plain hash-aggregate sum() leaves the
+  -- order unspecified; FP addition is non-associative)
   SELECT t.d,
-         round(sum(
+         round(list_sum(list(
            i.w * (tf * ({k1} + 1.0))
                / (tf + {k1} * (1.0 - {b} + {b} * (len(t.tk) / s.avgdl)))
-         ), 6) AS score
+           ORDER BY i.q
+         )), 6) AS score
   FROM toks t CROSS JOIN stats s
   CROSS JOIN idf i
   CROSS JOIN LATERAL (

@@ -84,6 +84,18 @@ def approx_distinct(ds: rd.Dataset, col: str, *, p: int = 12) -> int:
     return int(round(hll_estimate(regs)))
 
 
+def _quantile_rank(q: float, n: int) -> int:
+    """Exact 1-based rank for the quantile_disc rule ceil(q*n): float
+    multiply overshoots by one whenever q*n lands an ulp above an
+    integer (e.g. 0.55*100 = 55.000...01 → ceil 56, but DuckDB returns
+    the 55th element). Convert q through its DECIMAL string so the rank
+    is computed in exact integer arithmetic."""
+    from fractions import Fraction
+
+    fq = Fraction(str(q))
+    return max(int(-(-fq.numerator * n // fq.denominator)), 1)
+
+
 def exact_quantiles_histogram(
     ds, col: str, qs: list[float], *, scale: int = 100
 ):
@@ -98,7 +110,6 @@ def exact_quantiles_histogram(
 
     Returns a list of (q, value) tuples; value = cell/scale as one
     float division (same double both engine- and oracle-side)."""
-    import math
 
     import numpy as np
     import pyarrow as pa
@@ -126,8 +137,8 @@ def exact_quantiles_histogram(
         if n == 0:
             out.append((q, None))
             continue
-        target = math.ceil(q * n)
-        idx = int(np.searchsorted(cum, max(target, 1), side="left"))
+        target = _quantile_rank(q, n)
+        idx = int(np.searchsorted(cum, target, side="left"))
         out.append((q, cells[idx] / float(scale)))
     return out
 
@@ -141,7 +152,6 @@ def exact_grouped_quantiles_histogram(
     per-group cumulative counts on the driver (bounded by domain size,
     not row count). Returns a pyarrow-ready dict of columns
     (group, q, value)."""
-    import math
 
     import numpy as np
     import pyarrow as pa
@@ -162,7 +172,9 @@ def exact_grouped_quantiles_histogram(
     for r in rows:
         by_g.setdefault(r["g"], []).append((r["cell"], r["sum(n)"]))
     out_g, out_q, out_v = [], [], []
-    for g in sorted(by_g):
+    # null group sorts last (Ray's groupby keeps the None key, matching
+    # SQL GROUP BY's NULL group — plain sorted() would TypeError on it)
+    for g in sorted(by_g, key=lambda x: (x is None, x)):
         cells = np.array([c for c, _ in by_g[g]], dtype=np.int64)
         counts = np.array([n for _, n in by_g[g]], dtype=np.int64)
         order = np.argsort(cells)
@@ -170,7 +182,7 @@ def exact_grouped_quantiles_histogram(
         cum = np.cumsum(counts)
         n = int(cum[-1])
         for q in qs:
-            target = max(math.ceil(q * n), 1)
+            target = _quantile_rank(q, n)
             idx = int(np.searchsorted(cum, target, side="left"))
             out_g.append(g)
             out_q.append(q)

@@ -367,3 +367,34 @@ def test_exact_quantiles_histogram(ray_session):
     s = np.sort(vals)
     for q in (0.5, 0.9, 0.99):
         assert got[q] == s[math.ceil(q * len(s)) - 1]
+
+
+def test_quantile_rank_exact_arithmetic(ray_session):
+    """ceil(q*n) in floats overshoots when q*n lands an ulp above an
+    integer (0.55*100 → 55.00000000000001); the rank must follow exact
+    integer arithmetic, matching DuckDB quantile_disc."""
+    import numpy as np
+
+    from semantic_search_system_ray.stages.sketch import (
+        _quantile_rank,
+        exact_quantiles_histogram,
+    )
+
+    assert _quantile_rank(0.55, 100) == 55
+    assert _quantile_rank(0.07, 100) == 7
+    assert _quantile_rank(0.5, 101) == 51
+    assert _quantile_rank(0.0001, 3) == 1  # floor at 1
+
+    # end-to-end vs DuckDB on an n that trips the float pattern
+    import duckdb
+
+    vals = np.round(np.arange(1, 101) * 0.37, 2)  # n=100 distinct 2dp
+    t = pa.table({"value": vals})
+    got = dict(exact_quantiles_histogram(
+        rd.from_arrow(t), "value", [0.55, 0.07, 0.28]
+    ))
+    con = duckdb.connect()
+    con.register("tt", t.to_pandas())
+    for q in (0.55, 0.07, 0.28):
+        exp = con.execute(f"SELECT quantile_disc(value, {q}) FROM tt").fetchone()[0]
+        assert got[q] == exp, q
