@@ -1360,6 +1360,130 @@ GROUP BY p.event_id
 """
 
 
+def q_user_running_sum(sf_dir: str):
+    """Per-key ROW-frame window function: the running (cumulative) sum of
+    event value per user in (ts, event_id) order — the
+    ``SUM() OVER (PARTITION BY … ORDER BY … ROWS UNBOUNDED PRECEDING)``
+    family, complementing the RANGE (sliding/asof) and session windows
+    already covered.
+
+    Scale shape: user_id is corpus-cardinality → coarse partitions route
+    each user's rows together and the whole computation is ONE vectorized
+    pass per partition (sort + pandas C-level groupby.cumsum), never
+    per-user Python. Values are fixed 2dp → cumulated as scaled int64
+    cents with a single int→double divide per row — float accumulation
+    would be order-dependent under parallel execution."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.string()), ("running_sum", pa.float64())]
+    )
+
+    def running(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        run = pd.Series(cents).groupby(df["user_id"].to_numpy(), sort=False).cumsum()
+        return pa.Table.from_pydict(
+            {"event_id": df["event_id"].to_numpy(),
+             "user_id": df["user_id"].to_numpy(),
+             "ts": df["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+             "running_sum": run.to_numpy() / 100.0},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(ds, ["user_id"], running, out_schema)
+
+
+SQL_USER_RUNNING_SUM = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       sum(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+         AS running_sum
+FROM events
+"""
+
+
+def q_value_deciles(sf_dir: str):
+    """Global quantile BUCKETING: assign every event to a decile by the
+    exact corpus-wide value deciles, then aggregate per bucket — the
+    threshold-ntile pattern (deterministic under ties, unlike SQL
+    ``ntile()``, which splits equal values by physical row order:
+    bucket := #thresholds strictly below the value).
+
+    Scale shape: thresholds come from the bounded-cardinality integer
+    histogram (exact at any row count, no global sort — see
+    stages/sketch.exact_quantiles_histogram), are broadcast into a
+    stateless vectorized assign (one np.searchsorted per batch), and the
+    final groupby has ≤10 groups. Money-class sums ride as scaled int64
+    cents with one int→double divide at the end."""
+    from semantic_search_system_ray.stages.sketch import exact_quantiles_histogram
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["value"])
+    qs = [i / 10.0 for i in range(1, 10)]
+    thresholds = np.array(
+        [v for _q, v in exact_quantiles_histogram(ev, "value", qs)],
+        dtype=np.float64,
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        dec = np.searchsorted(thresholds, v, side="left").astype(np.int64)
+        cents = np.round(v * 100.0).astype(np.int64)
+        t2 = pa.Table.from_pydict(
+            {"decile": dec, "cents": cents, "value": t.column("value")}
+        )
+        return t2.group_by(["decile"]).aggregate(
+            [("cents", "count"), ("cents", "sum"),
+             ("value", "min"), ("value", "max")]
+        )
+
+    agg = (
+        ev.map_batches(assign, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(
+            Sum("cents_count", alias_name="n_events"),
+            Sum("cents_sum", alias_name="sum_cents"),
+            Min("value_min", alias_name="min_value"),
+            Max("value_max", alias_name="max_value"),
+        )
+    )
+    t = pa.Table.from_pylist(agg.take_all())  # ≤10 rows
+    return pa.Table.from_pydict(
+        {"decile": t.column("decile"),
+         "n_events": t.column("n_events"),
+         "sum_value": pc.divide(pc.cast(t.column("sum_cents"), pa.float64()),
+                                pa.scalar(100.0)),
+         "min_value": t.column("min_value"),
+         "max_value": t.column("max_value")}
+    )
+
+
+SQL_VALUE_DECILES = """
+WITH thr AS (
+  SELECT quantile_disc(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS ts
+  FROM events
+)
+SELECT (SELECT count(*) FROM unnest(thr.ts) AS u(t) WHERE e.value > t)
+         AS decile,
+       count(*) AS n_events,
+       sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS sum_value,
+       min(e.value) AS min_value,
+       max(e.value) AS max_value
+FROM events e, thr
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "stratified_sample": q_stratified_sample,
     "contamination": q_contamination,
@@ -1367,6 +1491,8 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "events_quantiles": q_events_quantiles,
     "events_quantiles_by_type": q_events_quantiles_by_type,
+    "user_running_sum": q_user_running_sum,
+    "value_deciles": q_value_deciles,
     "orders_topk_per_priority": q_orders_topk_per_priority,
     "search_like": q_search_like,
     "events_sliding": q_events_sliding,
@@ -1406,6 +1532,8 @@ ORACLE_SQL = {
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_quantiles": SQL_EVENTS_QUANTILES,
     "events_quantiles_by_type": SQL_EVENTS_QUANTILES_BY_TYPE,
+    "user_running_sum": SQL_USER_RUNNING_SUM,
+    "value_deciles": SQL_VALUE_DECILES,
     "orders_topk_per_priority": SQL_ORDERS_TOPK_PER_PRIORITY,
     "orders_asof": SQL_ORDERS_ASOF,
     "purchase_click_window": SQL_PURCHASE_CLICK_WINDOW,
