@@ -335,6 +335,28 @@ def _q_approx_distinct(sf_dir: str):
     )
 
 
+def _q_kg_degree(sf_dir: str):
+    """Graph analytics over the KG edge set — per-node out/in degree
+    (stages/graph.degree_table); oracle reuses the kg_triples SQL as a
+    subquery like the other graph materializations."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import degree_table
+
+    return degree_table(edges_from_triples(_kg_triples(sf_dir)))
+
+
+def _q_kg_pagerank(sf_dir: str):
+    """Deterministic integer PageRank (stages/graph.pagerank, 5 rounds)
+    over the KG edge set → top-20 nodes by (pr desc, node_id). The
+    scaled-int recurrence makes the iterative distributed computation
+    bit-reproducible against the unrolled-CTE SQL twin."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import pagerank, pagerank_topk
+
+    pr = pagerank(edges_from_triples(_kg_triples(sf_dir)), iterations=5)
+    return pagerank_topk(pr, 20)
+
+
 def _q_search_lexical(sf_dir: str):
     import pyarrow.compute as pc
     from semantic_search_system_ray.pipelines.search import search_lexical
@@ -441,6 +463,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_triples": _kg_triples,
             "kg_nodes": _q_kg_nodes,
             "kg_adjacency": _q_kg_adjacency,
+            "kg_degree": _q_kg_degree,
+            "kg_pagerank": _q_kg_pagerank,
             "search_lexical": _q_search_lexical,
             "search_rerank": _q_search_rerank,
             "rag_answer": _q_rag_answer,
@@ -496,6 +520,12 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_adjacency": tox.sql_kg_adjacency(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_degree": tox.sql_kg_degree(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_pagerank": tox.sql_kg_pagerank(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "search_lexical": tox.sql_search_lexical(

@@ -688,6 +688,66 @@ FROM t GROUP BY subj
 """
 
 
+def sql_kg_degree(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for stages/graph.degree_table over the KG edge set: per
+    endpoint, out/in edge counts (multigraph: every triple counts), built
+    over the kg_triples oracle subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples}),
+e AS (SELECT CAST(subj AS VARCHAR) AS src, CAST(obj AS VARCHAR) AS dst FROM t)
+SELECT node_id, CAST(sum(o) AS BIGINT) AS out_degree,
+       CAST(sum(i) AS BIGINT) AS in_degree
+FROM (SELECT src AS node_id, 1 AS o, 0 AS i FROM e
+      UNION ALL SELECT dst, 0, 1 FROM e)
+GROUP BY node_id
+"""
+
+
+def sql_kg_pagerank(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    iterations: int = 5,
+    scale: int = 1_000_000,
+    k: int = 20,
+) -> str:
+    """Oracle for stages/graph.pagerank: the integer recurrence
+    ``pr'(v) = BASE + (85·Σ(pr(u)//od(u)))//100`` unrolled into one CTE
+    per iteration (no recursion needed for a fixed round count — every
+    engine round maps to a CTE verbatim). All arithmetic is floor
+    integer, so engine and SQL agree bit-for-bit; top-k by
+    (pr DESC, node_id) is the operator's documented tie order."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    base_scaled = (100 - 85) * scale // 100
+    ctes = []
+    for i in range(1, iterations + 1):
+        ctes.append(f"""pr{i} AS (
+  SELECT n.node_id,
+         CAST({base_scaled} + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node_id, sum(p.pr // o.od) AS m
+    FROM e JOIN pr{i - 1} p ON p.node_id = e.src
+           JOIN od o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node_id = n.node_id)""")
+    chain = ",\n".join(ctes)
+    return f"""
+WITH t AS ({triples}),
+e AS (SELECT CAST(subj AS VARCHAR) AS src, CAST(obj AS VARCHAR) AS dst FROM t),
+od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+pr0 AS (SELECT node_id, CAST({scale} AS BIGINT) AS pr FROM nodes),
+{chain}
+SELECT node_id, pr FROM pr{iterations}
+ORDER BY pr DESC, node_id LIMIT {k}
+"""
+
+
 def sql_repetition(n: int) -> str:
     """DuckDB oracle for stages/curation.repetition_score: same token
     n-grams; the ratio is one integer division on both sides (bit-equal

@@ -1,0 +1,299 @@
+"""Graph analytics over materialized KG edge sets — degree statistics
+and deterministic PageRank.
+
+The reference materializes its graph driver-side and delegates analytics
+to the graph store (`/root/reference/knowledge_graph/knowledge_graph.py`
+builds edges; queries run in Neptune/NetworkX). Here the graph IS a
+Dataset of (src, dst) rows and the analytics are shuffle-bounded Ray
+Data passes: per-block Arrow combiners → coarse-partition cogroups
+(stages/util) — never a driver-side adjacency structure.
+
+PageRank is INTEGER-DETERMINISTIC by construction: ranks are scaled
+int64 (``SCALE`` per node at t0) and each iteration computes
+
+    pr'(v) = BASE + (85 * Σ_{u→v} (pr(u) // outdeg(u))) // 100
+
+with ``BASE = 15·SCALE // 100`` — all floor arithmetic on non-negative
+int64, so the result is independent of summation order / block layout /
+parallelism, and has an exact unrolled-CTE DuckDB twin
+(pipelines/text_oracles.sql_kg_pagerank). Dangling-node mass is dropped
+(the standard simplified formulation; documented contract). Overflow /
+exactness bounds: a per-node in-sum is ≤ total mass = n_nodes·SCALE, so
+int64 (and the float64 ride through the null-bearing cogroup union,
+exact < 2^53) holds to ~10^9 nodes at the default SCALE=1e6; shrink
+SCALE for larger graphs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+DAMP_NUM, DAMP_DEN = 85, 100  # 0.85 damping as an exact ratio
+DEFAULT_SCALE = 1_000_000
+
+DEGREE_SCHEMA = pa.schema(
+    [("node_id", pa.string()), ("out_degree", pa.int64()),
+     ("in_degree", pa.int64())]
+)
+PR_SCHEMA = pa.schema([("node_id", pa.string()), ("pr", pa.int64())])
+
+
+def _str(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    out = pc.cast(col, pa.string())
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def degree_table(
+    edges: rd.Dataset, *, src_col: str = "src", dst_col: str = "dst"
+) -> rd.Dataset:
+    """→ (node_id, out_degree, in_degree) for every node appearing as an
+    endpoint. Per-block Arrow ``group_by().count()`` combiners collapse
+    each block to ≤2·|block distinct endpoints| partial rows before the
+    ONE coarse shuffle; the per-partition sum is a pandas C-level
+    groupby. Multigraph semantics: every edge row counts (parallel edges
+    with different relations each contribute)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.group_by([src_col]).aggregate([(src_col, "count")])
+        d = t.group_by([dst_col]).aggregate([(dst_col, "count")])
+        zeros_s = pa.nulls(s.num_rows, pa.int64()).fill_null(0)
+        zeros_d = pa.nulls(d.num_rows, pa.int64()).fill_null(0)
+        return pa.Table.from_pydict(
+            {
+                "node_id": pa.concat_arrays(
+                    [_str(s.column(src_col)), _str(d.column(dst_col))]
+                ),
+                "o": pa.concat_arrays(
+                    [s.column(f"{src_col}_count").combine_chunks(), zeros_d]
+                ),
+                "i": pa.concat_arrays(
+                    [zeros_s, d.column(f"{dst_col}_count").combine_chunks()]
+                ),
+            }
+        )
+
+    def sum_part(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return DEGREE_SCHEMA.empty_table()
+        agg = (
+            df.groupby("node_id", sort=False)
+            .agg(out_degree=("o", "sum"), in_degree=("i", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            agg, schema=DEGREE_SCHEMA, preserve_index=False
+        )
+
+    return coarse_partition_apply(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        ["node_id"], sum_part, DEGREE_SCHEMA,
+    )
+
+
+def _distinct_nodes(
+    edges: rd.Dataset, src_col: str, dst_col: str
+) -> rd.Dataset:
+    """Distinct endpoint ids — per-block combiner + coarse-partition
+    distinct (node cardinality is corpus-sized; never a driver set)."""
+    schema = pa.schema([("node_id", pa.string())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        both = pa.Table.from_pydict(
+            {"node_id": pa.concat_arrays(
+                [_str(t.column(src_col)), _str(t.column(dst_col))]
+            )}
+        )
+        return both.group_by(["node_id"]).aggregate([])
+
+    def dedup(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return schema.empty_table()
+        return pa.Table.from_pandas(
+            df.drop_duplicates("node_id"), schema=schema, preserve_index=False
+        )
+
+    return coarse_partition_apply(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        ["node_id"], dedup, schema,
+    )
+
+
+def pagerank(
+    edges: rd.Dataset,
+    *,
+    iterations: int = 5,
+    scale: int = DEFAULT_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> rd.Dataset:
+    """→ (node_id, pr) after ``iterations`` synchronous rounds of the
+    integer recurrence above. Each round is TWO coarse shuffles:
+
+    1. cogroup pr onto edges by src (union + one partition pass) →
+       per-partition partial in-sums keyed by dst — the combiner: a
+       partition emits at most |distinct dst in partition| rows;
+    2. union partials with the zero row of every node (LEFT-join
+       semantics: nodes with no in-edges keep BASE) → per-partition sum
+       → apply the recurrence.
+
+    The edge set (with outdegree attached) is materialized ONCE and
+    re-streamed every round; pr is materialized per round to keep
+    lineage O(1) rather than O(iterations)."""
+    base = DAMP_DEN - DAMP_NUM  # 15
+    base_scaled = base * scale // DAMP_DEN
+
+    nodes = _distinct_nodes(edges, src_col, dst_col).materialize()
+
+    # (src, dst, od): outdegree from degree_table (out side only), joined
+    # back onto edges via one cogroup — every edge's src has od ≥ 1.
+    union_ed = pa.schema(
+        [("key", pa.string()), ("dst", pa.string()), ("od", pa.int64()),
+         ("is_edge", pa.bool_())]
+    )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [_str(t.column(src_col)), _str(t.column(dst_col)),
+             pa.nulls(n, pa.int64()), pa.nulls(n, pa.bool_()).fill_null(True)],
+            schema=union_ed,
+        )
+
+    def tag_od(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t.column("node_id").combine_chunks(), pa.nulls(n, pa.string()),
+             t.column("out_degree").combine_chunks(),
+             pa.nulls(n, pa.bool_()).fill_null(False)],
+            schema=union_ed,
+        )
+
+    ed_schema = pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("od", pa.int64())]
+    )
+
+    def attach_od(df: pd.DataFrame) -> pa.Table:
+        eds = df[df["is_edge"]]
+        ods = df[~df["is_edge"]][["key", "od"]]
+        if eds.empty:
+            return ed_schema.empty_table()
+        merged = eds[["key", "dst"]].merge(ods, on="key", how="inner")
+        return pa.Table.from_pydict(
+            {"src": merged["key"].to_numpy(),
+             "dst": merged["dst"].to_numpy(),
+             # od rode the null-bearing union as float64; exact < 2^53
+             "od": merged["od"].to_numpy().astype(np.int64)},
+            schema=ed_schema,
+        )
+
+    deg = degree_table(edges, src_col=src_col, dst_col=dst_col)
+    edges_od = coarse_partition_apply(
+        edges.map_batches(tag_edge, batch_format="pyarrow").union(
+            deg.map_batches(tag_od, batch_format="pyarrow")
+        ),
+        ["key"], attach_od, ed_schema,
+    ).materialize()
+
+    pr = nodes.map_batches(
+        lambda t: t.append_column(
+            "pr", pa.nulls(t.num_rows, pa.int64()).fill_null(scale)
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    union_pr = pa.schema(
+        [("key", pa.string()), ("dst", pa.string()), ("od", pa.int64()),
+         ("pr", pa.int64()), ("is_pr", pa.bool_())]
+    )
+    msum = pa.schema([("node_id", pa.string()), ("m", pa.int64())])
+
+    def tag_e2(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t.column("src").combine_chunks(), t.column("dst").combine_chunks(),
+             t.column("od").combine_chunks(), pa.nulls(n, pa.int64()),
+             pa.nulls(n, pa.bool_()).fill_null(False)],
+            schema=union_pr,
+        )
+
+    def tag_pr(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t.column("node_id").combine_chunks(), pa.nulls(n, pa.string()),
+             pa.nulls(n, pa.int64()), t.column("pr").combine_chunks(),
+             pa.nulls(n, pa.bool_()).fill_null(True)],
+            schema=union_pr,
+        )
+
+    def contribs(df: pd.DataFrame) -> pa.Table:
+        prs = df[df["is_pr"]][["key", "pr"]]
+        eds = df[~df["is_pr"]]
+        if eds.empty or prs.empty:
+            return msum.empty_table()
+        merged = eds[["key", "dst", "od"]].merge(prs, on="key", how="inner")
+        # int64 payloads ride the null-bearing union as float64 — exact
+        # < 2^53 (see module overflow note); floor-div on int64
+        c = merged["pr"].to_numpy().astype(np.int64) // merged[
+            "od"
+        ].to_numpy().astype(np.int64)
+        part = (
+            pd.DataFrame({"node_id": merged["dst"].to_numpy(), "m": c})
+            .groupby("node_id", sort=False)["m"].sum().reset_index()
+        )
+        return pa.Table.from_pandas(part, schema=msum, preserve_index=False)
+
+    def tag_zero(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("node_id").combine_chunks(),
+             pa.nulls(t.num_rows, pa.int64()).fill_null(0)],
+            schema=msum,
+        )
+
+    def apply_rank(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return PR_SCHEMA.empty_table()
+        agg = df.groupby("node_id", sort=False)["m"].sum().reset_index()
+        m = agg["m"].to_numpy().astype(np.int64)
+        pr_new = base_scaled + (DAMP_NUM * m) // DAMP_DEN
+        return pa.Table.from_pydict(
+            {"node_id": agg["node_id"].to_numpy(), "pr": pr_new},
+            schema=PR_SCHEMA,
+        )
+
+    for _ in range(iterations):
+        partials = coarse_partition_apply(
+            edges_od.map_batches(tag_e2, batch_format="pyarrow").union(
+                pr.map_batches(tag_pr, batch_format="pyarrow")
+            ),
+            ["key"], contribs, msum,
+        )
+        pr = coarse_partition_apply(
+            partials.union(nodes.map_batches(tag_zero, batch_format="pyarrow")),
+            ["node_id"], apply_rank, PR_SCHEMA,
+        ).materialize()
+    return pr
+
+
+def pagerank_topk(pr: rd.Dataset, k: int) -> pa.Table:
+    """Deterministic top-k by (pr desc, node_id asc): per-block trim to k
+    (combiner) → tiny global sort + limit."""
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k, [("pr", "descending"), ("node_id", "ascending")]
+        )
+        return t.take(idx)
+
+    out = (
+        pr.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["pr", "node_id"], descending=[True, False])
+        .limit(k)
+    )
+    return pa.Table.from_pylist(out.take_all(), schema=PR_SCHEMA)

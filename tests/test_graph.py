@@ -1,0 +1,79 @@
+"""Graph analytics (stages/graph.py): degree and integer PageRank parity
+against an exact single-process reference on a small multigraph, plus
+block-layout invariance (the distributed result must not depend on how
+edges are chunked)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from semantic_search_system_ray.stages.graph import (
+    DEFAULT_SCALE,
+    degree_table,
+    pagerank,
+    pagerank_topk,
+)
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+    ("b", "a"), ("e", "e"), ("a", "b"),  # parallel edge: multigraph
+]
+
+
+def _edges_ds(n_blocks: int) -> rd.Dataset:
+    t = pa.table(
+        {"src": [e[0] for e in EDGES], "dst": [e[1] for e in EDGES]}
+    )
+    return rd.from_arrow(t).repartition(n_blocks)
+
+
+def _reference_pagerank(iterations: int) -> list[tuple[str, int]]:
+    base = 15 * DEFAULT_SCALE // 100
+    nodes = sorted({n for e in EDGES for n in e})
+    od: dict[str, int] = defaultdict(int)
+    for s, _ in EDGES:
+        od[s] += 1
+    pr = {n: DEFAULT_SCALE for n in nodes}
+    for _ in range(iterations):
+        m: dict[str, int] = defaultdict(int)
+        for s, d in EDGES:
+            m[d] += pr[s] // od[s]
+        pr = {n: base + (85 * m[n]) // 100 for n in nodes}
+    return sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_degree_multigraph(ray_session, n_blocks):
+    deg = (
+        degree_table(_edges_ds(n_blocks))
+        .to_pandas()
+        .sort_values("node_id")
+        .reset_index(drop=True)
+    )
+    exp_out = {"a": 3, "b": 2, "c": 1, "d": 1, "e": 1}
+    exp_in = {"a": 2, "b": 2, "c": 3, "d": 0, "e": 1}
+    assert list(deg["node_id"]) == sorted(exp_out)
+    for _, r in deg.iterrows():
+        assert r["out_degree"] == exp_out[r["node_id"]]
+        assert r["in_degree"] == exp_in[r["node_id"]]
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_pagerank_exact_parity(ray_session, n_blocks):
+    ref = _reference_pagerank(5)
+    got = pagerank_topk(pagerank(_edges_ds(n_blocks), iterations=5), 20)
+    assert list(zip(got.column("node_id").to_pylist(),
+                    got.column("pr").to_pylist())) == ref
+
+
+def test_pagerank_mass_conservation_bound(ray_session):
+    """Total rank never exceeds initial mass (floor division only loses
+    mass; dangling mass is dropped by contract)."""
+    pr = pagerank(_edges_ds(2), iterations=3).to_pandas()
+    assert pr["pr"].sum() <= len(set(sum(map(list, EDGES), []))) * DEFAULT_SCALE
+    assert (pr["pr"] >= 15 * DEFAULT_SCALE // 100).all()
