@@ -562,6 +562,7 @@ def oracle_sql() -> dict[str, str]:
             # r3 curation ops (stages/curation) — md5 decisions, exact SQL
             "stratified_sample": _sql_stratified_sample(),
             "repetition": tox.sql_repetition(n=3),
+            "substring_dups": tox.sql_cross_doc_dups(n=5),
             "inverted_index": tox.sql_inverted_index(),
             "contamination": tox.sql_contamination(
                 __import__(

@@ -557,6 +557,15 @@ def q_contamination(sf_dir: str):
     return contamination_check(docs, BENCHMARK_NGRAMS, n=3)
 
 
+def q_substring_dups(sf_dir: str):
+    """Cross-document duplicated-substring detection (stages/curation.
+    cross_doc_ngram_dups): per doc, how many distinct word 5-grams recur
+    in other docs — the span-level self-dedup signal (Lee et al. 2021)."""
+    from semantic_search_system_ray.stages.curation import cross_doc_ngram_dups
+
+    return cross_doc_ngram_dups(read_docs(sf_dir, ["doc_id", "text"]), n=5)
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style intra-doc n-gram repetition metric (stages/curation):
     boilerplate/spam flagging for the curation suite."""
@@ -1488,6 +1497,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "contamination": q_contamination,
     "repetition": q_repetition,
+    "substring_dups": q_substring_dups,
     "inverted_index": q_inverted_index,
     "events_quantiles": q_events_quantiles,
     "events_quantiles_by_type": q_events_quantiles_by_type,

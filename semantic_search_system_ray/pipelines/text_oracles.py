@@ -775,6 +775,39 @@ FROM counts
 """
 
 
+def sql_cross_doc_dups(n: int) -> str:
+    """DuckDB oracle for stages/curation.cross_doc_ngram_dups: per doc,
+    distinct word n-grams that also occur in ≥1 other doc. Same token
+    regex/gram construction as the engine; zero rows for too-short docs;
+    the fraction is one int→double division on both sides."""
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= {n}
+         THEN list_distinct(list_transform(range(1, len(ws) - {n - 2}),
+                i -> array_to_string(ws[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' ')))
+         ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM toks
+),
+gc AS (SELECT g, count(*) AS nd FROM grams GROUP BY g),
+sh AS (SELECT gr.doc_id, count(*) AS n_grams,
+              sum(CASE WHEN gc.nd >= 2 THEN 1 ELSE 0 END) AS n_shared
+       FROM grams gr JOIN gc USING (g) GROUP BY gr.doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(sh.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN coalesce(sh.n_grams, 0) > 0
+            THEN CAST(sh.n_shared AS DOUBLE) / sh.n_grams
+            ELSE 0.0 END AS dup_frac
+FROM toks t LEFT JOIN sh USING (doc_id)
+"""
+
+
 def sql_inverted_index(min_df: int = 1, max_df: int | None = None) -> str:
     """DuckDB oracle for stages/curation.build_inverted_index: distinct
     (term, doc) pairs → df + ','-joined postings in ascending string

@@ -144,6 +144,108 @@ def repetition_score(
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def cross_doc_ngram_dups(
+    ds: rd.Dataset,
+    *,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Cross-document duplicated-substring detection (the self-corpus
+    counterpart of ``contamination_check``, à la Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better": find
+    text spans that recur ACROSS documents). Per doc: how many of its
+    distinct word n-grams also occur in ≥1 OTHER doc, and the duplicated
+    fraction — the boilerplate/near-copy signal that drives span-level
+    dedup decisions.
+
+    Shape: per-doc distinct n-grams (doc-local combiner — lean
+    (gram, doc) rows) → ONE coarse shuffle keyed by gram (a gram's full
+    posting lands in one partition, so "appears in ≥2 docs" is
+    partition-local) emitting per-doc PARTIAL counts → one coarse sum
+    keyed by doc. Docs too short for any n-gram ride a zero row. The
+    fraction is one int→double division (bit-equal to the SQL oracle,
+    pipelines/text_oracles.sql_cross_doc_dups)."""
+    import numpy as np
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    pair_schema = pa.schema([("g", pa.string()), ("doc_id", pa.string())])
+    partial_schema = pa.schema(
+        [("doc_id", pa.string()), ("tg", pa.int64()), ("sg", pa.int64())]
+    )
+    out_schema = pa.schema(
+        [("doc_id", pa.string()), ("n_grams", pa.int64()),
+         ("n_shared", pa.int64()), ("dup_frac", pa.float64())]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        gs, ids = [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            toks = [w.lower() for w in tokenize(t or "")]
+            d = str(i)
+            for g in {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}:
+                gs.append(g)
+                ids.append(d)
+        return pa.Table.from_pydict(
+            {"g": pa.array(gs, pa.string()), "doc_id": pa.array(ids, pa.string())},
+            schema=pair_schema,
+        )
+
+    def per_gram(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return partial_schema.empty_table()
+        # rows are distinct (gram, doc): per-gram row count == doc count
+        nd = df.groupby("g", sort=False)["doc_id"].transform("size")
+        agg = (
+            pd.DataFrame(
+                {"doc_id": df["doc_id"], "s": (nd >= 2).to_numpy().astype(np.int64)}
+            )
+            .groupby("doc_id", sort=False)
+            .agg(tg=("s", "size"), sg=("s", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, schema=partial_schema, preserve_index=False)
+
+    partials = coarse_partition_apply(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["g"], per_gram, partial_schema, num_partitions=num_partitions,
+    )
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        ids = [str(v) for v in batch.column(id_col).to_pylist()]
+        z = pa.nulls(len(ids), pa.int64()).fill_null(0)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.string()), z, z], schema=partial_schema
+        )
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = (
+            df.groupby("doc_id", sort=False)
+            .agg(n_grams=("tg", "sum"), n_shared=("sg", "sum"))
+            .reset_index()
+        )
+        tg = agg["n_grams"].to_numpy().astype(np.int64)
+        sg = agg["n_shared"].to_numpy().astype(np.int64)
+        frac = np.where(tg > 0, sg / np.maximum(tg, 1), 0.0)
+        return pa.Table.from_pydict(
+            {"doc_id": agg["doc_id"].to_numpy(), "n_grams": tg,
+             "n_shared": sg, "dup_frac": frac},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        partials.union(ds.map_batches(zeros, batch_format="pyarrow")),
+        ["doc_id"], final, out_schema, num_partitions=num_partitions,
+    )
+
+
 def build_inverted_index(
     ds: rd.Dataset,
     *,

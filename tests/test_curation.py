@@ -126,3 +126,27 @@ def test_inverted_index_postings_and_df_caps(ray_session):
     capped = {r["term"] for r in
               build_inverted_index(ds, min_df=2, max_df=2).take_all()}
     assert capped == {"alpha", "gamma"}  # 'beta' (df=3) capped out
+
+
+def test_cross_doc_ngram_dups_ground_truth(ray_session):
+    from semantic_search_system_ray.stages.curation import cross_doc_ngram_dups
+
+    boiler = "the quick brown fox jumps"
+    docs = pa.table({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": [
+            f"{boiler} over one lazy dog",     # shares the boiler 5-gram w/ b
+            f"intro words {boiler} outro",     # shares the boiler 5-gram w/ a
+            "completely different text with no overlap at all here",
+            "tiny",                            # < n tokens → zero row
+        ],
+    })
+    ds = rd.from_arrow([docs.slice(0, 2), docs.slice(2)])  # multi-block
+    out = {r["doc_id"]: r for r in cross_doc_ngram_dups(ds, n=5).take_all()}
+    assert len(out) == 4
+    # doc a: tokens=9 → 5 grams; exactly the boiler gram is shared
+    assert (out["a"]["n_grams"], out["a"]["n_shared"]) == (5, 1)
+    assert abs(out["a"]["dup_frac"] - 1 / 5) < 1e-15
+    assert out["b"]["n_shared"] == 1
+    assert (out["c"]["n_shared"], out["c"]["dup_frac"]) == (0, 0.0)
+    assert (out["d"]["n_grams"], out["d"]["dup_frac"]) == (0, 0.0)
