@@ -487,6 +487,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
+def _sql_pmi_pairs() -> str:
+    from semantic_search_system_ray.pipelines import text_oracles as tox
+    from semantic_search_system_ray.pipelines.queries import (
+        PMI_PPM,
+        PMI_TOP_K,
+        PMI_VOCAB_M,
+    )
+
+    return tox.sql_pmi_pairs(PMI_VOCAB_M, PMI_TOP_K, PMI_PPM)
+
+
 def _sql_stratified_sample() -> str:
     from semantic_search_system_ray.pipelines import text_oracles as tox
     from semantic_search_system_ray.pipelines.queries import (
@@ -563,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
             "stratified_sample": _sql_stratified_sample(),
             "repetition": tox.sql_repetition(n=3),
             "substring_dups": tox.sql_cross_doc_dups(n=5),
+            "pmi_pairs": _sql_pmi_pairs(),
             "inverted_index": tox.sql_inverted_index(),
             "contamination": tox.sql_contamination(
                 __import__(

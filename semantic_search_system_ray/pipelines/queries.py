@@ -557,6 +557,88 @@ def q_contamination(sf_dir: str):
     return contamination_check(docs, BENCHMARK_NGRAMS, n=3)
 
 
+PMI_VOCAB_M = 40
+PMI_TOP_K = 30
+PMI_PPM = 1_000_000
+
+
+def q_pmi_pairs(sf_dir: str):
+    """Corpus collocation mining: top-K word pairs by PMI-style lift over
+    the top-M document-frequency vocabulary — the classic two-pass
+    co-occurrence analysis (count df → broadcast vocab → count pair
+    co-occurrence) every corpus-linguistics pipeline needs.
+
+    Scale shape: pass 1 is the proven word-count shape (per-block
+    distinct-in-doc combiner → word groupby → tiny top-M sort); the M
+    words broadcast via ray.put; pass 2 emits per-block pair-count
+    partials over the ≤M·(M−1)/2 pair space (bounded — never
+    corpus-sized) → one small groupby. The lift is computed in exact
+    arbitrary-precision Python ints over the ≤780 final rows
+    (lift_ppm = n_ab·N·1e6 // (n_a·n_b)), so no intermediate overflow at
+    any corpus size; the SQL twin uses HUGEINT for the same products."""
+    docs = read_docs(sf_dir, ["doc_id", "text"])
+    from semantic_search_system_ray.functions.text import tokenize
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column("text").to_pylist():
+            for w in {w.lower() for w in tokenize(txt or "")}:
+                c[w] += 1
+        return pa.Table.from_pydict(
+            {"w": pa.array(list(c.keys()), pa.string()),
+             "c": pa.array(list(c.values()), pa.int64())}
+        )
+
+    df_rows = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="df"))
+        .sort(["df", "w"], descending=[True, False])
+        .limit(PMI_VOCAB_M)
+        .take_all()
+    )
+    vocab_df = {r["w"]: int(r["df"]) for r in df_rows}
+    n_docs = docs.count()  # metadata-only on parquet
+    ref = ray.put(frozenset(vocab_df))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        vocab = ray.get(ref)
+        c: Counter = Counter()
+        for txt in t.column("text").to_pylist():
+            ws = sorted({w.lower() for w in tokenize(txt or "")} & vocab)
+            for i in range(len(ws)):
+                for j in range(i + 1, len(ws)):
+                    c[(ws[i], ws[j])] += 1
+        keys = list(c.keys())
+        return pa.Table.from_pydict(
+            {"w_a": pa.array([k[0] for k in keys], pa.string()),
+             "w_b": pa.array([k[1] for k in keys], pa.string()),
+             "c": pa.array([c[k] for k in keys], pa.int64())}
+        )
+
+    pair_rows = (
+        docs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["w_a", "w_b"])
+        .aggregate(Sum("c", alias_name="n_ab"))
+        .take_all()  # bounded: ≤ M·(M−1)/2 rows
+    )
+    scored = []
+    for r in pair_rows:
+        n_a, n_b = vocab_df[r["w_a"]], vocab_df[r["w_b"]]
+        n_ab = int(r["n_ab"])
+        lift = n_ab * n_docs * PMI_PPM // (n_a * n_b)  # exact Python ints
+        scored.append((r["w_a"], r["w_b"], n_ab, n_a, n_b, lift))
+    scored.sort(key=lambda x: (-x[5], x[0], x[1]))
+    top = scored[:PMI_TOP_K]
+    return pa.Table.from_pydict(
+        {"w_a": [x[0] for x in top], "w_b": [x[1] for x in top],
+         "n_ab": pa.array([x[2] for x in top], pa.int64()),
+         "n_a": pa.array([x[3] for x in top], pa.int64()),
+         "n_b": pa.array([x[4] for x in top], pa.int64()),
+         "lift_ppm": pa.array([x[5] for x in top], pa.int64())}
+    )
+
+
 def q_substring_dups(sf_dir: str):
     """Cross-document duplicated-substring detection (stages/curation.
     cross_doc_ngram_dups): per doc, how many distinct word 5-grams recur
@@ -1498,6 +1580,7 @@ QUERIES = {
     "contamination": q_contamination,
     "repetition": q_repetition,
     "substring_dups": q_substring_dups,
+    "pmi_pairs": q_pmi_pairs,
     "inverted_index": q_inverted_index,
     "events_quantiles": q_events_quantiles,
     "events_quantiles_by_type": q_events_quantiles_by_type,

@@ -775,6 +775,38 @@ FROM counts
 """
 
 
+def sql_pmi_pairs(m: int, k: int, ppm: int = 1_000_000) -> str:
+    """DuckDB oracle for pipelines/queries.q_pmi_pairs: top-k collocation
+    pairs by integer lift over the top-m df vocabulary. HUGEINT products
+    mirror the engine's exact Python-int arithmetic; vocab and pair ties
+    break lexicographically on both sides."""
+    return f"""
+WITH wd AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d,
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS w
+  FROM documents
+),
+df AS (SELECT w, count(*) AS df FROM wd GROUP BY w),
+vocab AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT {m}),
+total AS (SELECT count(*) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.w AS w_a, b.w AS w_b, count(*) AS n_ab
+  FROM wd a JOIN wd b ON a.d = b.d AND a.w < b.w
+  JOIN vocab va ON va.w = a.w
+  JOIN vocab vb ON vb.w = b.w
+  GROUP BY a.w, b.w
+)
+SELECT p.w_a, p.w_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(va.df AS BIGINT) AS n_a, CAST(vb.df AS BIGINT) AS n_b,
+       CAST(CAST(p.n_ab AS HUGEINT) * t.n_docs * {ppm}
+            // (CAST(va.df AS HUGEINT) * vb.df) AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN vocab va ON va.w = p.w_a
+JOIN vocab vb ON vb.w = p.w_b, total t
+ORDER BY lift_ppm DESC, p.w_a, p.w_b LIMIT {k}
+"""
+
+
 def sql_cross_doc_dups(n: int) -> str:
     """DuckDB oracle for stages/curation.cross_doc_ngram_dups: per doc,
     distinct word n-grams that also occur in ≥1 other doc. Same token
