@@ -557,6 +557,71 @@ def q_contamination(sf_dir: str):
     return contamination_check(docs, BENCHMARK_NGRAMS, n=3)
 
 
+def q_customer_order_stats(sf_dir: str):
+    """LEFT OUTER join (completing the join family: broadcast/inner
+    cogroup/anti/asof/range are covered elsewhere): every customer with
+    their order count and total spend, zeros for customers who never
+    ordered. Fact side pre-aggregates per block (combiner) before the
+    ONE coarse shuffle; money rides as scaled int64 cents
+    (stages/util.coarse_attach how='left' + fill)."""
+    from semantic_search_system_ray.stages.util import coarse_attach
+
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        t2 = pa.Table.from_pydict({"o_custkey": t.column("o_custkey"), "cents": cents})
+        return t2.group_by(["o_custkey"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        )
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("cents_count", alias_name="n_orders"),
+            Sum("cents_sum", alias_name="spent_c"),
+        )
+    )
+    joined_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_name", pa.string()),
+         ("n_orders", pa.int64()), ("spent_c", pa.int64())]
+    )
+    joined = coarse_attach(
+        cust, agg,
+        left_key="c_custkey", right_key="o_custkey",
+        attach_cols=["n_orders", "spent_c"],
+        out_schema=joined_schema,
+        how="left", fill={"n_orders": 0, "spent_c": 0},
+    )
+    return joined.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"c_custkey": t.column("c_custkey"), "c_name": t.column("c_name"),
+             "n_orders": t.column("n_orders"),
+             "total_spent": pc.divide(
+                 pc.cast(t.column("spent_c"), pa.float64()), pa.scalar(100.0)
+             )}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CUSTOMER_ORDER_STATS = """
+SELECT c.c_custkey, c.c_name,
+       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+       coalesce(o.spent_c, 0) / 100.0 AS total_spent
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spent_c
+  FROM orders GROUP BY o_custkey) o ON o.o_custkey = c.c_custkey
+"""
+
+
 PMI_VOCAB_M = 40
 PMI_TOP_K = 30
 PMI_PPM = 1_000_000
@@ -1581,6 +1646,7 @@ QUERIES = {
     "repetition": q_repetition,
     "substring_dups": q_substring_dups,
     "pmi_pairs": q_pmi_pairs,
+    "customer_order_stats": q_customer_order_stats,
     "inverted_index": q_inverted_index,
     "events_quantiles": q_events_quantiles,
     "events_quantiles_by_type": q_events_quantiles_by_type,
@@ -1627,6 +1693,7 @@ ORACLE_SQL = {
     "events_quantiles_by_type": SQL_EVENTS_QUANTILES_BY_TYPE,
     "user_running_sum": SQL_USER_RUNNING_SUM,
     "value_deciles": SQL_VALUE_DECILES,
+    "customer_order_stats": SQL_CUSTOMER_ORDER_STATS,
     "orders_topk_per_priority": SQL_ORDERS_TOPK_PER_PRIORITY,
     "orders_asof": SQL_ORDERS_ASOF,
     "purchase_click_window": SQL_PURCHASE_CLICK_WINDOW,

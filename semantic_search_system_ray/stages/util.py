@@ -179,10 +179,16 @@ def coarse_attach(
     attach_as: list[str] | None = None,
     out_schema: pa.Schema,
     num_partitions: int | None = None,
+    how: str = "inner",
+    fill: dict | None = None,
 ):
     """Distributed hash join that ATTACHES ``attach_cols`` from ``right``
-    onto ``left`` rows by key equality (inner: left rows with no match are
-    dropped, mirroring the broadcast-lookup 'skip missing' semantics).
+    onto ``left`` rows by key equality. ``how="inner"`` (default): left
+    rows with no match are dropped, mirroring the broadcast-lookup 'skip
+    missing' semantics. ``how="left"``: unmatched left rows are KEPT and
+    their attach columns take ``fill[col]`` (required for non-nullable
+    integer outputs — a NaN can't ride an int64 column) or null — the
+    SQL ``LEFT JOIN … COALESCE`` shape.
 
     Both sides are routed into the same coarse partitions by key hash and
     merged per-partition with pandas' C-level merge — no driver
@@ -253,7 +259,7 @@ def coarse_attach(
     def merge_part(df) -> pa.Table:
         rhs = df[df["__rhs"]]
         lhs = df[~df["__rhs"]]
-        if lhs.empty or rhs.empty:
+        if lhs.empty or (rhs.empty and how == "inner"):
             return out_schema.empty_table()
         # deterministic pick among duplicate right keys: min over
         # (key, *attach cols) — never block arrival order
@@ -261,11 +267,19 @@ def coarse_attach(
             rhs.sort_values(["__key"] + list(attach_as), kind="mergesort")
             .drop_duplicates(subset="__key")[["__key"] + list(attach_as)]
         )
-        merged = lhs[["__key"] + left_cols].merge(lookup, on="__key", how="inner")
-        return pa.Table.from_arrays(
-            [pa.array(merged[f.name].tolist(), f.type) for f in out_schema],
-            schema=out_schema,
-        )
+        merged = lhs[["__key"] + left_cols].merge(lookup, on="__key", how=how)
+        if how == "left" and fill:
+            for col, v in fill.items():
+                merged[col] = merged[col].fillna(v)
+        arrays = []
+        for f in out_schema:
+            s = merged[f.name]
+            if pa.types.is_integer(f.type) and s.dtype.kind == "f":
+                # int payloads ride the null-bearing union / left merge as
+                # float64 — exact < 2^53; restore the declared type
+                s = s.astype("int64")
+            arrays.append(pa.array(s.tolist(), f.type))
+        return pa.Table.from_arrays(arrays, schema=out_schema)
 
     return coarse_partition_apply(
         combined, ["__key"], merge_part, out_schema, num_partitions=num_partitions

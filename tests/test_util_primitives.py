@@ -398,3 +398,25 @@ def test_quantile_rank_exact_arithmetic(ray_session):
     for q in (0.55, 0.07, 0.28):
         exp = con.execute(f"SELECT quantile_disc(value, {q}) FROM tt").fetchone()[0]
         assert got[q] == exp, q
+
+
+def test_coarse_attach_left_fill(ray_session):
+    """how='left' keeps unmatched left rows with fill values; matched rows
+    attach normally; int columns come back int64 despite the NaN ride."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.util import coarse_attach
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3, 4], "name": list("abcd")}))
+    right = rd.from_arrow(pa.table({"rk": [2, 4], "cnt": [20, 40]}))
+    out_schema = pa.schema(
+        [("k", pa.int64()), ("name", pa.string()), ("cnt", pa.int64())]
+    )
+    got = coarse_attach(
+        left, right, left_key="k", right_key="rk", attach_cols=["cnt"],
+        out_schema=out_schema, how="left", fill={"cnt": 0},
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == [1, 2, 3, 4]
+    assert list(got["cnt"]) == [0, 20, 0, 40]
+    assert str(got["cnt"].dtype) == "int64"
