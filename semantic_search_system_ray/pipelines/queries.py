@@ -557,6 +557,129 @@ def q_contamination(sf_dir: str):
     return contamination_check(docs, BENCHMARK_NGRAMS, n=3)
 
 
+def q_events_percent_rank(sf_dir: str):
+    """Per-group ``percent_rank()`` window function over the full events
+    table — the rank-class window that naively needs a per-group global
+    sort. Exact-at-scale shape: per-(group, value-cell) integer
+    histograms (bounded by group-count × value domain, not row count)
+    combine once; the per-group exclusive-CDF broadcasts via ray.put;
+    every row's rank is then one vectorized searchsorted — no sort, no
+    per-row shuffle. pct = count_less / (n−1) is a single int→double
+    division, bit-equal to SQL ``percent_rank()`` (ties share a rank on
+    both sides; the 2dp value↔cell bijection is the same contract the
+    exact-quantile operators pin)."""
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        t2 = pa.Table.from_pydict(
+            {"event_type": t.column("event_type"), "cell": cents}
+        )
+        out = t2.group_by(["event_type", "cell"]).aggregate([("cell", "count")])
+        return out.rename_columns(["event_type", "cell", "n"])
+
+    rows = (
+        ev.map_batches(hist, batch_format="pyarrow")
+        .groupby(["event_type", "cell"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded by #groups × value domain
+    )
+    cdf: dict[str, tuple] = {}
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["cell"], r["n"]))
+    for et, cells in by_type.items():
+        cells.sort()
+        c = np.array([x[0] for x in cells], dtype=np.int64)
+        n = np.array([x[1] for x in cells], dtype=np.int64)
+        cum_before = np.concatenate([[0], np.cumsum(n)[:-1]])
+        cdf[et] = (c, cum_before, int(n.sum()))
+    ref = ray.put(cdf)
+
+    def assign(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        pct = np.zeros(len(cents), dtype=np.float64)
+        for et in np.unique(types):
+            m = types == et
+            c, cum_before, n = d[et]
+            less = cum_before[np.searchsorted(c, cents[m], side="left")]
+            if n > 1:
+                pct[m] = less / (n - 1)
+        return pa.Table.from_pydict(
+            {"event_id": t.column("event_id"),
+             "event_type": t.column("event_type"),
+             "pct": pct}
+        )
+
+    return ev.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_EVENTS_PERCENT_RANK = """
+SELECT event_id, event_type,
+       percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pct
+FROM events
+"""
+
+
+def q_daily_new_users(sf_dir: str):
+    """Running DISTINCT count: per day, how many users appear for the
+    first time, and the cumulative user count — the retention/growth
+    analytic whose naive form (count(DISTINCT) over a window) rescans
+    every prior day. Exact-at-scale shape: distinct is reduced to a
+    per-user MIN (first-seen day) via coarse partitions (one shuffle,
+    vectorized per partition), the per-day counts are partial-summed
+    (#days is calendar-bounded), and only the tiny day table takes the
+    driver-side cumulative sum."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    day_schema = pa.schema([("day", pa.string()), ("c", pa.int64())])
+
+    def first_seen_days(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return day_schema.empty_table()
+        fs = df.groupby("user_id", sort=False)["ts"].min()
+        days = fs.dt.strftime("%Y-%m-%d").value_counts()
+        return pa.Table.from_pydict(
+            {"day": days.index.to_numpy(), "c": days.to_numpy()},
+            schema=day_schema,
+        )
+
+    per_day = (
+        coarse_partition_apply(ev, ["user_id"], first_seen_days, day_schema)
+        .groupby("day")
+        .aggregate(Sum("c", alias_name="new_users"))
+    )
+    rows = sorted(per_day.take_all(), key=lambda r: r["day"])  # calendar-bounded
+    days = [r["day"] for r in rows]
+    new = np.array([r["new_users"] for r in rows], dtype=np.int64)
+    return pa.Table.from_pydict(
+        {"day": pa.array(days, pa.string()),
+         "new_users": pa.array(new, pa.int64()),
+         "cum_users": pa.array(np.cumsum(new), pa.int64())}
+    )
+
+
+SQL_DAILY_NEW_USERS = """
+WITH fs AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+),
+d AS (SELECT day, count(*) AS new_users FROM fs GROUP BY day)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
+"""
+
+
 def q_customer_order_stats(sf_dir: str):
     """LEFT OUTER join (completing the join family: broadcast/inner
     cogroup/anti/asof/range are covered elsewhere): every customer with
@@ -1647,6 +1770,8 @@ QUERIES = {
     "substring_dups": q_substring_dups,
     "pmi_pairs": q_pmi_pairs,
     "customer_order_stats": q_customer_order_stats,
+    "daily_new_users": q_daily_new_users,
+    "events_percent_rank": q_events_percent_rank,
     "inverted_index": q_inverted_index,
     "events_quantiles": q_events_quantiles,
     "events_quantiles_by_type": q_events_quantiles_by_type,
@@ -1694,6 +1819,8 @@ ORACLE_SQL = {
     "user_running_sum": SQL_USER_RUNNING_SUM,
     "value_deciles": SQL_VALUE_DECILES,
     "customer_order_stats": SQL_CUSTOMER_ORDER_STATS,
+    "daily_new_users": SQL_DAILY_NEW_USERS,
+    "events_percent_rank": SQL_EVENTS_PERCENT_RANK,
     "orders_topk_per_priority": SQL_ORDERS_TOPK_PER_PRIORITY,
     "orders_asof": SQL_ORDERS_ASOF,
     "purchase_click_window": SQL_PURCHASE_CLICK_WINDOW,
