@@ -487,6 +487,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
+def _sql_chunk_docs() -> str:
+    from semantic_search_system_ray.pipelines import text_oracles as tox
+    from semantic_search_system_ray.pipelines.queries import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    return tox.sql_chunk_docs(CHUNK_SIZE, CHUNK_STRIDE)
+
+
 def _sql_pmi_pairs() -> str:
     from semantic_search_system_ray.pipelines import text_oracles as tox
     from semantic_search_system_ray.pipelines.queries import (
@@ -575,6 +585,7 @@ def oracle_sql() -> dict[str, str]:
             "repetition": tox.sql_repetition(n=3),
             "substring_dups": tox.sql_cross_doc_dups(n=5),
             "pmi_pairs": _sql_pmi_pairs(),
+            "chunk_docs": _sql_chunk_docs(),
             "inverted_index": tox.sql_inverted_index(),
             "contamination": tox.sql_contamination(
                 __import__(

@@ -745,6 +745,50 @@ FROM customer c LEFT JOIN (
 """
 
 
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+def q_chunk_docs(sf_dir: str):
+    """RAG-prep chunking: split every doc into overlapping token windows
+    (size 32, stride 24) with deterministic chunk ids — the fan-out
+    (flat_map) stage every retrieval pipeline runs before embedding.
+    Doc-local → shuffle-free; output rows ≈ tokens/stride per doc.
+    Chunk starts are the stride multiples below the token count, so the
+    layout is a pure function of the text (reproducible on retry,
+    joinable downstream)."""
+    from semantic_search_system_ray.functions.text import tokenize
+
+    docs = read_docs(sf_dir, ["doc_id", "text"])
+    out_schema = pa.schema(
+        [("doc_id", pa.string()), ("chunk_id", pa.int64()),
+         ("n_tokens", pa.int64()), ("chunk_text", pa.string())]
+    )
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids, cids, lens, texts = [], [], [], []
+        for i, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = [w.lower() for w in tokenize(txt or "")]
+            d = str(i)
+            for c, start in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+                piece = toks[start : start + CHUNK_SIZE]
+                ids.append(d)
+                cids.append(c)
+                lens.append(len(piece))
+                texts.append(" ".join(piece))
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.string()),
+             "chunk_id": pa.array(cids, pa.int64()),
+             "n_tokens": pa.array(lens, pa.int64()),
+             "chunk_text": pa.array(texts, pa.string())},
+            schema=out_schema,
+        )
+
+    return docs.map_batches(chunks, batch_format="pyarrow")
+
+
 PMI_VOCAB_M = 40
 PMI_TOP_K = 30
 PMI_PPM = 1_000_000
@@ -1769,6 +1813,7 @@ QUERIES = {
     "repetition": q_repetition,
     "substring_dups": q_substring_dups,
     "pmi_pairs": q_pmi_pairs,
+    "chunk_docs": q_chunk_docs,
     "customer_order_stats": q_customer_order_stats,
     "daily_new_users": q_daily_new_users,
     "events_percent_rank": q_events_percent_rank,

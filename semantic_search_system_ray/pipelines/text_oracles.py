@@ -775,6 +775,31 @@ FROM counts
 """
 
 
+def sql_chunk_docs(size: int, stride: int) -> str:
+    """DuckDB oracle for pipelines/queries.q_chunk_docs: overlapping
+    token windows with stride-multiple starts (DuckDB list slices are
+    1-based, end-inclusive)."""
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(0, len(ws) - 1, {stride})) AS start
+  FROM toks WHERE len(ws) > 0
+)
+SELECT doc_id,
+       CAST(start // {stride} AS BIGINT) AS chunk_id,
+       CAST(least(len(ws) - start, {size}) AS BIGINT) AS n_tokens,
+       array_to_string(
+         ws[CAST(start + 1 AS INT):CAST(least(start + {size}, len(ws)) AS INT)],
+         ' ') AS chunk_text
+FROM s
+"""
+
+
 def sql_pmi_pairs(m: int, k: int, ppm: int = 1_000_000) -> str:
     """DuckDB oracle for pipelines/queries.q_pmi_pairs: top-k collocation
     pairs by integer lift over the top-m df vocabulary. HUGEINT products
