@@ -165,6 +165,8 @@ def run_bench() -> dict:
         "ann_cosine", "dedup_exact", "events_hourly", "minhash_clusters",
         "sessionize", "orders_asof", "purchase_click_window", "events_sliding",
         "customers_without_orders", "stratified_sample", "contamination",
+        "substring_dups", "pmi_pairs", "events_percent_rank",
+        "user_running_sum", "customer_order_stats", "kg_pagerank",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         t0 = time.perf_counter()

@@ -38,6 +38,13 @@ from semantic_search_system_ray.stages.util import coarse_partition_apply
 DAMP_NUM, DAMP_DEN = 85, 100  # 0.85 damping as an exact ratio
 DEFAULT_SCALE = 1_000_000
 
+# Scale switch (same convention as stages/canon): graphs whose edge count
+# fits comfortably on the driver run the exact numpy loop — a 48k-edge
+# graph costs ~55 s of pure shuffle overhead on the distributed path vs
+# <1 s on the driver (measured, BASELINE.md). 2M string edges ≈ low
+# hundreds of MB driver-resident; above that the distributed path runs.
+PAGERANK_DRIVER_EDGE_THRESHOLD = 2_000_000
+
 DEGREE_SCHEMA = pa.schema(
     [("node_id", pa.string()), ("out_degree", pa.int64()),
      ("in_degree", pa.int64())]
@@ -51,7 +58,8 @@ def _str(col: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 def degree_table(
-    edges: rd.Dataset, *, src_col: str = "src", dst_col: str = "dst"
+    edges: rd.Dataset, *, src_col: str = "src", dst_col: str = "dst",
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """→ (node_id, out_degree, in_degree) for every node appearing as an
     endpoint. Per-block Arrow ``group_by().count()`` combiners collapse
@@ -93,12 +101,13 @@ def degree_table(
 
     return coarse_partition_apply(
         edges.map_batches(partial, batch_format="pyarrow"),
-        ["node_id"], sum_part, DEGREE_SCHEMA,
+        ["node_id"], sum_part, DEGREE_SCHEMA, num_partitions=num_partitions,
     )
 
 
 def _distinct_nodes(
-    edges: rd.Dataset, src_col: str, dst_col: str
+    edges: rd.Dataset, src_col: str, dst_col: str,
+    *, num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Distinct endpoint ids — per-block combiner + coarse-partition
     distinct (node cardinality is corpus-sized; never a driver set)."""
@@ -121,7 +130,54 @@ def _distinct_nodes(
 
     return coarse_partition_apply(
         edges.map_batches(partial, batch_format="pyarrow"),
-        ["node_id"], dedup, schema,
+        ["node_id"], dedup, schema, num_partitions=num_partitions,
+    )
+
+
+def _pagerank_driver(
+    edges: rd.Dataset, iterations: int, scale: int,
+    src_col: str, dst_col: str,
+) -> rd.Dataset:
+    """Exact driver-side twin of the distributed recurrence: factorized
+    endpoint codes + one ``np.bincount`` per round. Bit-identical to the
+    distributed path (all-integer floor arithmetic; the float64 bincount
+    accumulator is exact because every partial sum is bounded by total
+    mass = n_nodes·scale < 2^53 — same bound as the module contract).
+    Null endpoints are not supported (KG edge contract; matches the
+    distinct-string grouping of the distributed path only for non-null)."""
+    import ray
+
+    edge_schema = pa.schema([(src_col, pa.string()), (dst_col, pa.string())])
+    parts = ray.get(edges.select_columns([src_col, dst_col]).to_arrow_refs())
+    # blocks can disagree on schema details (zero-column empties,
+    # large_string vs string) — normalize each before the concat
+    parts = [
+        p.select([src_col, dst_col]).cast(edge_schema)
+        for p in parts
+        if p.num_rows > 0
+    ]
+    if not parts:
+        return rd.from_arrow(PR_SCHEMA.empty_table())
+    t = pa.concat_tables(parts)
+    src = _str(pc.cast(t.column(src_col), pa.string())).to_numpy(
+        zero_copy_only=False
+    )
+    dst = _str(pc.cast(t.column(dst_col), pa.string())).to_numpy(
+        zero_copy_only=False
+    )
+    nodes = np.unique(np.concatenate([src, dst]))
+    s_idx = np.searchsorted(nodes, src)
+    d_idx = np.searchsorted(nodes, dst)
+    n = len(nodes)
+    od = np.bincount(s_idx, minlength=n)  # every src has od >= 1
+    base_scaled = (DAMP_DEN - DAMP_NUM) * scale // DAMP_DEN
+    pr = np.full(n, scale, dtype=np.int64)
+    for _ in range(iterations):
+        contrib = pr[s_idx] // od[s_idx]
+        m = np.bincount(d_idx, weights=contrib, minlength=n).astype(np.int64)
+        pr = base_scaled + (DAMP_NUM * m) // DAMP_DEN
+    return rd.from_arrow(
+        pa.Table.from_pydict({"node_id": nodes, "pr": pr}, schema=PR_SCHEMA)
     )
 
 
@@ -132,9 +188,13 @@ def pagerank(
     scale: int = DEFAULT_SCALE,
     src_col: str = "src",
     dst_col: str = "dst",
+    driver_threshold: int = PAGERANK_DRIVER_EDGE_THRESHOLD,
 ) -> rd.Dataset:
     """→ (node_id, pr) after ``iterations`` synchronous rounds of the
-    integer recurrence above. Each round is TWO coarse shuffles:
+    integer recurrence above. Edge sets at or below ``driver_threshold``
+    rows take the exact driver numpy twin (``_pagerank_driver``; parity
+    pinned by tests/test_graph.py across both regimes); larger graphs run
+    the distributed recurrence, where each round is TWO coarse shuffles:
 
     1. cogroup pr onto edges by src (union + one partition pass) →
        per-partition partial in-sums keyed by dst — the combiner: a
@@ -145,11 +205,30 @@ def pagerank(
 
     The edge set (with outdegree attached) is materialized ONCE and
     re-streamed every round; pr is materialized per round to keep
-    lineage O(1) rather than O(iterations)."""
+    lineage O(1) rather than O(iterations), and repartitioned to P
+    blocks first — without the bound, each round's groupby inherits the
+    union's input block count, the materialized pr grows by ~3P blocks
+    per round, and iteration cost goes QUADRATIC in rounds (measured
+    9 s → 21 s → 43 s → 70 s → 103 s per round at sf0.1 before the fix;
+    flat ~6 s after)."""
     base = DAMP_DEN - DAMP_NUM  # 15
     base_scaled = base * scale // DAMP_DEN
 
-    nodes = _distinct_nodes(edges, src_col, dst_col).materialize()
+    # The edge lineage (often a whole upstream pipeline) is consumed three
+    # times below (nodes, degrees, od-attach) — pin it once. Derive ONE
+    # partition count from the pinned edge bytes and reuse it for every
+    # coarse call: the in-loop unions are un-executed plans whose size
+    # can't be known, so per-call derivation would fall back to the floor
+    # anyway, and a constant P keeps iteration cost flat.
+    edges = edges.materialize()
+    if edges.count() <= driver_threshold:  # metadata count: free
+        return _pagerank_driver(edges, iterations, scale, src_col, dst_col)
+    from semantic_search_system_ray.stages.util import _default_partitions
+
+    P = _default_partitions(edges)
+    nodes = _distinct_nodes(
+        edges, src_col, dst_col, num_partitions=P
+    ).repartition(P).materialize()
 
     # (src, dst, od): outdegree from degree_table (out side only), joined
     # back onto edges via one cogroup — every edge's src has od ≥ 1.
@@ -193,13 +272,14 @@ def pagerank(
             schema=ed_schema,
         )
 
-    deg = degree_table(edges, src_col=src_col, dst_col=dst_col)
+    deg = degree_table(edges, src_col=src_col, dst_col=dst_col,
+                       num_partitions=P)
     edges_od = coarse_partition_apply(
         edges.map_batches(tag_edge, batch_format="pyarrow").union(
             deg.map_batches(tag_od, batch_format="pyarrow")
         ),
-        ["key"], attach_od, ed_schema,
-    ).materialize()
+        ["key"], attach_od, ed_schema, num_partitions=P,
+    ).repartition(P).materialize()
 
     pr = nodes.map_batches(
         lambda t: t.append_column(
@@ -272,12 +352,12 @@ def pagerank(
             edges_od.map_batches(tag_e2, batch_format="pyarrow").union(
                 pr.map_batches(tag_pr, batch_format="pyarrow")
             ),
-            ["key"], contribs, msum,
+            ["key"], contribs, msum, num_partitions=P,
         )
         pr = coarse_partition_apply(
             partials.union(nodes.map_batches(tag_zero, batch_format="pyarrow")),
-            ["node_id"], apply_rank, PR_SCHEMA,
-        ).materialize()
+            ["node_id"], apply_rank, PR_SCHEMA, num_partitions=P,
+        ).repartition(P).materialize()
     return pr
 
 

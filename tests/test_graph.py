@@ -64,16 +64,25 @@ def test_degree_multigraph(ray_session, n_blocks):
 
 
 @pytest.mark.parametrize("n_blocks", [1, 3])
-def test_pagerank_exact_parity(ray_session, n_blocks):
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_pagerank_exact_parity(ray_session, n_blocks, driver_threshold):
+    """Both regimes of the scale switch — threshold 0 forces the
+    distributed coarse-shuffle recurrence, 10k takes the driver numpy
+    twin — must be bit-identical to the single-process reference."""
     ref = _reference_pagerank(5)
-    got = pagerank_topk(pagerank(_edges_ds(n_blocks), iterations=5), 20)
+    got = pagerank_topk(
+        pagerank(_edges_ds(n_blocks), iterations=5,
+                 driver_threshold=driver_threshold),
+        20,
+    )
     assert list(zip(got.column("node_id").to_pylist(),
                     got.column("pr").to_pylist())) == ref
 
 
 def test_pagerank_mass_conservation_bound(ray_session):
     """Total rank never exceeds initial mass (floor division only loses
-    mass; dangling mass is dropped by contract)."""
-    pr = pagerank(_edges_ds(2), iterations=3).to_pandas()
+    mass; dangling mass is dropped by contract). Forced through the
+    DISTRIBUTED regime."""
+    pr = pagerank(_edges_ds(2), iterations=3, driver_threshold=0).to_pandas()
     assert pr["pr"].sum() <= len(set(sum(map(list, EDGES), []))) * DEFAULT_SCALE
     assert (pr["pr"] >= 15 * DEFAULT_SCALE // 100).all()
