@@ -345,6 +345,87 @@ def _q_kg_degree(sf_dir: str):
     return degree_table(edges_from_triples(_kg_triples(sf_dir)))
 
 
+TESTDATA_LINK_ENTITIES: list[str] = sorted(
+    p for p in TESTDATA_GAZETTEER if " " in p
+)
+
+
+def _q_entity_link(sf_dir: str):
+    """Dense-embedding entity linking (stages/entitylink — the
+    north-star M4 stage): distinct corpus word BIGRAMS stream through
+    the actor-pool linker against the broadcast multi-word-gazetteer
+    entity matrix. A bigram hashes to 3 embedding features, so cosine
+    ≥ 0.9999 occurs exactly for token-identical surfaces — the
+    min_score cut reduces the link set to exact matches, which the
+    DuckDB oracle reproduces as a membership join. The gate thereby
+    hash-checks the full distributed plumbing (broadcast index,
+    per-actor init, batched matmul, argmax, threshold); NEAR-match
+    ranking is pinned by tests/test_entitylink.py driver-numpy parity."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from semantic_search_system_ray.functions.text import tokenize
+    from semantic_search_system_ray.pipelines.queries import read_docs
+    from semantic_search_system_ray.stages.entitylink import link_mentions
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    docs = read_docs(sf_dir, ["text"])
+    m_schema = pa.schema([("mention", pa.string())])
+
+    def block_bigrams(t: pa.Table) -> pa.Table:
+        out = set()
+        for txt in t.column("text").to_pylist():
+            toks = [w.lower() for w in tokenize(txt or "")]
+            out.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        return pa.Table.from_pydict({"mention": sorted(out)}, schema=m_schema)
+
+    def distinct_part(df):
+        return pa.Table.from_pandas(
+            df.drop_duplicates("mention"), schema=m_schema,
+            preserve_index=False,
+        )
+
+    grams = coarse_partition_apply(
+        docs.map_batches(block_bigrams, batch_format="pyarrow"),
+        ["mention"], distinct_part, m_schema,
+    )
+    entities = rd.from_arrow(
+        pa.table(
+            {"entity_id": TESTDATA_LINK_ENTITIES,
+             "name": TESTDATA_LINK_ENTITIES}
+        )
+    )
+    linked = link_mentions(grams, entities, min_score=0.9999)
+    return linked.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("entity_id"))).select(
+            ["mention", "entity_id"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_kg_components(sf_dir: str):
+    """Weakly-connected components over the KG edge set — distributed
+    min-label propagation (stages/cc.min_label_components, the same CC
+    core canonicalization uses) → (node_id, component = min node of the
+    component). Oracle: recursive-CTE reachability min over the
+    kg_triples SQL subquery. max_rounds=64 with the checksum early-exit
+    (diameter-bounded; rounds stop at fixpoint)."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.cc import min_label_components
+    from semantic_search_system_ray.stages.graph import _distinct_nodes
+
+    edges = edges_from_triples(_kg_triples(sf_dir)).materialize()
+    nodes = _distinct_nodes(edges, "src", "dst").map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+    )
+    labels = min_label_components(nodes, edges, max_rounds=64)
+    return labels.map_batches(
+        lambda t: t.rename_columns(["node_id", "component"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Deterministic integer PageRank (stages/graph.pagerank, 5 rounds)
     over the KG edge set → top-20 nodes by (pr desc, node_id). The
@@ -465,6 +546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_adjacency": _q_kg_adjacency,
             "kg_degree": _q_kg_degree,
             "kg_pagerank": _q_kg_pagerank,
+            "kg_components": _q_kg_components,
+            "entity_link": _q_entity_link,
             "search_lexical": _q_search_lexical,
             "search_rerank": _q_search_rerank,
             "rag_answer": _q_rag_answer,
@@ -549,6 +632,10 @@ def oracle_sql() -> dict[str, str]:
             "kg_pagerank": tox.sql_kg_pagerank(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
+            "kg_components": tox.sql_kg_components(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "entity_link": tox.sql_entity_link(TESTDATA_LINK_ENTITIES),
             "search_lexical": tox.sql_search_lexical(
                 ["hash", "join", "table", "scan"], k=20
             ),

@@ -748,6 +748,60 @@ ORDER BY pr DESC, node_id LIMIT {k}
 """
 
 
+def sql_kg_components(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for stages/cc.min_label_components over the KG edge set:
+    weakly-connected components as min-reachable-node labels. The
+    recursive CTE enumerates every (node, reachable-node) pair over the
+    symmetrized edges (UNION dedups, so it terminates) and MIN-aggregates
+    — exactly the fixpoint of the engine's min-label propagation. Built
+    over the kg_triples oracle subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH RECURSIVE t AS ({triples}),
+e0 AS (SELECT CAST(subj AS VARCHAR) AS src, CAST(obj AS VARCHAR) AS dst FROM t),
+es AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+reach(node_id, label) AS (
+  SELECT DISTINCT src, src FROM es
+  UNION
+  SELECT es.dst, r.label FROM reach r JOIN es ON es.src = r.node_id
+)
+SELECT node_id, min(label) AS component FROM reach GROUP BY node_id
+"""
+
+
+def sql_entity_link(entity_names: list[str]) -> str:
+    """Oracle for the entity_link gate query (stages/entitylink via
+    __ray_entry__._q_entity_link): distinct corpus word BIGRAMS linked at
+    cosine ≥ 0.9999 against the multi-word entity vocabulary. A bigram
+    hashes to 3 embedding features, so the only surfaces clearing that
+    cut are token-identical to an entity name — which SQL reproduces as
+    exact membership (token regex parity with the engine tokenizer).
+    Near-match ranking is deliberately NOT in the oracle (feature-hash
+    cosine isn't SQL-expressible); tests/test_entitylink.py pins it."""
+    vals = ", ".join(
+        f"({_sql_str(e)})" for e in sorted(set(entity_names))
+    ) or "('')"
+    return f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ws
+  FROM documents
+),
+big AS (
+  SELECT DISTINCT array_to_string(ws[i : i + 1], ' ') AS mention
+  FROM (
+    SELECT ws, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+    FROM toks WHERE len(ws) >= 2
+  )
+)
+SELECT b.mention, b.mention AS entity_id
+FROM big b JOIN (VALUES {vals}) AS e(mention) USING (mention)
+"""
+
+
 def sql_repetition(n: int) -> str:
     """DuckDB oracle for stages/curation.repetition_score: same token
     n-grams; the ratio is one integer division on both sides (bit-equal

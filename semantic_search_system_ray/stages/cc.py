@@ -1,30 +1,42 @@
 """Distributed connected components via iterative min-label propagation —
-pure Ray Data (groupby + map_groups cogroups), no Dataset.join.
+pure Ray Data cogroups (coarse-partition shuffles), no Dataset.join.
 
 Shared by canonicalization (stages/canon.py) and near-dup clustering
 (stages/dedup.py). Semantics: given nodes (column ``node``) and undirected
 edges (columns ``src``, ``dst``), returns (node, label) where ``label`` is
 the lexicographic min node of the component. Converges in O(diameter)
-rounds; each round is two hash shuffles (cogroup + min-aggregate). A label
-checksum short-circuits the loop at fixpoint.
+rounds; each round is two coarse shuffles (cogroup + min-aggregate). A
+label checksum short-circuits the loop at fixpoint.
 
 Scale notes: the cogroup ships each node's incident edges plus one label
 row per round. For star-shaped edge sets (what blocking emits) diameter is
 tiny; for arbitrary graphs bound ``max_rounds``. Hot nodes (a label that
-half the graph points at) are fine: the groupby key is the NODE, and
+half the graph points at) are fine: the partition key is the NODE, and
 per-node degree is bounded by the blocking fan-out, not by corpus skew.
+Per-round work is fully vectorized — pandas C-level groupby/merge inside
+each coarse partition (an earlier version paid Ray's ~25µs-per-group
+native groupby plus one Python call per NODE per round; measured removal
+in BASELINE.md). Labels are repartitioned to a fixed P before each
+round's materialize — without the bound the materialized label set
+inherits the union's block count and iteration cost grows quadratically
+in rounds (the same pathology measured on stages/graph.pagerank).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Min
 
 from semantic_search_system_ray.functions.hashing import stable_hash64
-from semantic_search_system_ray.stages.util import ensure_schema
+from semantic_search_system_ray.stages.util import (
+    _default_partitions,
+    _polars_routing,
+    coarse_partition_apply,
+)
 
 _CG_SCHEMA = pa.schema(
     [("key", pa.string()), ("src", pa.string()),
@@ -32,20 +44,37 @@ _CG_SCHEMA = pa.schema(
 )
 _MSG_SCHEMA = pa.schema([("node", pa.string()), ("label", pa.string())])
 
+_CHECKSUM_MOD = (1 << 31) - 1
+
 
 def label_checksum(labels: rd.Dataset) -> int:
-    mod = (1 << 31) - 1
+    """Order-independent fingerprint of a (node, label) set — mod-sum of a
+    per-row hash, so block layout / parallelism never changes it. Needs
+    only WITHIN-JOB consistency (compared across rounds of one run):
+    primary path hashes the joined column with polars (vectorized, same
+    driver-decided flag convention as stages/util._route_parts); fallback
+    is the per-row stable_hash64 loop."""
+    use_polars = _polars_routing()  # driver-decided, captured by value
 
     def batch_sum(batch: pa.Table) -> pa.Table:
-        s = 0
-        for n, l in zip(
-            batch.column("node").to_pylist(), batch.column("label").to_pylist()
-        ):
-            s = (s + stable_hash64(f"{n}\x00{l}")) % mod
+        joined = pc.binary_join_element_wise(
+            pc.cast(batch.column("node"), pa.string()),
+            pc.cast(batch.column("label"), pa.string()),
+            "\x00",
+        )
+        if use_polars:
+            import polars as pl
+
+            h = pl.from_arrow(joined).hash(seed=0).to_numpy()
+            s = int(np.sum(h % _CHECKSUM_MOD, dtype=np.uint64) % _CHECKSUM_MOD)
+        else:
+            s = 0
+            for v in joined.to_pylist():
+                s = (s + stable_hash64(v)) % _CHECKSUM_MOD
         return pa.Table.from_pydict({"s": pa.array([s], pa.int64())})
 
     part = labels.map_batches(batch_sum, batch_format="pyarrow")
-    return int(part.sum("s") or 0) % mod
+    return int(part.sum("s") or 0) % _CHECKSUM_MOD
 
 
 def _labels_as_cg(t: pa.Table) -> pa.Table:
@@ -66,17 +95,40 @@ def _edges_as_cg(t: pa.Table) -> pa.Table:
     )
 
 
-def _emit_messages(g: pd.DataFrame) -> pa.Table:
-    lab_rows = g.loc[g["is_label"], "label"]  # exactly one label row per KNOWN key
-    # an edge may reference a node absent from `nodes`: no label row exists
-    # for it — use the key itself as its label (min() over empty → NaN
-    # would poison the string schema downstream)
-    lab = lab_rows.min() if len(lab_rows) else g["key"].iloc[0]
-    nodes = [g["key"].iloc[0]] + list(g.loc[~g["is_label"], "src"])
-    return pa.Table.from_arrays(
-        [pa.array(nodes, pa.string()), pa.array([lab] * len(nodes), pa.string())],
-        schema=_MSG_SCHEMA,
+def _emit_messages_part(df: pd.DataFrame) -> pa.Table:
+    """One coarse partition of the label⋃edge cogroup → min-label
+    messages, fully vectorized. Per key: its (unique) label row's label —
+    or the key ITSELF when no label row exists (an edge may reference a
+    node absent from ``nodes``; min() over empty would poison the string
+    schema) — is sent to the key and to every edge src pointing at it."""
+    if df.empty:
+        return _MSG_SCHEMA.empty_table()
+    lab = (
+        df.loc[df["is_label"]]
+        .groupby("key", sort=False)["label"].min()
     )
+    keys = pd.Index(pd.unique(df["key"]))
+    lab = lab.reindex(keys)
+    missing = lab.isna()
+    if missing.any():
+        lab[missing] = lab.index[missing]
+    edges = df.loc[~df["is_label"]]
+    out_nodes = np.concatenate(
+        [keys.to_numpy(), edges["src"].to_numpy()]
+    )
+    out_labels = np.concatenate(
+        [lab.to_numpy(), lab.loc[edges["key"]].to_numpy()]
+    )
+    return pa.Table.from_pydict(
+        {"node": out_nodes, "label": out_labels}, schema=_MSG_SCHEMA
+    )
+
+
+def _min_label_part(df: pd.DataFrame) -> pa.Table:
+    if df.empty:
+        return _MSG_SCHEMA.empty_table()
+    g = df.groupby("node", sort=False)["label"].min().reset_index()
+    return pa.Table.from_pandas(g, schema=_MSG_SCHEMA, preserve_index=False)
 
 
 def min_label_components(
@@ -104,18 +156,25 @@ def min_label_components(
         batch_format="pyarrow",
     ).materialize()
 
+    # one partition count for every round (in-loop unions are un-executed
+    # plans with unknown size; a constant P keeps iteration cost flat)
+    P = _default_partitions(labels, edges_sym)
+
     prev = label_checksum(labels)
     for _ in range(max_rounds):
         combined = labels.map_batches(_labels_as_cg, batch_format="pyarrow").union(
             edges_sym.map_batches(_edges_as_cg, batch_format="pyarrow")
         )
-        messages = ensure_schema(
-            combined.groupby("key").map_groups(_emit_messages, batch_format="pandas"),
-            _MSG_SCHEMA,
+        messages = coarse_partition_apply(
+            combined, ["key"], _emit_messages_part, _MSG_SCHEMA,
+            num_partitions=P,
         )
         labels = (
-            messages.groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            coarse_partition_apply(
+                messages, ["node"], _min_label_part, _MSG_SCHEMA,
+                num_partitions=P,
+            )
+            .repartition(P)
             .materialize()
         )
         cur = label_checksum(labels)
@@ -136,7 +195,9 @@ def lookup_labels(
 ) -> rd.Dataset:
     """Map items[value_col→key_col] through labels(node→label) with a
     cogroup (join-free): returns (out_key=items[value_col], out_value=label
-    of items[key_col]); items whose key has no label map to the key itself."""
+    of items[key_col]); items whose key has no label map to the key itself.
+    Per-partition work is a vectorized pandas groupby + map (same shape as
+    the round kernel above)."""
     out_schema = pa.schema([(out_key, pa.string()), (out_value, pa.string())])
 
     def _items_as_cg(t: pa.Table) -> pa.Table:
@@ -147,20 +208,24 @@ def lookup_labels(
             schema=_CG_SCHEMA,
         )
 
-    def _emit(g: pd.DataFrame) -> pa.Table:
-        lab = g.loc[g["is_label"], "label"]
-        canonical = lab.min() if len(lab) else g["key"].iloc[0]
-        vals = list(g.loc[~g["is_label"], "src"])
-        return pa.Table.from_arrays(
-            [pa.array(vals, pa.string()),
-             pa.array([canonical] * len(vals), pa.string())],
+    def _lookup_part(df: pd.DataFrame) -> pa.Table:
+        items_part = df.loc[~df["is_label"]]
+        if items_part.empty:
+            return out_schema.empty_table()
+        lab = (
+            df.loc[df["is_label"]]
+            .groupby("key", sort=False)["label"].min()
+        )
+        keys = items_part["key"]
+        mapped = keys.map(lab)
+        mapped = mapped.where(mapped.notna(), keys)
+        return pa.Table.from_pydict(
+            {out_key: items_part["src"].to_numpy(),
+             out_value: mapped.to_numpy()},
             schema=out_schema,
         )
 
     combined = labels.map_batches(_labels_as_cg, batch_format="pyarrow").union(
         items.map_batches(_items_as_cg, batch_format="pyarrow")
     )
-    return ensure_schema(
-        combined.groupby("key").map_groups(_emit, batch_format="pandas"),
-        out_schema,
-    )
+    return coarse_partition_apply(combined, ["key"], _lookup_part, out_schema)
