@@ -406,20 +406,22 @@ def _q_entity_link(sf_dir: str):
 
 def _q_kg_components(sf_dir: str):
     """Weakly-connected components over the KG edge set — distributed
-    min-label propagation (stages/cc.min_label_components, the same CC
-    core canonicalization uses) → (node_id, component = min node of the
+    min-label propagation (stages/cc — the same CC core
+    canonicalization uses) → (node_id, component = min node of the
     component). Oracle: recursive-CTE reachability min over the
-    kg_triples SQL subquery. max_rounds=64 with the checksum early-exit
-    (diameter-bounded; rounds stop at fixpoint)."""
+    kg_triples SQL subquery. Scale-switched via cc.connected_components:
+    driver union-find for small edge sets, distributed propagation with
+    checksum early-exit above the threshold (regimes parity-pytested in
+    tests/test_cc.py)."""
     from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
-    from semantic_search_system_ray.stages.cc import min_label_components
+    from semantic_search_system_ray.stages.cc import connected_components
     from semantic_search_system_ray.stages.graph import _distinct_nodes
 
     edges = edges_from_triples(_kg_triples(sf_dir)).materialize()
     nodes = _distinct_nodes(edges, "src", "dst").map_batches(
         lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
     )
-    labels = min_label_components(nodes, edges, max_rounds=64)
+    labels = connected_components(nodes, edges, max_rounds=64)
     return labels.map_batches(
         lambda t: t.rename_columns(["node_id", "component"]),
         batch_format="pyarrow",

@@ -167,6 +167,7 @@ def run_bench() -> dict:
         "customers_without_orders", "stratified_sample", "contamination",
         "substring_dups", "pmi_pairs", "events_percent_rank",
         "user_running_sum", "customer_order_stats", "kg_pagerank",
+        "kg_components", "entity_link",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         t0 = time.perf_counter()

@@ -11,6 +11,7 @@ import pytest
 import ray.data as rd
 
 from semantic_search_system_ray.stages.cc import (
+    connected_components,
     lookup_labels,
     min_label_components,
 )
@@ -46,6 +47,24 @@ def test_components_unknown_edge_endpoint(ray_session):
     # 'ghost' < 'm': the unknown endpoint participates in propagation via
     # its self-label, so the component min includes it
     assert got["m"] == "ghost" and got["n"] == "ghost"
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_connected_components_regime_parity(ray_session, driver_threshold):
+    """Scale-switch wrapper: threshold 0 forces distributed min-label
+    propagation, 10k the driver union-find — identical (node, label)
+    output on a two-component graph with an isolated node."""
+    nodes = _ds({"node": ["a", "b", "c", "p", "q", "lone"]})
+    edges = _ds({"src": ["c", "b", "q"], "dst": ["b", "a", "p"]})
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(
+            nodes, edges, max_rounds=8,
+            driver_edge_threshold=driver_threshold,
+        ).take_all()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "p": "p", "q": "p", "lone": "lone"}
 
 
 def test_lookup_labels_identity_fallback(ray_session):
