@@ -167,7 +167,7 @@ def run_bench() -> dict:
         "customers_without_orders", "stratified_sample", "contamination",
         "substring_dups", "pmi_pairs", "events_percent_rank",
         "user_running_sum", "customer_order_stats", "kg_pagerank",
-        "kg_components", "entity_link",
+        "kg_components", "entity_link", "events_lag_delta", "tfidf_top_terms",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         t0 = time.perf_counter()

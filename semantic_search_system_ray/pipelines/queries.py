@@ -1807,7 +1807,464 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# round-3 continuation: LAG windows, grouping sets, pivot, mode, semi join,
+# string_agg collect, INTERSECT, tf-idf ranking
+# --------------------------------------------------------------------------
+
+def q_events_lag_delta(sf_dir: str):
+    """Per-key LAG window: microseconds since the user's previous event
+    (``LAG(ts) OVER (PARTITION BY user ORDER BY ts)``) — the look-behind
+    row-offset window family, complementing the running-sum (ROWS frame),
+    sliding (RANGE) and session windows already covered.
+
+    Scale shape: coarse partitions route each user's rows together; the
+    delta is ONE vectorized pass per partition (mergesort + pandas
+    C-level groupby.diff on int64 epoch-µs — integers, so no FP order
+    dependence). First event per user yields a NULL delta on both
+    sides."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.string()), ("delta_us", pa.int64())]
+    )
+
+    def lag(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        # explicit µs view — pandas may hold either ns or us resolution
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        delta = pd.Series(us).groupby(df["user_id"].to_numpy(), sort=False).diff()
+        return pa.Table.from_pydict(
+            {"event_id": df["event_id"].to_numpy(),
+             "user_id": df["user_id"].to_numpy(),
+             "ts": df["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+             "delta_us": pa.Array.from_pandas(delta, type=pa.int64())},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(ds, ["user_id"], lag, out_schema)
+
+
+SQL_EVENTS_LAG_DELTA = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       date_diff('microsecond',
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) AS delta_us
+FROM events
+"""
+
+
+def q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status): detail rows plus per-priority
+    and grand-total super-aggregates, rolled-up levels marked 'ALL'.
+
+    Scale shape: ONE distributed two-phase aggregate at the finest grain
+    (priority × status ≤ 15 groups — bounded dimension cardinality, like
+    lang_stats); the super-aggregate levels are derived on the driver
+    from that bounded result, never from a second scan. Money sums ride
+    as scaled int64 cents end-to-end."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"priority": t.column("o_orderpriority"),
+             "status": t.column("o_orderstatus"),
+             "cents": pc.cast(
+                 pc.round(pc.multiply(t.column("o_totalprice"),
+                                      pa.scalar(100.0))), pa.int64())}
+        ).group_by(["priority", "status"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        )
+
+    base = (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby(["priority", "status"])
+        .aggregate(Sum("cents_count", alias_name="n_orders"),
+                   Sum("cents_sum", alias_name="sum_cents"))
+        .take_all()  # bounded: |priorities| × |statuses| ≤ 15 rows
+    )
+    rows = [(r["priority"], r["status"], r["n_orders"], r["sum_cents"])
+            for r in base]
+    by_p: dict[str, list[int]] = {}
+    for p, _s, n, c in rows:
+        acc = by_p.setdefault(p, [0, 0])
+        acc[0] += n
+        acc[1] += c
+    rows += [(p, "ALL", n, c) for p, (n, c) in by_p.items()]
+    rows.append(("ALL", "ALL", sum(n for _, (n, _c) in by_p.items()),
+                 sum(c for _, (_n, c) in by_p.items())))
+    return pa.Table.from_pydict(
+        {"priority": pa.array([r[0] for r in rows], pa.string()),
+         "status": pa.array([r[1] for r in rows], pa.string()),
+         "n_orders": pa.array([r[2] for r in rows], pa.int64()),
+         "total_price": pa.array([r[3] / 100.0 for r in rows], pa.float64())}
+    )
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+_PIVOT_PRIORITIES = [
+    ("1-URGENT", "n_urgent"), ("2-HIGH", "n_high"), ("3-MEDIUM", "n_medium"),
+    ("4-NOT SPECIFIED", "n_notspec"), ("5-LOW", "n_low"),
+]
+
+
+def q_orders_pivot(sf_dir: str):
+    """PIVOT / crosstab: order counts per year with one column per
+    priority (the fixed TPC-H priority domain — pivot requires a known
+    column domain on both sides, so it is declared, not discovered).
+
+    Scale shape: per-batch Arrow (year, priority) combiner → global
+    groupby over ≤ years×5 groups; the driver only reshapes that bounded
+    result into wide columns (missing cells fill 0, matching FILTER)."""
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderdate", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+             "priority": t.column("o_orderpriority")}
+        ).group_by(["year", "priority"]).aggregate([("priority", "count")])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["year", "priority"])
+        .aggregate(Sum("priority_count", alias_name="n"))
+        .take_all()  # bounded: |years| × 5 rows
+    )
+    cells = {(r["year"], r["priority"]): r["n"] for r in counts}
+    years = sorted({y for y, _p in cells})
+    cols: dict[str, list[int]] = {"year": years}
+    for pval, cname in _PIVOT_PRIORITIES:
+        cols[cname] = [cells.get((y, pval), 0) for y in years]
+    return pa.Table.from_pydict(
+        {k: pa.array(v, pa.int64()) for k, v in cols.items()}
+    )
+
+
+SQL_ORDERS_PIVOT = """
+SELECT year(o_orderdate) AS year,
+       count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+       count(*) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+       count(*) FILTER (o_orderpriority = '5-LOW') AS n_low
+FROM orders
+GROUP BY year(o_orderdate)
+"""
+
+
+def q_user_top_event(sf_dir: str):
+    """Per-group MODE (argmax aggregate): each user's most frequent event
+    type, ties broken lexicographically — the ``row_number()=1`` /
+    ``arg_max`` family over a corpus-cardinality group key.
+
+    Scale shape: per-batch Arrow (user, type) combiner collapses the
+    stream to ≤ users×5 partial rows BEFORE any shuffle; the partials
+    then ride ONE coarse cogroup keyed on user (never Ray's ~25µs/group
+    native groupby at user cardinality) where each user's ≤5×blocks rows
+    are summed and argmaxed in pandas."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_grouped_apply
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")]
+        ).rename_columns(["user_id", "event_type", "cnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("event_type", pa.string()), ("cnt", pa.int64())]
+    )
+
+    def top1(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("event_type", sort=False)["cnt"].sum().reset_index()
+        agg = agg.sort_values(["cnt", "event_type"], ascending=[False, True],
+                              kind="mergesort").head(1)
+        return pa.Table.from_pydict(
+            {"user_id": pa.array([int(g["user_id"].iloc[0])], pa.int64()),
+             "event_type": pa.array([agg["event_type"].iloc[0]], pa.string()),
+             "cnt": pa.array([int(agg["cnt"].iloc[0])], pa.int64())}
+        )
+
+    return coarse_grouped_apply(partials, ["user_id"], top1, out_schema)
+
+
+SQL_USER_TOP_EVENT = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type, cnt FROM r WHERE rn = 1
+"""
+
+
+def q_suppliers_with_sales(sf_dir: str):
+    """Distributed SEMI join (EXISTS): suppliers with at least one
+    lineitem shipped in 1997 — the keep-matching complement of the anti
+    join (customers_without_orders).
+
+    Scale shape: the probe side is pruned at the read (two columns +
+    shipdate row-group filter), collapsed to distinct keys per block by
+    an Arrow combiner, and semi-joined via ONE coarse cogroup
+    (coarse_attach inner — duplicate right keys carry identical payload,
+    the documented deterministic-pick contract)."""
+    import datetime as dt
+
+    from semantic_search_system_ray.stages.util import coarse_attach
+
+    sup = rd.read_parquet(
+        _p(sf_dir, "supplier"), columns=["s_suppkey", "s_name", "s_acctbal"]
+    )
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_suppkey", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(dt.datetime(1997, 1, 1)))
+            & (pc.field("l_shipdate") < pa.scalar(dt.datetime(1998, 1, 1)))
+        ),
+    )
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"l_suppkey": t.column("l_suppkey").unique(),
+             "hit": pa.array(
+                 [1] * len(t.column("l_suppkey").unique()), pa.int64())}
+        )
+
+    keys = li.map_batches(distinct_keys, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+         ("s_acctbal", pa.float64()), ("hit", pa.int64())]
+    )
+    joined = coarse_attach(
+        sup, keys, left_key="s_suppkey", right_key="l_suppkey",
+        attach_cols=["hit"], out_schema=out_schema, how="inner",
+    )
+    return joined.select_columns(["s_suppkey", "s_name", "s_acctbal"])
+
+
+SQL_SUPPLIERS_WITH_SALES = """
+SELECT s_suppkey, s_name, s_acctbal FROM supplier
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_suppkey = s_suppkey
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01')
+"""
+
+
+def q_brand_types(sf_dir: str):
+    """Grouped collect / ``string_agg``: per brand the sorted distinct
+    part types serialized 'a;b;c' — the list-collect shape the KG
+    adjacency sink uses, here on the driver hard gate.
+
+    Scale shape: per-block Arrow distinct-pair combiner, then ONE coarse
+    cogroup keyed on brand; each group is deduped + sorted + joined in
+    pandas/Python over its (bounded: |types|) distinct rows."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_grouped_apply
+
+    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_brand", "p_type"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["p_brand", "p_type"]).aggregate([])
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [("brand", pa.string()), ("types", pa.string()), ("n_types", pa.int64())]
+    )
+
+    def collect(g: pd.DataFrame) -> pa.Table:
+        types = sorted(set(g["p_type"]))
+        return pa.Table.from_pydict(
+            {"brand": pa.array([g["p_brand"].iloc[0]], pa.string()),
+             "types": pa.array([";".join(types)], pa.string()),
+             "n_types": pa.array([len(types)], pa.int64())}
+        )
+
+    return coarse_grouped_apply(pairs, ["p_brand"], collect, out_schema)
+
+
+SQL_BRAND_TYPES = """
+SELECT p_brand AS brand,
+       string_agg(p_type, ';' ORDER BY p_type) AS types,
+       count(*) AS n_types
+FROM (SELECT DISTINCT p_brand, p_type FROM part)
+GROUP BY p_brand
+"""
+
+
+def q_nations_both(sf_dir: str):
+    """Set INTERSECT (completing the §2.7 family next to UNION and
+    EXCEPT/anti): nation keys present in BOTH customer and supplier.
+
+    Scale shape: each side collapses to per-block distinct keys with an
+    Arrow combiner, then the two bounded key sets meet in ONE coarse
+    cogroup (inner attach) — no driver set, no native groupby."""
+    from semantic_search_system_ray.stages.util import coarse_attach
+
+    def side(table: str, col: str) -> rd.Dataset:
+        ds = rd.read_parquet(_p(sf_dir, table), columns=[col])
+
+        def distinct(t: pa.Table) -> pa.Table:
+            u = pc.cast(t.column(col).unique(), pa.int64())
+            return pa.Table.from_pydict({"nationkey": u, "one": pa.array([1] * len(u), pa.int64())})
+
+        return ds.map_batches(distinct, batch_format="pyarrow")
+
+    cust = side("customer", "c_nationkey")
+    supp = side("supplier", "s_nationkey")
+    out_schema = pa.schema([("nationkey", pa.int64()), ("one", pa.int64())])
+    met = coarse_attach(
+        cust, supp, left_key="nationkey", right_key="nationkey",
+        attach_cols=["one"], out_schema=out_schema, how="inner",
+    )
+
+    def dedup(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({"nationkey": t.column("nationkey").unique()})
+
+    # per-block duplicates survive the combiner; collapse inside the
+    # partition (keys are already co-located by the attach shuffle)
+    return met.map_batches(dedup, batch_format="pyarrow", batch_size=None)
+
+
+SQL_NATIONS_BOTH = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+INTERSECT
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 terms by tf·idf (idf = ln(N/df)) — the
+    classic relevance weighting underneath the BM25 stage, as a
+    corpus-statistics + per-doc ranking pipeline.
+
+    Scale shape: pass 1 computes document frequency with a per-batch
+    set-of-terms combiner → small groupby (vocabulary is Heaps-law
+    sublinear; guarded at 2M terms like the entity-link vocabulary —
+    beyond that the idf must be attached by key join, not broadcast);
+    the idf dict is broadcast once via ray.put and pass 2 is doc-LOCAL:
+    tf, scoring and top-3 all inside one map_batches, zero shuffle.
+    Scores stay raw float64 — both sides compute tf·ln(N/df) from the
+    same integers with one libm ln and one multiply, so the bits match
+    (the BM25-established determinism contract)."""
+    import math
+    import re as _re
+
+    ds = read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata only
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter[str] = Counter()
+        for txt in t.column("text").to_pylist():
+            c.update(set(_re.findall(r"\w+", (txt or "").lower())))
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(c.keys()), pa.string()),
+             "df": pa.array(list(c.values()), pa.int64())}
+        )
+
+    df_rows = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .take_all()
+    )
+    if len(df_rows) > 2_000_000:
+        raise ValueError(
+            "vocabulary too large to broadcast idf; attach idf by term "
+            "key join (stages/util.coarse_map_column) instead"
+        )
+    idf = {r["term"]: math.log(n_docs / r["df"]) for r in df_rows}
+    idf_ref = ray.put(idf)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("rank", pa.int64()),
+         ("term", pa.string()), ("score", pa.float64())]
+    )
+
+    class Score:
+        def __init__(self):
+            self.idf = ray.get(idf_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            doc_ids, ranks, terms, scores = [], [], [], []
+            for did, txt in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+                tf = Counter(_re.findall(r"\w+", (txt or "").lower()))
+                scored = [(term, n * self.idf[term]) for term, n in tf.items()]
+                scored.sort(key=lambda kv: (-kv[1], kv[0]))
+                for rank, (term, s) in enumerate(scored[:3], 1):
+                    doc_ids.append(did)
+                    ranks.append(rank)
+                    terms.append(term)
+                    scores.append(s)
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array(doc_ids, pa.int64()),
+                 "rank": pa.array(ranks, pa.int64()),
+                 "term": pa.array(terms, pa.string()),
+                 "score": pa.array(scores, pa.float64())},
+                schema=out_schema,
+            )
+
+    return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / df.df) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM s
+)
+SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
+"""
+
+
 QUERIES = {
+    "events_lag_delta": q_events_lag_delta,
+    "orders_rollup": q_orders_rollup,
+    "orders_pivot": q_orders_pivot,
+    "user_top_event": q_user_top_event,
+    "suppliers_with_sales": q_suppliers_with_sales,
+    "brand_types": q_brand_types,
+    "nations_both": q_nations_both,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "stratified_sample": q_stratified_sample,
     "contamination": q_contamination,
     "repetition": q_repetition,
@@ -1857,6 +2314,14 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_lag_delta": SQL_EVENTS_LAG_DELTA,
+    "orders_rollup": SQL_ORDERS_ROLLUP,
+    "orders_pivot": SQL_ORDERS_PIVOT,
+    "user_top_event": SQL_USER_TOP_EVENT,
+    "suppliers_with_sales": SQL_SUPPLIERS_WITH_SALES,
+    "brand_types": SQL_BRAND_TYPES,
+    "nations_both": SQL_NATIONS_BOTH,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "search_like": SQL_SEARCH_LIKE,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_quantiles": SQL_EVENTS_QUANTILES,
