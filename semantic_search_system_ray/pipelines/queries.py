@@ -2256,7 +2256,130 @@ SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
 """
 
 
+def q_events_json_stats(sf_dir: str):
+    """Semi-structured field extraction: pull the integer ``k`` out of the
+    ``props`` JSON column and aggregate it per event type — the
+    json_extract / payload-parsing family (reference M8 parses LLM JSON
+    the same way: functions/parsing.py).
+
+    Scale shape: extraction is ONE vectorized RE2 kernel per batch
+    (``pc.extract_regex`` — the props payloads are flat
+    ``{"k": <int>}`` objects, pinned by the oracle; a general nested
+    payload would route through functions/parsing.parse_json_lenient),
+    followed by a per-batch Arrow combiner and a ≤5-group global agg."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.Table.from_pydict(
+            {"event_type": t.column("event_type"), "k": k}
+        ).group_by(["event_type"]).aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("k_count", alias_name="n"),
+            Sum("k_sum", alias_name="sum_k"),
+            Min("k_min", alias_name="min_k"),
+            Max("k_max", alias_name="max_k"),
+        )
+    )
+
+
+SQL_EVENTS_JSON_STATS = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_cov_qty_price(sf_dir: str):
+    """Statistical aggregate: sample covariance of (quantity, price) per
+    returnflag, EXACT — the moment sums ride as arbitrary-precision
+    Python ints serialized to decimal strings in the per-batch partials
+    (Σ(cents·qty) overflows int64 near 1e12 rows, so a fixed-width
+    shuffle column can't carry it at corpus scale), tree-combined on the
+    driver over the bounded (#blocks × |flags|) partial rows. The final
+    covariance is ONE int→double cast per operand and one IEEE divide,
+    mirrored exactly by the oracle's HUGEINT→DOUBLE casts."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    partial_schema = pa.schema(
+        [("flag", pa.string()), ("n", pa.int64()), ("sx", pa.string()),
+         ("sy", pa.string()), ("sxy", pa.string())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = np.round(t.column("l_quantity").to_numpy(zero_copy_only=False)).astype(np.int64)
+        cents = np.round(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        flags = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        rows = {"flag": [], "n": [], "sx": [], "sy": [], "sxy": []}
+        for f in np.unique(flags):
+            sel = flags == f
+            q, c = qty[sel], cents[sel]
+            rows["flag"].append(str(f))
+            rows["n"].append(int(sel.sum()))
+            rows["sx"].append(str(int(q.sum())))
+            rows["sy"].append(str(int(c.sum())))
+            rows["sxy"].append(str(int((q * c).sum())))
+        return pa.Table.from_pydict(rows, schema=partial_schema)
+
+    acc: dict[str, list[int]] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        a = acc.setdefault(r["flag"], [0, 0, 0, 0])
+        a[0] += r["n"]
+        a[1] += int(r["sx"])
+        a[2] += int(r["sy"])
+        a[3] += int(r["sxy"])
+    out = {"flag": [], "n": [], "cov_qty_price": []}
+    for f in sorted(acc):
+        n, sx, sy, sxy = acc[f]
+        out["flag"].append(f)
+        out["n"].append(n)
+        out["cov_qty_price"].append(
+            float(n * sxy - sx * sy) / float(n * (n - 1) * 100)
+            if n > 1 else None
+        )
+    return pa.Table.from_pydict(
+        {"flag": pa.array(out["flag"], pa.string()),
+         "n": pa.array(out["n"], pa.int64()),
+         "cov_qty_price": pa.array(out["cov_qty_price"], pa.float64())}
+    )
+
+
+SQL_COV_QTY_PRICE = """
+WITH s AS (
+  SELECT l_returnflag AS flag, count(*) AS n,
+         sum(CAST(round(l_quantity) AS HUGEINT)) AS sx,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT flag, n,
+       CASE WHEN n > 1 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * (n - 1) * 100 AS DOUBLE)
+       END AS cov_qty_price
+FROM s
+"""
+
+
 QUERIES = {
+    "events_json_stats": q_events_json_stats,
+    "cov_qty_price": q_cov_qty_price,
     "events_lag_delta": q_events_lag_delta,
     "orders_rollup": q_orders_rollup,
     "orders_pivot": q_orders_pivot,
@@ -2314,6 +2437,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_json_stats": SQL_EVENTS_JSON_STATS,
+    "cov_qty_price": SQL_COV_QTY_PRICE,
     "events_lag_delta": SQL_EVENTS_LAG_DELTA,
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "orders_pivot": SQL_ORDERS_PIVOT,
