@@ -2377,7 +2377,66 @@ FROM s
 """
 
 
+def q_user_first_event(sf_dir: str):
+    """``first_value`` / ``DISTINCT ON``: each user's earliest event
+    (type + timestamp, (ts, event_id) order) — the per-group argmin
+    family next to mode (user_top_event) and top-k.
+
+    Scale shape: a per-block combiner (pandas mergesort + C-level
+    groupby.head(1)) collapses every block to ≤|users-in-block| rows
+    before any shuffle; the survivors ride ONE coarse cogroup keyed on
+    user where the same argmin picks the global first. All comparisons
+    are on (timestamp, int) — total order, no FP."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_grouped_apply
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def local_first(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        return pa.Table.from_pandas(
+            df.groupby("user_id", sort=False).head(1), schema=t.schema,
+            preserve_index=False,
+        )
+
+    firsts = ds.map_batches(local_first, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("first_type", pa.string()),
+         ("first_ts", pa.string())]
+    )
+
+    def pick(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").head(1)
+        return pa.Table.from_pydict(
+            {"user_id": pa.array([int(g["user_id"].iloc[0])], pa.int64()),
+             "first_type": pa.array([g["event_type"].iloc[0]], pa.string()),
+             "first_ts": pa.array(
+                 g["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f"), pa.string())},
+            schema=out_schema,
+        )
+
+    return coarse_grouped_apply(firsts, ["user_id"], pick, out_schema)
+
+
+SQL_USER_FIRST_EVENT = """
+WITH r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS first_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "user_first_event": q_user_first_event,
     "events_json_stats": q_events_json_stats,
     "cov_qty_price": q_cov_qty_price,
     "events_lag_delta": q_events_lag_delta,
@@ -2437,6 +2496,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "user_first_event": SQL_USER_FIRST_EVENT,
     "events_json_stats": SQL_EVENTS_JSON_STATS,
     "cov_qty_price": SQL_COV_QTY_PRICE,
     "events_lag_delta": SQL_EVENTS_LAG_DELTA,
