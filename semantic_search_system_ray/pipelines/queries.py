@@ -2435,7 +2435,382 @@ FROM r WHERE rn = 1
 """
 
 
+def _exact_sq_sum(c: np.ndarray) -> int:
+    """Exact Σc² for int64 ``c`` (|c| < 2^40) WITHOUT leaving vectorized
+    int64 math: cents² ≈ 1e14 per row overflows int64 near 1e5-row blocks,
+    so split c = h·K + l (K = 2^13) and combine the three safe partial
+    sums K²Σh² + 2KΣhl + Σl² in arbitrary-precision Python int."""
+    K = 1 << 13
+    h, l = c // K, c % K
+    return (
+        K * K * int((h * h).sum()) + 2 * K * int((h * l).sum())
+        + int((l * l).sum())
+    )
+
+
+def q_corr_qty_price(sf_dir: str):
+    """Pearson correlation of (quantity, price) per returnflag — the
+    corr/cov statistical-aggregate family shares the exact-int moment
+    pattern (q_cov_qty_price): per-batch partials of
+    (n, Σx, Σy, Σx², Σy², Σxy) ride as arbitrary-precision Python ints
+    serialized to decimal strings (Σ(cents²) overflows int64 far below
+    corpus scale), tree-combined on the driver over the bounded
+    (#blocks × |flags|) partial rows. The final value is ONE double cast
+    per exact-int operand and the IEEE expression
+    num / (sqrt(dx)·sqrt(dy)) — sqrt/mul/div are correctly-rounded IEEE
+    on both sides, mirrored by the oracle's HUGEINT→DOUBLE casts."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    partial_schema = pa.schema(
+        [("flag", pa.string()), ("n", pa.int64()), ("sx", pa.string()),
+         ("sy", pa.string()), ("sxx", pa.string()), ("syy", pa.string()),
+         ("sxy", pa.string())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = np.round(
+            t.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        cents = np.round(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        flags = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        rows = {k: [] for k in ("flag", "n", "sx", "sy", "sxx", "syy", "sxy")}
+        for f in np.unique(flags):
+            sel = flags == f
+            q, c = qty[sel], cents[sel]
+            rows["flag"].append(str(f))
+            rows["n"].append(int(sel.sum()))
+            rows["sx"].append(str(int(q.sum())))
+            rows["sy"].append(str(int(c.sum())))
+            # qty² ≤ 2500 → Σ safe in int64; cents² needs the exact
+            # split accumulation (overflows int64 near 1e5-row blocks)
+            rows["sxx"].append(str(int((q * q).sum())))
+            rows["syy"].append(str(_exact_sq_sum(c)))
+            rows["sxy"].append(str(int((q * c).sum())))
+        return pa.Table.from_pydict(rows, schema=partial_schema)
+
+    import math
+
+    acc: dict[str, list[int]] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        a = acc.setdefault(r["flag"], [0, 0, 0, 0, 0, 0])
+        a[0] += r["n"]
+        for i, k in enumerate(("sx", "sy", "sxx", "syy", "sxy")):
+            a[i + 1] += int(r[k])
+    out = {"flag": [], "n": [], "corr_qty_price": []}
+    for f in sorted(acc):
+        n, sx, sy, sxx, syy, sxy = acc[f]
+        num, dx, dy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+        out["flag"].append(f)
+        out["n"].append(n)
+        out["corr_qty_price"].append(
+            float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+            if n > 1 and dx > 0 and dy > 0 else None
+        )
+    return pa.Table.from_pydict(
+        {"flag": pa.array(out["flag"], pa.string()),
+         "n": pa.array(out["n"], pa.int64()),
+         "corr_qty_price": pa.array(out["corr_qty_price"], pa.float64())}
+    )
+
+
+SQL_CORR_QTY_PRICE = """
+WITH s AS (
+  SELECT l_returnflag AS flag, count(*) AS n,
+         sum(CAST(round(l_quantity) AS HUGEINT)) AS sx,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS sxx,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT flag, n,
+       CASE WHEN n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS corr_qty_price
+FROM s
+"""
+
+
+def q_zscore_normalize(sf_dir: str):
+    """Per-group z-score normalization (the standardization sibling of
+    q_minmax_normalize): each order's totalprice standardized against its
+    priority group's sample mean/std. Two-phase: per-batch exact-int cent
+    moments per priority (bounded groups — decimal-string partials like
+    the cov/corr family), driver combine → per-group (μ, σ) as ONE
+    double expression each, broadcast by closure; the row pass is a
+    vectorized (x−μ)/σ over the group-code gather. Both μ, σ and the
+    per-row expression are mirrored op-for-op by the oracle (IEEE
+    sub/div + correctly-rounded sqrt ⇒ bit-equal doubles)."""
+    import math
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    partial_schema = pa.schema(
+        [("pri", pa.string()), ("n", pa.int64()), ("sx", pa.string()),
+         ("sxx", pa.string())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        pri = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        rows = {"pri": [], "n": [], "sx": [], "sxx": []}
+        for p in np.unique(pri):
+            sel = pri == p
+            c = cents[sel]
+            rows["pri"].append(str(p))
+            rows["n"].append(int(sel.sum()))
+            rows["sx"].append(str(int(c.sum())))
+            rows["sxx"].append(str(_exact_sq_sum(c)))
+        return pa.Table.from_pydict(rows, schema=partial_schema)
+
+    acc: dict[str, list[int]] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        a = acc.setdefault(r["pri"], [0, 0, 0])
+        a[0] += r["n"]
+        a[1] += int(r["sx"])
+        a[2] += int(r["sxx"])
+    stats: dict[str, tuple[float, float]] = {}
+    for p, (n, sx, sxx) in acc.items():
+        if n > 1 and n * sxx - sx * sx > 0:
+            mu = float(sx) / float(n)
+            sd = math.sqrt(float(n * sxx - sx * sx) / float(n * (n - 1)))
+            stats[p] = (mu, sd)
+
+    def zrow(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        )
+        pri = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(pri, return_inverse=True)
+        mu = np.array([stats.get(p, (np.nan, np.nan))[0] for p in uniq])
+        sd = np.array([stats.get(p, (np.nan, np.nan))[1] for p in uniq])
+        z = (cents - mu[inv]) / sd[inv]
+        mask = ~np.isnan(z)
+        return pa.Table.from_pydict(
+            {"o_orderkey": t.column("o_orderkey"),
+             "pri": t.column("o_orderpriority"),
+             "zscore": pa.array(
+                 np.where(mask, z, np.nan), pa.float64(),
+                 mask=~mask)}
+        )
+
+    return ds.map_batches(zrow, batch_format="pyarrow")
+
+
+SQL_ZSCORE_NORMALIZE = """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority AS pri,
+         CAST(round(o_totalprice * 100) AS HUGEINT) AS cents
+  FROM orders
+),
+s AS (SELECT pri, count(*) AS n, sum(cents) AS sx,
+             sum(cents * cents) AS sxx
+      FROM c GROUP BY 1)
+SELECT o_orderkey, pri,
+       CASE WHEN n > 1 AND n * sxx - sx * sx > 0 THEN
+         (CAST(cents AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                / CAST(n * (n - 1) AS DOUBLE))
+       END AS zscore
+FROM c JOIN s USING (pri)
+"""
+
+
+def q_events_orders_outer(sf_dir: str):
+    """FULL OUTER join — completes the join family (inner / left /
+    semi / anti / as-of / range): purchase-event counts per user vs
+    urgent-order counts per customer over the shared id domain, keeping
+    ids present on EITHER side (both sides contribute unmatched rows on
+    this fixture). Shape: per-block Arrow count combiners collapse each
+    side to ≤|ids-in-block| partial rows tagged (id, n_events, n_orders)
+    with zeros for the other side; the union rides ONE coarse cogroup
+    where a pandas C-level group-sum realizes the outer semantics —
+    missing side = its zero contribution (the SQL COALESCE(…, 0))."""
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
+    )
+    out_schema = pa.schema(
+        [("id", pa.int64()), ("n_events", pa.int64()), ("n_orders", pa.int64())]
+    )
+
+    def ev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        g = t.group_by(["user_id"]).aggregate([("user_id", "count")])
+        n = g.num_rows
+        return pa.Table.from_pydict(
+            {"id": pc.cast(g.column("user_id"), pa.int64()),
+             "n_events": pc.cast(g.column("user_id_count"), pa.int64()),
+             "n_orders": pa.nulls(n, pa.int64()).fill_null(0)},
+            schema=out_schema,
+        )
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+        g = t.group_by(["o_custkey"]).aggregate([("o_custkey", "count")])
+        n = g.num_rows
+        return pa.Table.from_pydict(
+            {"id": pc.cast(g.column("o_custkey"), pa.int64()),
+             "n_events": pa.nulls(n, pa.int64()).fill_null(0),
+             "n_orders": pc.cast(g.column("o_custkey_count"), pa.int64())},
+            schema=out_schema,
+        )
+
+    both = ev.map_batches(ev_partial, batch_format="pyarrow").union(
+        orders.map_batches(ord_partial, batch_format="pyarrow")
+    )
+
+    def sum_part(df) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = (
+            df.groupby("id", sort=False)[["n_events", "n_orders"]]
+            .sum().reset_index()
+        )
+        return pa.Table.from_pandas(
+            agg, schema=out_schema, preserve_index=False
+        )
+
+    return coarse_partition_apply(both, ["id"], sum_part, out_schema)
+
+
+SQL_EVENTS_ORDERS_OUTER = """
+WITH e AS (SELECT user_id AS id, count(*) AS n_events
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+c AS (SELECT o_custkey AS id, count(*) AS n_orders
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+SELECT COALESCE(e.id, c.id) AS id,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(n_orders, 0) AS n_orders
+FROM e FULL OUTER JOIN c ON e.id = c.id
+"""
+
+
+# Token budget per packed training sequence (pack_sequences).
+SEQ_TOKEN_BUDGET = 512
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing for LLM pretraining: assign docs (in doc_id
+    order) to fixed token-budget training sequences — doc d lands in
+    sequence floor(prefix_tokens_before(d) / BUDGET). The engine shape is
+    a DISTRIBUTED ORDERED PREFIX SUM: doc_ids are RANGE-partitioned
+    (p = doc_id // width, width from max id / P so ranges align with the
+    global order); pass 1 computes per-range token subtotals (P bounded
+    rows to the driver), an exclusive scan over them yields each range's
+    global starting offset, broadcast by closure; pass 2 is one
+    partition-parallel pass — sort the range by doc_id, local exclusive
+    cumsum + range offset = the global prefix, all int64. The oracle is
+    the equivalent single window sum (ROWS UNBOUNDED PRECEDING … 1
+    PRECEDING)."""
+    from semantic_search_system_ray.stages.util import (
+        _default_partitions,
+        coarse_partition_apply,
+    )
+
+    docs = read_docs(sf_dir, ["doc_id", "text"])
+    toks = docs.map_batches(
+        token_count_batch, batch_format="pyarrow"
+    ).materialize()
+    max_id = toks.max("doc_id")
+    P = _default_partitions(toks)
+    width = max(1, (int(max_id) + P) // P)
+
+    def with_range(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64())
+        return pa.Table.from_pydict(
+            {"doc_id": ids,
+             "n_tokens": t.column("n_tokens"),
+             "rng": pc.divide(ids, width)}
+        )
+
+    ranged = toks.map_batches(with_range, batch_format="pyarrow")
+
+    # pass 1: per-range subtotals (≤P rows) → driver exclusive scan
+    def subtotal(t: pa.Table) -> pa.Table:
+        g = t.group_by(["rng"]).aggregate([("n_tokens", "sum")])
+        return pa.Table.from_pydict(
+            {"rng": g.column("rng"),
+             "sub": pc.cast(g.column("n_tokens_sum"), pa.int64())}
+        )
+
+    totals: dict[int, int] = {}
+    for r in ranged.map_batches(subtotal, batch_format="pyarrow").take_all():
+        totals[int(r["rng"])] = totals.get(int(r["rng"]), 0) + int(r["sub"])
+    offsets: dict[int, int] = {}
+    run = 0
+    for rng in sorted(totals):
+        offsets[rng] = run
+        run += totals[rng]
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("seq_id", pa.int64())]
+    )
+
+    # pass 2: hash-routing on rng still co-locates each range; a
+    # partition may hold several ranges — handled groupwise
+    def assign(df) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        parts = []
+        for rng, g in df.groupby("rng", sort=True):
+            g = g.sort_values("doc_id", kind="mergesort")
+            ntok = g["n_tokens"].to_numpy().astype(np.int64)
+            prev = offsets[int(rng)] + np.concatenate(
+                [[0], np.cumsum(ntok)[:-1]]
+            )
+            parts.append(
+                pa.Table.from_pydict(
+                    {"doc_id": g["doc_id"].to_numpy().astype(np.int64),
+                     "n_tokens": ntok,
+                     "seq_id": prev // SEQ_TOKEN_BUDGET},
+                    schema=out_schema,
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return coarse_partition_apply(ranged, ["rng"], assign, out_schema)
+
+
+SQL_PACK_SEQUENCES = rf"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\w+')) AS n_tokens
+  FROM documents
+),
+w AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(prev // {SEQ_TOKEN_BUDGET} AS BIGINT) AS seq_id
+FROM w
+"""
+
+
 QUERIES = {
+    "corr_qty_price": q_corr_qty_price,
+    "zscore_normalize": q_zscore_normalize,
+    "events_orders_outer": q_events_orders_outer,
+    "pack_sequences": q_pack_sequences,
     "user_first_event": q_user_first_event,
     "events_json_stats": q_events_json_stats,
     "cov_qty_price": q_cov_qty_price,
@@ -2496,6 +2871,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "corr_qty_price": SQL_CORR_QTY_PRICE,
+    "zscore_normalize": SQL_ZSCORE_NORMALIZE,
+    "events_orders_outer": SQL_EVENTS_ORDERS_OUTER,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "user_first_event": SQL_USER_FIRST_EVENT,
     "events_json_stats": SQL_EVENTS_JSON_STATS,
     "cov_qty_price": SQL_COV_QTY_PRICE,

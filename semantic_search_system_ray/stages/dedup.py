@@ -817,3 +817,165 @@ def _cosine_dups_lsh(
 
     # same pair can surface from several tables → keyed dedup (keeps one)
     return coarse_grouped_apply(raw_pairs, ["id_a", "id_b"], first_row, pair_schema)
+
+
+# --------------------------------------------------------------------------
+# edit-distance (Levenshtein) fuzzy pairs — SymSpell deletion blocking
+# --------------------------------------------------------------------------
+
+def _lev_banded(a: str, b: str, k: int) -> int | None:
+    """Exact Levenshtein distance if ≤ k, else None — banded DP, O(k·|a|)
+    per pair (unit insert/delete/substitute costs; matches DuckDB's
+    ``levenshtein``). Used only on blocked candidate pairs."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return None
+    if la > lb:  # keep the band bound tight on the shorter outer dim
+        a, b, la, lb = b, a, lb, la
+    INF = k + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [INF] * (lb + 1)
+        cur[0] = i
+        lo, hi = max(1, i - k), min(lb, i + k)
+        for j in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if min(cur[max(0, i - k): min(lb, i + k) + 1]) > k:
+            return None
+        prev = cur
+    return prev[lb] if prev[lb] <= k else None
+
+
+def _delete_variants(s: str, k: int) -> set[str]:
+    """All strings reachable from ``s`` by ≤ k single-char deletions
+    (including ``s`` itself) — the SymSpell blocking neighborhood:
+    lev(a, b) ≤ k ⇒ a and b share at least one common variant (a
+    substitution is a deletion on each side), so grouping by variant is a
+    LOSSLESS candidate generator for distance ≤ k."""
+    frontier = {s}
+    out = {s}
+    for _ in range(k):
+        nxt = set()
+        for v in frontier:
+            for i in range(len(v)):
+                nxt.add(v[:i] + v[i + 1:])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def edit_distance_pairs(
+    ds: rd.Dataset,
+    *,
+    name_col: str,
+    k: int = 2,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """→ (name_a, name_b, dist) for all DISTINCT value pairs of
+    ``name_col`` within Levenshtein distance ≤ k (name_a < name_b) —
+    fuzzy near-duplicate detection for short strings (titles, names,
+    vocabulary terms).
+
+    Scale shape (SymSpell symmetric-delete blocking, fully distributed):
+
+    1. distinct values (per-block Arrow distinct combiner → coarse
+       partitioned distinct) — identical strings collapse BEFORE
+       neighborhood generation, so a hot value can't explode a block;
+    2. each value emits its ≤k-deletion variants (≤ 1 + L + L²/2 lean
+       (variant, name) rows — linear in the corpus, independent of pair
+       count); equal variants co-locate via ONE coarse shuffle;
+    3. per-variant-group all-pairs → candidate (name_a, name_b), keyed
+       distinct (a pair shared by many variants is emitted once);
+    4. exact banded-DP verification (O(k·len) per candidate) attaches
+       the distance and drops false candidates. Blocking is lossless
+       (see _delete_variants), so the output is EXACTLY the ≤k pair
+       set — oracle-comparable against SQL ``levenshtein``.
+    """
+    from semantic_search_system_ray.pipelines.kg_build import distinct_rows
+    from semantic_search_system_ray.stages.util import (
+        coarse_grouped_apply,
+        coarse_partition_apply,
+    )
+    import pyarrow.compute as pc
+
+    name_schema = pa.schema([("name", pa.string())])
+
+    def block_distinct(t: pa.Table) -> pa.Table:
+        col = pc.cast(t.column(name_col), pa.string())
+        tt = pa.Table.from_pydict({"name": col})
+        tt = tt.filter(pc.is_valid(tt.column("name")))
+        return tt.group_by(["name"]).aggregate([])
+
+    def part_distinct(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return name_schema.empty_table()
+        return pa.Table.from_pandas(
+            df.drop_duplicates("name"), schema=name_schema,
+            preserve_index=False,
+        )
+
+    names = coarse_partition_apply(
+        ds.map_batches(block_distinct, batch_format="pyarrow"),
+        ["name"], part_distinct, name_schema,
+        num_partitions=num_partitions,
+    )
+
+    var_schema = pa.schema([("variant", pa.string()), ("name", pa.string())])
+
+    def variants(t: pa.Table) -> pa.Table:
+        vs, ns = [], []
+        for s in t.column("name").to_pylist():
+            for v in _delete_variants(s, k):
+                vs.append(v)
+                ns.append(s)
+        return pa.Table.from_pydict({"variant": vs, "name": ns},
+                                    schema=var_schema)
+
+    pair_key_schema = pa.schema(
+        [("name_a", pa.string()), ("name_b", pa.string())]
+    )
+
+    def group_pairs(g: pd.DataFrame) -> pa.Table:
+        ns = sorted(set(g["name"]))
+        if len(ns) < 2:
+            return pair_key_schema.empty_table()
+        aa, bb = [], []
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                aa.append(ns[i])
+                bb.append(ns[j])
+        return pa.Table.from_pydict({"name_a": aa, "name_b": bb},
+                                    schema=pair_key_schema)
+
+    candidates = distinct_rows(
+        coarse_grouped_apply(
+            names.map_batches(variants, batch_format="pyarrow"),
+            ["variant"], group_pairs, pair_key_schema, min_group_size=2,
+            num_partitions=num_partitions,
+        ),
+        ["name_a", "name_b"],
+        strategy="tree",
+        out_blocks=8,
+    )
+
+    out_schema = pa.schema(
+        [("name_a", pa.string()), ("name_b", pa.string()),
+         ("dist", pa.int64())]
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        aa, bb, dd = [], [], []
+        for a, b in zip(t.column("name_a").to_pylist(),
+                        t.column("name_b").to_pylist()):
+            d = _lev_banded(a, b, k)
+            if d is not None:
+                aa.append(a)
+                bb.append(b)
+                dd.append(d)
+        return pa.Table.from_pydict(
+            {"name_a": aa, "name_b": bb, "dist": dd}, schema=out_schema
+        )
+
+    return candidates.map_batches(verify, batch_format="pyarrow")
