@@ -404,6 +404,38 @@ def _q_entity_link(sf_dir: str):
     )
 
 
+def _q_kg_triangles(sf_dir: str):
+    """Triangle count over the KG edge set — degree-oriented distributed
+    counting (stages/graph.triangle_count); oracle is the 3-way
+    self-join over the kg_triples SQL subquery."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import triangle_count
+
+    return triangle_count(edges_from_triples(_kg_triples(sf_dir)))
+
+
+def _q_fuzzy_name_pairs(sf_dir: str):
+    """Levenshtein ≤2 near-duplicate part-name pairs — SymSpell
+    symmetric-delete blocking + banded-DP verification
+    (stages/dedup.edit_distance_pairs); lossless blocking makes the
+    output exactly SQL ``levenshtein``-comparable."""
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.dedup import edit_distance_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return edit_distance_pairs(ds, name_col="p_name", k=2)
+
+
+SQL_FUZZY_NAME_PAIRS = """
+WITH v AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM v a JOIN v b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+"""
+
+
 def _q_kg_components(sf_dir: str):
     """Weakly-connected components over the KG edge set — distributed
     min-label propagation (stages/cc — the same CC core
@@ -549,6 +581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_degree": _q_kg_degree,
             "kg_pagerank": _q_kg_pagerank,
             "kg_components": _q_kg_components,
+            "kg_triangles": _q_kg_triangles,
+            "fuzzy_name_pairs": _q_fuzzy_name_pairs,
             "entity_link": _q_entity_link,
             "search_lexical": _q_search_lexical,
             "search_rerank": _q_search_rerank,
@@ -637,6 +671,10 @@ def oracle_sql() -> dict[str, str]:
             "kg_components": tox.sql_kg_components(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
+            "kg_triangles": tox.sql_kg_triangles(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
             "entity_link": tox.sql_entity_link(TESTDATA_LINK_ENTITIES),
             "search_lexical": tox.sql_search_lexical(
                 ["hash", "join", "table", "scan"], k=20

@@ -1032,3 +1032,27 @@ SELECT ROW_NUMBER() OVER (ORDER BY score DESC, d) AS "rank",
        d AS doc_id, score
 FROM scored ORDER BY score DESC, d LIMIT {k}
 """
+
+
+def sql_kg_triangles(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for stages/graph.triangle_count over the KG edge set: the
+    triangle count of the undirected simple graph — 3-way self-join over
+    the normalized distinct edge set with a < b < c ordering (each
+    triangle counted exactly once, matching the engine's unique
+    minimum-(degree, id) wedge apex). Built over the kg_triples oracle
+    subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples}),
+e0 AS (SELECT CAST(subj AS VARCHAR) AS s, CAST(obj AS VARCHAR) AS d
+       FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e0)
+SELECT count(*) AS triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""

@@ -377,3 +377,187 @@ def pagerank_topk(pr: rd.Dataset, k: int) -> pa.Table:
         .limit(k)
     )
     return pa.Table.from_pylist(out.take_all(), schema=PR_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# triangle counting (degree-oriented, shuffle-bounded)
+# --------------------------------------------------------------------------
+
+TRI_SCHEMA = pa.schema([("triangles", pa.int64())])
+_UND_SCHEMA = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+
+def triangle_count(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Global triangle count of the UNDIRECTED simple graph underlying
+    ``edges`` (direction / parallel edges / self-loops ignored) — the
+    classic degree-oriented distributed algorithm:
+
+    1. normalize + distinct → simple edge set {a<b} (per-block Arrow
+       combiner, ONE coarse shuffle);
+    2. degree per node over the simple edges;
+    3. orient every edge from its lower-(degree, id) endpoint — each
+       node's oriented out-degree is O(√m), so wedge generation is
+       Σ C(outdeg, 2) ≤ O(m^1.5) TOTAL, immune to hot-entity skew (a
+       head entity of degree d contributes O(d) oriented edges but only
+       O(m/d · …) wedges from OTHER endpoints — never d²/2 from itself);
+    4. per-source wedge pairs, count-combined per partition into lean
+       (x, y, cnt) partials;
+    5. cogroup wedge partials with the edge set by (x, y): wedges whose
+       closing edge exists are triangles; per-partition subtotals sum on
+       the driver (P bounded rows).
+
+    Exactly each triangle once (its minimum-(degree, id) vertex is the
+    unique wedge apex). Returns a one-row Table — oracle-comparable
+    against the 3-way SQL self-join."""
+    from semantic_search_system_ray.stages.util import (
+        _default_partitions,
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = _str(pc.cast(t.column(src_col), pa.string())).to_numpy(
+            zero_copy_only=False
+        )
+        d = _str(pc.cast(t.column(dst_col), pa.string())).to_numpy(
+            zero_copy_only=False
+        )
+        swap = s > d
+        a = np.where(swap, d, s)
+        b = np.where(swap, s, d)
+        tt = pa.Table.from_pydict(
+            {"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())}
+        )
+        tt = tt.filter(pc.not_equal(tt.column("a"), tt.column("b")))
+        return tt.group_by(["a", "b"]).aggregate([])
+
+    def part_distinct(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _UND_SCHEMA.empty_table()
+        return pa.Table.from_pandas(
+            df.drop_duplicates(["a", "b"]), schema=_UND_SCHEMA,
+            preserve_index=False,
+        )
+
+    normed = edges.map_batches(norm, batch_format="pyarrow")
+    if num_partitions is None:
+        num_partitions = _default_partitions(edges)
+    P = num_partitions
+    und = coarse_partition_apply(
+        normed, ["a", "b"], part_distinct, _UND_SCHEMA, num_partitions=P
+    ).materialize()
+
+    deg = degree_table(und, src_col="a", dst_col="b", num_partitions=P)
+    deg = deg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node_id": t.column("node_id"),
+             "deg": pc.add(t.column("out_degree"), t.column("in_degree"))}
+        ),
+        batch_format="pyarrow",
+    )
+
+    wa = pa.schema([("a", pa.string()), ("b", pa.string()),
+                    ("deg_a", pa.int64())])
+    wab = pa.schema([("a", pa.string()), ("b", pa.string()),
+                     ("deg_a", pa.int64()), ("deg_b", pa.int64())])
+    e2 = coarse_attach(
+        und, deg, left_key="a", right_key="node_id", attach_cols=["deg"],
+        attach_as=["deg_a"], out_schema=wa, num_partitions=P,
+    )
+    e3 = coarse_attach(
+        e2, deg, left_key="b", right_key="node_id", attach_cols=["deg"],
+        attach_as=["deg_b"], out_schema=wab, num_partitions=P,
+    )
+
+    ori_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        da = t.column("deg_a").to_numpy(zero_copy_only=False)
+        db = t.column("deg_b").to_numpy(zero_copy_only=False)
+        # lower (degree, id) first; a < b already ⇒ degree tie → a
+        a_first = da <= db
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        return pa.Table.from_pydict(
+            {"u": pa.array(u, pa.string()), "v": pa.array(v, pa.string())},
+            schema=ori_schema,
+        )
+
+    oriented = e3.map_batches(orient, batch_format="pyarrow")
+
+    wedge_schema = pa.schema([("x", pa.string()), ("y", pa.string()),
+                              ("cnt", pa.int64())])
+
+    def wedge_partial(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return wedge_schema.empty_table()
+        xs, ys = [], []
+        for _u, g in df.groupby("u", sort=False):
+            ns = sorted(g["v"])
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    xs.append(ns[i])
+                    ys.append(ns[j])
+        if not xs:
+            return wedge_schema.empty_table()
+        part = (
+            pd.DataFrame({"x": xs, "y": ys})
+            .groupby(["x", "y"], sort=False).size().reset_index(name="cnt")
+        )
+        return pa.Table.from_pandas(
+            part, schema=wedge_schema, preserve_index=False
+        )
+
+    wedges = coarse_partition_apply(
+        oriented, ["u"], wedge_partial, wedge_schema, num_partitions=P
+    )
+
+    union_schema = pa.schema(
+        [("x", pa.string()), ("y", pa.string()), ("cnt", pa.int64()),
+         ("is_edge", pa.bool_())]
+    )
+
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("x").combine_chunks(), t.column("y").combine_chunks(),
+             t.column("cnt").combine_chunks(),
+             pa.nulls(t.num_rows, pa.bool_()).fill_null(False)],
+            schema=union_schema,
+        )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("a").combine_chunks(), t.column("b").combine_chunks(),
+             pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+             pa.nulls(t.num_rows, pa.bool_()).fill_null(True)],
+            schema=union_schema,
+        )
+
+    def close_part(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return TRI_SCHEMA.empty_table()
+        w = df[~df["is_edge"]]
+        e = df[df["is_edge"]][["x", "y"]].drop_duplicates()
+        if w.empty or e.empty:
+            return TRI_SCHEMA.empty_table()
+        closed = w.merge(e, on=["x", "y"], how="inner")
+        return pa.Table.from_pydict(
+            {"triangles": [int(closed["cnt"].sum())]}, schema=TRI_SCHEMA
+        )
+
+    subtotals = coarse_partition_apply(
+        wedges.map_batches(tag_wedge, batch_format="pyarrow").union(
+            und.map_batches(tag_edge, batch_format="pyarrow")
+        ),
+        ["x", "y"], close_part, TRI_SCHEMA, num_partitions=P,
+    )
+    total = sum(r["triangles"] for r in subtotals.take_all())
+    return pa.Table.from_pydict({"triangles": [total]}, schema=TRI_SCHEMA)

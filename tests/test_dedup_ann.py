@@ -265,3 +265,57 @@ def test_ivf_topk_recall(ray_session):
     assert recall >= 0.8
     full = [r["vec_id"] for r in ivf_topk(ds, q, k=5, nlist=8, nprobe=8).take_all()]
     assert full == exact  # probing every list == brute force
+
+
+# ---------------------------------------------------------------------------
+# edit-distance fuzzy pairs (SymSpell deletion blocking)
+# ---------------------------------------------------------------------------
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_lev_banded_matches_reference():
+    from semantic_search_system_ray.stages.dedup import _lev_banded
+
+    words = ["", "a", "ab", "abc", "abd", "xabc", "bc", "abcd", "badc",
+             "red widget", "red gadget", "blue bolt"]
+    for k in (1, 2):
+        for a in words:
+            for b in words:
+                ref = _lev_ref(a, b)
+                got = _lev_banded(a, b, k)
+                assert got == (ref if ref <= k else None), (a, b, k)
+
+
+@pytest.mark.parametrize("k", [1, 2])
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_edit_distance_pairs_bruteforce_parity(ray_session, k, n_blocks):
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.dedup import edit_distance_pairs
+
+    names = [
+        "red widget", "red gadget", "red widgets", "blue bolt", "blu bolt",
+        "blue bolts", "green ring", "green rings", "greon ring",
+        "odd one out entirely", "red widget",  # duplicate collapses
+    ]
+    ds = rd.from_items([{"p_name": n} for n in names]).repartition(n_blocks)
+    got = sorted(
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in edit_distance_pairs(ds, name_col="p_name", k=k).take_all()
+    )
+    uniq = sorted(set(names))
+    want = sorted(
+        (a, b, _lev_ref(a, b))
+        for i, a in enumerate(uniq) for b in uniq[i + 1:]
+        if _lev_ref(a, b) <= k
+    )
+    assert got == want

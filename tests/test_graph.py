@@ -86,3 +86,71 @@ def test_pagerank_mass_conservation_bound(ray_session):
     pr = pagerank(_edges_ds(2), iterations=3, driver_threshold=0).to_pandas()
     assert pr["pr"].sum() <= len(set(sum(map(list, EDGES), []))) * DEFAULT_SCALE
     assert (pr["pr"] >= 15 * DEFAULT_SCALE // 100).all()
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+def _brute_triangles(edge_list: list[tuple[str, str]]) -> int:
+    adj: dict[str, set[str]] = defaultdict(set)
+    for s, d in edge_list:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    nodes = sorted(adj)
+    n = 0
+    for i, a in enumerate(nodes):
+        for b in (x for x in adj[a] if x > a):
+            for c in (x for x in adj[b] if x > b):
+                if c in adj[a]:
+                    n += 1
+    return n
+
+
+TRI_CASES = [
+    # K4 → 4 triangles; direction/duplicates/self-loops must be ignored
+    ("k4", [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+            ("b", "d"), ("c", "d"), ("b", "a"), ("a", "a")]),
+    ("chain", [("a", "b"), ("b", "c"), ("c", "d")]),
+    ("two_tris", [("a", "b"), ("b", "c"), ("c", "a"),
+                  ("x", "y"), ("y", "z"), ("z", "x"), ("a", "x")]),
+    # hub wedge star: hub connected to 6 leaves, one closing edge
+    ("star", [("h", f"l{i}") for i in range(6)] + [("l0", "l1")]),
+    ("empty", []),
+]
+
+
+@pytest.mark.parametrize("name,edge_list", TRI_CASES)
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_triangle_count_matches_bruteforce(ray_session, name, edge_list, n_blocks):
+    from semantic_search_system_ray.stages.graph import triangle_count
+
+    if edge_list:
+        ds = rd.from_items(
+            [{"src": s, "dst": d} for s, d in edge_list]
+        ).repartition(n_blocks)
+    else:
+        ds = rd.from_arrow(
+            pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string())})
+        )
+    out = triangle_count(ds)
+    assert out.column("triangles").to_pylist() == [_brute_triangles(edge_list)]
+
+
+def test_triangle_count_random_graph_parity(ray_session):
+    import random
+
+    from semantic_search_system_ray.stages.graph import triangle_count
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(40)]
+    edge_list = list({
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(260)
+    })
+    ds = rd.from_items(
+        [{"src": s, "dst": d} for s, d in edge_list]
+    ).repartition(4)
+    out = triangle_count(ds, num_partitions=8)
+    assert out.column("triangles").to_pylist() == [_brute_triangles(edge_list)]
