@@ -414,6 +414,16 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_count(edges_from_triples(_kg_triples(sf_dir)))
 
 
+def _q_kg_jaccard(sf_dir: str):
+    """Top-20 KG node pairs by neighborhood Jaccard similarity — the
+    link-prediction feature (stages/graph.neighbor_jaccard_topk); oracle
+    is the symmetrized wedge-count SQL over the kg_triples subquery."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import neighbor_jaccard_topk
+
+    return neighbor_jaccard_topk(edges_from_triples(_kg_triples(sf_dir)), k=20)
+
+
 def _q_fuzzy_name_pairs(sf_dir: str):
     """Levenshtein ≤2 near-duplicate part-name pairs — SymSpell
     symmetric-delete blocking + banded-DP verification
@@ -582,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_pagerank": _q_kg_pagerank,
             "kg_components": _q_kg_components,
             "kg_triangles": _q_kg_triangles,
+            "kg_jaccard": _q_kg_jaccard,
             "fuzzy_name_pairs": _q_fuzzy_name_pairs,
             "entity_link": _q_entity_link,
             "search_lexical": _q_search_lexical,
@@ -672,6 +683,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_triangles": tox.sql_kg_triangles(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_jaccard": tox.sql_kg_jaccard(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,

@@ -2701,6 +2701,79 @@ FROM e FULL OUTER JOIN c ON e.id = c.id
 """
 
 
+def q_user_retention(sf_dir: str):
+    """Cohort retention — the funnel/retention analytics family: users
+    cohorted by their FIRST event date; a user is retained if any event
+    lands in [first_ts + 1 day, first_ts + 8 days). All per-user work
+    happens inside ONE coarse cogroup on user_id (min-ts + window flag,
+    vectorized pandas per partition) emitting bounded per-partition
+    cohort partials; the global roll-up is a tiny groupby over ~60
+    cohort dates. Timestamp-only comparisons — no FP."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    part_schema = pa.schema(
+        [("cohort_date", pa.string()), ("n_users", pa.int64()),
+         ("n_retained", pa.int64())]
+    )
+
+    def per_part(df: "pd.DataFrame") -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        first = (
+            df.groupby("user_id", sort=False)["ts"].min()
+            .rename("first_ts").reset_index()
+        )
+        m = df.merge(first, on="user_id")
+        day = pd.Timedelta(days=1)
+        ret = (
+            (m["ts"] >= m["first_ts"] + day)
+            & (m["ts"] < m["first_ts"] + 8 * day)
+        ).astype(np.int64)
+        per_user = (
+            pd.DataFrame(
+                {"user_id": m["user_id"], "first_ts": m["first_ts"],
+                 "ret": ret}
+            )
+            .groupby("user_id", sort=False)
+            .agg(first_ts=("first_ts", "first"), ret=("ret", "max"))
+            .reset_index()
+        )
+        per_user["cohort_date"] = per_user["first_ts"].dt.strftime("%Y-%m-%d")
+        agg = (
+            per_user.groupby("cohort_date", sort=False)
+            .agg(n_users=("user_id", "size"), n_retained=("ret", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            agg, schema=part_schema, preserve_index=False
+        )
+
+    partials = coarse_partition_apply(ev, ["user_id"], per_part, part_schema)
+    return partials.groupby("cohort_date").aggregate(
+        Sum("n_users", alias_name="n_users"),
+        Sum("n_retained", alias_name="n_retained"),
+    )
+
+
+SQL_USER_RETENTION = """
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+r AS (
+  SELECT f.user_id, f.first_ts,
+         max(CASE WHEN e.ts >= f.first_ts + INTERVAL 1 DAY
+                   AND e.ts < f.first_ts + INTERVAL 8 DAY
+              THEN 1 ELSE 0 END) AS ret
+  FROM f JOIN events e ON e.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT strftime(CAST(first_ts AS DATE), '%Y-%m-%d') AS cohort_date,
+       count(*) AS n_users, CAST(sum(ret) AS BIGINT) AS n_retained
+FROM r GROUP BY 1
+"""
+
+
 # Token budget per packed training sequence (pack_sequences).
 SEQ_TOKEN_BUDGET = 512
 
@@ -2811,6 +2884,7 @@ QUERIES = {
     "zscore_normalize": q_zscore_normalize,
     "events_orders_outer": q_events_orders_outer,
     "pack_sequences": q_pack_sequences,
+    "user_retention": q_user_retention,
     "user_first_event": q_user_first_event,
     "events_json_stats": q_events_json_stats,
     "cov_qty_price": q_cov_qty_price,
@@ -2875,6 +2949,7 @@ ORACLE_SQL = {
     "zscore_normalize": SQL_ZSCORE_NORMALIZE,
     "events_orders_outer": SQL_EVENTS_ORDERS_OUTER,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "user_retention": SQL_USER_RETENTION,
     "user_first_event": SQL_USER_FIRST_EVENT,
     "events_json_stats": SQL_EVENTS_JSON_STATS,
     "cov_qty_price": SQL_COV_QTY_PRICE,

@@ -1056,3 +1056,37 @@ FROM e e1
 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
 JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
 """
+
+
+def sql_kg_jaccard(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    k: int = 20,
+) -> str:
+    """Oracle for stages/graph.neighbor_jaccard_topk over the KG edge
+    set: co-neighbor counts via the symmetrized-edge wedge self-join,
+    degrees from the symmetrized edges, jaccard = common/(da+db−common)
+    with one DOUBLE cast per exact-int operand (bit-equal to the
+    engine's numpy expression), top-k by (jaccard DESC, node_a, node_b).
+    Built over the kg_triples oracle subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples}),
+e0 AS (SELECT CAST(subj AS VARCHAR) AS s, CAST(obj AS VARCHAR) AS d
+       FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e0),
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+wedge AS (
+  SELECT s1.v AS x, s2.v AS y, count(*) AS common
+  FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+  GROUP BY 1, 2
+),
+deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1)
+SELECT x AS node_a, y AS node_b, common,
+       CAST(common AS DOUBLE)
+         / CAST(dx.deg + dy.deg - common AS DOUBLE) AS jaccard
+FROM wedge JOIN deg dx ON dx.u = x JOIN deg dy ON dy.u = y
+ORDER BY jaccard DESC, node_a, node_b LIMIT {k}
+"""

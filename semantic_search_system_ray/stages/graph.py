@@ -387,6 +387,62 @@ TRI_SCHEMA = pa.schema([("triangles", pa.int64())])
 _UND_SCHEMA = pa.schema([("a", pa.string()), ("b", pa.string())])
 
 
+def undirected_simple_edges(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """→ the distinct undirected simple edge set {(a, b) : a < b} of
+    ``edges`` — direction, parallel edges and self-loops dropped.
+    Per-block Arrow distinct combiner → ONE coarse partitioned distinct
+    (the shared first stage of triangle_count / neighbor_jaccard_topk)."""
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = _str(pc.cast(t.column(src_col), pa.string())).to_numpy(
+            zero_copy_only=False
+        )
+        d = _str(pc.cast(t.column(dst_col), pa.string())).to_numpy(
+            zero_copy_only=False
+        )
+        swap = s > d
+        a = np.where(swap, d, s)
+        b = np.where(swap, s, d)
+        tt = pa.Table.from_pydict(
+            {"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())}
+        )
+        tt = tt.filter(pc.not_equal(tt.column("a"), tt.column("b")))
+        return tt.group_by(["a", "b"]).aggregate([])
+
+    def part_distinct(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _UND_SCHEMA.empty_table()
+        return pa.Table.from_pandas(
+            df.drop_duplicates(["a", "b"]), schema=_UND_SCHEMA,
+            preserve_index=False,
+        )
+
+    return coarse_partition_apply(
+        edges.map_batches(norm, batch_format="pyarrow"),
+        ["a", "b"], part_distinct, _UND_SCHEMA,
+        num_partitions=num_partitions,
+    )
+
+
+def _simple_degrees(und: rd.Dataset, P: int | None) -> rd.Dataset:
+    """(node_id, deg) over the simple undirected edge set."""
+    deg = degree_table(und, src_col="a", dst_col="b", num_partitions=P)
+    return deg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node_id": t.column("node_id"),
+             "deg": pc.add(t.column("out_degree"), t.column("in_degree"))}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def triangle_count(
     edges: rd.Dataset,
     *,
@@ -421,46 +477,13 @@ def triangle_count(
         coarse_partition_apply,
     )
 
-    def norm(t: pa.Table) -> pa.Table:
-        s = _str(pc.cast(t.column(src_col), pa.string())).to_numpy(
-            zero_copy_only=False
-        )
-        d = _str(pc.cast(t.column(dst_col), pa.string())).to_numpy(
-            zero_copy_only=False
-        )
-        swap = s > d
-        a = np.where(swap, d, s)
-        b = np.where(swap, s, d)
-        tt = pa.Table.from_pydict(
-            {"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())}
-        )
-        tt = tt.filter(pc.not_equal(tt.column("a"), tt.column("b")))
-        return tt.group_by(["a", "b"]).aggregate([])
-
-    def part_distinct(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
-            return _UND_SCHEMA.empty_table()
-        return pa.Table.from_pandas(
-            df.drop_duplicates(["a", "b"]), schema=_UND_SCHEMA,
-            preserve_index=False,
-        )
-
-    normed = edges.map_batches(norm, batch_format="pyarrow")
     if num_partitions is None:
         num_partitions = _default_partitions(edges)
     P = num_partitions
-    und = coarse_partition_apply(
-        normed, ["a", "b"], part_distinct, _UND_SCHEMA, num_partitions=P
+    und = undirected_simple_edges(
+        edges, src_col=src_col, dst_col=dst_col, num_partitions=P
     ).materialize()
-
-    deg = degree_table(und, src_col="a", dst_col="b", num_partitions=P)
-    deg = deg.map_batches(
-        lambda t: pa.Table.from_pydict(
-            {"node_id": t.column("node_id"),
-             "deg": pc.add(t.column("out_degree"), t.column("in_degree"))}
-        ),
-        batch_format="pyarrow",
-    )
+    deg = _simple_degrees(und, P)
 
     wa = pa.schema([("a", pa.string()), ("b", pa.string()),
                     ("deg_a", pa.int64())])
@@ -561,3 +584,147 @@ def triangle_count(
     )
     total = sum(r["triangles"] for r in subtotals.take_all())
     return pa.Table.from_pydict({"triangles": [total]}, schema=TRI_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# neighborhood Jaccard similarity (link-prediction feature)
+# --------------------------------------------------------------------------
+
+JACCARD_SCHEMA = pa.schema(
+    [("node_a", pa.string()), ("node_b", pa.string()),
+     ("common", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
+def neighbor_jaccard_topk(
+    edges: rd.Dataset,
+    *,
+    k: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Top-k node pairs by neighborhood Jaccard similarity
+    |N(a)∩N(b)| / |N(a)∪N(b)| over the undirected simple graph — the
+    classic link-prediction feature (pairs sharing ≥1 neighbor only).
+
+    Shape: symmetrized edges cogroup by apex → per-apex co-neighbor
+    pairs, count-combined per partition into lean (x, y, cnt) partials →
+    per-pair global sums (second coarse cogroup) → degrees attached via
+    two hash-join attaches → jaccard = common / (deg_a + deg_b − common)
+    (ONE double cast per exact-int operand, mirrored by the SQL oracle)
+    → per-block top-k combiner + tiny global sort. Deterministic order:
+    (jaccard DESC, node_a, node_b).
+
+    Cost note: exact co-neighbor counting is inherently Σ C(deg, 2)
+    wedges — unlike triangle_count, degree orientation cannot apply
+    (the apex must range over ALL shared neighbors). At web scale, cap
+    hub degrees upstream or restrict to a candidate pair set."""
+    from semantic_search_system_ray.stages.util import (
+        _default_partitions,
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    if num_partitions is None:
+        num_partitions = _default_partitions(edges)
+    P = num_partitions
+    und = undirected_simple_edges(
+        edges, src_col=src_col, dst_col=dst_col, num_partitions=P
+    ).materialize()
+    deg = _simple_degrees(und, P)
+
+    sym_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([a, b]), pa.concat_arrays([b, a])],
+            schema=sym_schema,
+        )
+
+    wedge_schema = pa.schema([("x", pa.string()), ("y", pa.string()),
+                              ("cnt", pa.int64())])
+
+    def wedge_partial(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return wedge_schema.empty_table()
+        xs, ys = [], []
+        for _u, g in df.groupby("u", sort=False):
+            ns = sorted(g["v"])
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    xs.append(ns[i])
+                    ys.append(ns[j])
+        if not xs:
+            return wedge_schema.empty_table()
+        part = (
+            pd.DataFrame({"x": xs, "y": ys})
+            .groupby(["x", "y"], sort=False).size().reset_index(name="cnt")
+        )
+        return pa.Table.from_pandas(
+            part, schema=wedge_schema, preserve_index=False
+        )
+
+    partials = coarse_partition_apply(
+        und.map_batches(sym, batch_format="pyarrow"),
+        ["u"], wedge_partial, wedge_schema, num_partitions=P,
+    )
+
+    def pair_sum(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return wedge_schema.empty_table()
+        agg = (
+            df.groupby(["x", "y"], sort=False)["cnt"].sum().reset_index()
+        )
+        return pa.Table.from_pandas(
+            agg, schema=wedge_schema, preserve_index=False
+        )
+
+    common = coarse_partition_apply(
+        partials, ["x", "y"], pair_sum, wedge_schema, num_partitions=P
+    )
+
+    ca = pa.schema([("x", pa.string()), ("y", pa.string()),
+                    ("cnt", pa.int64()), ("deg_a", pa.int64())])
+    cab = pa.schema([("x", pa.string()), ("y", pa.string()),
+                     ("cnt", pa.int64()), ("deg_a", pa.int64()),
+                     ("deg_b", pa.int64())])
+    j1 = coarse_attach(
+        common, deg, left_key="x", right_key="node_id", attach_cols=["deg"],
+        attach_as=["deg_a"], out_schema=ca, num_partitions=P,
+    )
+    j2 = coarse_attach(
+        j1, deg, left_key="y", right_key="node_id", attach_cols=["deg"],
+        attach_as=["deg_b"], out_schema=cab, num_partitions=P,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        da = t.column("deg_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t.column("deg_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        jac = c.astype(np.float64) / (da + db - c).astype(np.float64)
+        return pa.Table.from_pydict(
+            {"node_a": t.column("x"), "node_b": t.column("y"),
+             "common": pa.array(c, pa.int64()),
+             "jaccard": pa.array(jac, pa.float64())},
+            schema=JACCARD_SCHEMA,
+        )
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k, [("jaccard", "descending"), ("node_a", "ascending"),
+                   ("node_b", "ascending")]
+        )
+        return t.take(idx)
+
+    out = (
+        scored.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["jaccard", "node_a", "node_b"],
+              descending=[True, False, False])
+        .limit(k)
+    )
+    return pa.Table.from_pylist(out.take_all(), schema=JACCARD_SCHEMA)
