@@ -1921,6 +1921,126 @@ GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+def q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE(priority, status) — all four grouping sets (the
+    rollup's sibling; completes the grouping-sets family). Same scale
+    shape as q_orders_rollup: ONE distributed two-phase aggregate at the
+    finest grain (≤15 bounded groups), every super-aggregate level
+    derived on the driver from that bounded result — never a second
+    scan. Money sums ride as scaled int64 cents end-to-end."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"priority": t.column("o_orderpriority"),
+             "status": t.column("o_orderstatus"),
+             "cents": pc.cast(
+                 pc.round(pc.multiply(t.column("o_totalprice"),
+                                      pa.scalar(100.0))), pa.int64())}
+        ).group_by(["priority", "status"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        )
+
+    base = (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby(["priority", "status"])
+        .aggregate(Sum("cents_count", alias_name="n_orders"),
+                   Sum("cents_sum", alias_name="sum_cents"))
+        .take_all()  # bounded: |priorities| × |statuses| ≤ 15 rows
+    )
+    rows = [(r["priority"], r["status"], r["n_orders"], r["sum_cents"])
+            for r in base]
+    by_p: dict[str, list[int]] = {}
+    by_s: dict[str, list[int]] = {}
+    for p, s, n, c in rows:
+        for key, acc in ((p, by_p), (s, by_s)):
+            a = acc.setdefault(key, [0, 0])
+            a[0] += n
+            a[1] += c
+    rows += [(p, "ALL", n, c) for p, (n, c) in by_p.items()]
+    rows += [("ALL", s, n, c) for s, (n, c) in by_s.items()]
+    rows.append(("ALL", "ALL", sum(n for n, _c in by_p.values()),
+                 sum(c for _n, c in by_p.values())))
+    return pa.Table.from_pydict(
+        {"priority": pa.array([r[0] for r in rows], pa.string()),
+         "status": pa.array([r[1] for r in rows], pa.string()),
+         "n_orders": pa.array([r[2] for r in rows], pa.int64()),
+         "total_price": pa.array([r[3] / 100.0 for r in rows], pa.float64())}
+    )
+
+
+SQL_ORDERS_CUBE = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
+def q_median_price_by_priority(sf_dir: str):
+    """Per-group INTERPOLATED median (``percentile_cont(0.5)`` — the
+    continuous sibling of the quantile_disc family): same
+    bounded-cardinality integer-histogram shape as
+    exact_grouped_quantiles_histogram, but the driver picks BOTH
+    straddling order statistics (ranks ⌈n/2⌉ and ⌊n/2⌋+1) and
+    interpolates. (lo+hi) < 2^53 ⇒ the half-sum is an exactly
+    representable double, so any interpolation formula (DuckDB's
+    included) yields the same bits; the /100.0 descale is one IEEE
+    divide on both sides."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        t2 = pa.Table.from_pydict(
+            {"g": t.column("o_orderpriority"), "cell": cents}
+        )
+        out = t2.group_by(["g", "cell"]).aggregate([("cell", "count")])
+        return out.rename_columns(["g", "cell", "n"])
+
+    merged = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["g", "cell"]).sum("n")
+    )
+    by_g: dict = {}
+    for r in merged.take_all():  # |groups| × |price domain| — bounded
+        by_g.setdefault(r["g"], []).append((r["cell"], r["sum(n)"]))
+    out_g, out_m = [], []
+    for g in sorted(by_g, key=lambda x: (x is None, x)):
+        cells = np.array([c for c, _ in by_g[g]], dtype=np.int64)
+        counts = np.array([n for _, n in by_g[g]], dtype=np.int64)
+        order = np.argsort(cells)
+        cells, counts = cells[order], counts[order]
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        lo_rank, hi_rank = (n + 1) // 2, n // 2 + 1
+        lo = int(cells[np.searchsorted(cum, lo_rank, side="left")])
+        hi = int(cells[np.searchsorted(cum, hi_rank, side="left")])
+        out_g.append(g)
+        out_m.append(float(lo + hi) / 2.0 / 100.0)
+    return pa.Table.from_pydict(
+        {"priority": pa.array(out_g, pa.string()),
+         "median_price": pa.array(out_m, pa.float64())}
+    )
+
+
+SQL_MEDIAN_PRICE_BY_PRIORITY = """
+SELECT o_orderpriority AS priority,
+       median(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+         AS median_price
+FROM orders GROUP BY 1
+"""
+
+
 _PIVOT_PRIORITIES = [
     ("1-URGENT", "n_urgent"), ("2-HIGH", "n_high"), ("3-MEDIUM", "n_medium"),
     ("4-NOT SPECIFIED", "n_notspec"), ("5-LOW", "n_low"),
@@ -2885,6 +3005,8 @@ QUERIES = {
     "events_orders_outer": q_events_orders_outer,
     "pack_sequences": q_pack_sequences,
     "user_retention": q_user_retention,
+    "orders_cube": q_orders_cube,
+    "median_price_by_priority": q_median_price_by_priority,
     "user_first_event": q_user_first_event,
     "events_json_stats": q_events_json_stats,
     "cov_qty_price": q_cov_qty_price,
@@ -2950,6 +3072,8 @@ ORACLE_SQL = {
     "events_orders_outer": SQL_EVENTS_ORDERS_OUTER,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "user_retention": SQL_USER_RETENTION,
+    "orders_cube": SQL_ORDERS_CUBE,
+    "median_price_by_priority": SQL_MEDIAN_PRICE_BY_PRIORITY,
     "user_first_event": SQL_USER_FIRST_EVENT,
     "events_json_stats": SQL_EVENTS_JSON_STATS,
     "cov_qty_price": SQL_COV_QTY_PRICE,

@@ -927,6 +927,14 @@ def edit_distance_pairs(
     def variants(t: pa.Table) -> pa.Table:
         vs, ns = [], []
         for s in t.column("name").to_pylist():
+            if len(s) > 256:
+                # neighborhood size is O(len^k) — loud failure instead of
+                # a silent blow-up (this operator is for SHORT strings;
+                # route long text through ngram_jaccard_pairs instead)
+                raise ValueError(
+                    f"edit_distance_pairs: value of length {len(s)} > 256 "
+                    "unsupported (use ngram_jaccard_pairs for long text)"
+                )
             for v in _delete_variants(s, k):
                 vs.append(v)
                 ns.append(s)
