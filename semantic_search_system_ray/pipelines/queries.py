@@ -1991,7 +1991,11 @@ def q_median_price_by_priority(sf_dir: str):
     interpolates. (lo+hi) < 2^53 ⇒ the half-sum is an exactly
     representable double, so any interpolation formula (DuckDB's
     included) yields the same bits; the /100.0 descale is one IEEE
-    divide on both sides."""
+    divide on both sides. Driver cost is |groups|·|value domain| cells —
+    for value domains beyond ~10^7 distinct cells, coarsen ``scale``
+    (dollar instead of cent cells trade exactness for 100× fewer cells)
+    or switch to iterative count-below bisection; this fixture's price
+    domain fits."""
     ds = rd.read_parquet(
         _p(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"]
     )
