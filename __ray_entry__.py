@@ -297,6 +297,19 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(with_sig, batch_format="pyarrow")
 
 
+def _q_media_frame_sample(sf_dir: str):
+    """Frame/chunk sampling over media spans (stages/media
+    .media_frame_sample) — every stride-th chunk of each asset; the
+    md5-derived stub duration + chunk signatures keep the whole layout
+    SQL-recomputable, so the sampling plumbing sits on the hard gate."""
+    from semantic_search_system_ray.sources.documents import text_table_to_spans
+    from semantic_search_system_ray.stages.media import media_frame_sample
+    from semantic_search_system_ray.pipelines.queries import read_docs
+
+    docs = read_docs(sf_dir, ["doc_id", "text"])
+    return media_frame_sample(text_table_to_spans(docs))
+
+
 def _q_media_dedup(sf_dir: str):
     """Media features joined back into the dedup suite: near-dup media
     span pairs (shared-asset reuse across docs). Runs the LSH-bucketed
@@ -610,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_lsh": _q_ann_lsh,
             "ann_ivf": _q_ann_ivf,
             "media_features": _q_media_features,
+            "media_frame_sample": _q_media_frame_sample,
             "media_dedup": _q_media_dedup,
             "approx_distinct": _q_approx_distinct,
         }
@@ -718,6 +732,16 @@ def oracle_sql() -> dict[str, str]:
                     "semantic_search_system_ray.stages.media",
                     fromlist=["MEDIA_FEATURE_DIM"],
                 ).MEDIA_FEATURE_DIM
+            ),
+            "media_frame_sample": tox.sql_media_frame_sample(
+                __import__(
+                    "semantic_search_system_ray.stages.media",
+                    fromlist=["MEDIA_SAMPLE_STRIDE"],
+                ).MEDIA_SAMPLE_STRIDE,
+                __import__(
+                    "semantic_search_system_ray.stages.media",
+                    fromlist=["MEDIA_MAX_CHUNKS"],
+                ).MEDIA_MAX_CHUNKS,
             ),
             # full minhash pipeline in SQL (md5-based hashes since r3)
             "minhash_clusters": tox.sql_minhash_clusters(threshold=0.6),

@@ -404,15 +404,14 @@ LEFT JOIN sh s USING (doc_id)
 """
 
 
-def sql_media_features(dim: int) -> str:
-    """DuckDB oracle for the media_features query: recomputes the
-    md5-derived span layout (sources/documents._spans_for_text — media
-    injected after sentence i when md5_hash64(doc:i) % 7 == 0, kind/ref
-    from the same hash, cumulative offsets) and the stub feature
-    derivation inputs (stages/media._decode_hashes) as ``feat_sig`` —
-    all integer/string exact, no float comparisons. The float vector is
-    a pure pinned function of those inputs (see pytest)."""
-    return f"""
+def _sql_media_spans_cte() -> str:
+    """Shared CTE chain reproducing the md5-derived media span layout
+    (sources/documents._spans_for_text — media injected after sentence i
+    when md5_hash64(doc:i) % 7 == 0, kind/ref from the same hash,
+    cumulative offsets). Ends with the ``media`` relation
+    (doc_id, kind, media_ref, offset); reused by sql_media_features and
+    sql_media_frame_sample (one source of truth)."""
+    return """
 WITH doc AS (
   SELECT CAST(doc_id AS VARCHAR) AS d, text,
          length(text) > 200 AS chunked,
@@ -459,7 +458,16 @@ media AS (
            AS media_ref,
          CAST(media_offset AS INTEGER) AS "offset"
   FROM placed WHERE h % 7 = 0
-)
+)"""
+
+
+def sql_media_features(dim: int) -> str:
+    """DuckDB oracle for the media_features query: the shared media-span
+    CTE (_sql_media_spans_cte) plus the stub feature derivation inputs
+    (stages/media._decode_hashes) as ``feat_sig`` — all integer/string
+    exact, no float comparisons. The float vector is a pure pinned
+    function of those inputs (see pytest)."""
+    return f"""{_sql_media_spans_cte()}
 SELECT doc_id, kind, media_ref, "offset",
        md5(array_to_string(
          list_transform(generate_series(0, {dim - 1}),
@@ -468,6 +476,32 @@ SELECT doc_id, kind, media_ref, "offset",
                 16, '0')),
          ',')) AS feat_sig
 FROM media
+"""
+
+
+def sql_media_frame_sample(stride: int, max_chunks: int) -> str:
+    """DuckDB oracle for media_frame_sample: every media span unnests to
+    its sampled chunk rows — chunk count 1 + md5(ref-scoped 'dur') %
+    max_chunks (the stub duration metadata), indices 0, stride, 2·stride
+    … < n, per-chunk md5 signature — all integer/string exact."""
+    return f"""{_sql_media_spans_cte()},
+dur AS (
+  SELECT *, CAST(1 + md5_number_lower(
+           kind || ':' || media_ref || ':dur') % {max_chunks} AS BIGINT)
+         AS n_chunks
+  FROM media
+),
+sampled AS (
+  SELECT doc_id, kind, media_ref, "offset", n_chunks,
+         CAST(unnest(generate_series(0, CAST(n_chunks AS INTEGER) - 1,
+                                     {stride})) AS BIGINT) AS chunk_idx
+  FROM dur
+)
+SELECT doc_id, kind, media_ref, "offset", n_chunks, chunk_idx,
+       lpad(lower(hex(md5_number_lower(
+         kind || ':' || media_ref || ':chunk:'
+         || CAST(chunk_idx AS VARCHAR)))), 16, '0') AS chunk_sig
+FROM sampled
 """
 
 

@@ -178,3 +178,91 @@ def media_kind_stats(docs_ds: rd.Dataset) -> rd.Dataset:
     """Per-kind span counts — cheap sanity aggregate over media spans."""
     media = flatten_media_spans(docs_ds)
     return media.groupby("kind").count()
+
+
+MEDIA_SAMPLE_STRIDE = 2
+MEDIA_MAX_CHUNKS = 8
+
+FRAME_SAMPLE_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("kind", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+        pa.field("n_chunks", pa.int64()),
+        pa.field("chunk_idx", pa.int64()),
+        pa.field("chunk_sig", pa.string()),
+    ]
+)
+
+
+class MediaFrameSampler:
+    """Actor stage: media spans → sampled frame/chunk rows (every
+    ``stride``-th chunk of each asset) — the frame-sampling shape a
+    video/audio training pipeline needs (decode only the frames you
+    keep, 1:stride data reduction BEFORE any heavy model stage).
+
+    ``duration`` is the pluggable seam (a real probe reads container
+    metadata — ffprobe / torchaudio.info); the sandbox stub derives a
+    deterministic 1..max_chunks count from the asset ref's md5 so the
+    layout is SQL-recomputable. ``chunk_sig`` stands in for the decoded
+    frame payload (a real sampler emits tensors; the md5 signature keeps
+    the gate integer-exact)."""
+
+    def __init__(self, stride: int = MEDIA_SAMPLE_STRIDE,
+                 max_chunks: int = MEDIA_MAX_CHUNKS, duration=None):
+        from semantic_search_system_ray.functions.hashing import md5_hash64
+
+        self._h = md5_hash64
+        self.stride = stride
+        self.max_chunks = max_chunks
+        self.duration = duration if duration is not None else (
+            lambda ref, kind: 1 + self._h(f"{kind}:{ref}:dur") % self.max_chunks
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in FRAME_SAMPLE_SCHEMA.names}
+        for d, k, r, o in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("media_ref").to_pylist(),
+            batch.column("offset").to_pylist(),
+        ):
+            n = int(self.duration(r, k))
+            for i in range(0, n, self.stride):
+                out["doc_id"].append(d)
+                out["kind"].append(k)
+                out["media_ref"].append(r)
+                out["offset"].append(o)
+                out["n_chunks"].append(n)
+                out["chunk_idx"].append(i)
+                out["chunk_sig"].append(
+                    f"{self._h(f'{k}:{r}:chunk:{i}'):016x}"
+                )
+        return pa.Table.from_pydict(out, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def media_frame_sample(
+    docs_ds: rd.Dataset,
+    *,
+    stride: int = MEDIA_SAMPLE_STRIDE,
+    max_chunks: int = MEDIA_MAX_CHUNKS,
+    concurrency=(1, 4),
+    batch_size: int = 64,
+    duration=None,
+) -> rd.Dataset:
+    """documents (doc_id, spans) → sampled chunk rows per media span
+    (see MediaFrameSampler). ``duration`` injects a real metadata probe
+    via fn_constructor_kwargs (ships once per actor)."""
+    kwargs = {}
+    if duration is not None:
+        kwargs["fn_constructor_kwargs"] = {"duration": duration,
+                                           "stride": stride,
+                                           "max_chunks": max_chunks}
+    elif stride != MEDIA_SAMPLE_STRIDE or max_chunks != MEDIA_MAX_CHUNKS:
+        kwargs["fn_constructor_kwargs"] = {"stride": stride,
+                                           "max_chunks": max_chunks}
+    return flatten_media_spans(docs_ds).map_batches(
+        MediaFrameSampler, batch_format="pyarrow",
+        concurrency=concurrency, batch_size=batch_size, **kwargs,
+    )

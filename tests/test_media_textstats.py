@@ -198,3 +198,43 @@ def test_stub_features_match_sig_inputs():
         got = _decode(ref, kind)
         assert got.shape == (MEDIA_FEATURE_DIM,)
         assert np.array_equal(got, expected)
+
+
+def test_media_frame_sample_layout_and_duration_hook(ray_session, small_corpus):
+    """Stub path: chunk rows follow the md5 duration + stride rule;
+    injected duration hook: a fake metadata probe drives the sampling
+    end-to-end (the MediaFrameSampler pluggable seam)."""
+    from semantic_search_system_ray.functions.hashing import md5_hash64
+    from semantic_search_system_ray.stages.media import (
+        MEDIA_MAX_CHUNKS,
+        MEDIA_SAMPLE_STRIDE,
+        media_frame_sample,
+    )
+
+    docs = rd.from_arrow(small_corpus.documents)
+    rows = media_frame_sample(docs).take_all()
+    assert rows, "fixture corpus must contain media spans"
+    by_span: dict = {}
+    for r in rows:
+        n = 1 + md5_hash64(f"{r['kind']}:{r['media_ref']}:dur") % MEDIA_MAX_CHUNKS
+        assert r["n_chunks"] == n
+        assert r["chunk_idx"] % MEDIA_SAMPLE_STRIDE == 0
+        assert 0 <= r["chunk_idx"] < n
+        sig_input = "{}:{}:chunk:{}".format(
+            r["kind"], r["media_ref"], r["chunk_idx"]
+        )
+        assert r["chunk_sig"] == f"{md5_hash64(sig_input):016x}"
+        key = (r["doc_id"], r["offset"], r["media_ref"])
+        by_span.setdefault(key, []).append(r["chunk_idx"])
+    for idxs in by_span.values():
+        assert sorted(idxs) == list(range(0, max(idxs) + 1, MEDIA_SAMPLE_STRIDE))
+
+    # injected probe: constant 5 chunks -> indices {0, 2, 4} per span
+    fixed = media_frame_sample(docs, duration=lambda ref, kind: 5).take_all()
+    per_span: dict = {}
+    for r in fixed:
+        assert r["n_chunks"] == 5
+        per_span.setdefault((r["doc_id"], r["offset"], r["media_ref"]), set()).add(
+            r["chunk_idx"]
+        )
+    assert all(v == {0, 2, 4} for v in per_span.values())
