@@ -2898,6 +2898,84 @@ FROM r GROUP BY 1
 """
 
 
+def q_rag_ingest(sf_dir: str):
+    """The reference's web-RAG loader shape (S17, app.py:131-175:
+    fetch → parse → clean → chunkable rows) with the NETWORK stub
+    replaced by deterministic synthesized HTML payloads — the parse +
+    clean stages are the real M2/M1 contract (functions/parsing
+    .extract_html_body + functions/text.clean_text_ingest), here as
+    fully VECTORIZED RE2 kernels (one pc.extract_regex /
+    replace_substring_regex chain per batch, no per-row Python);
+    per-row parity with the reference per-doc function is pinned by
+    tests (test_functions.test_rag_ingest_kernel_parity)."""
+    docs = read_docs(sf_dir, ["doc_id", "text"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.string())
+        html = pc.binary_join_element_wise(
+            "<html><h1>Doc ", ids,
+            '</h1><p>nav chrome</p><div class="press-release__body">',
+            t.column("text"), "</div></html>", "",
+        )
+        title, content = extract_html_kernel(html)
+        return pa.Table.from_pydict(
+            {"doc_id": t.column("doc_id"), "title": title,
+             "content": content}
+        )
+
+    return docs.map_batches(parse, batch_format="pyarrow")
+
+
+def extract_html_kernel(html):
+    """Vectorized (RE2) twin of functions/parsing.extract_html_body +
+    clean_text_ingest: → (title, content) arrays. Parity with the
+    per-row reference function is pytest-pinned."""
+    tm = pc.extract_regex(html, r"(?is)<h1[^>]*>(?P<g>.*?)</h1>")
+    title = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(
+            pc.coalesce(pc.struct_field(tm, "g"), ""), r"<[^>]+>", ""
+        )
+    )
+    bm = pc.extract_regex(
+        html,
+        r'(?is)<div[^>]*class="[^"]*(?:press-release__body'
+        r'|page__content)[^"]*"[^>]*>(?P<g>.*?)</div>',
+    )
+    raw = pc.replace_substring_regex(
+        pc.coalesce(pc.struct_field(bm, "g"), ""), r"<[^>]+>", " "
+    )
+    content = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(
+            pc.replace_substring_regex(raw, r"[^a-zA-Z0-9\s]", ""),
+            r"\s+", " ",
+        )
+    )
+    return title, content
+
+
+SQL_RAG_INGEST = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><h1>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p>nav chrome</p><div class="press-release__body">'
+         || text || '</div></html>' AS html
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(
+         coalesce(regexp_extract(html, '(?is)<h1[^>]*>(.*?)</h1>', 1), ''),
+         '<[^>]+>', '', 'g')) AS title,
+       trim(regexp_replace(regexp_replace(
+         regexp_replace(
+           coalesce(regexp_extract(html,
+             '(?is)<div[^>]*class="[^"]*(?:press-release__body|page__content)[^"]*"[^>]*>(.*?)</div>',
+             1), ''),
+           '<[^>]+>', ' ', 'g'),
+         '[^a-zA-Z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS content
+FROM h
+"""
+
+
 # Token budget per packed training sequence (pack_sequences).
 SEQ_TOKEN_BUDGET = 512
 
@@ -3011,6 +3089,7 @@ QUERIES = {
     "user_retention": q_user_retention,
     "orders_cube": q_orders_cube,
     "median_price_by_priority": q_median_price_by_priority,
+    "rag_ingest": q_rag_ingest,
     "user_first_event": q_user_first_event,
     "events_json_stats": q_events_json_stats,
     "cov_qty_price": q_cov_qty_price,
@@ -3078,6 +3157,7 @@ ORACLE_SQL = {
     "user_retention": SQL_USER_RETENTION,
     "orders_cube": SQL_ORDERS_CUBE,
     "median_price_by_priority": SQL_MEDIAN_PRICE_BY_PRIORITY,
+    "rag_ingest": SQL_RAG_INGEST,
     "user_first_event": SQL_USER_FIRST_EVENT,
     "events_json_stats": SQL_EVENTS_JSON_STATS,
     "cov_qty_price": SQL_COV_QTY_PRICE,

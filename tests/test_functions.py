@@ -221,3 +221,33 @@ def test_blocking_keys():
     assert blocking_keys("john b larson") == ["F:john", "L:larson"]
     assert blocking_keys("hartford") == ["F:hartford"]
     assert norm_surface("John B. Larson") == "john b larson"
+
+
+def test_rag_ingest_kernel_parity():
+    """The vectorized RE2 extraction kernel (pipelines/queries
+    .extract_html_kernel) must match the per-row reference surrogate
+    (functions/parsing.extract_html_body + clean_text_ingest) on both
+    div classes, missing sections, nested tags and multiline bodies."""
+    import pyarrow as pa
+
+    from semantic_search_system_ray.functions.parsing import extract_html_body
+    from semantic_search_system_ray.functions.text import clean_text_ingest
+    from semantic_search_system_ray.pipelines.queries import extract_html_kernel
+
+    htmls = [
+        '<html><h1>T One</h1><div class="press-release__body">Body, text! '
+        "here</div></html>",
+        '<html><h1 id="x">T <b>Two</b></h1><div class="a page__content b">'
+        "Line1\nLine2  <span>tag</span> end</div></html>",
+        "<html><h1>No body</h1><p>nothing else</p></html>",
+        '<html><div class="press-release__body">no title &amp; extras'
+        "</div></html>",
+        "<html><p>neither</p></html>",
+        '<HTML><H1>Upper</H1><DIV CLASS="press-release__body">CASE</DIV>'
+        "</HTML>",
+    ]
+    title, content = extract_html_kernel(pa.array(htmls, pa.string()))
+    for h, t_got, c_got in zip(htmls, title.to_pylist(), content.to_pylist()):
+        ref = extract_html_body(h)
+        assert t_got == ref["title"], h
+        assert c_got == ref["content"], h
