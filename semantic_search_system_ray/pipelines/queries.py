@@ -2561,15 +2561,24 @@ FROM r WHERE rn = 1
 
 def _exact_sq_sum(c: np.ndarray) -> int:
     """Exact Σc² for int64 ``c`` (|c| < 2^40) WITHOUT leaving vectorized
-    int64 math: cents² ≈ 1e14 per row overflows int64 near 1e5-row blocks,
-    so split c = h·K + l (K = 2^13) and combine the three safe partial
-    sums K²Σh² + 2KΣhl + Σl² in arbitrary-precision Python int."""
-    K = 1 << 13
+    int64 math: cents² ≈ 1e14 per row overflows int64 near 1e5-row
+    blocks, so split c = h·K + l (K = 2^20, 0 ≤ l < K — numpy floor
+    division/mod keep the identity for negative c) and combine
+    K²Σh² + 2KΣhl + Σl² in arbitrary-precision Python int. Each term
+    is < 2^40, so int64 partial sums are exact for slices up to 2^22
+    rows; larger arrays accumulate slice-wise (the Python-int total
+    never overflows)."""
+    K = 1 << 20
     h, l = c // K, c % K
-    return (
-        K * K * int((h * h).sum()) + 2 * K * int((h * l).sum())
-        + int((l * l).sum())
-    )
+    total = 0
+    step = 1 << 22
+    for i in range(0, len(c), step):
+        hh, ll = h[i:i + step], l[i:i + step]
+        total += (
+            K * K * int((hh * hh).sum()) + 2 * K * int((hh * ll).sum())
+            + int((ll * ll).sum())
+        )
+    return total
 
 
 def q_corr_qty_price(sf_dir: str):
@@ -2773,8 +2782,16 @@ def q_events_orders_outer(sf_dir: str):
         [("id", pa.int64()), ("n_events", pa.int64()), ("n_orders", pa.int64())]
     )
 
+    # Null-id policy (explicit, mirrored by the oracle's IS NOT NULL):
+    # null ids are dropped on BOTH sides. Without the filters the engine
+    # and SQL would silently diverge — Arrow's count skips nulls and
+    # pandas groupby drops the null group, while SQL GROUP BY keeps a
+    # null group whose COALESCE'd id stays null.
     def ev_partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        t = t.filter(
+            pc.and_(pc.equal(t.column("event_type"), "purchase"),
+                    pc.is_valid(t.column("user_id")))
+        )
         g = t.group_by(["user_id"]).aggregate([("user_id", "count")])
         n = g.num_rows
         return pa.Table.from_pydict(
@@ -2785,7 +2802,10 @@ def q_events_orders_outer(sf_dir: str):
         )
 
     def ord_partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+        t = t.filter(
+            pc.and_(pc.equal(t.column("o_orderpriority"), "1-URGENT"),
+                    pc.is_valid(t.column("o_custkey")))
+        )
         g = t.group_by(["o_custkey"]).aggregate([("o_custkey", "count")])
         n = g.num_rows
         return pa.Table.from_pydict(
@@ -2815,9 +2835,13 @@ def q_events_orders_outer(sf_dir: str):
 
 SQL_EVENTS_ORDERS_OUTER = """
 WITH e AS (SELECT user_id AS id, count(*) AS n_events
-           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+           FROM events
+           WHERE event_type = 'purchase' AND user_id IS NOT NULL
+           GROUP BY 1),
 c AS (SELECT o_custkey AS id, count(*) AS n_orders
-      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL
+      GROUP BY 1)
 SELECT COALESCE(e.id, c.id) AS id,
        COALESCE(n_events, 0) AS n_events,
        COALESCE(n_orders, 0) AS n_orders

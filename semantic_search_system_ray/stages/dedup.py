@@ -894,32 +894,17 @@ def edit_distance_pairs(
        set — oracle-comparable against SQL ``levenshtein``.
     """
     from semantic_search_system_ray.pipelines.kg_build import distinct_rows
-    from semantic_search_system_ray.stages.util import (
-        coarse_grouped_apply,
-        coarse_partition_apply,
-    )
+    from semantic_search_system_ray.stages.util import coarse_grouped_apply
     import pyarrow.compute as pc
 
-    name_schema = pa.schema([("name", pa.string())])
-
-    def block_distinct(t: pa.Table) -> pa.Table:
+    def as_name(t: pa.Table) -> pa.Table:
         col = pc.cast(t.column(name_col), pa.string())
         tt = pa.Table.from_pydict({"name": col})
-        tt = tt.filter(pc.is_valid(tt.column("name")))
-        return tt.group_by(["name"]).aggregate([])
+        return tt.filter(pc.is_valid(tt.column("name")))
 
-    def part_distinct(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
-            return name_schema.empty_table()
-        return pa.Table.from_pandas(
-            df.drop_duplicates("name"), schema=name_schema,
-            preserve_index=False,
-        )
-
-    names = coarse_partition_apply(
-        ds.map_batches(block_distinct, batch_format="pyarrow"),
-        ["name"], part_distinct, name_schema,
-        num_partitions=num_partitions,
+    names = distinct_rows(
+        ds.map_batches(as_name, batch_format="pyarrow"), ["name"],
+        strategy="partition",
     )
 
     var_schema = pa.schema([("variant", pa.string()), ("name", pa.string())])
@@ -964,8 +949,10 @@ def edit_distance_pairs(
             num_partitions=num_partitions,
         ),
         ["name_a", "name_b"],
-        strategy="tree",
-        out_blocks=8,
+        # candidates (lev <= 2k superset of the output) can exceed one
+        # worker — partitioned distinct, and verify parallelism follows
+        # the partition count instead of a fixed block cap
+        strategy="partition",
     )
 
     out_schema = pa.schema(

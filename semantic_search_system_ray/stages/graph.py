@@ -443,6 +443,34 @@ def _simple_degrees(und: rd.Dataset, P: int | None) -> rd.Dataset:
     )
 
 
+_WEDGE_SCHEMA = pa.schema([("x", pa.string()), ("y", pa.string()),
+                           ("cnt", pa.int64())])
+
+
+def _wedge_partials(df: pd.DataFrame, src: str, dst: str) -> pa.Table:
+    """Per-apex co-neighbor pairs (x < y, both from the apex's ``dst``
+    list), count-combined within the partition into lean (x, y, cnt)
+    rows — the shared wedge stage of triangle_count (oriented edges) and
+    neighbor_jaccard_topk (symmetrized edges)."""
+    if df.empty:
+        return _WEDGE_SCHEMA.empty_table()
+    xs, ys = [], []
+    for _u, g in df.groupby(src, sort=False):
+        ns = sorted(g[dst])
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                xs.append(ns[i])
+                ys.append(ns[j])
+    if not xs:
+        return _WEDGE_SCHEMA.empty_table()
+    part = (
+        pd.DataFrame({"x": xs, "y": ys})
+        .groupby(["x", "y"], sort=False).size().reset_index(name="cnt")
+    )
+    return pa.Table.from_pandas(part, schema=_WEDGE_SCHEMA,
+                                preserve_index=False)
+
+
 def triangle_count(
     edges: rd.Dataset,
     *,
@@ -483,7 +511,9 @@ def triangle_count(
     und = undirected_simple_edges(
         edges, src_col=src_col, dst_col=dst_col, num_partitions=P
     ).materialize()
-    deg = _simple_degrees(und, P)
+    # deg feeds TWO coarse_attach plans; without the pin each would
+    # re-execute the degree aggregation over the full edge set
+    deg = _simple_degrees(und, P).materialize()
 
     wa = pa.schema([("a", pa.string()), ("b", pa.string()),
                     ("deg_a", pa.int64())])
@@ -516,31 +546,12 @@ def triangle_count(
 
     oriented = e3.map_batches(orient, batch_format="pyarrow")
 
-    wedge_schema = pa.schema([("x", pa.string()), ("y", pa.string()),
-                              ("cnt", pa.int64())])
-
-    def wedge_partial(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
-            return wedge_schema.empty_table()
-        xs, ys = [], []
-        for _u, g in df.groupby("u", sort=False):
-            ns = sorted(g["v"])
-            for i in range(len(ns)):
-                for j in range(i + 1, len(ns)):
-                    xs.append(ns[i])
-                    ys.append(ns[j])
-        if not xs:
-            return wedge_schema.empty_table()
-        part = (
-            pd.DataFrame({"x": xs, "y": ys})
-            .groupby(["x", "y"], sort=False).size().reset_index(name="cnt")
-        )
-        return pa.Table.from_pandas(
-            part, schema=wedge_schema, preserve_index=False
-        )
+    wedge_schema = _WEDGE_SCHEMA
 
     wedges = coarse_partition_apply(
-        oriented, ["u"], wedge_partial, wedge_schema, num_partitions=P
+        oriented, ["u"],
+        lambda df: _wedge_partials(df, "u", "v"),
+        wedge_schema, num_partitions=P,
     )
 
     union_schema = pa.schema(
@@ -632,7 +643,9 @@ def neighbor_jaccard_topk(
     und = undirected_simple_edges(
         edges, src_col=src_col, dst_col=dst_col, num_partitions=P
     ).materialize()
-    deg = _simple_degrees(und, P)
+    # deg feeds TWO coarse_attach plans; without the pin each would
+    # re-execute the degree aggregation over the full edge set
+    deg = _simple_degrees(und, P).materialize()
 
     sym_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
 
@@ -644,32 +657,13 @@ def neighbor_jaccard_topk(
             schema=sym_schema,
         )
 
-    wedge_schema = pa.schema([("x", pa.string()), ("y", pa.string()),
-                              ("cnt", pa.int64())])
-
-    def wedge_partial(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
-            return wedge_schema.empty_table()
-        xs, ys = [], []
-        for _u, g in df.groupby("u", sort=False):
-            ns = sorted(g["v"])
-            for i in range(len(ns)):
-                for j in range(i + 1, len(ns)):
-                    xs.append(ns[i])
-                    ys.append(ns[j])
-        if not xs:
-            return wedge_schema.empty_table()
-        part = (
-            pd.DataFrame({"x": xs, "y": ys})
-            .groupby(["x", "y"], sort=False).size().reset_index(name="cnt")
-        )
-        return pa.Table.from_pandas(
-            part, schema=wedge_schema, preserve_index=False
-        )
+    wedge_schema = _WEDGE_SCHEMA
 
     partials = coarse_partition_apply(
         und.map_batches(sym, batch_format="pyarrow"),
-        ["u"], wedge_partial, wedge_schema, num_partitions=P,
+        ["u"],
+        lambda df: _wedge_partials(df, "u", "v"),
+        wedge_schema, num_partitions=P,
     )
 
     def pair_sum(df: pd.DataFrame) -> pa.Table:
