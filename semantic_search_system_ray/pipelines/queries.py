@@ -2922,6 +2922,123 @@ FROM r GROUP BY 1
 """
 
 
+def q_user_moving_sum(sf_dir: str):
+    """Bounded ROWS-frame window (moving sum over the last 3 events per
+    user, (ts, event_id) order) — the finite-frame sibling of
+    q_user_running_sum's unbounded frame. One coarse cogroup on user_id;
+    inside each partition the frame sum is a vectorized shifted-cumsum
+    (no per-row Python). Values ride as scaled int64 cents; the final
+    /100.0 descale is the only FP op, mirrored by the oracle."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("moving_sum", pa.float64())]
+    )
+
+    def per_part(df: "pd.DataFrame") -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        users = df["user_id"].to_numpy()
+        idx = np.arange(len(cents))
+        is_start = np.concatenate([[True], users[1:] != users[:-1]])
+        # frame start = max(row - 2, first row of this user): the frame
+        # never crosses a user boundary
+        start_idx = np.maximum.accumulate(np.where(is_start, idx, 0))
+        lo = np.maximum(idx - 2, start_idx)
+        cum0 = np.concatenate([[0], np.cumsum(cents)])
+        win = cum0[idx + 1] - cum0[lo]
+        return pa.Table.from_pydict(
+            {"event_id": df["event_id"].to_numpy().astype(np.int64),
+             "moving_sum": win.astype(np.float64) / 100.0},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(ds, ["user_id"], per_part, out_schema)
+
+
+SQL_USER_MOVING_SUM = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id,
+       sum(cents) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0 AS moving_sum
+FROM c
+"""
+
+
+def q_orders_dense_rank(sf_dir: str):
+    """Per-group DENSE_RANK (price rank within priority, descending) —
+    the gap-free sibling of q_events_percent_rank, same no-sort shape:
+    the bounded distinct (priority, cents) value table is aggregated
+    once, the per-priority sorted value arrays broadcast by closure, and
+    the row pass is one vectorized searchsorted per batch — no global
+    sort, no per-row Python."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def distinct_cells(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.Table.from_pydict(
+            {"pri": t.column("o_orderpriority"), "cents": cents}
+        ).group_by(["pri", "cents"]).aggregate([])
+
+    cells = (
+        ds.map_batches(distinct_cells, batch_format="pyarrow")
+        .groupby(["pri", "cents"]).count()
+        .take_all()  # |priorities| × |distinct prices| — bounded
+    )
+    by_pri: dict[str, list[int]] = {}
+    for r in cells:
+        by_pri.setdefault(r["pri"], []).append(r["cents"])
+    sorted_vals = {p: np.sort(np.array(v, dtype=np.int64))
+                   for p, v in by_pri.items()}
+
+    def rank_rows(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        pri = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        out = np.empty(len(cents), dtype=np.int64)
+        for p in np.unique(pri):
+            sel = pri == p
+            vals = sorted_vals[p]
+            # dense rank DESC = #distinct strictly greater + 1
+            out[sel] = len(vals) - np.searchsorted(vals, cents[sel], "left")
+        return pa.Table.from_pydict(
+            {"o_orderkey": t.column("o_orderkey"),
+             "pri": t.column("o_orderpriority"),
+             "price_rank": pa.array(out, pa.int64())}
+        )
+
+    return ds.map_batches(rank_rows, batch_format="pyarrow")
+
+
+SQL_ORDERS_DENSE_RANK = """
+SELECT o_orderkey, o_orderpriority AS pri,
+       CAST(dense_rank() OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC
+       ) AS BIGINT) AS price_rank
+FROM orders
+"""
+
+
 def q_rag_ingest(sf_dir: str):
     """The reference's web-RAG loader shape (S17, app.py:131-175:
     fetch → parse → clean → chunkable rows) with the NETWORK stub
@@ -3114,6 +3231,8 @@ QUERIES = {
     "orders_cube": q_orders_cube,
     "median_price_by_priority": q_median_price_by_priority,
     "rag_ingest": q_rag_ingest,
+    "user_moving_sum": q_user_moving_sum,
+    "orders_dense_rank": q_orders_dense_rank,
     "user_first_event": q_user_first_event,
     "events_json_stats": q_events_json_stats,
     "cov_qty_price": q_cov_qty_price,
@@ -3182,6 +3301,8 @@ ORACLE_SQL = {
     "orders_cube": SQL_ORDERS_CUBE,
     "median_price_by_priority": SQL_MEDIAN_PRICE_BY_PRIORITY,
     "rag_ingest": SQL_RAG_INGEST,
+    "user_moving_sum": SQL_USER_MOVING_SUM,
+    "orders_dense_rank": SQL_ORDERS_DENSE_RANK,
     "user_first_event": SQL_USER_FIRST_EVENT,
     "events_json_stats": SQL_EVENTS_JSON_STATS,
     "cov_qty_price": SQL_COV_QTY_PRICE,
