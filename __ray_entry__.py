@@ -14,9 +14,12 @@
   tests/test_kg_oracle_assumptions.py), the FULL minhash clustering
   pipeline, simhash signatures, media span layout + features, and the
   curation ops (md5-based hashing wherever a hash must be
-  SQL-recomputable). The five genuinely non-SQL ops (seeded-hyperplane
-  ANN, k-means taxonomy, HLL sketch, LSH media dedup) are rows-only with
-  a one-line justification on each callable and pytest coverage instead.
+  SQL-recomputable). Since late r3 the HLL sketch and the LSH media
+  dedup are on the hard gate too (the sketch is bit-recomputed in SQL;
+  the media pair set collapses to an exact join for the injective stub
+  features). The three genuinely non-SQL ops (seeded-hyperplane ANN,
+  IVF ANN, k-means taxonomy) are rows-only with a one-line
+  justification on each callable and pytest coverage instead.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
@@ -313,23 +316,32 @@ def _q_media_frame_sample(sf_dir: str):
 def _q_media_dedup(sf_dir: str):
     """Media features joined back into the dedup suite: near-dup media
     span pairs (shared-asset reuse across docs). Runs the LSH-bucketed
-    scale path end-to-end (duplicate assets sit at cos≈1.0, where LSH
-    recall is ~1; exact-vs-LSH parity is pytest-gated in
-    tests/test_dedup_ann.py::test_cosine_dups_lsh_recall and
-    tests/test_media_textstats.py::test_media_near_dups_shared_assets)."""
+    scale path end-to-end. ON the hard gate since late r3: the stub
+    features are injective in (kind, media_ref), so the cos ≥ 0.99 pair
+    set is exactly the shared-(kind,ref) span self-join — identical
+    vectors share every LSH bucket (recall 1 for exact duplicates, no
+    approximation in this regime) — and the SQL oracle
+    (text_oracles.sql_media_dedup) recomputes it as an exact join. The
+    float cos_sim column is projected away (the 1.0 dot product is the
+    only float and carries no information here); exact-vs-LSH parity
+    stays pytest-gated (tests/test_dedup_ann.py, test_media_textstats.py)."""
     from semantic_search_system_ray.sources.documents import text_table_to_spans
     from semantic_search_system_ray.stages.media import media_near_dups
     from semantic_search_system_ray.pipelines.queries import read_docs
 
     docs = read_docs(sf_dir, ["doc_id", "text"])
-    return media_near_dups(text_table_to_spans(docs), strategy="lsh")
+    pairs = media_near_dups(text_table_to_spans(docs), strategy="lsh")
+    return pairs.select_columns(["id_a", "id_b"])
 
 
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct counts (stages/sketch.py) over events —
-    approximate BY DESIGN, so no SQL oracle (a hash compare against exact
-    COUNT(DISTINCT) would be meaningless); accuracy (±5%) and block-merge
-    invariance are pytest-gated
+    approximate vs COUNT(DISTINCT) by design, but the SKETCH itself is a
+    deterministic function of the input, and since late r3 it is
+    bit-recomputable in SQL (md5 row hash, exact-integer harmonic sum,
+    mirrored estimator branches — text_oracles.sql_approx_distinct), so
+    the query sits on the hard gate. Accuracy (±5%) and block-merge
+    invariance stay pytest-gated
     (tests/test_util_primitives.py::test_hll_approx_distinct_accuracy)."""
     import pyarrow as pa_
     import ray.data as rd
@@ -759,6 +771,11 @@ def oracle_sql() -> dict[str, str]:
                 ).BENCHMARK_NGRAMS,
                 n=3,
             ),
+            # late r3: the HLL sketch is bit-recomputed in SQL and the
+            # media near-dup pair set collapses to an exact join (the
+            # stub features are injective in (kind, media_ref))
+            "approx_distinct": tox.sql_approx_distinct(),
+            "media_dedup": tox.sql_media_dedup(),
         }
     )
     return out

@@ -1124,3 +1124,86 @@ SELECT x AS node_a, y AS node_b, common,
 FROM wedge JOIN deg dx ON dx.u = x JOIN deg dy ON dy.u = y
 ORDER BY jaccard DESC, node_a, node_b LIMIT {k}
 """
+
+
+def sql_media_dedup() -> str:
+    """Oracle for the media_dedup query (media_near_dups, LSH path,
+    pair ids only). The stub feature vector is a pure injective function
+    of (kind, media_ref) — see stages/media._decode — so the cos ≥ 0.99
+    pair set is EXACTLY the set of distinct span pairs sharing
+    (kind, media_ref): identical vectors sit at cos = 1.0 and always
+    share every LSH bucket (recall 1 for exact duplicates, no
+    approximation for this feature family), while two different md5
+    hash vectors never reach 0.99. Span identity mirrors
+    media_near_dups: doc_id#offset#media_ref, ordered lexicographically
+    (binary collation == Python str compare for this ASCII alphabet)."""
+    return f"""{_sql_media_spans_cte()},
+sp AS (
+  SELECT kind, media_ref,
+         doc_id || '#' || CAST("offset" AS VARCHAR) || '#' || media_ref
+           AS span_id
+  FROM media
+)
+SELECT a.span_id AS id_a, b.span_id AS id_b
+FROM sp a JOIN sp b
+  ON a.kind = b.kind AND a.media_ref = b.media_ref
+ AND a.span_id < b.span_id
+"""
+
+
+def sql_approx_distinct(p: int = 12) -> str:
+    """Oracle for the HyperLogLog approx_distinct query: recomputes the
+    SKETCH itself, bit for bit, in SQL — per-row md5 hash
+    (md5_number_lower == functions/hashing.md5_hash64), bucket = top p
+    bits, register = MAX leading-zero rank of the remaining bits
+    (generated integer-threshold CASE, no float log2), harmonic
+    denominator as an EXACT HUGEINT Σ 2^(64-reg) with absent buckets
+    contributing 2^64, one IEEE divide against the α·m²·2^64 numerator
+    embedded verbatim from stages/sketch.hll_numerator, the
+    linear-counting branch as m·ln(m/zeros) (the repo's one-libm-ln
+    determinism contract), and FLOOR(x+0.5) rounding. Approximate vs
+    COUNT(DISTINCT), exact vs the engine."""
+    from semantic_search_system_ray.stages.sketch import hll_numerator
+
+    m = 1 << p
+    lo = 1 << (64 - p)
+    max_rank = 64 - p + 1
+    num = repr(hll_numerator(m))
+    rank_case = " ".join(
+        f"WHEN rest >= {1 << (64 - r)} THEN {r}" for r in range(1, 64 - p + 1)
+    )
+    contrib_case = " ".join(
+        f"WHEN reg = {r} THEN CAST('{1 << (64 - r)}' AS HUGEINT)"
+        for r in range(1, max_rank + 1)
+    )
+
+    def one(metric: str, col: str) -> str:
+        return f"""SELECT '{metric}' AS metric, (
+  WITH h0 AS (
+    SELECT CAST(md5_number_lower(CAST({col} AS VARCHAR)) AS HUGEINT) AS h
+    FROM events WHERE {col} IS NOT NULL
+  ),
+  rk AS (
+    SELECT h // {lo} AS bucket,
+           CASE {rank_case} ELSE {max_rank} END AS rnk
+    FROM (SELECT h, (h % {lo}) * {1 << p} AS rest FROM h0)
+  ),
+  reg AS (SELECT bucket, MAX(rnk) AS reg FROM rk GROUP BY bucket),
+  s AS (
+    SELECT COALESCE(SUM(CASE {contrib_case} END), CAST(0 AS HUGEINT))
+             + ({m} - COUNT(*)) * CAST('{1 << 64}' AS HUGEINT) AS intsum,
+           {m} - COUNT(*) AS zeros
+    FROM reg
+  )
+  SELECT CAST(FLOOR(
+    CASE WHEN {num} / CAST(intsum AS DOUBLE) <= {2.5 * m!r} AND zeros > 0
+         THEN {m} * ln(CAST({m} AS DOUBLE) / zeros)
+         ELSE {num} / CAST(intsum AS DOUBLE) END + 0.5) AS BIGINT)
+  FROM s
+) AS value"""
+
+    return (
+        one("approx_distinct_users", "user_id")
+        + "\nUNION ALL\n"
+        + one("approx_distinct_event_types", "event_type")
+    )

@@ -9,16 +9,26 @@ re-runs agree.
 
 Estimator: standard HLL with the linear-counting small-range correction
 (Flajolet et al. 2007; the bias thresholds follow the paper's published
-constants — public knowledge)."""
+constants — public knowledge).
+
+Since r3 the row hash is md5 (functions/hashing.md5_hash64 == DuckDB
+``md5_number_lower``) and the harmonic denominator is an EXACT integer
+sum (Σ 2^(64-reg) instead of an order-dependent float Σ 2^-reg), so the
+whole estimate — registers, both estimator branches, final rounding —
+is bit-recomputable in plain SQL (text_oracles.sql_approx_distinct) and
+the sketch sits on the driver's hash gate despite being approximate
+with respect to COUNT(DISTINCT)."""
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
 
-from semantic_search_system_ray.functions.hashing import stable_hash64
+from semantic_search_system_ray.functions.hashing import md5_hash64
 
 
 def _alpha(m: int) -> float:
@@ -37,9 +47,11 @@ def hll_register_batch(batch: pa.Table, col: str, p: int) -> pa.Table:
     per block, never per row."""
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
-    vals = batch.column(col).to_pylist()
+    # NULLs are skipped (SQL COUNT(DISTINCT) semantics; the oracle's
+    # md5(CAST(x AS VARCHAR)) is NULL for NULL rows and drops out too)
+    vals = [v for v in batch.column(col).to_pylist() if v is not None]
     if vals:
-        hashes = np.array([stable_hash64(str(v)) for v in vals], dtype=np.uint64)
+        hashes = np.array([md5_hash64(str(v)) for v in vals], dtype=np.uint64)
         idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
         rest = hashes << np.uint64(p)  # remaining 64-p bits, left-aligned
         # rank = position of the first 1-bit in the remaining bits (1-based);
@@ -63,13 +75,27 @@ def hll_merge(parts: list[bytes], p: int) -> np.ndarray:
     return out
 
 
+def hll_numerator(m: int) -> float:
+    """α·m²·2^64 as ONE Python double — the same constant is embedded
+    verbatim (repr) in the SQL oracle so both sides perform the single
+    identical IEEE divide by the exact integer denominator."""
+    return _alpha(m) * m * m * (2.0 ** 64)
+
+
 def hll_estimate(regs: np.ndarray) -> float:
     m = len(regs)
-    est = _alpha(m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    # EXACT integer harmonic denominator: Σ 2^(64-reg) over all m
+    # registers (reg=0 contributes 2^64) — order-independent, arbitrary
+    # precision, so the estimate is bit-reproducible at any block layout
+    # and recomputable by the SQL oracle (a float Σ 2^-reg would be
+    # summation-order-dependent)
+    counts = np.bincount(regs.astype(np.int64))
+    intsum = sum(int(c) << (64 - r) for r, c in enumerate(counts) if c)
+    est = hll_numerator(m) / float(intsum)
     if est <= 2.5 * m:
-        zeros = int(np.sum(regs == 0))
+        zeros = int(counts[0]) if len(counts) else 0
         if zeros:
-            est = m * np.log(m / zeros)  # linear counting
+            est = m * math.log(m / zeros)  # linear counting
     return float(est)
 
 
@@ -81,7 +107,9 @@ def approx_distinct(ds: rd.Dataset, col: str, *, p: int = 12) -> int:
         hll_register_batch, batch_format="pyarrow", fn_kwargs=dict(col=col, p=p)
     ).take_all()
     regs = hll_merge([r["regs"] for r in parts], p)
-    return int(round(hll_estimate(regs)))
+    # floor(x+0.5), not round(): Python round() is banker's; the SQL
+    # twin is CAST(FLOOR(x+0.5) AS BIGINT) — identical in all run modes
+    return int(math.floor(hll_estimate(regs) + 0.5))
 
 
 def _quantile_rank(q: float, n: int) -> int:
