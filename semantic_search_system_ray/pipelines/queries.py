@@ -3222,8 +3222,46 @@ FROM w
 """
 
 
+def q_orders_bloom_semi(sf_dir: str):
+    """Bloom-pruned SEMI join: orders placed by AUTOMOBILE-segment
+    customers. Same EXISTS semantics as ``suppliers_with_sales`` but
+    through ``stages/bloomjoin.bloom_semi_join``: the build side's key
+    set is OR-merged into a 1 MiB bitmap (per-block partials, bounded by
+    block count), broadcast ONCE via ray.put, and every probe block drops
+    non-member keys BEFORE the shuffle — the exact coarse cogroup then
+    only sees the pruned volume (plus bloom false positives, which it
+    removes). Correctness never depends on the bitmap; only shuffle
+    bytes do.
+
+    Scale shape: at 100 TB the probe side (orders) is the fact table; the
+    bitmap prefilter cuts the all-to-all exchange to ~selectivity × FP
+    margin of the input, while the build side ships #blocks × 1 MiB
+    partials + one 1 MiB broadcast."""
+    from semantic_search_system_ray.stages.bloomjoin import bloom_semi_join
+
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    )
+    cust = rd.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"],
+        filter=(pc.field("c_mktsegment") == pa.scalar("AUTOMOBILE")),
+    ).select_columns(["c_custkey"])
+    return bloom_semi_join(
+        orders, cust, probe_key="o_custkey", build_key="c_custkey"
+    )
+
+
+SQL_ORDERS_BLOOM_SEMI = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM customer
+  WHERE c_custkey = o_custkey AND c_mktsegment = 'AUTOMOBILE')
+"""
+
+
 QUERIES = {
     "corr_qty_price": q_corr_qty_price,
+    "orders_bloom_semi": q_orders_bloom_semi,
     "zscore_normalize": q_zscore_normalize,
     "events_orders_outer": q_events_orders_outer,
     "pack_sequences": q_pack_sequences,
@@ -3294,6 +3332,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "corr_qty_price": SQL_CORR_QTY_PRICE,
+    "orders_bloom_semi": SQL_ORDERS_BLOOM_SEMI,
     "zscore_normalize": SQL_ZSCORE_NORMALIZE,
     "events_orders_outer": SQL_EVENTS_ORDERS_OUTER,
     "pack_sequences": SQL_PACK_SEQUENCES,
