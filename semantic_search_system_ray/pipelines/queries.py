@@ -3259,9 +3259,325 @@ WHERE EXISTS (
 """
 
 
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — the 6-table join-PLANNING showcase: revenue per
+    ASIA nation from 1995 orders where the customer and supplier share a
+    nation. One query, three join strategies picked by side size:
+
+    - region ⋈ nation (≤5 × ≤25 rows): collapsed on the DRIVER into a
+      nationkey→name dict, broadcast by closure — never a shuffle;
+    - lineitem ⋈ orders (fact-fact): ONE coarse cogroup on orderkey with
+      a per-block revenue combiner ahead of it (the revenue_by_priority
+      pattern);
+    - customer / supplier nationkey attach (fact-dimension, dimension too
+      big to assume driver-resident at 100 TB): hash-partitioned
+      `coarse_attach`, customer pruned to ASIA nations AT THE READ so
+      only matching rows ever leave storage.
+
+    Money rides as scale-4 integers (cents × discount-hundredths) end to
+    end; the single bigint→double divide happens once at the ≤25-row
+    finish, mirrored by the oracle. Per-(cust,supp) partial sums stay
+    far below 2^53, so the float64 ride through coarse_attach's
+    null-bearing union is exact."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import (
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    nat = rd.read_parquet(_p(sf_dir, "nation")).to_pandas()
+    reg = rd.read_parquet(_p(sf_dir, "region")).to_pandas()
+    asia_regs = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    nat_name = {
+        int(r["n_nationkey"]): r["n_name"]
+        for _, r in nat.iterrows()
+        if r["n_regionkey"] in asia_regs
+    }
+    asia_keys = sorted(nat_name)
+
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pc.field("o_orderdate") >= pa.scalar(dt.datetime(1995, 1, 1)))
+            & (pc.field("o_orderdate") < pa.scalar(dt.datetime(1996, 1, 1)))
+        ),
+    )
+
+    union_schema = pa.schema(
+        [("key", pa.int64()), ("supp", pa.int64()), ("rev", pa.int64()),
+         ("cust", pa.int64())]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                               pa.scalar(100.0))), pa.int64())
+        disc_h = pc.cast(pc.round(pc.multiply(t.column("l_discount"),
+                                              pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_h))
+        t2 = pa.Table.from_pydict(
+            {"key": t.column("l_orderkey"), "supp": t.column("l_suppkey"),
+             "rev": rev}
+        )
+        agg = t2.group_by(["key", "supp"]).aggregate([("rev", "sum")])
+        return pa.Table.from_arrays(
+            [agg.column("key"), agg.column("supp"), agg.column("rev_sum"),
+             pa.nulls(agg.num_rows, pa.int64())],
+            schema=union_schema,
+        )
+
+    def orders_tag(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("o_orderkey"), pa.nulls(t.num_rows, pa.int64()),
+             pa.nulls(t.num_rows, pa.int64()), t.column("o_custkey")],
+            schema=union_schema,
+        )
+
+    combined = li.map_batches(li_partial, batch_format="pyarrow").union(
+        orders.map_batches(orders_tag, batch_format="pyarrow")
+    )
+    pair_schema = pa.schema(
+        [("o_custkey", pa.int64()), ("l_suppkey", pa.int64()),
+         ("rev_s4", pa.int64())]
+    )
+
+    def cogroup(df: pd.DataFrame) -> pa.Table:
+        li_rows = df[df["cust"].isna()]
+        od_rows = df[df["cust"].notna()]
+        if li_rows.empty or od_rows.empty:
+            return pair_schema.empty_table()
+        j = od_rows[["key", "cust"]].merge(
+            li_rows[["key", "supp", "rev"]], on="key", how="inner"
+        )
+        if j.empty:
+            return pair_schema.empty_table()
+        agg = (
+            j.assign(rev=j["rev"].astype("Int64"))
+            .groupby(["cust", "supp"], sort=False)["rev"].sum().reset_index()
+        )
+        return pa.Table.from_pydict(
+            {"o_custkey": agg["cust"].astype("int64"),
+             "l_suppkey": agg["supp"].astype("int64"),
+             "rev_s4": agg["rev"].astype("int64")},
+            schema=pair_schema,
+        )
+
+    pairs = coarse_partition_apply(combined, ["key"], cogroup, pair_schema)
+
+    cust = rd.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(asia_keys),
+    )
+    with_cnat = coarse_attach(
+        pairs, cust, left_key="o_custkey", right_key="c_custkey",
+        attach_cols=["c_nationkey"],
+        out_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("rev_s4", pa.int64()), ("c_nationkey", pa.int64())]
+        ),
+        how="inner",
+    )
+    supp = rd.read_parquet(
+        _p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"],
+        filter=pc.field("s_nationkey").isin(asia_keys),
+    )
+    with_snat = coarse_attach(
+        with_cnat, supp, left_key="l_suppkey", right_key="s_suppkey",
+        attach_cols=["s_nationkey"],
+        out_schema=pa.schema(
+            [("l_suppkey", pa.int64()), ("rev_s4", pa.int64()),
+             ("c_nationkey", pa.int64()), ("s_nationkey", pa.int64())]
+        ),
+        how="inner",
+    )
+
+    name_schema = pa.schema([("n_name", pa.string()), ("rev_s4", pa.int64())])
+
+    def to_nation(t: pa.Table) -> pa.Table:
+        # local-supplier predicate + broadcast name map + per-block partial
+        keep = pc.equal(t.column("c_nationkey"), t.column("s_nationkey"))
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return name_schema.empty_table()
+        names = pa.array(
+            [nat_name[k] for k in t.column("c_nationkey").to_pylist()],
+            pa.string(),
+        )
+        t2 = pa.Table.from_pydict({"n_name": names, "rev_s4": t.column("rev_s4")})
+        agg = t2.group_by(["n_name"]).aggregate([("rev_s4", "sum")])
+        return agg.rename_columns(["n_name", "rev_s4"])
+
+    out = with_snat.map_batches(to_nation, batch_format="pyarrow").groupby(
+        "n_name"
+    ).aggregate(Sum("rev_s4", alias_name="rev_sum"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cents = pc.divide(pc.add(t.column("rev_sum"), pa.scalar(50, pa.int64())),
+                          pa.scalar(100, pa.int64()))
+        return pa.Table.from_pydict(
+            {"n_name": t.column("n_name"),
+             "revenue": pc.divide(pc.cast(cents, pa.float64()), pa.scalar(100.0))}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+WITH j AS (
+  SELECT n_name,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_s4
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND c_nationkey = s_nationkey
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+)
+SELECT n_name, CAST((sum(rev_s4) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+FROM j GROUP BY n_name
+"""
+
+
+# deterministic CDC change-log rule derived from orders (no external data):
+# each order is a change event on its customer — op D every 19th orderkey,
+# else U setting the balance to that order's total; LAST (max orderkey)
+# change per customer wins.
+MERGE_DELETE_MOD = 19
+
+
+def q_merge_upsert(sf_dir: str):
+    """CDC MERGE / upsert: apply a keyed change log (insert / update /
+    delete with a sequence number, last-writer-wins) onto a base table —
+    the incremental-materialization primitive every warehouse MERGE INTO
+    provides and Ray Data lacks.
+
+    Scale shape: the change log is COMPACTED per block first (max-seq row
+    per key — an Arrow-side combiner, so the shuffle carries one row per
+    (key, block), not one per change), then base and compacted changes
+    ride ONE coarse cogroup keyed on the merge key; inside each partition
+    the final last-writer pick and the matched/unmatched rule table are
+    vectorized pandas. Balances pass through UNTOUCHED (no arithmetic),
+    so doubles hash bit-identically against the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    base = rd.read_parquet(
+        _p(sf_dir, "customer"),
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    )
+    changes = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    union_schema = pa.schema(
+        [("key", pa.int64()), ("bal", pa.float64()), ("seg", pa.string()),
+         ("seq", pa.int64()), ("op", pa.string())]
+    )
+
+    def base_tag(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("c_custkey"), t.column("c_acctbal"),
+             t.column("c_mktsegment"), pa.nulls(t.num_rows, pa.int64()),
+             pa.nulls(t.num_rows, pa.string())],
+            schema=union_schema,
+        )
+
+    def change_compact(t: pa.Table) -> pa.Table:
+        # per-block change-log compaction: keep only the max-seq change
+        # per key before anything shuffles
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["o_custkey", "o_orderkey"], ascending=[True, False],
+            kind="mergesort",
+        ).drop_duplicates("o_custkey")
+        op = np.where(df["o_orderkey"] % MERGE_DELETE_MOD == 0, "D", "U")
+        return pa.Table.from_pydict(
+            {"key": df["o_custkey"].to_numpy(np.int64),
+             "bal": df["o_totalprice"].to_numpy(np.float64),
+             "seg": pa.nulls(len(df), pa.string()),
+             "seq": df["o_orderkey"].to_numpy(np.int64),
+             "op": pa.array(op.tolist(), pa.string())},
+            schema=union_schema,
+        )
+
+    combined = base.map_batches(base_tag, batch_format="pyarrow").union(
+        changes.map_batches(change_compact, batch_format="pyarrow")
+    )
+    out_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_acctbal", pa.float64()),
+         ("c_mktsegment", pa.string())]
+    )
+
+    def cogroup(df: pd.DataFrame) -> pa.Table:
+        b = df[df["op"].isna()]
+        ch = df[df["op"].notna()]
+        if len(ch):
+            ch = ch.sort_values(
+                ["key", "seq"], ascending=[True, False], kind="mergesort"
+            ).drop_duplicates("key")
+        m = b[["key", "bal", "seg"]].merge(
+            ch[["key", "op", "bal"]].rename(columns={"bal": "new_bal"}),
+            on="key", how="outer",
+        )
+        # rule table: matched U → update; matched D → delete; base-only →
+        # keep; change-only U → insert (segment 'NEW'); change-only D → no-op
+        m = m[m["op"].isna() | (m["op"] == "U")]
+        if m.empty:
+            return out_schema.empty_table()
+        upd = (m["op"] == "U").to_numpy()
+        bal = np.where(upd, m["new_bal"].to_numpy(np.float64),
+                       m["bal"].to_numpy(np.float64))
+        seg = m["seg"].where(m["seg"].notna(), "NEW")
+        return pa.Table.from_pydict(
+            {"c_custkey": m["key"].to_numpy().astype(np.int64),
+             "c_acctbal": bal,
+             "c_mktsegment": pa.array(seg.tolist(), pa.string())},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(combined, ["key"], cogroup, out_schema)
+
+
+SQL_MERGE_UPSERT = f"""
+WITH ch AS (
+  SELECT o_custkey AS key,
+         arg_max(CASE WHEN o_orderkey % {MERGE_DELETE_MOD} = 0
+                      THEN 'D' ELSE 'U' END, o_orderkey) AS op,
+         arg_max(o_totalprice, o_orderkey) AS new_bal
+  FROM orders GROUP BY o_custkey
+),
+m AS (
+  SELECT c.c_custkey AS base_key, c.c_acctbal, c.c_mktsegment,
+         ch.key, ch.op, ch.new_bal
+  FROM customer c FULL OUTER JOIN ch ON c.c_custkey = ch.key
+)
+SELECT COALESCE(base_key, key) AS c_custkey,
+       CASE WHEN op = 'U' THEN new_bal ELSE c_acctbal END AS c_acctbal,
+       COALESCE(c_mktsegment, 'NEW') AS c_mktsegment
+FROM m
+WHERE op IS NULL OR op = 'U'
+"""
+
+
 QUERIES = {
     "corr_qty_price": q_corr_qty_price,
     "orders_bloom_semi": q_orders_bloom_semi,
+    "local_supplier_volume": q_local_supplier_volume,
+    "merge_upsert": q_merge_upsert,
     "zscore_normalize": q_zscore_normalize,
     "events_orders_outer": q_events_orders_outer,
     "pack_sequences": q_pack_sequences,
@@ -3333,6 +3649,8 @@ QUERIES = {
 ORACLE_SQL = {
     "corr_qty_price": SQL_CORR_QTY_PRICE,
     "orders_bloom_semi": SQL_ORDERS_BLOOM_SEMI,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "merge_upsert": SQL_MERGE_UPSERT,
     "zscore_normalize": SQL_ZSCORE_NORMALIZE,
     "events_orders_outer": SQL_EVENTS_ORDERS_OUTER,
     "pack_sequences": SQL_PACK_SEQUENCES,
