@@ -41,6 +41,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from semantic_search_system_ray.functions.scores import arrow_minmax_normalize_100
+from semantic_search_system_ray.stages.dq import SQL_DQ_CHECKS
 from semantic_search_system_ray.stages.ann import cosine_topk
 from semantic_search_system_ray.stages.dedup import embedding_cosine_dups, exact_dedup
 from semantic_search_system_ray.stages.textstats import token_count_batch
@@ -3552,6 +3553,15 @@ def q_merge_upsert(sf_dir: str):
     return coarse_partition_apply(combined, ["key"], cogroup, out_schema)
 
 
+def q_dq_checks(sf_dir: str):
+    """Data-quality expectations suite over the warehouse tables — see
+    ``stages/dq.dq_report`` (fused row-local scans, distributed exact
+    COUNT DISTINCT for PK checks, anti-join FK integrity)."""
+    from semantic_search_system_ray.stages.dq import dq_report
+
+    return dq_report(sf_dir)
+
+
 SQL_MERGE_UPSERT = f"""
 WITH ch AS (
   SELECT o_custkey AS key,
@@ -3578,6 +3588,7 @@ QUERIES = {
     "orders_bloom_semi": q_orders_bloom_semi,
     "local_supplier_volume": q_local_supplier_volume,
     "merge_upsert": q_merge_upsert,
+    "dq_checks": q_dq_checks,
     "zscore_normalize": q_zscore_normalize,
     "events_orders_outer": q_events_orders_outer,
     "pack_sequences": q_pack_sequences,
@@ -3651,6 +3662,7 @@ ORACLE_SQL = {
     "orders_bloom_semi": SQL_ORDERS_BLOOM_SEMI,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "merge_upsert": SQL_MERGE_UPSERT,
+    "dq_checks": SQL_DQ_CHECKS,
     "zscore_normalize": SQL_ZSCORE_NORMALIZE,
     "events_orders_outer": SQL_EVENTS_ORDERS_OUTER,
     "pack_sequences": SQL_PACK_SEQUENCES,

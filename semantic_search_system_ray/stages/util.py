@@ -182,6 +182,83 @@ def coarse_partition_apply(
     )
 
 
+ATTACH_BROADCAST_BYTES = 32 << 20  # right sides under 32 MiB never shuffle
+
+
+def _attach_broadcast(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    attach_cols: list[str],
+    attach_as: list[str],
+    out_schema: pa.Schema,
+    how: str,
+    fill: dict | None,
+    left_cols: list[str],
+) -> rd.Dataset:
+    """Broadcast plan for ``coarse_attach``: deduped lookup built once on
+    the driver (bounded by the caller's byte threshold), shipped once via
+    ``ray.put``, Arrow-hash-joined against every left block locally — the
+    left side never shuffles. Must mirror the shuffle plan's semantics
+    exactly; see the ``coarse_attach`` docstring."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray
+
+    def right_project(t: pa.Table) -> pa.Table:
+        key = pc.cast(t.column(right_key), pa.string())
+        t = t.filter(pc.is_valid(key))
+        key = pc.cast(t.column(right_key), pa.string())
+        return pa.Table.from_arrays(
+            [key] + [t.column(c) for c in attach_cols],
+            names=["__key"] + list(attach_as),
+        )
+
+    rdf = right.map_batches(right_project, batch_format="pyarrow").to_pandas()
+    # same deterministic dup pick as the shuffle plan: min (key, attach)
+    lookup_df = rdf.sort_values(
+        ["__key"] + list(attach_as), kind="mergesort"
+    ).drop_duplicates(subset="__key")
+    lookup = pa.Table.from_arrays(
+        [pa.array(lookup_df["__key"], pa.string())]
+        + [pa.array(lookup_df[a], type=out_schema.field(a).type,
+                    from_pandas=True)
+           for a in attach_as],
+        names=["__key"] + list(attach_as),
+    )
+    lookup_ref = ray.put(lookup)
+    join_type = "inner" if how == "inner" else "left outer"
+
+    def attach_batch(t: pa.Table) -> pa.Table:
+        key = pc.cast(t.column(left_key), pa.string())
+        t = t.filter(pc.is_valid(key))  # null keys never match: drop early
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        key = pc.cast(t.column(left_key), pa.string())
+        lhs = pa.Table.from_arrays(
+            [key] + [t.column(c) for c in left_cols],
+            names=["__key"] + list(left_cols),
+        )
+        lk = ray.get(lookup_ref)  # local object store, zero-copy Arrow
+        joined = lhs.join(lk, keys="__key", join_type=join_type)
+        if how == "left" and fill:
+            for col, v in fill.items():
+                joined = joined.set_column(
+                    joined.schema.get_field_index(col), col,
+                    pc.fill_null(joined.column(col),
+                                 pa.scalar(v, out_schema.field(col).type)),
+                )
+        return pa.Table.from_arrays(
+            [pc.cast(joined.column(f.name), f.type) for f in out_schema],
+            schema=out_schema,
+        )
+
+    return left.map_batches(attach_batch, batch_format="pyarrow")
+
+
 def coarse_attach(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -194,6 +271,7 @@ def coarse_attach(
     num_partitions: int | None = None,
     how: str = "inner",
     fill: dict | None = None,
+    broadcast_bytes: int | None = None,
 ):
     """Distributed hash join that ATTACHES ``attach_cols`` from ``right``
     onto ``left`` rows by key equality. ``how="inner"`` (default): left
@@ -225,10 +303,32 @@ def coarse_attach(
     Caveat: int64 payload columns ride the null-bearing union as pandas
     float64 inside the partition merge — integer exactness ends at 2^53,
     so pass ids that can exceed it as STRINGS (the dedup pipelines already
-    do)."""
+    do).
+
+    Join planning: when the right side's ESTIMATED size (metadata-only,
+    never executes the plan) fits ``broadcast_bytes`` (default
+    ``ATTACH_BROADCAST_BYTES``), the attach switches to a zero-shuffle
+    broadcast plan — the deduped lookup is built once on the driver,
+    ``ray.put`` once, and every left block Arrow-joins against it locally;
+    the fact side never moves. Unknown-size right inputs take the shuffle
+    plan (safe). Semantics are identical in both regimes (string-cast
+    keys, null-key drops, deterministic min-(key, attach) dup pick, left
+    fills) — parity is pinned by ``tests/test_util_primitives.py``.
+    Pass ``broadcast_bytes=0`` to force the shuffle plan."""
     if attach_as is None:
         attach_as = attach_cols
     left_cols = [n for n in out_schema.names if n not in attach_as]
+
+    if broadcast_bytes is None:
+        broadcast_bytes = ATTACH_BROADCAST_BYTES
+    est = _estimate_size_bytes(right)
+    if est is not None and est <= broadcast_bytes:
+        return _attach_broadcast(
+            left, right, left_key=left_key, right_key=right_key,
+            attach_cols=attach_cols, attach_as=attach_as,
+            out_schema=out_schema, how=how, fill=fill, left_cols=left_cols,
+        )
+
     if num_partitions is None:
         num_partitions = _default_partitions(left, right)
 
@@ -287,11 +387,14 @@ def coarse_attach(
         arrays = []
         for f in out_schema:
             s = merged[f.name]
-            if pa.types.is_integer(f.type) and s.dtype.kind == "f":
+            if (pa.types.is_integer(f.type) and s.dtype.kind == "f"
+                    and not s.isna().any()):
                 # int payloads ride the null-bearing union / left merge as
                 # float64 — exact < 2^53; restore the declared type
                 s = s.astype("int64")
-            arrays.append(pa.array(s.tolist(), f.type))
+            # from_pandas: any remaining NaN (unfilled left-join miss on an
+            # int column) becomes null rather than a conversion crash
+            arrays.append(pa.array(s, type=f.type, from_pandas=True))
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
     return coarse_partition_apply(
@@ -435,8 +538,11 @@ def coarse_anti_join(
         probe = set(df.loc[df["__rhs"], "__key"])
         lhs = df[~df["__rhs"]]
         keep = lhs[~lhs["__key"].isin(probe)]
+        # from_pandas: NaN→null, so a KEPT null-key row can ride an int64
+        # output column as null instead of crashing the conversion
         return pa.Table.from_arrays(
-            [pa.array(keep[f.name].tolist(), f.type) for f in out_schema],
+            [pa.array(keep[f.name], type=f.type, from_pandas=True)
+             for f in out_schema],
             schema=out_schema,
         )
 

@@ -420,3 +420,55 @@ def test_coarse_attach_left_fill(ray_session):
     assert list(got["k"]) == [1, 2, 3, 4]
     assert list(got["cnt"]) == [0, 20, 0, 40]
     assert str(got["cnt"].dtype) == "int64"
+
+
+def test_coarse_attach_broadcast_shuffle_parity(ray_session):
+    """Join planning: the broadcast plan (right side under the byte
+    threshold → zero left-side shuffle) must produce EXACTLY the shuffle
+    plan's output — dup right keys (deterministic min pick), null keys
+    both sides, inner and left+fill modes."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    lk = rng.randint(0, 50, size=300).tolist() + [None] * 4
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk, pa.int64()),
+        "payload": pa.array(range(304), pa.int64()),
+    })).repartition(3)
+    rk = rng.randint(0, 60, size=80).tolist()
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array(rk + rk[:20] + [None], pa.int64()),  # dups + null
+        "val": pa.array([f"v{i % 37}" for i in range(101)], pa.string()),
+    })).repartition(2)
+
+    for how, fill in (("inner", None), ("left", {"val": "MISS"})):
+        out_schema = pa.schema(
+            [("k", pa.int64()), ("payload", pa.int64()), ("val", pa.string())]
+        )
+        kw = dict(left_key="k", right_key="rk", attach_cols=["val"],
+                  out_schema=out_schema, how=how, fill=fill)
+        bc = coarse_attach(left, right, broadcast_bytes=1 << 30, **kw
+                           ).to_pandas()
+        sh = coarse_attach(left, right, broadcast_bytes=0, **kw).to_pandas()
+        bc = bc.sort_values(["payload"]).reset_index(drop=True)
+        sh = sh.sort_values(["payload"]).reset_index(drop=True)
+        assert bc["k"].tolist() == sh["k"].tolist(), how
+        assert bc["val"].tolist() == sh["val"].tolist(), how
+        if how == "left":
+            assert len(bc) == 300  # null-key left rows dropped, rest kept
+            assert (bc["val"] == "MISS").any()
+
+
+def test_coarse_anti_join_null_int_key_kept_as_null(ray_session):
+    """A null left key follows NOT EXISTS (row KEPT) even when the output
+    column is int64 — the kept key rides as null, not a conversion crash."""
+    from semantic_search_system_ray.stages.util import coarse_anti_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2, None], pa.int64())}))
+    right = rd.from_arrow(pa.table({"rk": pa.array([1, None], pa.int64())}))
+    got = coarse_anti_join(
+        left, right, left_key="k", right_key="rk",
+        out_schema=pa.schema([("k", pa.int64())]),
+    ).to_pandas()
+    assert len(got) == 2  # 2 (no match) + the null-key row
+    assert got["k"].isna().sum() == 1 and 2 in set(got["k"].dropna())
