@@ -41,6 +41,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from semantic_search_system_ray.functions.scores import arrow_minmax_normalize_100
+from semantic_search_system_ray.pipelines.er import SQL_ER_GOLDEN_RECORDS
 from semantic_search_system_ray.stages.dq import SQL_DQ_CHECKS
 from semantic_search_system_ray.stages.ann import cosine_topk
 from semantic_search_system_ray.stages.dedup import embedding_cosine_dups, exact_dedup
@@ -3553,6 +3554,14 @@ def q_merge_upsert(sf_dir: str):
     return coarse_partition_apply(combined, ["key"], cogroup, out_schema)
 
 
+def _er_golden_records(sf_dir: str):
+    """Entity resolution end-to-end (blocking → verify → cluster →
+    golden record) — see ``pipelines/er.golden_records``."""
+    from semantic_search_system_ray.pipelines.er import q_er_golden_records
+
+    return q_er_golden_records(sf_dir)
+
+
 def q_dq_checks(sf_dir: str):
     """Data-quality expectations suite over the warehouse tables — see
     ``stages/dq.dq_report`` (fused row-local scans, distributed exact
@@ -3589,6 +3598,7 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "merge_upsert": q_merge_upsert,
     "dq_checks": q_dq_checks,
+    "er_golden_records": _er_golden_records,
     "zscore_normalize": q_zscore_normalize,
     "events_orders_outer": q_events_orders_outer,
     "pack_sequences": q_pack_sequences,
@@ -3663,6 +3673,7 @@ ORACLE_SQL = {
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "merge_upsert": SQL_MERGE_UPSERT,
     "dq_checks": SQL_DQ_CHECKS,
+    "er_golden_records": SQL_ER_GOLDEN_RECORDS,
     "zscore_normalize": SQL_ZSCORE_NORMALIZE,
     "events_orders_outer": SQL_EVENTS_ORDERS_OUTER,
     "pack_sequences": SQL_PACK_SEQUENCES,
