@@ -3270,7 +3270,11 @@ def q_local_supplier_volume(sf_dir: str):
       nationkey→name dict, broadcast by closure — never a shuffle;
     - lineitem ⋈ orders (fact-fact): ONE coarse cogroup on orderkey with
       a per-block revenue combiner ahead of it (the revenue_by_priority
-      pattern);
+      pattern) — AND a bloom prefilter built from the date-filtered
+      order keys, so lineitem partials for the ~5/6 of orders outside
+      the window are dropped before they ever shuffle (sideways
+      information passing; false positives are removed by the exact
+      cogroup);
     - customer / supplier nationkey attach (fact-dimension, dimension too
       big to assume driver-resident at 100 TB): hash-partitioned
       `coarse_attach`, customer pruned to ASIA nations AT THE READ so
@@ -3341,7 +3345,16 @@ def q_local_supplier_volume(sf_dir: str):
             schema=union_schema,
         )
 
-    combined = li.map_batches(li_partial, batch_format="pyarrow").union(
+    from semantic_search_system_ray.stages.bloomjoin import (
+        bloom_prefilter,
+        build_bloom,
+    )
+
+    bloom_ref = build_bloom(orders, "o_orderkey")
+    li_pruned = bloom_prefilter(
+        li.map_batches(li_partial, batch_format="pyarrow"), "key", bloom_ref
+    )
+    combined = li_pruned.union(
         orders.map_batches(orders_tag, batch_format="pyarrow")
     )
     pair_schema = pa.schema(

@@ -20,6 +20,8 @@ of the beyond-reference training-data surface (SURVEY §2.11).
 
 from __future__ import annotations
 
+import sys
+import types
 from typing import Callable
 
 import pyarrow as pa
@@ -27,6 +29,31 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Sum
+
+# Ray's read-path check `_is_http_filesystem` lazily does
+# `from fsspec.implementations.http import HTTPFileSystem` on EVERY
+# read_parquet and relies on catching ModuleNotFoundError when aiohttp is
+# absent — under concurrent driver threads that surfaces as an uncaught
+# "cannot import name HTTPFileSystem" race instead. Planting a benign
+# stub makes the import deterministic (the isinstance check against the
+# stub class is False for every real filesystem, which is the same
+# answer the ModuleNotFoundError branch returns).
+try:  # pragma: no cover - depends on env
+    from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+except Exception:  # aiohttp missing in this env
+    try:
+        import fsspec.implementations as _fsi
+
+        _m = types.ModuleType("fsspec.implementations.http")
+
+        class _StubHTTPFileSystem:  # never instantiated
+            pass
+
+        _m.HTTPFileSystem = _StubHTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = _m
+        _fsi.http = _m
+    except Exception:
+        pass
 
 DQ_SCHEMA = pa.schema(
     [("check_name", pa.string()), ("violations", pa.int64())]
@@ -80,6 +107,66 @@ def distinct_count(ds: rd.Dataset, key: str) -> int:
     return sum(int(r["n"]) for r in parts.take_all())
 
 
+def key_domain_checks(
+    base: rd.Dataset, base_key: str, child: rd.Dataset, child_key: str
+) -> tuple[int, int]:
+    """PK-duplicate count on ``base`` AND FK-violation count of ``child``
+    against it, fused into ONE coarse cogroup over their shared key
+    domain — one shuffle per key domain, not one per check, and both
+    sides ride as per-block (key, n) COUNT COMBINERS, so the exchange
+    carries distinct-keys-per-block rows, never raw rows.
+
+    Returns ``(pk_dup, fk_violations)`` where pk_dup = total − distinct
+    (nulls excluded, SQL COUNT DISTINCT) and fk_violations = child rows
+    whose key is null or has no base row (SQL NOT EXISTS)."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    union_schema = pa.schema(
+        [("__key", pa.string()), ("n", pa.int64()), ("__rhs", pa.bool_())]
+    )
+
+    def combine(key_col: str, rhs: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            key = pc.cast(t.column(key_col), pa.string())
+            t2 = pa.Table.from_pydict(
+                {"__key": key,
+                 "n": pa.array([1] * t.num_rows, pa.int64())}
+            )
+            agg = t2.group_by(["__key"]).aggregate([("n", "sum")])
+            return pa.Table.from_arrays(
+                [agg.column("__key"), agg.column("n_sum"),
+                 pa.array([rhs] * agg.num_rows)],
+                schema=union_schema,
+            )
+        return fn
+
+    combined = base.map_batches(
+        combine(base_key, False), batch_format="pyarrow"
+    ).union(child.map_batches(combine(child_key, True), batch_format="pyarrow"))
+
+    part_schema = pa.schema([("pk_dup", pa.int64()), ("viol", pa.int64())])
+
+    def per_part(df: pd.DataFrame) -> pa.Table:
+        b = df[~df["__rhs"]]
+        c = df[df["__rhs"]]
+        b_nonnull = b[b["__key"].notna()]
+        pk_dup = int(b_nonnull["n"].sum()) - int(b_nonnull["__key"].nunique())
+        probe = set(b_nonnull["__key"])
+        bad = c[c["__key"].isna() | ~c["__key"].isin(probe)]
+        return pa.Table.from_pydict(
+            {"pk_dup": [pk_dup], "viol": [int(bad["n"].sum())]},
+            schema=part_schema,
+        )
+
+    parts = coarse_partition_apply(
+        combined, ["__key"], per_part, part_schema
+    ).take_all()  # ≤ #partitions rows
+    return (sum(int(r["pk_dup"]) for r in parts),
+            sum(int(r["viol"]) for r in parts))
+
+
 def fk_violations(
     child: rd.Dataset, child_key: str, parent: rd.Dataset, parent_key: str
 ) -> int:
@@ -116,75 +203,94 @@ def _bool_count(mask: pa.ChunkedArray) -> int:
 
 def dq_report(sf_dir: str) -> pa.Table:
     """The full suite over the warehouse tables → one
-    (check_name, violations) row per check, sorted by name."""
+    (check_name, violations) row per check, sorted by name.
+
+    The nine component jobs are INDEPENDENT, so they run concurrently
+    (driver threads, each blocking on its own Dataset execution — Ray
+    schedules the streams side by side): the suite's wall time is the
+    slowest check plus overlap, not the sum of ten job fixed costs."""
     import datetime as dt
+    from concurrent.futures import ThreadPoolExecutor
 
-    results: dict[str, int] = {}
-
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
-    results.update(scan_counts(li, {
-        "lineitem_qty_range": lambda t: _bool_count(
-            pc.or_(pc.less(t.column("l_quantity"), pa.scalar(1.0)),
-                   pc.greater(t.column("l_quantity"), pa.scalar(50.0)))),
-    }))
-
-    orders_scan = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderdate"]
-    )
     lo = pa.scalar(dt.datetime(1992, 1, 1), pa.timestamp("us"))
     hi = pa.scalar(dt.datetime(2002, 1, 1), pa.timestamp("us"))
-    results.update(scan_counts(orders_scan, {
-        "orders_nonpos_total": lambda t: _bool_count(
-            pc.less_equal(t.column("o_totalprice"), pa.scalar(0.0))),
-        "orders_date_bounds": lambda t: _bool_count(
-            pc.or_(pc.less(t.column("o_orderdate"), lo),
-                   pc.greater_equal(t.column("o_orderdate"), hi))),
-    }))
 
-    cust_scan = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_acctbal"]
-    )
-    results.update(scan_counts(cust_scan, {
-        "customer_acctbal_null": lambda t: t.column("c_acctbal").null_count,
-    }))
+    # ALL read_parquet calls happen here on the MAIN thread: Ray resolves
+    # paths/filesystems at dataset-construction time through a lazy fsspec
+    # import that is not concurrent-first-import safe (a half-initialized
+    # fsspec.implementations.http raises ImportError where the sequential
+    # path raises the caught ModuleNotFoundError). The pool threads below
+    # only EXECUTE already-constructed plans.
+    ds_li_qty = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+    ds_orders_scan = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderdate"])
+    ds_cust_bal = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_acctbal"])
+    ds_docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds_events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ds_cust_pk = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    ds_ord_pk = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    ds_ord_fk = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    ds_li_fk = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    results.update(scan_counts(docs, {
-        "documents_empty_text": lambda t: (
-            t.column("text").null_count
-            + _bool_count(pc.equal(t.column("text"), pa.scalar("")))),
-    }))
+    def li_scan() -> dict[str, int]:
+        return scan_counts(ds_li_qty, {
+            "lineitem_qty_range": lambda t: _bool_count(
+                pc.or_(pc.less(t.column("l_quantity"), pa.scalar(1.0)),
+                       pc.greater(t.column("l_quantity"), pa.scalar(50.0)))),
+        })
 
-    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
-    results.update(scan_counts(events, {
-        "events_value_null": lambda t: t.column("value").null_count,
-    }))
+    def orders_scan() -> dict[str, int]:
+        return scan_counts(ds_orders_scan, {
+            "orders_nonpos_total": lambda t: _bool_count(
+                pc.less_equal(t.column("o_totalprice"), pa.scalar(0.0))),
+            "orders_date_bounds": lambda t: _bool_count(
+                pc.or_(pc.less(t.column("o_orderdate"), lo),
+                       pc.greater_equal(t.column("o_orderdate"), hi))),
+        })
 
-    cust_pk = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
-    )
-    results["customer_pk_dup"] = cust_pk.count() - distinct_count(
-        cust_pk, "c_custkey"
-    )
-    ord_pk = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
-    )
-    results["orders_pk_dup"] = ord_pk.count() - distinct_count(
-        ord_pk, "o_orderkey"
-    )
+    def cust_scan() -> dict[str, int]:
+        return scan_counts(ds_cust_bal, {
+            "customer_acctbal_null": lambda t: t.column("c_acctbal").null_count,
+        })
 
-    results["fk_orders_customer"] = fk_violations(
-        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
-        "o_custkey",
-        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]),
-        "c_custkey",
-    )
-    results["fk_lineitem_orders"] = fk_violations(
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]),
-        "l_orderkey",
-        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"]),
-        "o_orderkey",
-    )
+    def docs_scan() -> dict[str, int]:
+        return scan_counts(ds_docs, {
+            "documents_empty_text": lambda t: (
+                t.column("text").null_count
+                + _bool_count(pc.equal(t.column("text"), pa.scalar("")))),
+        })
+
+    def events_scan() -> dict[str, int]:
+        return scan_counts(ds_events, {
+            "events_value_null": lambda t: t.column("value").null_count,
+        })
+
+    def customer_domain() -> dict[str, int]:
+        # PK dup + FK integrity fused: ONE shuffle over the custkey domain
+        pk, viol = key_domain_checks(
+            ds_cust_pk, "c_custkey", ds_ord_fk, "o_custkey"
+        )
+        return {"customer_pk_dup": pk, "fk_orders_customer": viol}
+
+    def orders_domain() -> dict[str, int]:
+        pk, viol = key_domain_checks(
+            ds_ord_pk, "o_orderkey", ds_li_fk, "l_orderkey"
+        )
+        return {"orders_pk_dup": pk, "fk_lineitem_orders": viol}
+
+    results: dict[str, int] = {}
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for frag in pool.map(lambda f: f(), [
+            orders_domain, customer_domain, li_scan, orders_scan, cust_scan,
+            docs_scan, events_scan,
+        ]):
+            results.update(frag)
 
     names = sorted(results)
     return pa.Table.from_pydict(
