@@ -3567,6 +3567,71 @@ def q_merge_upsert(sf_dir: str):
     return coarse_partition_apply(combined, ["key"], cogroup, out_schema)
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact top-20 words via Misra–Gries two-pass
+    (``stages/heavyhitters``): per-block capacity-512 MG summaries →
+    driver candidate union (#blocks × 513 lean rows, independent of the
+    vocabulary size) → broadcast candidate set → exact second-pass count
+    of candidates only → exactness certificate (k-th count vs summed MG
+    error bound), loud fallback to the full groupby if it fails. The
+    sketch bounds the SHUFFLE, never the answer — output is always exact
+    and oracle-comparable."""
+    from semantic_search_system_ray.pipelines.queries import read_docs
+    from semantic_search_system_ray.stages.heavyhitters import heavy_hitters
+
+    ds = read_docs(sf_dir, ["text"])
+    return heavy_hitters(ds, col="text", k=20, capacity=512)
+
+
+SQL_HEAVY_HITTERS = r"""
+SELECT w AS word, count(*) AS cnt
+FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w FROM documents)
+GROUP BY w ORDER BY cnt DESC, word LIMIT 20
+"""
+
+
+GROUPED_SAMPLE_K = 10
+
+
+def q_grouped_sample(sf_dir: str):
+    """Deterministic fixed-size per-group sample: 10 documents per
+    language, chosen by md5(doc_id) order — the reservoir-sampling shape
+    made reproducible (every id keeps its sample membership across
+    re-runs and corpus growth, like the train/val/test splitter).
+
+    Scale shape: ``grouped_topk`` — every block keeps only its local
+    per-group top-10 by hash, so at most |langs|·10 rows per block ride
+    the single final combine; the corpus never shuffles."""
+    import hashlib
+
+    from semantic_search_system_ray.stages.util import grouped_topk
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(str(v).encode("utf-8")).hexdigest()
+              for v in t.column("doc_id").to_pylist()]
+        return t.append_column("h", pa.array(hs, pa.string()))
+
+    sampled = grouped_topk(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        ["lang"], ["h", "doc_id"], descending=[False, False],
+        k=GROUPED_SAMPLE_K,
+    )
+    return sampled.select_columns(["lang", "doc_id"])
+
+
+SQL_GROUPED_SAMPLE = f"""
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT lang, doc_id FROM r WHERE rn <= {GROUPED_SAMPLE_K}
+"""
+
+
 def _er_golden_records(sf_dir: str):
     """Entity resolution end-to-end (blocking → verify → cluster →
     golden record) — see ``pipelines/er.golden_records``."""
@@ -3612,6 +3677,8 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "dq_checks": q_dq_checks,
     "er_golden_records": _er_golden_records,
+    "heavy_hitters": q_heavy_hitters,
+    "grouped_sample": q_grouped_sample,
     "zscore_normalize": q_zscore_normalize,
     "events_orders_outer": q_events_orders_outer,
     "pack_sequences": q_pack_sequences,
@@ -3687,6 +3754,8 @@ ORACLE_SQL = {
     "merge_upsert": SQL_MERGE_UPSERT,
     "dq_checks": SQL_DQ_CHECKS,
     "er_golden_records": SQL_ER_GOLDEN_RECORDS,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
+    "grouped_sample": SQL_GROUPED_SAMPLE,
     "zscore_normalize": SQL_ZSCORE_NORMALIZE,
     "events_orders_outer": SQL_EVENTS_ORDERS_OUTER,
     "pack_sequences": SQL_PACK_SEQUENCES,

@@ -218,10 +218,15 @@ def _attach_broadcast(
         )
 
     rdf = right.map_batches(right_project, batch_format="pyarrow").to_pandas()
-    # same deterministic dup pick as the shuffle plan: min (key, attach)
-    lookup_df = rdf.sort_values(
-        ["__key"] + list(attach_as), kind="mergesort"
-    ).drop_duplicates(subset="__key")
+    cols = ["__key"] + list(attach_as)
+    if rdf.empty:
+        # a zero-block dataset's to_pandas() has no columns at all
+        lookup_df = pd.DataFrame({c: [] for c in cols})
+    else:
+        # same deterministic dup pick as the shuffle plan: min (key, attach)
+        lookup_df = rdf.sort_values(cols, kind="mergesort").drop_duplicates(
+            subset="__key"
+        )
     lookup = pa.Table.from_arrays(
         [pa.array(lookup_df["__key"], pa.string())]
         + [pa.array(lookup_df[a], type=out_schema.field(a).type,
