@@ -3632,6 +3632,75 @@ SELECT lang, doc_id FROM r WHERE rn <= {GROUPED_SAMPLE_K}
 """
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel(sf_dir: str):
+    """Ordered-sequence funnel analysis: how many users did
+    view → click → purchase IN ORDER (each step strictly after the
+    previous user's step-entry time — the standard first-touch funnel)?
+
+    Scale shape: events pruned to the three funnel types AT THE READ,
+    then ONE coarse cogroup keyed on user; inside each partition the
+    step-entry times resolve as three vectorized pandas merge+min passes
+    (no per-user Python), and only per-partition stage COUNTS leave —
+    the final table is 3 rows."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_type"],
+        filter=pc.field("event_type").isin(FUNNEL_STEPS),
+    )
+    part_schema = pa.schema([("stage", pa.string()), ("users", pa.int64())])
+
+    def per_part(df: pd.DataFrame) -> pa.Table:
+        t_entry = None  # per-user entry time of the previous step
+        counts = []
+        for step in FUNNEL_STEPS:
+            ev = df[df["event_type"] == step]
+            if t_entry is not None:
+                ev = ev.merge(t_entry, on="user_id", how="inner")
+                ev = ev[ev["ts"] > ev["t_prev"]]
+            t_entry = (
+                ev.groupby("user_id", sort=False)["ts"].min()
+                .rename("t_prev").reset_index()
+            )
+            counts.append(len(t_entry))
+        return pa.Table.from_pydict(
+            {"stage": [f"{i + 1}_{s}" for i, s in enumerate(FUNNEL_STEPS)],
+             "users": counts},
+            schema=part_schema,
+        )
+
+    parts = coarse_partition_apply(ds, ["user_id"], per_part, part_schema)
+    return parts.groupby("stage").aggregate(Sum("users", alias_name="users"))
+
+
+SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT '1_view' AS stage, count(*) AS users FROM v
+  UNION ALL SELECT '2_click', count(*) FROM c
+  UNION ALL SELECT '3_purchase', count(*) FROM p
+)
+"""
+
+
 def _er_golden_records(sf_dir: str):
     """Entity resolution end-to-end (blocking → verify → cluster →
     golden record) — see ``pipelines/er.golden_records``."""
@@ -3679,6 +3748,7 @@ QUERIES = {
     "er_golden_records": _er_golden_records,
     "heavy_hitters": q_heavy_hitters,
     "grouped_sample": q_grouped_sample,
+    "funnel": q_funnel,
     "zscore_normalize": q_zscore_normalize,
     "events_orders_outer": q_events_orders_outer,
     "pack_sequences": q_pack_sequences,
@@ -3756,6 +3826,7 @@ ORACLE_SQL = {
     "er_golden_records": SQL_ER_GOLDEN_RECORDS,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "grouped_sample": SQL_GROUPED_SAMPLE,
+    "funnel": SQL_FUNNEL,
     "zscore_normalize": SQL_ZSCORE_NORMALIZE,
     "events_orders_outer": SQL_EVENTS_ORDERS_OUTER,
     "pack_sequences": SQL_PACK_SEQUENCES,

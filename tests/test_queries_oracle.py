@@ -88,3 +88,42 @@ def test_entry_smoke(ray_session):
     assert len(df) > 0
     assert sorted(df.columns) == ["obj", "pred", "subj"]
     assert {"MENTIONS", "HAS_TOPIC", "IN_TOPIC"} <= set(df["pred"])
+
+
+def test_funnel_strict_ordering(ray_session, tmp_path):
+    """Out-of-order and equal-timestamp steps must NOT advance the
+    funnel: purchase before click doesn't count; a click at exactly the
+    view's entry time doesn't count (strict >)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_search_system_ray.pipelines.queries import q_funnel
+
+    t0 = dt.datetime(2000, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # u1: clean in-order funnel → reaches stage 3
+        (1, s(0), "view"), (1, s(1), "click"), (1, s(2), "purchase"),
+        # u2: purchase BEFORE click → stops at stage 2
+        (2, s(0), "view"), (2, s(2), "click"), (2, s(1), "purchase"),
+        # u3: click at the SAME instant as view → stops at stage 1
+        (3, s(0), "view"), (3, s(0), "click"),
+        # u4: no view → never enters
+        (4, s(0), "click"), (4, s(1), "purchase"),
+        # u5: retries past the bad ordering (click after early purchase,
+        # then a later purchase) → reaches stage 3
+        (5, s(0), "view"), (5, s(1), "purchase"), (5, s(2), "click"),
+        (5, s(3), "purchase"),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = q_funnel(str(tmp_path)).to_pandas().set_index("stage")["users"]
+    assert got["1_view"] == 4      # u1 u2 u3 u5
+    assert got["2_click"] == 3     # u1 u2 u5
+    assert got["3_purchase"] == 2  # u1 u5
