@@ -3701,6 +3701,132 @@ SELECT * FROM (
 """
 
 
+def q_scd2_history(sf_dir: str):
+    """SCD Type-2 dimension history from a change log — the versioned
+    complement of ``merge_upsert``: each customer's orders (ordered by
+    orderkey) become balance VERSIONS with [valid_from, valid_to)
+    effective ranges; the current version's valid_to is NULL. This is
+    the LEAD window (look-AHEAD — ``events_lag_delta`` covers
+    look-behind).
+
+    Scale shape: pruned read → ONE coarse cogroup keyed on customer →
+    per-partition vectorized sort + groupby shift(-1); no per-row
+    Python, timestamps pass through untouched (bit-exact vs the
+    oracle)."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    out_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("version", pa.int64()),
+         ("bal", pa.float64()), ("valid_from", pa.timestamp("us")),
+         ("valid_to", pa.timestamp("us"))]
+    )
+
+    def per_part(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["o_custkey", "o_orderkey"], kind="mergesort")
+        g = df.groupby("o_custkey", sort=False)
+        version = g.cumcount() + 1
+        valid_to = g["o_orderdate"].shift(-1)
+        return pa.Table.from_pydict(
+            {"c_custkey": df["o_custkey"].to_numpy(np.int64),
+             "version": version.to_numpy(np.int64),
+             "bal": df["o_totalprice"].to_numpy(np.float64),
+             "valid_from": pa.array(df["o_orderdate"], pa.timestamp("us"),
+                                    from_pandas=True),
+             "valid_to": pa.array(valid_to, pa.timestamp("us"),
+                                  from_pandas=True)},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(ds, ["o_custkey"], per_part, out_schema)
+
+
+SQL_SCD2_HISTORY = """
+SELECT o_custkey AS c_custkey,
+       row_number() OVER w AS version,
+       o_totalprice AS bal,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+"""
+
+
+def q_time_weighted_value(sf_dir: str):
+    """Per-user TIME-WEIGHTED average event value (the telemetry
+    integral: each value holds until the user's next event) — the
+    window-join hybrid a metering/billing pipeline needs.
+
+    Exactness: value→cents (int64) × holding seconds (int64) — products
+    ≤ ~1e13 here, sums safely inside int64 (loud guard) — summed
+    distributedly, then ONE mirrored float chain
+    ``(num/den)/100`` on both engine and oracle. Users whose total
+    holding time is zero are excluded on both sides (no 0/0)."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
+    )
+    out_schema = pa.schema([("user_id", pa.int64()), ("twa", pa.float64())])
+
+    def per_part(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.round(df["value"].to_numpy(np.float64) * 100.0).astype(
+            np.int64
+        )
+        sec = (df["ts"].astype("int64").to_numpy() // 1_000_000)
+        g = df.groupby("user_id", sort=False)
+        nxt = g["ts"].shift(-1)
+        has_next = nxt.notna().to_numpy()
+        dur = np.zeros(len(df), dtype=np.int64)
+        dur[has_next] = (
+            nxt[has_next].astype("int64").to_numpy() // 1_000_000
+        ) - sec[has_next]
+        if len(dur) and int(dur.max(initial=0)) > 2**40:
+            raise ValueError(
+                "time_weighted_value: holding window exceeds the int64 "
+                "product headroom — rescale durations before summing"
+            )
+        agg = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64),
+             "num": cents * dur, "den": dur}
+        ).groupby("user_id", sort=False).sum()
+        agg = agg[agg["den"] > 0]
+        twa = (agg["num"].to_numpy(np.float64)
+               / agg["den"].to_numpy(np.float64)) / 100.0
+        return pa.Table.from_pydict(
+            {"user_id": agg.index.to_numpy(np.int64), "twa": twa},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(ds, ["user_id"], per_part, out_schema)
+
+
+SQL_TIME_WEIGHTED_VALUE = """
+WITH w AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec,
+         date_diff('second', TIMESTAMP '1970-01-01',
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) AS nxt
+  FROM events
+)
+SELECT user_id,
+       (CAST(sum(cents * (nxt - sec)) AS DOUBLE)
+        / CAST(sum(nxt - sec) AS DOUBLE)) / 100.0 AS twa
+FROM w WHERE nxt IS NOT NULL
+GROUP BY user_id HAVING sum(nxt - sec) > 0
+"""
+
+
 def _er_golden_records(sf_dir: str):
     """Entity resolution end-to-end (blocking → verify → cluster →
     golden record) — see ``pipelines/er.golden_records``."""
@@ -3749,6 +3875,8 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "grouped_sample": q_grouped_sample,
     "funnel": q_funnel,
+    "scd2_history": q_scd2_history,
+    "time_weighted_value": q_time_weighted_value,
     "zscore_normalize": q_zscore_normalize,
     "events_orders_outer": q_events_orders_outer,
     "pack_sequences": q_pack_sequences,
@@ -3827,6 +3955,8 @@ ORACLE_SQL = {
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "grouped_sample": SQL_GROUPED_SAMPLE,
     "funnel": SQL_FUNNEL,
+    "scd2_history": SQL_SCD2_HISTORY,
+    "time_weighted_value": SQL_TIME_WEIGHTED_VALUE,
     "zscore_normalize": SQL_ZSCORE_NORMALIZE,
     "events_orders_outer": SQL_EVENTS_ORDERS_OUTER,
     "pack_sequences": SQL_PACK_SEQUENCES,

@@ -127,3 +127,50 @@ def test_funnel_strict_ordering(ray_session, tmp_path):
     assert got["1_view"] == 4      # u1 u2 u3 u5
     assert got["2_click"] == 3     # u1 u2 u5
     assert got["3_purchase"] == 2  # u1 u5
+
+
+def test_time_weighted_value_edges(ray_session, tmp_path):
+    """Equal-timestamp events (deterministic event_id tiebreak,
+    zero-duration holding) and users whose TOTAL holding time is zero
+    (excluded — no 0/0) must match the SQL twin exactly."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_search_system_ray.pipelines.queries import (
+        SQL_TIME_WEIGHTED_VALUE,
+        q_time_weighted_value,
+    )
+
+    t0 = dt.datetime(2000, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # u1: normal holding windows
+        (1, 1, s(0), 10.00), (1, 2, s(60), 20.00), (1, 3, s(180), 5.00),
+        # u2: two events at the SAME instant then one later — the
+        # zero-duration pair contributes nothing, tiebreak by event_id
+        (2, 4, s(0), 100.00), (2, 5, s(0), 1.00), (2, 6, s(30), 7.00),
+        # u3: all events at one instant → total duration 0 → excluded
+        (3, 7, s(0), 5.00), (3, 8, s(0), 6.00),
+        # u4: single event → no holding window → excluded
+        (4, 9, s(0), 9.00),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    }), tmp_path / "events.parquet")
+
+    got = q_time_weighted_value(str(tmp_path)).to_pandas().sort_values(
+        "user_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(SQL_TIME_WEIGHTED_VALUE).fetch_df().sort_values(
+        "user_id").reset_index(drop=True)
+    assert got["user_id"].tolist() == exp["user_id"].astype("int64").tolist()
+    assert got["twa"].tolist() == exp["twa"].tolist()  # bit-identical
+    assert set(got["user_id"]) == {1, 2}  # u3/u4 excluded
