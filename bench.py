@@ -169,7 +169,8 @@ def run_bench() -> dict:
         "user_running_sum", "customer_order_stats", "kg_pagerank",
         "kg_components", "entity_link", "events_lag_delta", "tfidf_top_terms",
         "local_supplier_volume", "merge_upsert", "orders_bloom_semi",
-        "dq_checks",
+        "dq_checks", "er_golden_records", "heavy_hitters", "funnel",
+        "scd2_history", "copurchase_pairs",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         t0 = time.perf_counter()

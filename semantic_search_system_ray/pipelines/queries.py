@@ -3827,6 +3827,67 @@ GROUP BY user_id HAVING sum(nxt - sec) > 0
 """
 
 
+COPURCHASE_TOP_K = 20
+
+
+def q_copurchase_pairs(sf_dir: str):
+    """Market-basket co-occurrence: the top-20 part pairs most often
+    bought together in one order (the recommendation-candidate miner).
+
+    Scale shape: basket sizes are bounded (≤7 lineitems/order), so pair
+    expansion is O(rows·basket) — lineitems ride ONE coarse cogroup
+    keyed on order; inside each partition the pair generation is a
+    vectorized pandas SELF-MERGE on orderkey (p1 < p2, distinct parts
+    per order first), pre-counted per partition; the global groupby only
+    sees (pair, partial-count) rows. Top-k = (cnt DESC, part_a, part_b)
+    deterministic."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+    pair_schema = pa.schema(
+        [("part_a", pa.int64()), ("part_b", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def per_part(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates()  # distinct part per order
+        j = df.merge(df, on="l_orderkey")
+        j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+        if j.empty:
+            return pair_schema.empty_table()
+        agg = (
+            j.groupby(["l_partkey_x", "l_partkey_y"], sort=False)
+            .size().reset_index(name="cnt")
+        )
+        return pa.Table.from_pydict(
+            {"part_a": agg["l_partkey_x"].to_numpy(np.int64),
+             "part_b": agg["l_partkey_y"].to_numpy(np.int64),
+             "cnt": agg["cnt"].to_numpy(np.int64)},
+            schema=pair_schema,
+        )
+
+    pairs = coarse_partition_apply(ds, ["l_orderkey"], per_part, pair_schema)
+    counts = pairs.groupby(["part_a", "part_b"]).aggregate(
+        Sum("cnt", alias_name="cnt")
+    )
+    return counts.sort(
+        ["cnt", "part_a", "part_b"], descending=[True, False, False]
+    ).limit(COPURCHASE_TOP_K)
+
+
+SQL_COPURCHASE_PAIRS = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS cnt
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY cnt DESC, part_a, part_b LIMIT {COPURCHASE_TOP_K}
+"""
+
+
 def _er_golden_records(sf_dir: str):
     """Entity resolution end-to-end (blocking → verify → cluster →
     golden record) — see ``pipelines/er.golden_records``."""
@@ -3877,6 +3938,7 @@ QUERIES = {
     "funnel": q_funnel,
     "scd2_history": q_scd2_history,
     "time_weighted_value": q_time_weighted_value,
+    "copurchase_pairs": q_copurchase_pairs,
     "zscore_normalize": q_zscore_normalize,
     "events_orders_outer": q_events_orders_outer,
     "pack_sequences": q_pack_sequences,
@@ -3957,6 +4019,7 @@ ORACLE_SQL = {
     "funnel": SQL_FUNNEL,
     "scd2_history": SQL_SCD2_HISTORY,
     "time_weighted_value": SQL_TIME_WEIGHTED_VALUE,
+    "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "zscore_normalize": SQL_ZSCORE_NORMALIZE,
     "events_orders_outer": SQL_EVENTS_ORDERS_OUTER,
     "pack_sequences": SQL_PACK_SEQUENCES,
