@@ -70,6 +70,40 @@ def test_dq_report_matches_sql(ray_session, dirty_dir):
     assert v["customer_pk_dup"] == 1 and v["orders_pk_dup"] == 1
 
 
+def test_distinct_count_and_fk_violations_primitives(ray_session, dirty_dir):
+    """The standalone primitives (kept as public API next to the fused
+    key_domain_checks): exact COUNT DISTINCT excludes nulls; FK
+    violations count null child keys without shuffling them."""
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.dq import (
+        distinct_count,
+        fk_violations,
+    )
+
+    cust = rd.read_parquet(f"{dirty_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    assert distinct_count(cust, "c_custkey") == 4  # 1,2,3,4 (2 dup'd)
+
+    orders = rd.read_parquet(f"{dirty_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    # dangling 99 + null child key
+    assert fk_violations(orders, "o_custkey", cust, "c_custkey") == 2
+
+
+def test_key_domain_checks_matches_primitives(ray_session, dirty_dir):
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.dq import key_domain_checks
+
+    cust = rd.read_parquet(f"{dirty_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(f"{dirty_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    pk, viol = key_domain_checks(cust, "c_custkey", orders, "o_custkey")
+    assert (pk, viol) == (1, 2)
+
+
 def test_dq_report_clean_testdata(ray_session):
     """sf0.001 is clean: every check reports 0."""
     from semantic_search_system_ray.stages.dq import dq_report
