@@ -3870,12 +3870,46 @@ def q_copurchase_pairs(sf_dir: str):
         )
 
     pairs = coarse_partition_apply(ds, ["l_orderkey"], per_part, pair_schema)
-    counts = pairs.groupby(["part_a", "part_b"]).aggregate(
-        Sum("cnt", alias_name="cnt")
+
+    def count_part(df: pd.DataFrame) -> pa.Table:
+        # all partials of a pair land here → counts are FINAL; emit only
+        # this partition's local top-k (global top-k ⊆ union of local)
+        agg = (
+            df.groupby(["part_a", "part_b"], sort=False)["cnt"].sum()
+            .reset_index()
+        )
+        agg = agg.sort_values(
+            ["cnt", "part_a", "part_b"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(COPURCHASE_TOP_K)
+        return pa.Table.from_pydict(
+            {"part_a": agg["part_a"].to_numpy(np.int64),
+             "part_b": agg["part_b"].to_numpy(np.int64),
+             "cnt": agg["cnt"].to_numpy(np.int64)},
+            schema=pair_schema,
+        )
+
+    # pair-keyed cogroup finalizes counts; only P×k candidate rows reach
+    # the single-task final top-k — no global sort of the pair domain
+    local = coarse_partition_apply(
+        pairs, ["part_a", "part_b"], count_part, pair_schema
     )
-    return counts.sort(
-        ["cnt", "part_a", "part_b"], descending=[True, False, False]
-    ).limit(COPURCHASE_TOP_K)
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["cnt", "part_a", "part_b"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(COPURCHASE_TOP_K)
+        return pa.Table.from_pydict(
+            {"part_a": df["part_a"].to_numpy(np.int64),
+             "part_b": df["part_b"].to_numpy(np.int64),
+             "cnt": df["cnt"].to_numpy(np.int64)},
+            schema=pair_schema,
+        )
+
+    return local.repartition(1).map_batches(
+        final_topk, batch_format="pyarrow", batch_size=None
+    )
 
 
 SQL_COPURCHASE_PAIRS = f"""
