@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -3922,6 +3924,36 @@ ORDER BY cnt DESC, part_a, part_b LIMIT {COPURCHASE_TOP_K}
 """
 
 
+def q_compact_roundtrip(sf_dir: str):
+    """Small-file compaction + sink/readback on the HARD gate: write the
+    documents table to scratch parquet compacted into ~4 target files
+    (the lakehouse maintenance op that keeps file counts sane at scale),
+    read it back, and return the content columns — the driver's
+    rows/schema/hash compare then certifies the WRITE path end-to-end
+    (no row lost, duplicated, or corrupted by the layout change), which
+    the sink otherwise only gets from pytest.
+
+    Scale shape: compaction is a repartition to the target file count —
+    streaming, no driver materialization; at 100 TB you'd size
+    ``target_files`` from bytes (the runner's partitioned sink does) and
+    compact per partition directory, not globally."""
+    import shutil
+
+    out_dir = f"/tmp/compact_rt_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+    ds.repartition(4).write_parquet(out_dir)
+    return rd.read_parquet(out_dir)
+
+
+SQL_COMPACT_ROUNDTRIP = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
 def _er_golden_records(sf_dir: str):
     """Entity resolution end-to-end (blocking → verify → cluster →
     golden record) — see ``pipelines/er.golden_records``."""
@@ -3973,6 +4005,7 @@ QUERIES = {
     "scd2_history": q_scd2_history,
     "time_weighted_value": q_time_weighted_value,
     "copurchase_pairs": q_copurchase_pairs,
+    "compact_roundtrip": q_compact_roundtrip,
     "zscore_normalize": q_zscore_normalize,
     "events_orders_outer": q_events_orders_outer,
     "pack_sequences": q_pack_sequences,
@@ -4054,6 +4087,7 @@ ORACLE_SQL = {
     "scd2_history": SQL_SCD2_HISTORY,
     "time_weighted_value": SQL_TIME_WEIGHTED_VALUE,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
+    "compact_roundtrip": SQL_COMPACT_ROUNDTRIP,
     "zscore_normalize": SQL_ZSCORE_NORMALIZE,
     "events_orders_outer": SQL_EVENTS_ORDERS_OUTER,
     "pack_sequences": SQL_PACK_SEQUENCES,

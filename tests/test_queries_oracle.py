@@ -174,3 +174,19 @@ def test_time_weighted_value_edges(ray_session, tmp_path):
     assert got["user_id"].tolist() == exp["user_id"].astype("int64").tolist()
     assert got["twa"].tolist() == exp["twa"].tolist()  # bit-identical
     assert set(got["user_id"]) == {1, 2}  # u3/u4 excluded
+
+
+def test_compact_roundtrip_file_count(ray_session):
+    """Compaction actually compacts: the scratch sink holds the target
+    file count and the full row count survives the roundtrip."""
+    import os
+
+    from semantic_search_system_ray.pipelines.queries import (
+        q_compact_roundtrip,
+    )
+
+    ds = q_compact_roundtrip("/root/testdata/sf0.001")
+    assert ds.count() == 500
+    out_dir = "/tmp/compact_rt_sf0.001"
+    files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    assert 1 <= len(files) <= 4
