@@ -3954,6 +3954,186 @@ SELECT doc_id, lang, n_chars FROM documents
 """
 
 
+def q_table_checksum(sf_dir: str):
+    """Order-independent table content fingerprint — the anti-entropy /
+    replica-drift primitive: Σ md5_64(canonical row string) per table, a
+    COMMUTATIVE integer sum, so any partitioning, block order or
+    parallelism produces the identical checksum, and two 100 TB replicas
+    compare by exchanging one integer each.
+
+    Scale shape: per-block partial sums as arbitrary-precision Python
+    ints serialized to strings (the cov/corr partial pattern — Σ of
+    uint64 hashes overflows int64 fast), tree-combined; one row per
+    table. Oracle: DuckDB ``sum(md5_number_lower(...))`` HUGEINT cast to
+    VARCHAR."""
+    from semantic_search_system_ray.functions.hashing import md5_hash64
+
+    out_schema = pa.schema(
+        [("table_name", pa.string()), ("checksum", pa.string())]
+    )
+
+    def checksum_of(ds: rd.Dataset, row_strings) -> str:
+        part_schema = pa.schema([("s", pa.string())])
+
+        def partial(t: pa.Table) -> pa.Table:
+            total = sum(md5_hash64(s) for s in row_strings(t))
+            return pa.Table.from_pydict({"s": [str(total)]}, schema=part_schema)
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        return str(sum(int(r["s"]) for r in parts))
+
+    docs = rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def doc_rows(t: pa.Table):
+        return (
+            f"{i}|{la}|{n}"
+            for i, la, n in zip(t.column("doc_id").to_pylist(),
+                                t.column("lang").to_pylist(),
+                                t.column("n_chars").to_pylist())
+        )
+
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+
+    def order_rows(t: pa.Table):
+        return (
+            f"{k}|{c}|{p}"
+            for k, c, p in zip(t.column("o_orderkey").to_pylist(),
+                               t.column("o_custkey").to_pylist(),
+                               t.column("o_orderpriority").to_pylist())
+        )
+
+    return pa.Table.from_pydict(
+        {"table_name": ["documents", "orders"],
+         "checksum": [checksum_of(docs, doc_rows),
+                      checksum_of(orders, order_rows)]},
+        schema=out_schema,
+    )
+
+
+SQL_TABLE_CHECKSUM = """
+SELECT 'documents' AS table_name,
+       CAST(sum(md5_number_lower(
+         CAST(doc_id AS VARCHAR) || '|' || lang || '|'
+           || CAST(n_chars AS VARCHAR))) AS VARCHAR) AS checksum
+FROM documents
+UNION ALL
+SELECT 'orders',
+       CAST(sum(md5_number_lower(
+         CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+           || '|' || o_orderpriority)) AS VARCHAR)
+FROM orders
+"""
+
+
+def q_table_diff(sf_dir: str):
+    """Snapshot diff / change-data-feed generation: compare table
+    version A against version B and emit (key, added|removed|changed) —
+    the reverse of MERGE, what an incremental consumer reads. Version B
+    is derived deterministically from A (drop key%97, bump n_chars on
+    key%13, insert shifted copies of key%101) so the whole diff is
+    SQL-recomputable; swap B for a real second snapshot in production.
+
+    Scale shape: both versions tagged + unioned, ONE coarse cogroup on
+    the key, per-partition vectorized outer merge + payload compare —
+    only differing rows leave."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    a = rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+
+    union_schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()),
+         ("n_chars", pa.int64()), ("__b", pa.bool_())]
+    )
+
+    def tag_a(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("doc_id"), t.column("lang"), t.column("n_chars"),
+             pa.array([False] * t.num_rows)],
+            schema=union_schema,
+        )
+
+    def tag_b(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 97 != 0
+        bumped = t.column("n_chars").to_numpy(zero_copy_only=False) + (
+            ids % 13 == 0
+        ).astype(np.int64)
+        base = pa.Table.from_pydict(
+            {"doc_id": ids[keep],
+             "lang": t.column("lang").filter(pa.array(keep)),
+             "n_chars": bumped[keep],
+             "__b": pa.array([True] * int(keep.sum()))},
+            schema=union_schema,
+        )
+        ins = ids % 101 == 0
+        inserted = pa.Table.from_pydict(
+            {"doc_id": ids[ins] + 10_000_000,
+             "lang": t.column("lang").filter(pa.array(ins)),
+             "n_chars": t.column("n_chars").to_numpy(zero_copy_only=False)[ins],
+             "__b": pa.array([True] * int(ins.sum()))},
+            schema=union_schema,
+        )
+        return pa.concat_tables([base, inserted])
+
+    combined = a.map_batches(tag_a, batch_format="pyarrow").union(
+        a.map_batches(tag_b, batch_format="pyarrow")
+    )
+    out_schema = pa.schema([("doc_id", pa.int64()), ("change", pa.string())])
+
+    def per_part(df: pd.DataFrame) -> pa.Table:
+        av = df[~df["__b"]][["doc_id", "lang", "n_chars"]]
+        bv = df[df["__b"]][["doc_id", "lang", "n_chars"]]
+        m = av.merge(bv, on="doc_id", how="outer", suffixes=("_a", "_b"),
+                     indicator=True)
+        change = np.where(
+            m["_merge"] == "right_only", "added",
+            np.where(m["_merge"] == "left_only", "removed", "changed"),
+        )
+        same = (
+            (m["_merge"] == "both")
+            & (m["lang_a"] == m["lang_b"])
+            & (m["n_chars_a"] == m["n_chars_b"])
+        )
+        m = m[~same.to_numpy()]
+        change = change[~same.to_numpy()]
+        return pa.Table.from_pydict(
+            {"doc_id": m["doc_id"].to_numpy().astype(np.int64),
+             "change": pa.array(change.tolist(), pa.string())},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(combined, ["doc_id"], per_part, out_schema)
+
+
+SQL_TABLE_DIFF = """
+WITH b AS (
+  SELECT doc_id, lang,
+         n_chars + CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS n_chars
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, lang, n_chars FROM documents
+  WHERE doc_id % 101 = 0
+),
+a AS (SELECT doc_id, lang, n_chars FROM documents)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+   OR a.lang <> b.lang OR a.n_chars <> b.n_chars
+"""
+
+
 def _er_golden_records(sf_dir: str):
     """Entity resolution end-to-end (blocking → verify → cluster →
     golden record) — see ``pipelines/er.golden_records``."""
@@ -4006,6 +4186,8 @@ QUERIES = {
     "time_weighted_value": q_time_weighted_value,
     "copurchase_pairs": q_copurchase_pairs,
     "compact_roundtrip": q_compact_roundtrip,
+    "table_checksum": q_table_checksum,
+    "table_diff": q_table_diff,
     "zscore_normalize": q_zscore_normalize,
     "events_orders_outer": q_events_orders_outer,
     "pack_sequences": q_pack_sequences,
@@ -4088,6 +4270,8 @@ ORACLE_SQL = {
     "time_weighted_value": SQL_TIME_WEIGHTED_VALUE,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "compact_roundtrip": SQL_COMPACT_ROUNDTRIP,
+    "table_checksum": SQL_TABLE_CHECKSUM,
+    "table_diff": SQL_TABLE_DIFF,
     "zscore_normalize": SQL_ZSCORE_NORMALIZE,
     "events_orders_outer": SQL_EVENTS_ORDERS_OUTER,
     "pack_sequences": SQL_PACK_SEQUENCES,

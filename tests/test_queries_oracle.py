@@ -190,3 +190,50 @@ def test_compact_roundtrip_file_count(ray_session):
     out_dir = "/tmp/compact_rt_sf0.001"
     files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
     assert 1 <= len(files) <= 4
+
+
+def test_table_checksum_order_independent(ray_session, tmp_path):
+    """The anti-entropy checksum is layout-invariant: shuffled row order
+    and a different block count produce the identical fingerprint; one
+    flipped payload value changes it."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_search_system_ray.pipelines.queries import q_table_checksum
+
+    rng = np.random.RandomState(9)
+    n = 400
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array([["en", "de", "fr"][i % 3] for i in range(n)]),
+        "n_chars": pa.array(rng.randint(1, 999, n).tolist(), pa.int64()),
+        "text": pa.array(["x"] * n), "source": pa.array(["s"] * n),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array(range(50), pa.int64()),
+        "o_custkey": pa.array([i % 7 for i in range(50)], pa.int64()),
+        "o_orderpriority": pa.array([f"P{i % 3}" for i in range(50)]),
+    })
+    d1, d2 = tmp_path / "v1", tmp_path / "v2"
+    d1.mkdir(), d2.mkdir()
+    pq.write_table(docs, d1 / "documents.parquet")
+    pq.write_table(orders, d1 / "orders.parquet")
+    perm = rng.permutation(n).tolist()
+    pq.write_table(docs.take(perm), d2 / "documents.parquet",
+                   row_group_size=37)  # shuffled + different layout
+    pq.write_table(orders, d2 / "orders.parquet")
+
+    c1 = q_table_checksum(str(d1)).to_pandas().set_index("table_name")
+    c2 = q_table_checksum(str(d2)).to_pandas().set_index("table_name")
+    assert c1["checksum"].to_dict() == c2["checksum"].to_dict()
+
+    flipped = docs.set_column(
+        2, "n_chars",
+        pa.array([docs["n_chars"][0].as_py() + 1]
+                 + docs["n_chars"][1:].to_pylist(), pa.int64()),
+    )
+    pq.write_table(flipped, d2 / "documents.parquet")
+    c3 = q_table_checksum(str(d2)).to_pandas().set_index("table_name")
+    assert c3.loc["documents", "checksum"] != c1.loc["documents", "checksum"]
+    assert c3.loc["orders", "checksum"] == c1.loc["orders", "checksum"]
