@@ -4134,6 +4134,26 @@ WHERE a.doc_id IS NULL OR b.doc_id IS NULL
 """
 
 
+def q_dedup_spans(sf_dir: str):
+    """Span-level self-dedup applied (Lee et al.): emit each document's
+    CLEANED text with all cross-document duplicated 5-gram spans removed
+    — see ``stages/curation.remove_duplicated_spans``."""
+    from semantic_search_system_ray.stages.curation import (
+        remove_duplicated_spans,
+    )
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return remove_duplicated_spans(ds, n=5)
+
+
+def _sql_dedup_spans() -> str:
+    from semantic_search_system_ray.pipelines.text_oracles import (
+        sql_dedup_spans,
+    )
+
+    return sql_dedup_spans(5)
+
+
 def _er_golden_records(sf_dir: str):
     """Entity resolution end-to-end (blocking → verify → cluster →
     golden record) — see ``pipelines/er.golden_records``."""
@@ -4188,6 +4208,7 @@ QUERIES = {
     "compact_roundtrip": q_compact_roundtrip,
     "table_checksum": q_table_checksum,
     "table_diff": q_table_diff,
+    "dedup_spans": q_dedup_spans,
     "zscore_normalize": q_zscore_normalize,
     "events_orders_outer": q_events_orders_outer,
     "pack_sequences": q_pack_sequences,
@@ -4272,6 +4293,7 @@ ORACLE_SQL = {
     "compact_roundtrip": SQL_COMPACT_ROUNDTRIP,
     "table_checksum": SQL_TABLE_CHECKSUM,
     "table_diff": SQL_TABLE_DIFF,
+    "dedup_spans": _sql_dedup_spans(),
     "zscore_normalize": SQL_ZSCORE_NORMALIZE,
     "events_orders_outer": SQL_EVENTS_ORDERS_OUTER,
     "pack_sequences": SQL_PACK_SEQUENCES,

@@ -1207,3 +1207,44 @@ def sql_approx_distinct(p: int = 12) -> str:
         + "\nUNION ALL\n"
         + one("approx_distinct_event_types", "event_type")
     )
+
+
+def sql_dedup_spans(n: int) -> str:
+    """Oracle for stages/curation.remove_duplicated_spans: tokens covered
+    by any cross-document duplicated n-gram are removed; survivors
+    string_agg back in position order. Same token regex, gram slices and
+    ≥2-distinct-docs rule as the engine; docs with zero surviving tokens
+    produce no group on either side."""
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(ws) AS w,
+         unnest(range(0, len(ws))) AS pos
+  FROM toks
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(0, len(ws) - {n - 1})) AS pos,
+         unnest(list_transform(range(1, len(ws) - {n - 2}),
+            i -> array_to_string(ws[CAST(i AS INT):CAST(i + {n - 1} AS INT)],
+                                 ' '))) AS g
+  FROM toks WHERE len(ws) >= {n}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+cover AS (
+  SELECT DISTINCT gr.doc_id, gr.pos + r.o AS pos
+  FROM grams gr JOIN dup USING (g)
+  CROSS JOIN (SELECT unnest(range(0, {n})) AS o) r
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.w
+  FROM tok t LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.doc_id IS NULL
+)
+SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text
+FROM kept GROUP BY doc_id
+"""

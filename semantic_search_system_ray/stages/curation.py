@@ -317,3 +317,132 @@ def build_inverted_index(
     return coarse_partition_apply(
         ds.map_batches(pairs, batch_format="pyarrow"), ["term"], build, out_schema
     )
+
+
+def remove_duplicated_spans(
+    ds: rd.Dataset,
+    *,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Span-level self-dedup TRANSFORM (Lee et al. 2021 applied, not just
+    scored): REMOVE every token covered by a word n-gram that occurs in
+    ≥2 distinct documents, and emit the cleaned text — the actual
+    dedup-the-training-data operation downstream of
+    ``cross_doc_ngram_dups``'s signal.
+
+    Shape (two shuffles, both combiner-fed):
+    1. per doc: token rows (doc, pos, w) + ALL n-gram occurrence rows
+       (gram, doc, pos);
+    2. gram-keyed cogroup: a gram's full posting is partition-local, so
+       "≥2 distinct docs" decides there; flagged occurrences explode into
+       (doc, covered-pos) rows — n per occurrence, vectorized np.repeat;
+    3. doc-keyed cogroup: tokens anti-merged against cover positions,
+       survivors re-joined in position order.
+
+    Output (doc_id VARCHAR, clean_text): lowercased surviving tokens
+    joined by ' ' (both engine and oracle tokenize identically, so the
+    join is exact); docs whose every token is covered — or with no
+    tokens at all — emit no row, mirroring the SQL group-by."""
+    import numpy as np
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    gram_schema = pa.schema(
+        [("g", pa.string()), ("doc_id", pa.string()), ("pos", pa.int64())]
+    )
+    tok_schema = pa.schema(
+        [("doc_id", pa.string()), ("pos", pa.int64()), ("w", pa.string())]
+    )
+    cover_schema = pa.schema(
+        [("doc_id", pa.string()), ("pos", pa.int64())]
+    )
+    union_schema = pa.schema(
+        [("doc_id", pa.string()), ("pos", pa.int64()), ("w", pa.string())]
+    )
+    out_schema = pa.schema(
+        [("doc_id", pa.string()), ("clean_text", pa.string())]
+    )
+
+    def toks_of(batch: pa.Table):
+        for i, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            yield str(i), [w.lower() for w in tokenize(t or "")]
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        ids, poss, ws = [], [], []
+        for d, toks in toks_of(batch):
+            ids.extend([d] * len(toks))
+            poss.extend(range(len(toks)))
+            ws.extend(toks)
+        return pa.Table.from_pydict(
+            {"doc_id": ids, "pos": poss, "w": ws}, schema=tok_schema
+        )
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        gs, ids, poss = [], [], []
+        for d, toks in toks_of(batch):
+            for j in range(len(toks) - n + 1):
+                gs.append(" ".join(toks[j:j + n]))
+                ids.append(d)
+                poss.append(j)
+        return pa.Table.from_pydict(
+            {"g": gs, "doc_id": ids, "pos": poss}, schema=gram_schema
+        )
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow")
+
+    def per_gram(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return cover_schema.empty_table()
+        nd = df.groupby("g", sort=False)["doc_id"].transform("nunique")
+        hit = df[nd >= 2]
+        if hit.empty:
+            return cover_schema.empty_table()
+        ids = np.repeat(hit["doc_id"].to_numpy(), n)
+        pos = np.repeat(hit["pos"].to_numpy(np.int64), n) + np.tile(
+            np.arange(n, dtype=np.int64), len(hit)
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": ids.tolist(), "pos": pos}, schema=cover_schema
+        )
+
+    cover = coarse_partition_apply(
+        grams, ["g"], per_gram, cover_schema, num_partitions=num_partitions
+    )
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow")
+    combined = toks.union(
+        cover.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"doc_id": t.column("doc_id"), "pos": t.column("pos"),
+                 "w": pa.nulls(t.num_rows, pa.string())},  # null w = cover
+                schema=union_schema,
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def per_doc(df: pd.DataFrame) -> pa.Table:
+        tk = df[df["w"].notna()]
+        cv = df[df["w"].isna()][["doc_id", "pos"]].drop_duplicates()
+        if not cv.empty:
+            m = tk.merge(cv, on=["doc_id", "pos"], how="left", indicator=True)
+            tk = m[m["_merge"] == "left_only"]
+        if tk.empty:
+            return out_schema.empty_table()
+        tk = tk.sort_values(["doc_id", "pos"], kind="mergesort")
+        agg = tk.groupby("doc_id", sort=False)["w"].agg(" ".join).reset_index()
+        return pa.Table.from_pydict(
+            {"doc_id": agg["doc_id"], "clean_text": agg["w"]},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        combined, ["doc_id"], per_doc, out_schema,
+        num_partitions=num_partitions,
+    )

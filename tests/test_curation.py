@@ -150,3 +150,35 @@ def test_cross_doc_ngram_dups_ground_truth(ray_session):
     assert out["b"]["n_shared"] == 1
     assert (out["c"]["n_shared"], out["c"]["dup_frac"]) == (0, 0.0)
     assert (out["d"]["n_grams"], out["d"]["dup_frac"]) == (0, 0.0)
+
+
+def test_remove_duplicated_spans_ground_truth(ray_session):
+    """Planted cross-doc spans: exactly the covered tokens disappear,
+    within-doc-only repeats survive, fully-covered docs emit no row."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.curation import (
+        remove_duplicated_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon"  # the duplicated 5-gram
+    docs = {
+        1: f"intro words here {shared} outro tail",
+        2: f"{shared} different ending entirely now",
+        3: "unique text with no overlap at all present",
+        # 4: within-doc repeat only (one doc) → NOT removed
+        4: "rep rep rep rep rep rep rep rep rep",
+        5: shared,  # fully covered → no output row
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string()),
+    })).repartition(3)
+    got = remove_duplicated_spans(ds, n=5).to_pandas()
+    out = dict(zip(got["doc_id"], got["clean_text"]))
+    assert out["1"] == "intro words here outro tail"
+    assert out["2"] == "different ending entirely now"
+    assert out["3"] == docs[3]
+    assert out["4"] == docs[4]
+    assert "5" not in out and len(out) == 4
