@@ -85,18 +85,46 @@ def bloom_partial_batch(
     return pa.Table.from_pydict({"bm": pa.array([bits.tobytes()], pa.binary())})
 
 
+def _or_batch(t: pa.Table) -> pa.Table:
+    """OR a batch of partial bitmaps into one row (the tree-combine
+    step)."""
+    rows = t.column("bm").to_pylist()
+    out = np.frombuffer(rows[0], dtype=np.uint8).copy()
+    for b in rows[1:]:
+        out |= np.frombuffer(b, dtype=np.uint8)
+    return pa.Table.from_pydict({"bm": pa.array([out.tobytes()], pa.binary())})
+
+
+_OR_FAN_IN = 64
+
+
 def build_bloom(
     build: rd.Dataset, key: str, *, log2_bits: int = 23, nhash: int = 4
 ) -> "ray.ObjectRef":
     """Build-side key bitmap → one ``ray.put`` ObjectRef (broadcast once,
-    read zero-copy in every probe task)."""
+    read zero-copy in every probe task).
+
+    The partial bitmaps (one m/8-byte row per build block) are OR-merged
+    by a DISTRIBUTED fan-in-64 tree — at web scale the build side has
+    ~10^5-10^6 blocks, and a flat take_all would move #blocks × m/8
+    bytes (hundreds of GB at m=2^23) to the driver; the tree moves
+    ≤ 1/64 of that per level and the driver only ever sees ≤ 64 rows."""
     parts = build.map_batches(
         bloom_partial_batch,
         batch_format="pyarrow",
         fn_kwargs=dict(key=key, log2_bits=log2_bits, nhash=nhash),
-    ).take_all()
-    out = np.zeros((1 << log2_bits) >> 3, dtype=np.uint8)
-    for r in parts:
+    )
+    n = parts.count()
+    while n > _OR_FAN_IN:
+        parts = parts.repartition(
+            max(1, (n + _OR_FAN_IN - 1) // _OR_FAN_IN)
+        ).map_batches(_or_batch, batch_format="pyarrow", batch_size=None)
+        n = parts.count()
+    rows = parts.take_all()
+    if not rows:
+        return ray.put(np.zeros((1 << log2_bits) >> 3, dtype=np.uint8))
+    out = np.frombuffer(rows[0]["bm"], dtype=np.uint8).copy()
+    for r in rows[1:]:
         out |= np.frombuffer(r["bm"], dtype=np.uint8)
     return ray.put(out)
 

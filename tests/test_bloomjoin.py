@@ -116,3 +116,25 @@ def test_mix2x_h2_odd(nhash):
     h1, h2 = _mix2x(keys)
     assert (h2 & np.uint64(1)).all()
     assert len(np.unique(h1)) == len(keys)
+
+
+def test_build_bloom_forced_tree_or(ray_session, monkeypatch):
+    """With the OR fan-in forced tiny, the distributed bitmap reduction
+    runs multiple levels and still has zero false negatives."""
+    import ray
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages import bloomjoin as bj
+
+    monkeypatch.setattr(bj, "_OR_FAN_IN", 2)
+    members = list(range(0, 4000, 7))
+    build = rd.from_arrow(
+        pa.Table.from_pydict({"k": pa.array(members, pa.int64())})
+    ).repartition(9)
+    ref = bj.build_bloom(build, "k", log2_bits=16, nhash=3)
+    probe = rd.from_arrow(_probe_table(members + list(range(1, 4000, 7))))
+    kept = set(
+        bj.bloom_prefilter(probe, "k", ref, log2_bits=16, nhash=3)
+        .to_pandas()["k"]
+    )
+    assert set(members) <= kept
