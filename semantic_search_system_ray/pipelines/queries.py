@@ -3979,8 +3979,21 @@ def q_table_checksum(sf_dir: str):
             total = sum(md5_hash64(s) for s in row_strings(t))
             return pa.Table.from_pydict({"s": [str(total)]}, schema=part_schema)
 
-        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-        return str(sum(int(r["s"]) for r in parts))
+        def combine(t: pa.Table) -> pa.Table:
+            total = sum(int(s) for s in t.column("s").to_pylist())
+            return pa.Table.from_pydict({"s": [str(total)]}, schema=part_schema)
+
+        # fan-in tree over the per-block partials: the driver sees ≤ 64
+        # rows however many blocks the table has (same shape as
+        # bloomjoin/heavyhitters reductions)
+        parts = ds.map_batches(partial, batch_format="pyarrow")
+        n = parts.count()
+        while n > 64:
+            parts = parts.repartition(max(1, (n + 63) // 64)).map_batches(
+                combine, batch_format="pyarrow", batch_size=None
+            )
+            n = parts.count()
+        return str(sum(int(r["s"]) for r in parts.take_all()))
 
     docs = rd.read_parquet(
         _p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
