@@ -507,6 +507,31 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank_topk(pr, 20)
 
 
+def _q_kg_bfs(sf_dir: str):
+    """Multi-source BFS hop distance over the KG edge set
+    (stages/graph.bfs_hops): seeds = every HAS_TOPIC object (the topic
+    nodes), undirected edges, max 4 hops → (node_id, dist) = exact min
+    hop count. Scale-switched like pagerank/CC: driver numpy twin below
+    the edge threshold, distributed min-distance propagation above
+    (regimes parity-pytested in tests/test_graph.py). Oracle: bounded
+    recursive-CTE reachability min over the kg_triples SQL subquery."""
+    import pyarrow.compute as pc
+
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import bfs_hops
+
+    triples = _kg_triples(sf_dir).materialize()
+    seeds = triples.filter(
+        expr="pred == 'HAS_TOPIC'"
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node_id": pc.cast(t.column("obj"), pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    return bfs_hops(seeds, edges_from_triples(triples), max_hops=4)
+
+
 def _q_search_lexical(sf_dir: str):
     import pyarrow.compute as pc
     from semantic_search_system_ray.pipelines.search import search_lexical
@@ -615,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_adjacency": _q_kg_adjacency,
             "kg_degree": _q_kg_degree,
             "kg_pagerank": _q_kg_pagerank,
+            "kg_bfs": _q_kg_bfs,
             "kg_components": _q_kg_components,
             "kg_triangles": _q_kg_triangles,
             "kg_jaccard": _q_kg_jaccard,
@@ -703,6 +729,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_pagerank": tox.sql_kg_pagerank(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_bfs": tox.sql_kg_bfs(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_components": tox.sql_kg_components(

@@ -807,6 +807,40 @@ SELECT node_id, min(label) AS component FROM reach GROUP BY node_id
 """
 
 
+def sql_kg_bfs(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    max_hops: int = 4,
+) -> str:
+    """Oracle for stages/graph.bfs_hops over the KG edge set: exact
+    minimum hop distance from the topic seed set (every HAS_TOPIC
+    object) over the symmetrized edges, bounded at ``max_hops``. The
+    recursive CTE enumerates (node, dist) pairs — UNION dedups and dist
+    is bounded, so it terminates — and MIN-aggregates: precisely the
+    fixpoint of the engine's synchronous min-distance propagation.
+    Built over the kg_triples oracle subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH RECURSIVE t AS ({triples}),
+e0 AS (SELECT CAST(subj AS VARCHAR) AS src, CAST(obj AS VARCHAR) AS dst FROM t),
+es AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+seeds AS (
+  SELECT DISTINCT CAST(obj AS VARCHAR) AS node_id FROM t
+  WHERE pred = 'HAS_TOPIC'
+),
+reach(node_id, dist) AS (
+  SELECT node_id, 0 FROM seeds
+  UNION
+  SELECT es.dst, r.dist + 1
+  FROM reach r JOIN es ON es.src = r.node_id
+  WHERE r.dist < {max_hops}
+)
+SELECT node_id, CAST(min(dist) AS BIGINT) AS dist FROM reach GROUP BY node_id
+"""
+
+
 def sql_entity_link(entity_names: list[str]) -> str:
     """Oracle for the entity_link gate query (stages/entitylink via
     __ray_entry__._q_entity_link): distinct corpus word BIGRAMS linked at

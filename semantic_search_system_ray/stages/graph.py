@@ -722,3 +722,233 @@ def neighbor_jaccard_topk(
         .limit(k)
     )
     return pa.Table.from_pylist(out.take_all(), schema=JACCARD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance
+# ---------------------------------------------------------------------------
+
+BFS_SCHEMA = pa.schema([("node_id", pa.string()), ("dist", pa.int64())])
+BFS_DRIVER_EDGE_THRESHOLD = 2_000_000
+
+_BFS_CG_SCHEMA = pa.schema(
+    [("key", pa.string()), ("dst", pa.string()),
+     ("dist", pa.int64()), ("is_label", pa.bool_())]
+)
+_BFS_MSG_SCHEMA = pa.schema([("node_id", pa.string()), ("dist", pa.int64())])
+
+
+def _bfs_driver(
+    seeds: rd.Dataset, edges: rd.Dataset, max_hops: int,
+    src_col: str, dst_col: str,
+) -> rd.Dataset:
+    """Exact driver twin of the distributed propagation: factorized
+    endpoints + one frontier-expansion numpy pass per hop. Identical
+    output to the distributed path (min hop distance is unique — no
+    tie-break surface), parity pinned by tests/test_graph.py."""
+    import ray
+
+    edge_schema = pa.schema([(src_col, pa.string()), (dst_col, pa.string())])
+    parts = [
+        p.select([src_col, dst_col]).cast(edge_schema)
+        for p in ray.get(edges.select_columns([src_col, dst_col]).to_arrow_refs())
+        if p.num_rows > 0
+    ]
+    seed_vals = np.unique(
+        np.asarray(
+            [str(r["node_id"]) for r in seeds.take_all()], dtype=object
+        )
+    )
+    if not parts:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {"node_id": seed_vals,
+                 "dist": np.zeros(len(seed_vals), np.int64)},
+                schema=BFS_SCHEMA,
+            )
+        )
+    t = pa.concat_tables(parts)
+    src = _str(pc.cast(t.column(src_col), pa.string())).to_numpy(
+        zero_copy_only=False
+    )
+    dst = _str(pc.cast(t.column(dst_col), pa.string())).to_numpy(
+        zero_copy_only=False
+    )
+    nodes = np.unique(np.concatenate([src, dst, seed_vals]))
+    s_idx = np.searchsorted(nodes, src)
+    d_idx = np.searchsorted(nodes, dst)
+    sym_src = np.concatenate([s_idx, d_idx])
+    sym_dst = np.concatenate([d_idx, s_idx])
+    dist = np.full(len(nodes), -1, dtype=np.int64)
+    seed_idx = np.searchsorted(nodes, seed_vals)
+    dist[seed_idx] = 0
+    frontier = np.zeros(len(nodes), dtype=bool)
+    frontier[seed_idx] = True
+    for h in range(1, max_hops + 1):
+        cand = np.unique(sym_dst[frontier[sym_src]])
+        new = cand[dist[cand] < 0]
+        if len(new) == 0:
+            break
+        dist[new] = h
+        frontier[:] = False
+        frontier[new] = True
+    reached = dist >= 0
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"node_id": nodes[reached], "dist": dist[reached]},
+            schema=BFS_SCHEMA,
+        )
+    )
+
+
+def _bfs_emit_part(df: pd.DataFrame) -> pa.Table:
+    """One coarse partition of the dist⋃edge cogroup keyed by the edge
+    SOURCE: every reached key re-asserts its own distance and offers
+    dist+1 to each neighbor; unreached keys emit nothing (the asymmetry
+    vs CC's min-label kernel — BFS labels only exist once reached)."""
+    if df.empty:
+        return _BFS_MSG_SCHEMA.empty_table()
+    lab = df.loc[df["is_label"]].groupby("key", sort=False)["dist"].min()
+    if lab.empty:
+        return _BFS_MSG_SCHEMA.empty_table()
+    edges_part = df.loc[~df["is_label"]]
+    edge_lab = lab.reindex(edges_part["key"]).to_numpy()
+    m = ~np.isnan(edge_lab)
+    out_nodes = np.concatenate(
+        [lab.index.to_numpy(), edges_part["dst"].to_numpy()[m]]
+    )
+    out_dists = np.concatenate(
+        [lab.to_numpy().astype(np.int64), edge_lab[m].astype(np.int64) + 1]
+    )
+    return pa.Table.from_pydict(
+        {"node_id": out_nodes, "dist": out_dists}, schema=_BFS_MSG_SCHEMA
+    )
+
+
+def _bfs_min_part(df: pd.DataFrame) -> pa.Table:
+    if df.empty:
+        return _BFS_MSG_SCHEMA.empty_table()
+    g = df.groupby("node_id", sort=False)["dist"].min().reset_index()
+    return pa.Table.from_pandas(
+        g, schema=_BFS_MSG_SCHEMA, preserve_index=False
+    )
+
+
+def bfs_hops(
+    seeds: rd.Dataset,
+    edges: rd.Dataset,
+    *,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    driver_threshold: int = BFS_DRIVER_EDGE_THRESHOLD,
+) -> rd.Dataset:
+    """Multi-source BFS over an undirected view of ``edges``:
+    seeds(node_id) + edges(src, dst) → (node_id, dist) for every node
+    within ``max_hops`` hops of ANY seed (dist = exact minimum hop
+    count; seeds at 0, duplicate seed rows collapse via the min).
+
+    Same scale switch as pagerank/CC: edge sets at or below
+    ``driver_threshold`` take the exact numpy twin; larger graphs run
+    synchronous min-distance propagation — structurally CC's min-label
+    loop (stages/cc) with label = hop distance and messages offering
+    dist+1, one cogroup + one min-aggregate per round, labels bounded
+    to a fixed P blocks per round, checksum early-exit. Rounds are
+    bounded by ``max_hops``, so distances are final by construction
+    (round r settles exactly the ≤r-hop frontier). Hot high-degree
+    nodes are fine: the partition key is the node, per-round messages
+    are degree-bounded, and the min-aggregate is a per-block combine.
+    Null/absent endpoints follow the KG edge contract (non-null)."""
+    from semantic_search_system_ray.stages.cc import label_checksum
+    from semantic_search_system_ray.stages.util import _default_partitions
+
+    edges = edges.materialize()
+    if edges.count() <= driver_threshold:
+        return _bfs_driver(seeds, edges, max_hops, src_col, dst_col)
+
+    edges_sym = edges.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"src": pc.cast(t.column(src_col), pa.string()),
+             "dst": pc.cast(t.column(dst_col), pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    edges_sym = edges_sym.union(
+        edges_sym.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"src": t.column("dst"), "dst": t.column("src")}
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    labels = seeds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node_id": pc.cast(t.column("node_id"), pa.string()),
+             "dist": pa.array([0] * t.num_rows, pa.int64())},
+            schema=_BFS_MSG_SCHEMA,
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    P = _default_partitions(labels, edges_sym)
+
+    # duplicate seed rows must collapse even when no round runs
+    labels = (
+        coarse_partition_apply(
+            labels, ["node_id"], _bfs_min_part, _BFS_MSG_SCHEMA,
+            num_partitions=P,
+        )
+        .repartition(P)
+        .materialize()
+    )
+
+    def _labels_as_cg(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t.column("node_id"), pa.array([""] * n, pa.string()),
+             t.column("dist"), pa.array([True] * n)],
+            schema=_BFS_CG_SCHEMA,
+        )
+
+    def _edges_as_cg(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t.column("src"), t.column("dst"),
+             pa.array([0] * n, pa.int64()), pa.array([False] * n)],
+            schema=_BFS_CG_SCHEMA,
+        )
+
+    def _as_checksum_view(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"node": t.column("node_id"),
+             "label": pc.cast(t.column("dist"), pa.string())}
+        )
+
+    def _ck(ds: rd.Dataset) -> int:
+        return label_checksum(
+            ds.map_batches(_as_checksum_view, batch_format="pyarrow")
+        )
+
+    prev = _ck(labels)
+    for _ in range(max_hops):
+        combined = labels.map_batches(
+            _labels_as_cg, batch_format="pyarrow"
+        ).union(edges_sym.map_batches(_edges_as_cg, batch_format="pyarrow"))
+        messages = coarse_partition_apply(
+            combined, ["key"], _bfs_emit_part, _BFS_MSG_SCHEMA,
+            num_partitions=P,
+        )
+        labels = (
+            coarse_partition_apply(
+                messages, ["node_id"], _bfs_min_part, _BFS_MSG_SCHEMA,
+                num_partitions=P,
+            )
+            .repartition(P)
+            .materialize()
+        )
+        cur = _ck(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels
