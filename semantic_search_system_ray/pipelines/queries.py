@@ -3924,6 +3924,141 @@ ORDER BY cnt DESC, part_a, part_b LIMIT {COPURCHASE_TOP_K}
 """
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event sequences: for every
+    (previous event type → event type) adjacent pair, the global count
+    and the conditional probability P(next | prev) — the sequence-mining
+    primitive behind session modeling and next-action prediction.
+
+    Scale shape: coarse partitions route each user's rows together; per
+    partition ONE vectorized pass (mergesort + groupby.shift + pandas
+    value_counts) emits at most |types|² (≤25) partial rows, so only
+    P·25 lean rows ever leave the shuffle. The finish is a driver
+    groupby over that bounded set. The probability is the single
+    int→double divide mirrored by the oracle (n and the per-prev total
+    are exact integers on both sides)."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    part_schema = pa.schema(
+        [("prev_type", pa.string()), ("event_type", pa.string()),
+         ("n", pa.int64())]
+    )
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id", sort=False)["event_type"].shift(1)
+        m = prev.notna()
+        if not m.any():
+            return part_schema.empty_table()
+        c = (
+            pd.DataFrame(
+                {"prev_type": prev[m].to_numpy(),
+                 "event_type": df.loc[m, "event_type"].to_numpy()}
+            )
+            .groupby(["prev_type", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(c, schema=part_schema, preserve_index=False)
+
+    partials = coarse_partition_apply(ds, ["user_id"], pairs, part_schema)
+    agg = (
+        partials.to_pandas()
+        .groupby(["prev_type", "event_type"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    n = agg["n"].to_numpy(dtype=np.int64)
+    tot = agg.groupby("prev_type", sort=False)["n"].transform("sum").to_numpy(
+        dtype=np.int64
+    )
+    return pa.Table.from_pydict(
+        {"prev_type": agg["prev_type"].to_numpy(),
+         "event_type": agg["event_type"].to_numpy(),
+         "n": pa.array(n, pa.int64()),
+         "p": pa.array(
+             n.astype(np.float64) / tot.astype(np.float64), pa.float64()
+         )},
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       CAST(n AS DOUBLE)
+         / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM c
+"""
+
+
+def q_events_locf(sf_dir: str):
+    """Last-observation-carried-forward backfill: treating 'click' rows
+    as missing readings, every event carries the user's most recent
+    non-click value (NULL until the first reading) — the gap-fill /
+    telemetry-imputation primitive. Values pass through with NO
+    arithmetic, so doubles hash bit-identically to the oracle's
+    ``last_value(… IGNORE NULLS)`` window.
+
+    Scale shape: coarse partitions route each user's rows together; the
+    fill is ONE vectorized pass per partition (mergesort + pandas
+    C-level groupby.ffill)."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.string()), ("locf_value", pa.float64())]
+    )
+
+    def locf(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        reading = df["value"].where(df["event_type"].to_numpy() != "click")
+        filled = reading.groupby(df["user_id"].to_numpy(), sort=False).ffill()
+        return pa.Table.from_pydict(
+            {"event_id": df["event_id"].to_numpy(),
+             "user_id": df["user_id"].to_numpy(),
+             "ts": df["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+             "locf_value": pa.Array.from_pandas(filled, type=pa.float64())},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(ds, ["user_id"], locf, out_schema)
+
+
+SQL_EVENTS_LOCF = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       last_value(CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM events
+"""
+
+
 def q_compact_roundtrip(sf_dir: str):
     """Small-file compaction + sink/readback on the HARD gate: write the
     documents table to scratch parquet compacted into ~4 target files
@@ -4281,6 +4416,8 @@ QUERIES = {
     "distinct_segments": q_distinct_segments,
     "minmax_normalize": q_minmax_normalize,
     "dedup_exact": q_dedup_exact,
+    "event_transitions": q_event_transitions,
+    "events_locf": q_events_locf,
     "events_hourly": q_events_hourly,
     "token_count": q_token_count,
     "word_topk": q_word_topk,
@@ -4359,6 +4496,8 @@ ORACLE_SQL = {
     "distinct_segments": SQL_DISTINCT_SEGMENTS,
     "minmax_normalize": SQL_MINMAX_NORMALIZE,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "events_locf": SQL_EVENTS_LOCF,
     "events_hourly": SQL_EVENTS_HOURLY,
     "token_count": SQL_TOKEN_COUNT,
     "word_topk": SQL_WORD_TOPK,

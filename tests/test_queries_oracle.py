@@ -237,3 +237,94 @@ def test_table_checksum_order_independent(ray_session, tmp_path):
     c3 = q_table_checksum(str(d2)).to_pandas().set_index("table_name")
     assert c3.loc["documents", "checksum"] != c1.loc["documents", "checksum"]
     assert c3.loc["orders", "checksum"] == c1.loc["orders", "checksum"]
+
+
+def test_events_locf_leading_nulls_and_ties(ray_session, tmp_path):
+    """LOCF semantics pinned on a crafted log: clicks are 'missing' and
+    carry the last prior reading; a user whose first rows are clicks
+    stays NULL until the first reading; equal timestamps break by
+    event_id on both engine and oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_search_system_ray.pipelines.queries import (
+        SQL_EVENTS_LOCF,
+        q_events_locf,
+    )
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:01",
+         "2024-01-01 00:00:01", "2024-01-01 00:00:02",
+         "2024-01-01 00:00:00", "2024-01-01 00:00:03"]
+    )
+    tbl = pa.table({
+        "event_id": pa.array([1, 3, 2, 4, 10, 11], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7, 8, 8], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        # user 7: view(1.5) then tie at :01 — click(id 2) before
+        # view(id 3, 2.5) — then click; user 8: clicks only → all NULL
+        "event_type": pa.array(
+            ["view", "view", "click", "click", "click", "click"]
+        ),
+        "value": pa.array([1.5, 2.5, 99.0, 98.0, 97.0, 96.0], pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    got = (
+        q_events_locf(str(tmp_path)).to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    by_id = got.set_index("event_id")["locf_value"]
+    assert by_id[1] == 1.5
+    assert by_id[2] == 1.5      # tie at :01 → id 2 precedes the reading
+    assert by_id[3] == 2.5
+    assert by_id[4] == 2.5
+    assert pd.isna(by_id[10]) and pd.isna(by_id[11])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = (
+        con.execute(SQL_EVENTS_LOCF).fetchdf()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_event_transitions_counts_and_probs(ray_session, tmp_path):
+    """Transition counts pinned on a crafted log: single-event users
+    contribute nothing; probabilities sum to 1 per prev type; pairs
+    never leak across users."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_search_system_ray.pipelines.queries import q_event_transitions
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00", "2024-01-01 00:00:01", "2024-01-01 00:00:02",
+        "2024-01-01 00:00:00", "2024-01-01 00:00:01",
+        "2024-01-01 00:00:00",
+    ])
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        # u1: view->click->view ; u2: view->click ; u3: purchase (alone)
+        "event_type": pa.array(
+            ["view", "click", "view", "view", "click", "purchase"]
+        ),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    got = q_event_transitions(str(tmp_path)).to_pandas()
+    rows = {
+        (r.prev_type, r.event_type): (r.n, r.p) for r in got.itertuples()
+    }
+    assert rows[("view", "click")] == (2, 1.0)
+    assert rows[("click", "view")] == (1, 1.0)
+    assert len(rows) == 2  # no cross-user pair (click->view u1/u2 bleed)
+    per_prev = got.groupby("prev_type")["p"].sum()
+    assert (per_prev == 1.0).all()
