@@ -4059,6 +4059,241 @@ FROM events
 """
 
 
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — a correlated aggregate subquery DEcorrelated
+    into a self-join: yearly revenue lost if low-quantity lineitems
+    (quantity < 1/5 of the part's average) were dropped. The correlated
+    ``WHERE l_quantity < 0.2 * avg(...)`` is rewritten EXACTLY in
+    integers: q < sum_q/(5·cnt) ⇔ 5·q·cnt < sum_q — no FP in the
+    predicate, so the row set is bit-deterministic on both sides.
+
+    Scale shape: per-part (sum_q, cnt) stats via per-block Arrow
+    combiners → one small groupby (part-vocabulary-sized); stats attach
+    back onto the fact side with coarse_attach (broadcast plan when the
+    stats fit, hash cogroup otherwise); the filtered cents sum
+    tree-combines. Money rides as int64 cents (exact to ~1e11 rows);
+    ONE double cast + two mirrored divides at the finish."""
+    from semantic_search_system_ray.stages.util import coarse_attach
+
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        t2 = pa.Table.from_pydict(
+            {"l_partkey": t.column("l_partkey"),
+             "q": pc.cast(t.column("l_quantity"), pa.int64())}
+        )
+        return t2.group_by(["l_partkey"]).aggregate(
+            [("q", "sum"), ("q", "count")]
+        )
+
+    stats = (
+        li.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("q_sum", alias_name="sum_q"),
+                   Sum("q_count", alias_name="cnt"))
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"pk": t.column("l_partkey"),
+             "q": pc.cast(t.column("l_quantity"), pa.int64()),
+             "cents": pc.cast(
+                 pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+                 pa.int64(),
+             )}
+        )
+
+    joined_schema = pa.schema(
+        [("pk", pa.int64()), ("q", pa.int64()), ("cents", pa.int64()),
+         ("sum_q", pa.int64()), ("cnt", pa.int64())]
+    )
+    joined = coarse_attach(
+        li.map_batches(proj, batch_format="pyarrow"), stats,
+        left_key="pk", right_key="l_partkey",
+        attach_cols=["sum_q", "cnt"], out_schema=joined_schema,
+    )
+
+    def fsum(t: pa.Table) -> pa.Table:
+        keep = pc.less(
+            pc.multiply(
+                pc.multiply(t.column("q"), pa.scalar(5, pa.int64())),
+                t.column("cnt"),
+            ),
+            t.column("sum_q"),
+        )
+        s = pc.sum(pc.filter(t.column("cents"), keep))
+        return pa.Table.from_pydict(
+            {"s": pa.array([s.as_py() or 0], pa.int64())}
+        )
+
+    total = int(joined.map_batches(fsum, batch_format="pyarrow").sum("s") or 0)
+    return pa.Table.from_pydict(
+        {"avg_yearly": pa.array(
+            [np.float64(total) / 100.0 / 7.0], pa.float64()
+        )}
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH s AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sum_q,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(coalesce(
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) AS DOUBLE)
+       / 100.0 / 7.0 AS avg_yearly
+FROM lineitem l JOIN s USING (l_partkey)
+WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sum_q
+"""
+
+
+def q_events_daily_gapfill(sf_dir: str):
+    """Calendar densification: per (day × event type) counts with
+    explicit ZERO rows for every missing day in the global [min_day,
+    max_day] range — the gap-fill a time-series feature pipeline needs
+    before windowed models (missing ≠ absent). The distributed part is
+    one per-block (day, type) count combiner + a groupby over the
+    bounded day×type domain; the dense grid is derived driver-side from
+    that bounded result (days × |types| rows — calendar-sized, never
+    row-scale)."""
+    import pandas as pd
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.Table.from_pydict(
+            {"day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+             "event_type": t.column("event_type")}
+        )
+        return t2.group_by(["day", "event_type"]).aggregate([("day", "count")])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("day_count", alias_name="n"))
+        .to_pandas()
+    )
+    days = pd.date_range(
+        counts["day"].min(), counts["day"].max(), freq="D"
+    ).strftime("%Y-%m-%d")
+    types = sorted(counts["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [days, types], names=["day", "event_type"]
+    ).to_frame(index=False)
+    out = grid.merge(counts, on=["day", "event_type"], how="left")
+    return pa.Table.from_pydict(
+        {"day": out["day"].to_numpy(),
+         "event_type": out["event_type"].to_numpy(),
+         "n": pa.array(
+             out["n"].fillna(0).to_numpy(dtype=np.int64), pa.int64()
+         )}
+    )
+
+
+SQL_EVENTS_DAILY_GAPFILL = """
+WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+           FROM events),
+days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+         FROM b),
+types AS (SELECT DISTINCT event_type FROM events),
+c AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2)
+SELECT strftime(days.day, '%Y-%m-%d') AS day, types.event_type,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM days CROSS JOIN types
+LEFT JOIN c ON c.day = days.day AND c.event_type = types.event_type
+"""
+
+
+def _skyline_np(keys, dates, prices):
+    """Pareto frontier on (date: earlier-better, price: higher-better).
+    A row is dominated iff some row has date ≤ AND price ≥ with one
+    strict; exact (date, price) duplicates of a frontier point all
+    survive (neither dominates). One lexsort + per-date max + prefix
+    max — O(n log n), no pairwise work."""
+    order = np.lexsort((-prices, dates))
+    d, pr, k = dates[order], prices[order], keys[order]
+    if len(d) == 0:
+        return k, d, pr
+    newdate = np.r_[True, d[1:] != d[:-1]]
+    dmax = pr[newdate]
+    date_ids = np.cumsum(newdate) - 1
+    prefix = np.maximum.accumulate(dmax)
+    prevmax = np.r_[np.iinfo(np.int64).min, prefix[:-1]]
+    keep = (pr == dmax[date_ids]) & (pr > prevmax[date_ids])
+    return k[keep], d[keep], pr[keep]
+
+
+def q_orders_skyline(sf_dir: str):
+    """Skyline / Pareto-frontier query over orders on (order date:
+    earlier-better, total price: higher-better) — the multi-objective
+    'best tradeoffs' operator. The skyline of a union equals the
+    skyline of the blocks' skylines (dominance is transitive), so each
+    block reduces to its own frontier as a COMBINER and only those
+    survivors — frontier-sized, not row-scale — reach the driver
+    finish. Exact: no sampling, no cap; duplicates of a frontier point
+    all survive on both sides. Oracle: the independent NOT-EXISTS
+    dominance definition. Money as int64 cents; dates as int64 µs."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    part_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("d", pa.int64()), ("price_c", pa.int64())]
+    )
+
+    def block_sky(t: pa.Table) -> pa.Table:
+        d = pc.cast(
+            pc.cast(t.column("o_orderdate"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        pr = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        kk, dd, pp = _skyline_np(k, d, pr)
+        return pa.Table.from_pydict(
+            {"o_orderkey": kk, "d": dd, "price_c": pp}, schema=part_schema
+        )
+
+    surv = ds.map_batches(block_sky, batch_format="pyarrow").to_pandas()
+    kk, dd, pp = _skyline_np(
+        surv["o_orderkey"].to_numpy(), surv["d"].to_numpy(),
+        surv["price_c"].to_numpy(),
+    )
+    return pa.Table.from_pydict(
+        {"o_orderkey": pa.array(kk, pa.int64()),
+         "o_orderdate": pd.to_datetime(pd.Series(dd), unit="us").dt.strftime(
+             "%Y-%m-%d"
+         ).to_numpy(),
+         "o_totalprice": pa.array(
+             pp.astype(np.float64) / 100.0, pa.float64()
+         )}
+    )
+
+
+SQL_ORDERS_SKYLINE = """
+WITH o AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT y.o_orderkey, strftime(y.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       y.price_c / 100.0 AS o_totalprice
+FROM o y
+WHERE NOT EXISTS (
+  SELECT 1 FROM o x
+  WHERE x.o_orderdate <= y.o_orderdate AND x.price_c >= y.price_c
+    AND (x.o_orderdate < y.o_orderdate OR x.price_c > y.price_c)
+)
+"""
+
+
 def q_compact_roundtrip(sf_dir: str):
     """Small-file compaction + sink/readback on the HARD gate: write the
     documents table to scratch parquet compacted into ~4 target files
@@ -4418,6 +4653,9 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "event_transitions": q_event_transitions,
     "events_locf": q_events_locf,
+    "small_qty_revenue": q_small_qty_revenue,
+    "events_daily_gapfill": q_events_daily_gapfill,
+    "orders_skyline": q_orders_skyline,
     "events_hourly": q_events_hourly,
     "token_count": q_token_count,
     "word_topk": q_word_topk,
@@ -4498,6 +4736,9 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "events_locf": SQL_EVENTS_LOCF,
+    "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+    "events_daily_gapfill": SQL_EVENTS_DAILY_GAPFILL,
+    "orders_skyline": SQL_ORDERS_SKYLINE,
     "events_hourly": SQL_EVENTS_HOURLY,
     "token_count": SQL_TOKEN_COUNT,
     "word_topk": SQL_WORD_TOPK,

@@ -328,3 +328,102 @@ def test_event_transitions_counts_and_probs(ray_session, tmp_path):
     assert len(rows) == 2  # no cross-user pair (click->view u1/u2 bleed)
     per_prev = got.groupby("prev_type")["p"].sum()
     assert (per_prev == 1.0).all()
+
+
+def test_skyline_bruteforce_parity_and_ties(ray_session, tmp_path):
+    """_skyline_np vs the O(n²) dominance definition on a random set
+    plus crafted ties: duplicate frontier points all survive; the
+    blockwise combiner (skyline of skylines) equals the global skyline
+    at any block layout."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_search_system_ray.pipelines.queries import (
+        _skyline_np,
+        q_orders_skyline,
+    )
+
+    rng = random.Random(3)
+    n = 300
+    dates = np.array([rng.randrange(0, 40) for _ in range(n)], np.int64)
+    prices = np.array([rng.randrange(0, 50) * 100 for _ in range(n)], np.int64)
+    # force exact duplicates of one likely-frontier point
+    dates[5] = dates[6] = dates.min()
+    prices[5] = prices[6] = prices.max()
+    keys = np.arange(n, dtype=np.int64)
+
+    def dominated(i):
+        return any(
+            dates[j] <= dates[i] and prices[j] >= prices[i]
+            and (dates[j] < dates[i] or prices[j] > prices[i])
+            for j in range(n)
+        )
+
+    want = {int(k) for k in keys if not dominated(k)}
+    kk, _, _ = _skyline_np(keys, dates, prices)
+    assert set(kk.tolist()) == want
+    assert {5, 6} <= want  # both duplicates survive
+
+    # end-to-end through the query at two block layouts
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(dates, unit="D")
+    tbl = pa.table({
+        "o_orderkey": pa.array(keys, pa.int64()),
+        "o_orderdate": pa.array(ts, pa.timestamp("us")),
+        "o_totalprice": pa.array(prices.astype(np.float64) / 100.0),
+    })
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    got = q_orders_skyline(str(tmp_path))
+    assert set(got.column("o_orderkey").to_pylist()) == want
+
+
+def test_gapfill_emits_zero_days(ray_session, tmp_path):
+    """Days with no events inside the global range appear with n=0 for
+    every type; days outside the range do not appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_search_system_ray.pipelines.queries import (
+        q_events_daily_gapfill,
+    )
+
+    ts = pd.to_datetime(
+        ["2024-01-01 05:00", "2024-01-01 06:00", "2024-01-04 07:00"]
+    )
+    tbl = pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(["view", "click", "view"]),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = q_events_daily_gapfill(str(tmp_path)).to_pandas()
+    # 4 days x 2 types
+    assert len(got) == 8
+    z = got.set_index(["day", "event_type"])["n"]
+    assert z[("2024-01-02", "view")] == 0
+    assert z[("2024-01-03", "click")] == 0
+    assert z[("2024-01-01", "view")] == 1
+    assert z[("2024-01-04", "view")] == 1
+    assert got["n"].sum() == 3
+
+
+def test_small_qty_revenue_integer_predicate(ray_session, tmp_path):
+    """The decorrelated predicate is the exact integer rewrite
+    5·q·cnt < sum_q — pinned on a crafted part where q = avg/5 exactly
+    (must be EXCLUDED: strict less) and one just below (included)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_search_system_ray.pipelines.queries import q_small_qty_revenue
+
+    # part 1: quantities 5,45 -> avg 25, threshold 5 -> q=5 excluded
+    # part 2: quantities 4,46 -> avg 25, threshold 5 -> q=4 included
+    tbl = pa.table({
+        "l_partkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_quantity": pa.array([5.0, 45.0, 4.0, 46.0]),
+        "l_extendedprice": pa.array([10.00, 20.00, 40.00, 80.00]),
+    })
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    got = q_small_qty_revenue(str(tmp_path))
+    assert got.column("avg_yearly").to_pylist() == [40.00 / 7.0]
