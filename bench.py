@@ -170,7 +170,8 @@ def run_bench() -> dict:
         "kg_components", "entity_link", "events_lag_delta", "tfidf_top_terms",
         "local_supplier_volume", "merge_upsert", "orders_bloom_semi",
         "dq_checks", "er_golden_records", "heavy_hitters", "funnel",
-        "scd2_history", "copurchase_pairs",
+        "scd2_history", "copurchase_pairs", "dedup_spans", "kg_bfs",
+        "small_qty_revenue", "orders_skyline", "event_transitions",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         t0 = time.perf_counter()

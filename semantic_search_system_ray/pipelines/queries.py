@@ -4089,11 +4089,16 @@ def q_small_qty_revenue(sf_dir: str):
             [("q", "sum"), ("q", "count")]
         )
 
+    # materialized: the stats are part-vocabulary-bounded, and a known
+    # size lets coarse_attach pick its zero-shuffle broadcast plan (an
+    # unexecuted groupby estimates None → needless shuffle; measured
+    # 9.6 s → re-timed after this change in BASELINE.md)
     stats = (
         li.map_batches(stats_partial, batch_format="pyarrow")
         .groupby("l_partkey")
         .aggregate(Sum("q_sum", alias_name="sum_q"),
                    Sum("q_count", alias_name="cnt"))
+        .materialize()
     )
 
     def proj(t: pa.Table) -> pa.Table:
@@ -4291,6 +4296,86 @@ WHERE NOT EXISTS (
   WHERE x.o_orderdate <= y.o_orderdate AND x.price_c >= y.price_c
     AND (x.o_orderdate < y.o_orderdate OR x.price_c > y.price_c)
 )
+"""
+
+
+def q_centroid_by_label(sf_dir: str):
+    """Per-label embedding centroid (long format: label, dim, value) —
+    the vector-aggregation primitive behind IVF/k-means training and
+    class prototypes. Exactness: each float32 component is scaled by
+    1e6 on the IDENTICAL double product and rounded half-away-from-zero
+    on both sides (DuckDB ``round`` mirrored by trunc(x + copysign(.5))
+    — exact for |x| « 2^52), summed as int64 (safe to ~9e12 rows per
+    (label, dim) at |v| ≤ 1), finished with one mirrored double-divide
+    chain. Scale shape: per-block partials are |labels|·dim lean rows
+    (zero-copy Arrow list flatten → one np.add.at pass); the global
+    groupby runs over that bounded domain, never row-scale."""
+    import pandas as pd
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["label", "embedding"])
+    part_schema = pa.schema(
+        [("label", pa.int64()), ("dim", pa.int64()),
+         ("s", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        col = t.column("embedding").combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0)
+        dim = len(col[0])
+        mat = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        ).reshape(t.num_rows, dim)
+        x = mat * 1_000_000.0
+        scaled = np.trunc(x + np.copysign(0.5, x)).astype(np.int64)
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), np.int64)
+        np.add.at(sums, inv, scaled)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        L = len(uniq)
+        return pa.Table.from_pydict(
+            {"label": np.repeat(uniq, dim),
+             "dim": np.tile(np.arange(dim, dtype=np.int64), L),
+             "s": sums.reshape(-1),
+             "cnt": np.repeat(cnts, dim)},
+            schema=part_schema,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("cnt", alias_name="n"))
+        .to_pandas()
+    )
+    return pa.Table.from_pydict(
+        {"label": pa.array(agg["label"].to_numpy(np.int64), pa.int64()),
+         "dim": pa.array(agg["dim"].to_numpy(np.int64), pa.int64()),
+         "centroid": pa.array(
+             agg["s"].to_numpy(np.int64).astype(np.float64)
+             / 1_000_000.0
+             / agg["n"].to_numpy(np.int64).astype(np.float64),
+             pa.float64(),
+         )},
+    )
+
+
+SQL_CENTROID_BY_LABEL = """
+WITH u AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS s
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(sum(s) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)
+         AS centroid
+FROM u GROUP BY label, dim
 """
 
 
@@ -4656,6 +4741,7 @@ QUERIES = {
     "small_qty_revenue": q_small_qty_revenue,
     "events_daily_gapfill": q_events_daily_gapfill,
     "orders_skyline": q_orders_skyline,
+    "centroid_by_label": q_centroid_by_label,
     "events_hourly": q_events_hourly,
     "token_count": q_token_count,
     "word_topk": q_word_topk,
@@ -4739,6 +4825,7 @@ ORACLE_SQL = {
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "events_daily_gapfill": SQL_EVENTS_DAILY_GAPFILL,
     "orders_skyline": SQL_ORDERS_SKYLINE,
+    "centroid_by_label": SQL_CENTROID_BY_LABEL,
     "events_hourly": SQL_EVENTS_HOURLY,
     "token_count": SQL_TOKEN_COUNT,
     "word_topk": SQL_WORD_TOPK,
