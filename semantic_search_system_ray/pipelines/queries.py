@@ -4379,6 +4379,163 @@ FROM u GROUP BY label, dim
 """
 
 
+OHLC_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour resample window
+
+
+def q_events_ohlc(sf_dir: str):
+    """Time-series resample: per (user, 6-hour bucket) OHLC —
+    open/high/low/close + count — the telemetry/market downsampling
+    primitive. Fully TWO-PHASE (no per-user partitioning needed):
+    each block reduces to one partial row per (user, bucket) carrying
+    its extreme (ts, event_id) endpoints, and partials merge in one
+    coarse cogroup via argmin/argmax on those endpoints — open/close
+    are PICKS (no arithmetic), so doubles hash bit-identically to the
+    oracle's row_number windows. Bucket alignment is epoch-floored
+    µs // W (6 h divides a day, so it matches DuckDB time_bucket's
+    2000-01-01 origin). Ties on equal timestamps break by event_id on
+    both sides."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    part_schema = pa.schema(
+        [("user_id", pa.int64()), ("b", pa.int64()), ("n", pa.int64()),
+         ("open", pa.float64()), ("close", pa.float64()),
+         ("high", pa.float64()), ("low", pa.float64()),
+         ("ts_min", pa.int64()), ("eid_min", pa.int64()),
+         ("ts_max", pa.int64()), ("eid_max", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        us = pc.cast(
+            pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame(
+            {"user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+             "b": (us // OHLC_BUCKET_US) * OHLC_BUCKET_US,
+             "ts": us,
+             "eid": t.column("event_id").to_numpy(zero_copy_only=False),
+             "v": t.column("value").to_numpy(zero_copy_only=False)}
+        ).sort_values(["user_id", "b", "ts", "eid"], kind="mergesort")
+        g = d.groupby(["user_id", "b"], sort=False)
+        part = g.agg(
+            n=("v", "size"), open=("v", "first"), close=("v", "last"),
+            high=("v", "max"), low=("v", "min"),
+            ts_min=("ts", "first"), eid_min=("eid", "first"),
+            ts_max=("ts", "last"), eid_max=("eid", "last"),
+        ).reset_index()
+        return pa.Table.from_pandas(part, schema=part_schema,
+                                    preserve_index=False)
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("bucket", pa.string()), ("n", pa.int64()),
+         ("open", pa.float64()), ("high", pa.float64()),
+         ("low", pa.float64()), ("close", pa.float64())]
+    )
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        k = ["user_id", "b"]
+        a = (
+            df.sort_values(k + ["ts_min", "eid_min"], kind="mergesort")
+            .groupby(k, sort=False)
+            .agg(open=("open", "first"), high=("high", "max"),
+                 low=("low", "min"), n=("n", "sum"))
+        )
+        c = (
+            df.sort_values(
+                k + ["ts_max", "eid_max"],
+                ascending=[True, True, False, False], kind="mergesort",
+            )
+            .groupby(k, sort=False)["close"].first()
+        )
+        a = a.join(c).reset_index()
+        return pa.Table.from_pydict(
+            {"user_id": a["user_id"].to_numpy(),
+             "bucket": pd.to_datetime(a["b"], unit="us").dt.strftime(
+                 "%Y-%m-%d %H:%M:%S"
+             ).to_numpy(),
+             "n": a["n"].to_numpy(dtype=np.int64),
+             "open": a["open"].to_numpy(), "high": a["high"].to_numpy(),
+             "low": a["low"].to_numpy(), "close": a["close"].to_numpy()},
+            schema=out_schema,
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return coarse_partition_apply(partials, ["user_id", "b"], merge, out_schema)
+
+
+SQL_EVENTS_OHLC = """
+WITH b AS (
+  SELECT user_id, time_bucket(INTERVAL 6 HOUR, ts) AS bucket,
+         ts, event_id, value
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*) AS n,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close
+FROM r GROUP BY user_id, bucket
+"""
+
+
+def q_orders_unpivot(sf_dir: str):
+    """UNPIVOT / melt (the reshape complement of q_orders_pivot): wide
+    order measures → long (key, name, value) rows. Embarrassingly
+    parallel — one zero-shuffle map_batches that interleaves the
+    measure columns; values pass through with no arithmetic beyond the
+    same int→double cast the oracle applies."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice", "o_custkey"]
+    )
+    out_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("name", pa.string()),
+         ("value", pa.float64())]
+    )
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        tp = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        return pa.Table.from_pydict(
+            {"o_orderkey": np.concatenate([k, k]),
+             "name": np.concatenate(
+                 [np.repeat("totalprice", n), np.repeat("custkey", n)]
+             ),
+             "value": np.concatenate([tp, ck])},
+            schema=out_schema,
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+SQL_ORDERS_UNPIVOT = """
+SELECT o_orderkey, name, value FROM (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
+         CAST(o_custkey AS DOUBLE) AS custkey
+  FROM orders)
+UNPIVOT (value FOR name IN (totalprice, custkey))
+"""
+
+
 def q_compact_roundtrip(sf_dir: str):
     """Small-file compaction + sink/readback on the HARD gate: write the
     documents table to scratch parquet compacted into ~4 target files
@@ -4742,6 +4899,8 @@ QUERIES = {
     "events_daily_gapfill": q_events_daily_gapfill,
     "orders_skyline": q_orders_skyline,
     "centroid_by_label": q_centroid_by_label,
+    "events_ohlc": q_events_ohlc,
+    "orders_unpivot": q_orders_unpivot,
     "events_hourly": q_events_hourly,
     "token_count": q_token_count,
     "word_topk": q_word_topk,
@@ -4826,6 +4985,8 @@ ORACLE_SQL = {
     "events_daily_gapfill": SQL_EVENTS_DAILY_GAPFILL,
     "orders_skyline": SQL_ORDERS_SKYLINE,
     "centroid_by_label": SQL_CENTROID_BY_LABEL,
+    "events_ohlc": SQL_EVENTS_OHLC,
+    "orders_unpivot": SQL_ORDERS_UNPIVOT,
     "events_hourly": SQL_EVENTS_HOURLY,
     "token_count": SQL_TOKEN_COUNT,
     "word_topk": SQL_WORD_TOPK,

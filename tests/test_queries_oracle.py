@@ -427,3 +427,49 @@ def test_small_qty_revenue_integer_predicate(ray_session, tmp_path):
     pq.write_table(tbl, tmp_path / "lineitem.parquet")
     got = q_small_qty_revenue(str(tmp_path))
     assert got.column("avg_yearly").to_pylist() == [40.00 / 7.0]
+
+
+@pytest.mark.parametrize("n_blocks", [1, 5])
+def test_events_ohlc_cross_block_and_ties(ray_session, tmp_path, n_blocks):
+    """The OHLC combiner must pick the same open/close when a (user,
+    bucket) group is split across blocks, and equal-timestamp ties must
+    break by event_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from semantic_search_system_ray.pipelines.queries import (
+        OHLC_BUCKET_US,
+        q_events_ohlc,
+    )
+
+    ts = pd.to_datetime(
+        ["2024-01-01 01:00", "2024-01-01 01:00",   # tie: ids 2 < 5
+         "2024-01-01 03:00", "2024-01-01 05:59",
+         "2024-01-01 05:59",                        # tie at close: 9 > 7
+         "2024-01-01 07:00"]                        # next bucket
+    )
+    tbl = pa.table({
+        "event_id": pa.array([5, 2, 3, 7, 9, 11], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 1, 1], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array([50.0, 20.0, 30.0, 70.0, 90.0, 11.0]),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    if n_blocks > 1:
+        # tiny row groups let Ray split the single file into multiple
+        # blocks, so the (user, bucket) group genuinely spans partials
+        pq.write_table(tbl, tmp_path / "events.parquet", row_group_size=2)
+
+    got = q_events_ohlc(str(tmp_path)).to_pandas().sort_values(
+        "bucket"
+    ).reset_index(drop=True)
+    b0 = got.iloc[0]
+    assert b0["n"] == 5
+    assert b0["open"] == 20.0      # id 2 wins the 01:00 tie
+    assert b0["close"] == 90.0     # id 9 wins the 05:59 tie
+    assert b0["high"] == 90.0 and b0["low"] == 20.0
+    b1 = got.iloc[1]
+    assert (b1["n"], b1["open"], b1["close"]) == (1, 11.0, 11.0)
