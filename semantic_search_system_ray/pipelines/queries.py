@@ -4817,7 +4817,438 @@ WHERE op IS NULL OR op = 'U'
 """
 
 
+def q_late_suppliers(sf_dir: str):
+    """TPC-H Q21 shape — DOUBLE correlated quantifier (EXISTS + NOT
+    EXISTS against the same fact table) DEcorrelated into per-order
+    aggregates: suppliers that were the SOLE late supplier (shipdate >
+    orderdate + 60 days) in a multi-supplier order, counted per late
+    LINE (the classic Q21 count), top-20 by (numwait DESC, s_name).
+
+    Decorrelation: both quantifiers collapse to two per-order distinct
+    counts — ``EXISTS(other supplier)`` ⇔ n_supp > 1 and ``NOT
+    EXISTS(other late supplier)`` ⇔ n_late_supp = 1 ∧ this supplier
+    late — computed in ONE order-keyed coarse cogroup, fully
+    vectorized. The date predicate is exact int64 microseconds (no FP).
+
+    Scale shape: orders' dates attach onto lineitem via coarse_attach
+    (planner picks broadcast when orders fit, hash cogroup otherwise);
+    one order-keyed shuffle whose partition fn emits per-supplier
+    PARTIAL counts (supplier-vocabulary-bounded rows leave each
+    partition); the final groupby + name attach + top-20 sort run over
+    |suppliers| rows, never line-scale."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import (
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    LATE_US = 60 * 86400 * 1_000_000  # 60 days in microseconds
+
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"o_orderkey": t.column("o_orderkey"),
+             "odate_us": pc.cast(
+                 pc.cast(t.column("o_orderdate"), pa.timestamp("us")), pa.int64()
+             )}
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # known size → coarse_attach can pick broadcast
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"l_orderkey": t.column("l_orderkey"),
+             "l_suppkey": t.column("l_suppkey"),
+             "ship_us": pc.cast(
+                 pc.cast(t.column("l_shipdate"), pa.timestamp("us")), pa.int64()
+             )}
+        )
+
+    joined = coarse_attach(
+        li.map_batches(proj, batch_format="pyarrow"), orders,
+        left_key="l_orderkey", right_key="o_orderkey",
+        attach_cols=["odate_us"],
+        out_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("ship_us", pa.int64()), ("odate_us", pa.int64())]
+        ),
+    )
+
+    part_schema = pa.schema(
+        [("s_suppkey", pa.int64()), ("w", pa.int64())]
+    )
+
+    def per_order(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        late = df["ship_us"].to_numpy() > (df["odate_us"].to_numpy() + LATE_US)
+        n_supp = df.groupby("l_orderkey")["l_suppkey"].nunique()
+        ldf = df[late]
+        if ldf.empty:
+            return part_schema.empty_table()
+        n_late = ldf.groupby("l_orderkey")["l_suppkey"].nunique()
+        ok = n_late.index[(n_late == 1) & (n_supp.reindex(n_late.index) > 1)]
+        blamed = ldf[ldf["l_orderkey"].isin(ok)]
+        cnt = blamed.groupby("l_suppkey").size()
+        return pa.Table.from_pydict(
+            {"s_suppkey": pa.array(cnt.index.to_numpy(), pa.int64()),
+             "w": pa.array(cnt.to_numpy(), pa.int64())},
+            schema=part_schema,
+        )
+
+    partials = coarse_partition_apply(joined, ["l_orderkey"], per_order, part_schema)
+    counts = partials.groupby("s_suppkey").aggregate(Sum("w", alias_name="numwait"))
+
+    names = rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    named = coarse_attach(
+        counts, names, left_key="s_suppkey", right_key="s_suppkey",
+        attach_cols=["s_name"],
+        out_schema=pa.schema(
+            [("s_suppkey", pa.int64()), ("numwait", pa.int64()),
+             ("s_name", pa.string())]
+        ),
+    )
+    return (
+        named.select_columns(["s_name", "numwait"])
+        .sort(["numwait", "s_name"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_LATE_SUPPLIERS = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q_events_mad(sf_dir: str):
+    """Per-group robust statistics: median and MEDIAN ABSOLUTE DEVIATION
+    of event value per event_type — the outlier-resistant spread metric
+    feature pipelines use where stddev is skew-poisoned. EXACT at any
+    scale with NO global sort: two bounded-cardinality integer-histogram
+    passes (the events_quantiles trick). Medians of even counts are kept
+    as INTEGER middle-pair sums (m2 = lo+hi cents, m4 = lo+hi
+    half-cent deviations) so the only float ops are the two final
+    divides, mirrored verbatim in the oracle.
+
+    Pass 1: per-block (type, cents) histograms → global groupby over
+    the value domain → per-type m2. Pass 2: deviations d2 = |2·cents −
+    m2| (broadcast per-type m2 dict) histogrammed the same way → m4.
+    Driver work is domain-bounded, never row-scale."""
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        t2 = pa.Table.from_pydict({"g": t.column("event_type"), "cell": cents})
+        out = t2.group_by(["g", "cell"]).aggregate([("cell", "count")])
+        return out.rename_columns(["g", "cell", "n"])
+
+    def middle_pair_sum(rows: list) -> dict:
+        """group → (n, lo+hi middle-cell sum) from (g, cell, n) rows."""
+        by_g: dict = {}
+        for r in rows:
+            by_g.setdefault(r["g"], []).append((r["cell"], r["sum(n)"]))
+        out = {}
+        for g, pairs in by_g.items():
+            cells = np.array([c for c, _ in pairs], dtype=np.int64)
+            counts = np.array([n for _, n in pairs], dtype=np.int64)
+            order = np.argsort(cells)
+            cells, counts = cells[order], counts[order]
+            cum = np.cumsum(counts)
+            n = int(cum[-1])
+            lo = int(cells[np.searchsorted(cum, (n + 1) // 2, side="left")])
+            hi = int(cells[np.searchsorted(cum, n // 2 + 1, side="left")])
+            out[g] = (n, lo + hi)
+        return out
+
+    m2_by_g = middle_pair_sum(
+        ev.map_batches(hist, batch_format="pyarrow")
+        .groupby(["g", "cell"]).sum("n").take_all()
+    )
+    m2_ref = ray.put({g: m2 for g, (_, m2) in m2_by_g.items()})
+
+    def dev_hist(t: pa.Table) -> pa.Table:
+        m2 = ray.get(m2_ref)
+        g = t.column("event_type").to_pylist()
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        m2v = np.array([m2[x] for x in g], dtype=np.int64)
+        d2 = np.abs(2 * cents - m2v)
+        t2 = pa.Table.from_pydict({"g": pa.array(g, pa.string()),
+                                   "cell": pa.array(d2, pa.int64())})
+        out = t2.group_by(["g", "cell"]).aggregate([("cell", "count")])
+        return out.rename_columns(["g", "cell", "n"])
+
+    m4_by_g = middle_pair_sum(
+        ev.map_batches(dev_hist, batch_format="pyarrow")
+        .groupby(["g", "cell"]).sum("n").take_all()
+    )
+    gs = sorted(m2_by_g)
+    return pa.Table.from_pydict(
+        {"event_type": pa.array(gs, pa.string()),
+         "n": pa.array([m2_by_g[g][0] for g in gs], pa.int64()),
+         "median_value": pa.array(
+             [np.float64(m2_by_g[g][1]) / 200.0 for g in gs], pa.float64()),
+         "mad": pa.array(
+             [np.float64(m4_by_g[g][1]) / 400.0 for g in gs], pa.float64())}
+    )
+
+
+SQL_EVENTS_MAD = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+),
+m AS (
+  SELECT event_type, max(n) AS n,
+         sum(CASE WHEN rk = (n + 1) // 2 THEN cents ELSE 0 END)
+       + sum(CASE WHEN rk = n // 2 + 1 THEN cents ELSE 0 END) AS m2
+  FROM r GROUP BY event_type
+),
+d AS (
+  SELECT c.event_type, abs(2 * c.cents - m.m2) AS d2
+  FROM c JOIN m USING (event_type)
+),
+r2 AS (
+  SELECT event_type, d2,
+         row_number() OVER (PARTITION BY event_type ORDER BY d2) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+m4 AS (
+  SELECT event_type,
+         sum(CASE WHEN rk = (n + 1) // 2 THEN d2 ELSE 0 END)
+       + sum(CASE WHEN rk = n // 2 + 1 THEN d2 ELSE 0 END) AS m4
+  FROM r2 GROUP BY event_type
+)
+SELECT m.event_type, m.n,
+       CAST(m.m2 AS DOUBLE) / 200.0 AS median_value,
+       CAST(m4.m4 AS DOUBLE) / 400.0 AS mad
+FROM m JOIN m4 USING (event_type)
+"""
+
+
+DISTINCTIVE_MIN_COUNT = 5
+DISTINCTIVE_TOP_K = 10
+
+
+def q_distinctive_terms(sf_dir: str):
+    """Per-source keyword extraction by EXACT integer lift: for each
+    document source, the top-10 terms most over-represented vs the
+    corpus — score_ppm = ⌊n_st · T · 10⁶ / (n_t · T_s)⌋ where n_st =
+    occurrences of term t in source s, T_s = tokens in s, n_t = global
+    occurrences, T = total tokens. The score is computed in
+    arbitrary-precision integers (Python ints / HUGEINT) — the ~1e20
+    intermediate product never touches a float, so the (score DESC,
+    term ASC) ranking is bit-deterministic cross-system.
+
+    Scale shape: ONE pass of per-block (source, term) Counter combiners
+    → global groupby; the scored table is |sources| × |vocabulary| rows
+    (domain-bounded, never corpus-scale), so marginals + ranking run on
+    the driver like pmi_pairs. Low-count terms (< 5) are floored out."""
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import re as _re
+
+        c: Counter = Counter()
+        for src, txt in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            for w in _re.findall(r"\w+", (txt or "").lower()):
+                c[(src, w)] += 1
+        keys = list(c.keys())
+        return pa.Table.from_pydict(
+            {"source": pa.array([k[0] for k in keys], pa.string()),
+             "term": pa.array([k[1] for k in keys], pa.string()),
+             "c": pa.array([c[k] for k in keys], pa.int64())}
+        )
+
+    rows = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("c", alias_name="n_st"))
+        .take_all()  # |sources| × |vocab| — domain-bounded
+    )
+    n_t: Counter = Counter()
+    t_s: Counter = Counter()
+    for r in rows:
+        n_t[r["term"]] += int(r["n_st"])
+        t_s[r["source"]] += int(r["n_st"])
+    total = sum(t_s.values())
+    scored: dict = {}
+    for r in rows:
+        n_st = int(r["n_st"])
+        if n_st < DISTINCTIVE_MIN_COUNT:
+            continue
+        s, t = r["source"], r["term"]
+        score = n_st * total * 1_000_000 // (n_t[t] * t_s[s])  # exact ints
+        scored.setdefault(s, []).append((t, n_st, score))
+    out_s, out_t, out_n, out_score, out_rk = [], [], [], [], []
+    for s in sorted(scored):
+        ranked = sorted(scored[s], key=lambda x: (-x[2], x[0]))
+        for rk, (t, n_st, score) in enumerate(ranked[:DISTINCTIVE_TOP_K], 1):
+            out_s.append(s)
+            out_t.append(t)
+            out_n.append(n_st)
+            out_score.append(score)
+            out_rk.append(rk)
+    return pa.Table.from_pydict(
+        {"source": pa.array(out_s, pa.string()),
+         "term": pa.array(out_t, pa.string()),
+         "n_st": pa.array(out_n, pa.int64()),
+         "score_ppm": pa.array(out_score, pa.int64()),
+         "rk": pa.array(out_rk, pa.int64())}
+    )
+
+
+SQL_DISTINCTIVE_TERMS = rf"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM documents
+),
+st AS (
+  SELECT source, term, count(*) AS n_st FROM tok GROUP BY source, term
+),
+marg AS (
+  SELECT term, sum(n_st) AS n_t FROM st GROUP BY term
+),
+srctot AS (
+  SELECT source, sum(n_st) AS t_s FROM st GROUP BY source
+),
+tot AS (SELECT sum(n_st) AS total FROM st),
+scored AS (
+  SELECT st.source, st.term, st.n_st,
+         CAST(st.n_st AS HUGEINT) * tot.total * 1000000
+           // (CAST(marg.n_t AS HUGEINT) * srctot.t_s) AS score_ppm
+  FROM st
+  JOIN marg USING (term)
+  JOIN srctot ON st.source = srctot.source
+  CROSS JOIN tot
+  WHERE st.n_st >= {DISTINCTIVE_MIN_COUNT}
+)
+SELECT source, term, n_st, CAST(score_ppm AS BIGINT) AS score_ppm, rk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY score_ppm DESC, term
+  ) AS rk FROM scored
+) WHERE rk <= {DISTINCTIVE_TOP_K}
+"""
+
+
+def q_price_qty_regression(sf_dir: str):
+    """Per-group OLS simple linear regression (the DuckDB regr_slope /
+    regr_intercept shape) of extended price on quantity, per return
+    flag — exact two-phase: the five sufficient statistics (n, Σx, Σy,
+    Σxy, Σx²) accumulate as integers (qty int64, price int64 cents) in
+    per-block Arrow combiners → one |groups|-sized groupby; slope and
+    intercept come out of big-int numerators with mirrored float
+    chains (one cast + divide each), so doubles hash bit-identically.
+
+    Scale note: per-block partials are int64; the GLOBAL Σxy sum stays
+    exact to ~1e18 (≈1e9 rows at these magnitudes) — past that, swap
+    the final groupby sums to Python-int tree combines like
+    table_checksum does."""
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t.column("l_quantity"), pa.int64())
+        y = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        t2 = pa.Table.from_pydict(
+            {"g": t.column("l_returnflag"), "one": pa.array(
+                np.ones(len(x), dtype=np.int64)),
+             "x": x, "y": y, "xy": pc.multiply(x, y), "xx": pc.multiply(x, x)}
+        )
+        out = t2.group_by(["g"]).aggregate(
+            [("one", "sum"), ("x", "sum"), ("y", "sum"),
+             ("xy", "sum"), ("xx", "sum")]
+        )
+        return out.rename_columns(["g", "n", "sx", "sy", "sxy", "sxx"])
+
+    rows = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+                   Sum("sxx", alias_name="sxx"))
+        .take_all()  # |groups| rows
+    )
+    out_g, out_n, out_slope, out_icept = [], [], [], []
+    for r in sorted(rows, key=lambda r: r["g"]):
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sxx = int(r["sxy"]), int(r["sxx"])
+        slope = np.float64(n * sxy - sx * sy) / np.float64(n * sxx - sx * sx) / 100.0
+        icept = (np.float64(sy) / 100.0 - slope * np.float64(sx)) / np.float64(n)
+        out_g.append(r["g"])
+        out_n.append(n)
+        out_slope.append(slope)
+        out_icept.append(icept)
+    return pa.Table.from_pydict(
+        {"l_returnflag": pa.array(out_g, pa.string()),
+         "n": pa.array(out_n, pa.int64()),
+         "slope": pa.array(out_slope, pa.float64()),
+         "intercept": pa.array(out_icept, pa.float64())}
+    )
+
+
+SQL_PRICE_QTY_REGRESSION = """
+WITH s AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(CAST(l_quantity AS HUGEINT)) AS sx,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+         sum(CAST(l_quantity AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy,
+         sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope,
+       (CAST(sy AS DOUBLE) / 100.0
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0)
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+FROM s
+"""
+
+
 QUERIES = {
+    "late_suppliers": q_late_suppliers,
+    "events_mad": q_events_mad,
+    "distinctive_terms": q_distinctive_terms,
+    "price_qty_regression": q_price_qty_regression,
     "corr_qty_price": q_corr_qty_price,
     "orders_bloom_semi": q_orders_bloom_semi,
     "local_supplier_volume": q_local_supplier_volume,
@@ -4911,6 +5342,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "late_suppliers": SQL_LATE_SUPPLIERS,
+    "events_mad": SQL_EVENTS_MAD,
+    "distinctive_terms": SQL_DISTINCTIVE_TERMS,
+    "price_qty_regression": SQL_PRICE_QTY_REGRESSION,
     "corr_qty_price": SQL_CORR_QTY_PRICE,
     "orders_bloom_semi": SQL_ORDERS_BLOOM_SEMI,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,

@@ -1,0 +1,87 @@
+"""Edge-case semantics for the round-3 relational additions:
+- late_suppliers (TPC-H Q21 shape): the EXISTS / NOT-EXISTS decorrelation
+  must count per late LINE and only in sole-late-supplier multi-supplier
+  orders.
+- events_mad: middle-pair medians must agree with a direct numpy
+  reference on both odd and even group sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _write(tmp_path, name, df):
+    df.to_parquet(tmp_path / f"{name}.parquet")
+
+
+def test_late_suppliers_q21_semantics(ray_session, tmp_path):
+    base = pd.Timestamp("2020-01-01")
+    late = base + pd.Timedelta(days=90)   # > 60 days after orderdate
+    ontime = base + pd.Timedelta(days=10)
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4],
+        "o_custkey": [1, 1, 1, 1],
+        "o_orderstatus": ["F"] * 4,
+        "o_totalprice": [1.0] * 4,
+        "o_orderdate": [base] * 4,
+        "o_orderpriority": ["1-URGENT"] * 4,
+    })
+    # order 1: supp 10 late twice, supp 20 on time  -> supp 10 counts 2
+    # order 2: both supp 10 and 20 late             -> nobody (two late)
+    # order 3: supp 10 alone and late               -> nobody (single supp)
+    # order 4: supp 30 late once, supp 20 on time   -> supp 30 counts 1
+    li = pd.DataFrame({
+        "l_orderkey":  [1, 1, 1, 2, 2, 3, 4, 4],
+        "l_suppkey":   [10, 10, 20, 10, 20, 10, 30, 20],
+        "l_shipdate":  [late, late, ontime, late, late, late, late, ontime],
+    })
+    supplier = pd.DataFrame({
+        "s_suppkey": [10, 20, 30],
+        "s_name": ["Supp#10", "Supp#20", "Supp#30"],
+        "s_nationkey": [0, 0, 0],
+        "s_acctbal": [0.0, 0.0, 0.0],
+    })
+    _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "supplier", supplier)
+
+    from semantic_search_system_ray.pipelines.queries import q_late_suppliers
+
+    rows = q_late_suppliers(str(tmp_path)).take_all()
+    got = [(r["s_name"], r["numwait"]) for r in rows]
+    assert got == [("Supp#10", 2), ("Supp#30", 1)]
+
+
+def test_events_mad_matches_numpy(ray_session, tmp_path):
+    rng = np.random.RandomState(7)
+    frames = []
+    eid = 0
+    for etype, n in [("a", 101), ("b", 100)]:  # odd and even group sizes
+        vals = np.round(rng.uniform(-50, 50, size=n), 2)
+        frames.append(pd.DataFrame({
+            "event_id": np.arange(eid, eid + n),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": 1,
+            "event_type": etype,
+            "value": vals,
+            "props": "{}",
+        }))
+        eid += n
+    ev = pd.concat(frames, ignore_index=True)
+    _write(tmp_path, "events", ev)
+
+    from semantic_search_system_ray.pipelines.queries import q_events_mad
+
+    out = q_events_mad(str(tmp_path)).to_pandas().set_index("event_type")
+    for etype in ["a", "b"]:
+        cents = np.round(
+            ev.loc[ev.event_type == etype, "value"].to_numpy() * 100
+        ).astype(np.int64)
+        med = np.median(cents) / 100.0
+        mad = np.median(np.abs(cents - np.median(cents))) / 100.0
+        assert out.loc[etype, "n"] == len(cents)
+        assert abs(out.loc[etype, "median_value"] - med) < 1e-9
+        assert abs(out.loc[etype, "mad"] - mad) < 1e-9
