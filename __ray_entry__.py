@@ -532,6 +532,37 @@ def _q_kg_bfs(sf_dir: str):
     return bfs_hops(seeds, edges_from_triples(triples), max_hops=4)
 
 
+def _q_kg_weighted_paths(sf_dir: str):
+    """Bounded multi-source WEIGHTED shortest paths
+    (stages/graph.weighted_hops): seeds = every HAS_TOPIC object, edge
+    weight = length(pred) (integer — no FP in the min-plus relaxation),
+    undirected, ≤4 relaxation rounds → (node_id, dist) = exact minimum
+    weighted distance over ≤4-edge paths. Scale-switched like
+    kg_bfs/pagerank/CC (driver numpy twin below the edge threshold,
+    distributed min-plus propagation above; regimes parity-pytested).
+    Oracle: bounded recursive-CTE min over the kg_triples subquery."""
+    import pyarrow.compute as pc
+
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import weighted_hops
+
+    triples = _kg_triples(sf_dir).materialize()
+    seeds = triples.filter(expr="pred == 'HAS_TOPIC'").map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node_id": pc.cast(t.column("obj"), pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    edges = edges_from_triples(triples).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"src": t.column("src"), "dst": t.column("dst"),
+             "w": pc.cast(pc.utf8_length(t.column("rel")), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return weighted_hops(seeds, edges, max_rounds=4)
+
+
 def _q_search_lexical(sf_dir: str):
     import pyarrow.compute as pc
     from semantic_search_system_ray.pipelines.search import search_lexical
@@ -641,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_degree": _q_kg_degree,
             "kg_pagerank": _q_kg_pagerank,
             "kg_bfs": _q_kg_bfs,
+            "kg_weighted_paths": _q_kg_weighted_paths,
             "kg_components": _q_kg_components,
             "kg_triangles": _q_kg_triangles,
             "kg_jaccard": _q_kg_jaccard,
@@ -732,6 +764,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_bfs": tox.sql_kg_bfs(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_weighted_paths": tox.sql_kg_weighted_paths(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_components": tox.sql_kg_components(

@@ -5244,7 +5244,90 @@ FROM s
 """
 
 
+def q_rolling_distinct_users(sf_dir: str):
+    """Trailing-window COUNT DISTINCT — the classic 'weekly active
+    users per day' metric that naive windowing can't do distributed
+    (distinct isn't decomposable over overlapping windows). Reduced to
+    a decomposable form by COVERAGE EXPANSION: an event on day d makes
+    its user active for cover-days d..d+6, so WAU(day) = |distinct
+    (user, cover_day) pairs| — dedup, a bounded ×7 expansion, dedup,
+    count.
+
+    Scale shape: ONE user-keyed shuffle; both dedups and the expansion
+    are vectorized per partition (a (user, cover_day) pair lives in
+    exactly one user partition, so per-partition counts sum globally);
+    what leaves each partition is day-domain-bounded (day, n) partials.
+    No global sort, no per-day re-scan."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    WINDOW = 7
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(t.column("ts"), pa.timestamp("us")), pa.date32()
+        )
+        t2 = pa.Table.from_pydict(
+            {"user_id": t.column("user_id"),
+             "day": pc.cast(day, pa.int32())}
+        )
+        # per-block pre-dedup: (user, day) pairs collapse before shuffle
+        return t2.group_by(["user_id", "day"]).aggregate([])
+
+    part_schema = pa.schema([("day", pa.int32()), ("n", pa.int64())])
+
+    def per_user(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        df = df.drop_duplicates(["user_id", "day"])
+        u = np.repeat(df["user_id"].to_numpy(), WINDOW)
+        cd = np.repeat(df["day"].to_numpy().astype(np.int32), WINDOW)
+        cd = cd + np.tile(np.arange(WINDOW, dtype=np.int32), len(df))
+        pairs = pd.DataFrame({"u": u, "cd": cd}).drop_duplicates()
+        cnt = pairs.groupby("cd").size()
+        return pa.Table.from_pydict(
+            {"day": pa.array(cnt.index.to_numpy(), pa.int32()),
+             "n": pa.array(cnt.to_numpy(), pa.int64())},
+            schema=part_schema,
+        )
+
+    partials = coarse_partition_apply(
+        ev.map_batches(proj, batch_format="pyarrow"), ["user_id"],
+        per_user, part_schema,
+    )
+    out = partials.groupby("day").aggregate(Sum("n", alias_name="n_users"))
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"day": pc.strftime(
+                pc.cast(pc.cast(pc.cast(t.column("day"), pa.int32()),
+                                pa.date32()),
+                        pa.timestamp("us")),
+                format="%Y-%m-%d",
+            ),
+             "n_users": t.column("n_users")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ROLLING_DISTINCT_USERS = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+cov AS (
+  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS cday
+  FROM ud, range(0, 7) t(i)
+)
+SELECT strftime(cday, '%Y-%m-%d') AS day, count(*) AS n_users
+FROM cov GROUP BY cday
+"""
+
+
 QUERIES = {
+    "rolling_distinct_users": q_rolling_distinct_users,
     "late_suppliers": q_late_suppliers,
     "events_mad": q_events_mad,
     "distinctive_terms": q_distinctive_terms,
@@ -5342,6 +5425,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rolling_distinct_users": SQL_ROLLING_DISTINCT_USERS,
     "late_suppliers": SQL_LATE_SUPPLIERS,
     "events_mad": SQL_EVENTS_MAD,
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,

@@ -841,6 +841,45 @@ SELECT node_id, CAST(min(dist) AS BIGINT) AS dist FROM reach GROUP BY node_id
 """
 
 
+def sql_kg_weighted_paths(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    max_rounds: int = 4,
+) -> str:
+    """Oracle for stages/graph.weighted_hops over the KG edge set:
+    exact minimum WEIGHTED distance (edge weight = length(pred), an
+    integer — no FP in the relaxation) from the topic seed set over the
+    symmetrized edges, restricted to paths of at most ``max_rounds``
+    edges — precisely what K synchronous min-plus relaxation rounds
+    compute. The recursive CTE tracks (node, dist, hops); hops is
+    bounded and UNION dedups, so it terminates. Built over the
+    kg_triples oracle subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH RECURSIVE t AS ({triples}),
+e0 AS (
+  SELECT CAST(subj AS VARCHAR) AS src, CAST(obj AS VARCHAR) AS dst,
+         CAST(length(pred) AS BIGINT) AS w
+  FROM t
+),
+es AS (SELECT src, dst, w FROM e0 UNION SELECT dst, src, w FROM e0),
+seeds AS (
+  SELECT DISTINCT CAST(obj AS VARCHAR) AS node_id FROM t
+  WHERE pred = 'HAS_TOPIC'
+),
+reach(node_id, dist, hops) AS (
+  SELECT node_id, CAST(0 AS BIGINT), 0 FROM seeds
+  UNION
+  SELECT es.dst, r.dist + es.w, r.hops + 1
+  FROM reach r JOIN es ON es.src = r.node_id
+  WHERE r.hops < {max_rounds}
+)
+SELECT node_id, min(dist) AS dist FROM reach GROUP BY node_id
+"""
+
+
 def sql_entity_link(entity_names: list[str]) -> str:
     """Oracle for the entity_link gate query (stages/entitylink via
     __ray_entry__._q_entity_link): distinct corpus word BIGRAMS linked at

@@ -952,3 +952,223 @@ def bfs_hops(
             break
         prev = cur
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Bounded weighted shortest paths (multi-source Bellman-Ford / min-plus)
+
+WEIGHTED_DRIVER_EDGE_THRESHOLD = 2_000_000
+
+_WSP_MSG_SCHEMA = pa.schema([("node_id", pa.string()), ("dist", pa.int64())])
+_WSP_CG_SCHEMA = pa.schema(
+    [("key", pa.string()), ("dst", pa.string()),
+     ("dist", pa.int64()), ("w", pa.int64()), ("is_label", pa.bool_())]
+)
+
+
+def _wsp_driver(
+    seeds: rd.Dataset, edges: rd.Dataset, max_rounds: int,
+    src_col: str, dst_col: str, weight_col: str,
+) -> rd.Dataset:
+    """Exact driver twin: factorized endpoints + one vectorized
+    ``np.minimum.at`` relaxation pass per round. Identical output to the
+    distributed path (min-plus over ≤K-edge paths is unique — no
+    tie-break surface); parity pinned by tests/test_graph.py."""
+    import ray
+
+    cols = [src_col, dst_col, weight_col]
+    parts = [
+        p.select(cols)
+        for p in ray.get(edges.select_columns(cols).to_arrow_refs())
+        if p.num_rows > 0
+    ]
+    seed_vals = np.unique(
+        np.asarray([str(r["node_id"]) for r in seeds.take_all()], dtype=object)
+    )
+    if not parts:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {"node_id": seed_vals,
+                 "dist": np.zeros(len(seed_vals), np.int64)},
+                schema=_WSP_MSG_SCHEMA,
+            )
+        )
+    t = pa.concat_tables(parts)
+    src = _str(pc.cast(t.column(src_col), pa.string())).to_numpy(
+        zero_copy_only=False
+    )
+    dst = _str(pc.cast(t.column(dst_col), pa.string())).to_numpy(
+        zero_copy_only=False
+    )
+    w = pc.cast(t.column(weight_col), pa.int64()).to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([src, dst, seed_vals]))
+    s_idx = np.searchsorted(nodes, src)
+    d_idx = np.searchsorted(nodes, dst)
+    sym_src = np.concatenate([s_idx, d_idx])
+    sym_dst = np.concatenate([d_idx, s_idx])
+    sym_w = np.concatenate([w, w])
+    INF = np.iinfo(np.int64).max
+    dist = np.full(len(nodes), INF, dtype=np.int64)
+    dist[np.searchsorted(nodes, seed_vals)] = 0
+    for _ in range(max_rounds):
+        reached = dist[sym_src] < INF
+        nxt = dist.copy()
+        np.minimum.at(
+            nxt, sym_dst[reached], dist[sym_src[reached]] + sym_w[reached]
+        )
+        if np.array_equal(nxt, dist):
+            break
+        dist = nxt
+    m = dist < INF
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"node_id": nodes[m], "dist": dist[m]}, schema=_WSP_MSG_SCHEMA
+        )
+    )
+
+
+def _wsp_emit_part(df: pd.DataFrame) -> pa.Table:
+    """One coarse partition of the dist⋃edge cogroup keyed by the edge
+    SOURCE: every reached key re-asserts its own distance and offers
+    dist + w along each incident edge (the weighted analogue of the BFS
+    kernel's dist + 1)."""
+    if df.empty:
+        return _WSP_MSG_SCHEMA.empty_table()
+    lab = df.loc[df["is_label"]].groupby("key", sort=False)["dist"].min()
+    if lab.empty:
+        return _WSP_MSG_SCHEMA.empty_table()
+    edges_part = df.loc[~df["is_label"]]
+    edge_lab = lab.reindex(edges_part["key"]).to_numpy()
+    m = ~np.isnan(edge_lab)
+    out_nodes = np.concatenate(
+        [lab.index.to_numpy(), edges_part["dst"].to_numpy()[m]]
+    )
+    out_dists = np.concatenate(
+        [lab.to_numpy().astype(np.int64),
+         edge_lab[m].astype(np.int64) + edges_part["w"].to_numpy()[m]]
+    )
+    return pa.Table.from_pydict(
+        {"node_id": out_nodes, "dist": out_dists}, schema=_WSP_MSG_SCHEMA
+    )
+
+
+def weighted_hops(
+    seeds: rd.Dataset,
+    edges: rd.Dataset,
+    *,
+    max_rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    driver_threshold: int = WEIGHTED_DRIVER_EDGE_THRESHOLD,
+) -> rd.Dataset:
+    """Multi-source BOUNDED weighted shortest paths over an undirected
+    view of ``edges(src, dst, w:int)``: seeds(node_id) → (node_id,
+    dist) = exact minimum total weight over paths of at most
+    ``max_rounds`` edges from ANY seed (seeds at 0). Integer weights →
+    no FP in the relaxation, so the result is bit-deterministic and has
+    an exact bounded recursive-CTE SQL twin (min over ≤K-edge paths).
+
+    Same scale switch as bfs_hops/pagerank/CC: edge sets at or below
+    ``driver_threshold`` take the exact numpy twin; larger graphs run
+    synchronous min-plus relaxation — one source-keyed cogroup emitting
+    dist+w offers plus one per-node min per round, labels bounded to a
+    fixed P blocks per round, checksum early-exit (a fixpoint of the
+    monotone min-plus operator can never change again). Hot
+    high-degree nodes: the partition key is the node, messages are
+    degree-bounded, and the min is a per-partition vectorized combine."""
+    from semantic_search_system_ray.stages.cc import label_checksum
+    from semantic_search_system_ray.stages.util import _default_partitions
+
+    edges = edges.materialize()
+    if edges.count() <= driver_threshold:
+        return _wsp_driver(seeds, edges, max_rounds, src_col, dst_col, weight_col)
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"src": pc.cast(t.column(src_col), pa.string()),
+             "dst": pc.cast(t.column(dst_col), pa.string()),
+             "w": pc.cast(t.column(weight_col), pa.int64())}
+        )
+
+    e1 = edges.map_batches(norm, batch_format="pyarrow")
+    edges_sym = e1.union(
+        e1.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"src": t.column("dst"), "dst": t.column("src"),
+                 "w": t.column("w")}
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    labels = seeds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node_id": pc.cast(t.column("node_id"), pa.string()),
+             "dist": pa.array([0] * t.num_rows, pa.int64())},
+            schema=_WSP_MSG_SCHEMA,
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    P = _default_partitions(labels, edges_sym)
+    labels = (
+        coarse_partition_apply(
+            labels, ["node_id"], _bfs_min_part, _WSP_MSG_SCHEMA,
+            num_partitions=P,
+        )
+        .repartition(P)
+        .materialize()
+    )
+
+    def _labels_as_cg(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t.column("node_id"), pa.array([""] * n, pa.string()),
+             t.column("dist"), pa.array([0] * n, pa.int64()),
+             pa.array([True] * n)],
+            schema=_WSP_CG_SCHEMA,
+        )
+
+    def _edges_as_cg(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t.column("src"), t.column("dst"),
+             pa.array([0] * n, pa.int64()), t.column("w"),
+             pa.array([False] * n)],
+            schema=_WSP_CG_SCHEMA,
+        )
+
+    def _as_checksum_view(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"node": t.column("node_id"),
+             "label": pc.cast(t.column("dist"), pa.string())}
+        )
+
+    def _ck(ds: rd.Dataset) -> int:
+        return label_checksum(
+            ds.map_batches(_as_checksum_view, batch_format="pyarrow")
+        )
+
+    prev = _ck(labels)
+    for _ in range(max_rounds):
+        combined = labels.map_batches(
+            _labels_as_cg, batch_format="pyarrow"
+        ).union(edges_sym.map_batches(_edges_as_cg, batch_format="pyarrow"))
+        messages = coarse_partition_apply(
+            combined, ["key"], _wsp_emit_part, _WSP_MSG_SCHEMA,
+            num_partitions=P,
+        )
+        labels = (
+            coarse_partition_apply(
+                messages, ["node_id"], _bfs_min_part, _WSP_MSG_SCHEMA,
+                num_partitions=P,
+            )
+            .repartition(P)
+            .materialize()
+        )
+        cur = _ck(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels
