@@ -5326,7 +5326,198 @@ FROM cov GROUP BY cday
 """
 
 
+def q_fifo_match(sf_dir: str):
+    """FIFO allocation matching — the accounting/inventory primitive
+    (realized-cost lot matching, credit consumption): per user, signup
+    events GRANT value and purchase events CONSUME it first-in-first-out;
+    emit every (grant, purchase, matched_cents) allocation. FIFO becomes
+    a stateless INTERVAL INTERSECTION: grant i covers the cumulative
+    range [ΣG_{<i}, ΣG_{≤i}) and purchase j consumes [ΣP_{<j}, ΣP_{≤j});
+    matched = overlap — exact int64 cents, no sequential scan, ties on
+    equal ts break by event_id on both sides.
+
+    Scale shape: ONE user-keyed shuffle; cumsums and the per-user
+    grant×purchase pairing are vectorized per partition (pandas
+    C-level groupby.cumsum + merge). The pairing is |G_u|·|P_u| per
+    user — bounded for behavioral data (events per user, not corpus
+    size); a heavy-user cap would salt the user, same as sessionize."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+        filter=(pc.field("event_type").isin(["signup", "purchase"])),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"event_id": t.column("event_id"),
+             "user_id": t.column("user_id"),
+             "ts_us": pc.cast(
+                 pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+             ),
+             "is_grant": pc.equal(t.column("event_type"), "signup"),
+             "cents": pc.cast(
+                 pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64()
+             )}
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("grant_id", pa.int64()),
+         ("purchase_id", pa.int64()), ("matched_cents", pa.int64())]
+    )
+
+    def match(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        sides = {}
+        for flag, name in [(True, "g"), (False, "p")]:
+            s = df[df["is_grant"] == flag].copy()
+            s["hi"] = s.groupby("user_id", sort=False)["cents"].cumsum()
+            s["lo"] = s["hi"] - s["cents"]
+            sides[name] = s[["user_id", "event_id", "lo", "hi"]]
+        pairs = sides["g"].merge(
+            sides["p"], on="user_id", suffixes=("_g", "_p")
+        )
+        if pairs.empty:
+            return out_schema.empty_table()
+        matched = (
+            np.minimum(pairs["hi_g"].to_numpy(), pairs["hi_p"].to_numpy())
+            - np.maximum(pairs["lo_g"].to_numpy(), pairs["lo_p"].to_numpy())
+        )
+        keep = matched > 0
+        return pa.Table.from_pydict(
+            {"user_id": pairs["user_id"].to_numpy()[keep],
+             "grant_id": pairs["event_id_g"].to_numpy()[keep],
+             "purchase_id": pairs["event_id_p"].to_numpy()[keep],
+             "matched_cents": matched[keep]},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        ev.map_batches(proj, batch_format="pyarrow"), ["user_id"],
+        match, out_schema,
+    )
+
+
+SQL_FIFO_MATCH = """
+WITH base AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('signup', 'purchase')
+),
+g AS (
+  SELECT user_id, event_id,
+         sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS hi,
+         sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - cents AS lo
+  FROM base WHERE event_type = 'signup'
+),
+p AS (
+  SELECT user_id, event_id,
+         sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS hi,
+         sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - cents AS lo
+  FROM base WHERE event_type = 'purchase'
+)
+SELECT g.user_id, g.event_id AS grant_id, p.event_id AS purchase_id,
+       CAST(least(g.hi, p.hi) - greatest(g.lo, p.lo) AS BIGINT)
+         AS matched_cents
+FROM g JOIN p USING (user_id)
+WHERE least(g.hi, p.hi) - greatest(g.lo, p.lo) > 0
+"""
+
+
+def q_session_paths(sf_dir: str):
+    """Session PATH mining: the top-10 most common within-session
+    event-type sequences (30-minute inactivity gap, the q_sessionize
+    session definition, ties on equal ts broken by event_id on both
+    sides) — the behavioral-analytics complement of q_funnel (which
+    fixes the pattern; this DISCOVERS the patterns).
+
+    Scale shape: ONE user-keyed shuffle; session assignment is the
+    vectorized diff+cumsum pass; what leaves each partition is (path,
+    n) partial counts (path-vocabulary-bounded), so the final groupby +
+    top-10 never see row-scale data."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"event_id": t.column("event_id"),
+             "user_id": t.column("user_id"),
+             "ts_us": pc.cast(
+                 pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+             ),
+             "event_type": t.column("event_type")}
+        )
+
+    part_schema = pa.schema([("path", pa.string()), ("n", pa.int64())])
+
+    def paths(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        brk = np.ones(len(df), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > GAP_US)
+        sid = np.cumsum(brk)
+        agg = pd.Series(df["event_type"].to_numpy()).groupby(sid).agg("/".join)
+        cnt = agg.value_counts()
+        return pa.Table.from_pydict(
+            {"path": pa.array(cnt.index.to_numpy(), pa.string()),
+             "n": pa.array(cnt.to_numpy(), pa.int64())},
+            schema=part_schema,
+        )
+
+    partials = coarse_partition_apply(
+        ev.map_batches(proj, batch_format="pyarrow"), ["user_id"],
+        paths, part_schema,
+    )
+    out = partials.groupby("path").aggregate(Sum("n", alias_name="n"))
+    return out.sort(["n", "path"], descending=[True, False]).limit(10)
+
+
+SQL_SESSION_PATHS = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+),
+p AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '/' ORDER BY ts, event_id) AS path
+  FROM s2 GROUP BY user_id, sid
+)
+SELECT path, count(*) AS n FROM p GROUP BY path ORDER BY n DESC, path LIMIT 10
+"""
+
+
 QUERIES = {
+    "fifo_match": q_fifo_match,
+    "session_paths": q_session_paths,
     "rolling_distinct_users": q_rolling_distinct_users,
     "late_suppliers": q_late_suppliers,
     "events_mad": q_events_mad,
@@ -5425,6 +5616,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "fifo_match": SQL_FIFO_MATCH,
+    "session_paths": SQL_SESSION_PATHS,
     "rolling_distinct_users": SQL_ROLLING_DISTINCT_USERS,
     "late_suppliers": SQL_LATE_SUPPLIERS,
     "events_mad": SQL_EVENTS_MAD,

@@ -85,3 +85,26 @@ def test_events_mad_matches_numpy(ray_session, tmp_path):
         assert out.loc[etype, "n"] == len(cents)
         assert abs(out.loc[etype, "median_value"] - med) < 1e-9
         assert abs(out.loc[etype, "mad"] - mad) < 1e-9
+
+
+def test_fifo_match_allocations(ray_session, tmp_path):
+    """Grants [100, 50] consumed FIFO by purchases [30, 80, 60]:
+    p1←g1:30, p2←g1:70 + g2:10, p3←g2:40 (the final 20 is unfunded and
+    emits nothing). Equal-ts rows order by event_id."""
+    ts = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame({
+        "event_id":  [1, 2, 3, 4, 5],
+        "ts":        [ts, ts, ts, ts, ts],  # all equal → event_id order
+        "user_id":   [7, 7, 7, 7, 7],
+        "event_type": ["signup", "signup", "purchase", "purchase", "purchase"],
+        "value":     [1.00, 0.50, 0.30, 0.80, 0.60],
+        "props":     ["{}"] * 5,
+    })
+    _write(tmp_path, "events", ev)
+
+    from semantic_search_system_ray.pipelines.queries import q_fifo_match
+
+    rows = q_fifo_match(str(tmp_path)).take_all()
+    got = sorted((r["grant_id"], r["purchase_id"], r["matched_cents"])
+                 for r in rows)
+    assert got == [(1, 3, 30), (1, 4, 70), (2, 4, 10), (2, 5, 40)]
