@@ -5515,7 +5515,143 @@ SELECT path, count(*) AS n FROM p GROUP BY path ORDER BY n DESC, path LIMIT 10
 """
 
 
+def q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation — the classic CRM / lifecycle-marketing
+    rollup: score every customer 1-4 on Recency (last order day),
+    Frequency (order count) and Monetary (lifetime cents) by EXACT
+    corpus-wide quartiles, then profile the ≤64 segments. Quartile q
+    values (0.25/0.5/0.75) are exactly representable doubles, so the
+    quantile_disc rank ceil(q·n) is ulp-exact on both sides; scores use
+    the threshold-ntile rule (#thresholds strictly below + 1 —
+    deterministic under ties, unlike SQL ntile()).
+
+    Scale shape: one customer-keyed groupby with per-block combiners
+    builds the (R, F, M) profile; thresholds come from three
+    bounded-cardinality integer histograms over the profile (R = day
+    domain, F = small ints, M quantized to whole dollars to keep the
+    histogram domain-bounded); scoring is a stateless vectorized
+    searchsorted; the final groupby has ≤64 groups."""
+    from semantic_search_system_ray.stages.sketch import exact_quantiles_histogram
+
+    QS = [0.25, 0.5, 0.75]
+
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(
+                pc.cast(
+                    pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+                    pa.date32(),
+                ),
+                pa.int32(),
+            ),
+            pa.int64(),
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        t2 = pa.Table.from_pydict(
+            {"o_custkey": t.column("o_custkey"), "day": day,
+             "one": pa.array(np.ones(len(day), np.int64)), "cents": cents}
+        )
+        out = t2.group_by(["o_custkey"]).aggregate(
+            [("day", "max"), ("one", "sum"), ("cents", "sum")]
+        )
+        return out.rename_columns(["o_custkey", "r", "f", "m"])
+
+    cust = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Max("r", alias_name="r"), Sum("f", alias_name="f"),
+                   Sum("m", alias_name="m"))
+        .materialize()
+    )
+
+    def with_md(t: pa.Table) -> pa.Table:
+        # monetary thresholds over WHOLE DOLLARS (integer div, exact)
+        # to keep the histogram domain-bounded at web scale
+        md = t.column("m").to_numpy(zero_copy_only=False) // 100
+        return t.append_column("md", pa.array(md, pa.int64()))
+
+    cust_md = cust.map_batches(with_md, batch_format="pyarrow").materialize()
+    thr = {
+        dim: np.array(
+            [v for _q, v in exact_quantiles_histogram(cust_md, dim, QS, scale=1)],
+            dtype=np.float64,
+        )
+        for dim in ("r", "f", "md")
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        out = {"m": t.column("m")}
+        for dim, col in [("r", "r"), ("f", "f"), ("md", "md")]:
+            v = pc.cast(t.column(col), pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            out[f"{dim}_score"] = pa.array(
+                np.searchsorted(thr[dim], v, side="left").astype(np.int64) + 1
+            )
+        t2 = pa.Table.from_pydict(
+            {"r_score": out["r_score"], "f_score": out["f_score"],
+             "m_score": out["md_score"], "m": out["m"]}
+        )
+        return t2.group_by(["r_score", "f_score", "m_score"]).aggregate(
+            [("m", "count"), ("m", "sum")]
+        )
+
+    agg = (
+        cust_md.map_batches(score, batch_format="pyarrow")
+        .groupby(["r_score", "f_score", "m_score"])
+        .aggregate(Sum("m_count", alias_name="n_customers"),
+                   Sum("m_sum", alias_name="sum_cents"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())  # ≤64 rows
+    return pa.Table.from_pydict(
+        {"r_score": t.column("r_score"), "f_score": t.column("f_score"),
+         "m_score": t.column("m_score"),
+         "n_customers": t.column("n_customers"),
+         "total_value": pc.divide(
+             pc.cast(t.column("sum_cents"), pa.float64()), pa.scalar(100.0)
+         )}
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(CAST(max(o_orderdate) AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS r,
+         count(*) AS f,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m
+  FROM orders GROUP BY o_custkey
+),
+c2 AS (SELECT *, (m - m % 100) // 100 AS md FROM cust),
+thr AS (
+  SELECT quantile_disc(r, [0.25, 0.5, 0.75]) AS rt,
+         quantile_disc(f, [0.25, 0.5, 0.75]) AS ft,
+         quantile_disc(md, [0.25, 0.5, 0.75]) AS mt
+  FROM c2
+),
+scored AS (
+  SELECT
+    (SELECT count(*) FROM unnest(thr.rt) u(t) WHERE c.r > t) + 1 AS r_score,
+    (SELECT count(*) FROM unnest(thr.ft) u(t) WHERE c.f > t) + 1 AS f_score,
+    (SELECT count(*) FROM unnest(thr.mt) u(t) WHERE c.md > t) + 1 AS m_score,
+    c.m
+  FROM c2 c, thr
+)
+SELECT r_score, f_score, m_score, count(*) AS n_customers,
+       CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) / 100.0 AS total_value
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
 QUERIES = {
+    "rfm_segments": q_rfm_segments,
     "fifo_match": q_fifo_match,
     "session_paths": q_session_paths,
     "rolling_distinct_users": q_rolling_distinct_users,
@@ -5616,6 +5752,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rfm_segments": SQL_RFM_SEGMENTS,
     "fifo_match": SQL_FIFO_MATCH,
     "session_paths": SQL_SESSION_PATHS,
     "rolling_distinct_users": SQL_ROLLING_DISTINCT_USERS,
