@@ -5650,7 +5650,201 @@ FROM scored GROUP BY r_score, f_score, m_score
 """
 
 
+def q_scd2_asof_lookup(sf_dir: str):
+    """POINT-IN-TIME lookup against the SCD Type-2 dimension — the
+    bitemporal-join shape warehouse pipelines need ("what was this
+    customer's balance version when the event happened?"): every event
+    joins the q_scd2_history version whose [valid_from, valid_to)
+    range covers the event ts (open current versions match everything
+    after valid_from). Versions whose ranges overlap (the change log
+    isn't date-monotone) match multiply — exactly the SQL range-join
+    semantics, mirrored.
+
+    Scale shape: the version history builds in its own user-keyed
+    coarse pass (q_scd2_history's kernel), then ONE shared user-keyed
+    cogroup (coarse_partition_apply over the tagged union) merges
+    events against versions per partition with pandas' C-level merge +
+    a vectorized range filter; per-user version counts are change-log
+    bounded, so the per-partition pairing never explodes."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"key": t.column("user_id"),
+             "event_id": t.column("event_id"),
+             "ts_us": pc.cast(
+                 pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+             ),
+             "version": pa.array([0] * t.num_rows, pa.int64()),
+             "bal": pa.array([0.0] * t.num_rows, pa.float64()),
+             "from_us": pa.array([0] * t.num_rows, pa.int64()),
+             "to_us": pa.array([0] * t.num_rows, pa.int64()),
+             "is_event": pa.array([True] * t.num_rows)}
+        ),
+        batch_format="pyarrow",
+    )
+
+    NULL_TO = np.iinfo(np.int64).max  # open current version
+
+    def hist_rows(t: pa.Table) -> pa.Table:
+        to_us = pc.cast(
+            pc.cast(t.column("valid_to"), pa.timestamp("us")), pa.int64()
+        )
+        to_us = pc.fill_null(to_us, NULL_TO)
+        return pa.Table.from_pydict(
+            {"key": t.column("c_custkey"),
+             "event_id": pa.array([0] * t.num_rows, pa.int64()),
+             "ts_us": pa.array([0] * t.num_rows, pa.int64()),
+             "version": t.column("version"),
+             "bal": t.column("bal"),
+             "from_us": pc.cast(
+                 pc.cast(t.column("valid_from"), pa.timestamp("us")), pa.int64()
+             ),
+             "to_us": to_us,
+             "is_event": pa.array([False] * t.num_rows)}
+        )
+
+    hist = q_scd2_history(sf_dir).map_batches(hist_rows, batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("version", pa.int64()), ("bal", pa.float64())]
+    )
+
+    def lookup(df: pd.DataFrame) -> pa.Table:
+        e = df[df["is_event"]]
+        h = df[~df["is_event"]]
+        if e.empty or h.empty:
+            return out_schema.empty_table()
+        pairs = e[["key", "event_id", "ts_us"]].merge(
+            h[["key", "version", "bal", "from_us", "to_us"]], on="key"
+        )
+        if pairs.empty:
+            return out_schema.empty_table()
+        ts = pairs["ts_us"].to_numpy()
+        keep = (ts >= pairs["from_us"].to_numpy()) & (
+            ts < pairs["to_us"].to_numpy()
+        )
+        kept = pairs[keep]
+        return pa.Table.from_pydict(
+            {"event_id": kept["event_id"].to_numpy(np.int64),
+             "user_id": kept["key"].to_numpy(np.int64),
+             "version": kept["version"].to_numpy(np.int64),
+             "bal": kept["bal"].to_numpy(np.float64)},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        ev.union(hist), ["key"], lookup, out_schema
+    )
+
+
+SQL_SCD2_ASOF_LOOKUP = f"""
+WITH h AS ({SQL_SCD2_HISTORY})
+SELECT e.event_id, e.user_id, h.version, h.bal
+FROM events e
+JOIN h ON e.user_id = h.c_custkey
+WHERE e.ts >= h.valid_from
+  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+"""
+
+
+def q_user_trailing_sum(sf_dir: str):
+    """True RANGE-frame time window — per event, the sum of the SAME
+    user's values in the trailing 10 minutes INCLUDING equal-timestamp
+    peers (SQL ``RANGE … PRECEDING AND CURRENT ROW`` peer semantics,
+    which ROWS frames and pandas ``rolling`` both get wrong on ties).
+    Exact int64 cents.
+
+    Scale shape: ONE user-keyed shuffle; per partition the frame bounds
+    come from two vectorized searchsorted calls over a composite
+    (user, rel-time) int64 axis (span-padded so windows can't bleed
+    across users — the purchase_click_window composite) against one
+    prefix-sum array; falls back to per-user segment searchsorted when
+    the span × user-count product would overflow the composite."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    W_US = 10 * 60 * 1_000_000
+
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"event_id": t.column("event_id"),
+             "user_id": t.column("user_id"),
+             "ts_us": pc.cast(
+                 pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+             ),
+             "cents": pc.cast(
+                 pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64()
+             )}
+        )
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("trail_cents", pa.int64())]
+    )
+
+    def trail(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        cents = df["cents"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        u_idx = np.cumsum(np.r_[False, u[1:] != u[:-1]]).astype(np.int64)
+        rel = ts - ts.min()
+        span = int(rel.max()) + W_US + 1
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        n_users = int(u_idx[-1]) + 1
+        if n_users * span < 2**62:  # composite fast path
+            comp = u_idx * span + rel
+            hi = np.searchsorted(comp, comp, side="right")
+            lo = np.searchsorted(comp, comp - W_US, side="left")
+        else:  # per-user segment fallback (wide span × many users)
+            bounds = np.r_[starts, len(u)]
+            hi = np.empty(len(u), np.int64)
+            lo = np.empty(len(u), np.int64)
+            for i in range(len(starts)):
+                s, e = bounds[i], bounds[i + 1]
+                seg = ts[s:e]
+                hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+                lo[s:e] = s + np.searchsorted(seg, seg - W_US, side="left")
+        return pa.Table.from_pydict(
+            {"event_id": df["event_id"].to_numpy(np.int64),
+             "user_id": u,
+             "trail_cents": cum[hi] - cum[lo]},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        ev.map_batches(proj, batch_format="pyarrow"), ["user_id"],
+        trail, out_schema,
+    )
+
+
+SQL_USER_TRAILING_SUM = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trail_cents
+FROM events
+"""
+
+
 QUERIES = {
+    "scd2_asof_lookup": q_scd2_asof_lookup,
+    "user_trailing_sum": q_user_trailing_sum,
     "rfm_segments": q_rfm_segments,
     "fifo_match": q_fifo_match,
     "session_paths": q_session_paths,
@@ -5752,6 +5946,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "scd2_asof_lookup": SQL_SCD2_ASOF_LOOKUP,
+    "user_trailing_sum": SQL_USER_TRAILING_SUM,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "fifo_match": SQL_FIFO_MATCH,
     "session_paths": SQL_SESSION_PATHS,

@@ -108,3 +108,73 @@ def test_fifo_match_allocations(ray_session, tmp_path):
     got = sorted((r["grant_id"], r["purchase_id"], r["matched_cents"])
                  for r in rows)
     assert got == [(1, 3, 30), (1, 4, 70), (2, 4, 10), (2, 5, 40)]
+
+
+def test_user_trailing_sum_equal_ts_peers(ray_session, tmp_path):
+    """SQL RANGE CURRENT ROW includes ALL equal-ts peers — including ones
+    that sort AFTER the current row (pandas rolling and ROWS frames both
+    get this wrong)."""
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "ts": [t0, t0, t0, t0 + pd.Timedelta(minutes=11)],
+        "user_id": [5, 5, 5, 5],
+        "event_type": ["view"] * 4,
+        "value": [0.01, 0.02, 0.03, 0.50],
+        "props": ["{}"] * 4,
+    })
+    _write(tmp_path, "events", ev)
+
+    from semantic_search_system_ray.pipelines.queries import q_user_trailing_sum
+
+    got = {r["event_id"]: r["trail_cents"]
+           for r in q_user_trailing_sum(str(tmp_path)).take_all()}
+    # the three equal-ts rows each see all three peers (1+2+3 cents);
+    # the row 11 minutes later is outside the 10-minute frame of them all
+    assert got == {1: 6, 2: 6, 3: 6, 4: 50}
+
+
+def test_user_trailing_sum_overflow_fallback_parity(ray_session, tmp_path):
+    """A 40-year span times >4k users per partition overflows the int64
+    composite; the per-user segment fallback must agree with a direct
+    pandas reference."""
+    rng = np.random.RandomState(13)
+    n = 40_000
+    # 280-year span × ~2.5k users per coarse partition → u_count·span
+    # ≈ 2e19 > 2^62 in EVERY partition, so the composite fast path is
+    # rejected and the per-user segment fallback runs throughout
+    base = pd.Timestamp("1678-01-01").value // 1000
+    span = int(280 * 365.25 * 24 * 3600 * 1e6)
+    users = rng.randint(0, 20_000, size=n)
+    ts = base + rng.randint(0, span, size=n)
+    # plant clusters so some windows are non-trivial
+    ts[: n // 4] = base + rng.randint(0, 10**9, size=n // 4)
+    vals = np.round(rng.uniform(0.01, 5.0, size=n), 2)
+    ev = pd.DataFrame({
+        "event_id": np.arange(n),
+        "ts": pd.to_datetime(ts, unit="us"),
+        "user_id": users,
+        "event_type": "view",
+        "value": vals,
+        "props": "{}",
+    })
+    _write(tmp_path, "events", ev)
+
+    from semantic_search_system_ray.pipelines.queries import q_user_trailing_sum
+
+    got = {r["event_id"]: r["trail_cents"]
+           for r in q_user_trailing_sum(str(tmp_path)).take_all()}
+
+    W = 10 * 60 * 1_000_000
+    cents = np.round(vals * 100).astype(np.int64)
+    want = {}
+    df = pd.DataFrame({"e": np.arange(n), "u": users, "t": ts, "c": cents})
+    for _u, g in df.groupby("u"):
+        g = g.sort_values(["t", "e"], kind="mergesort")
+        tt = g["t"].to_numpy()
+        cum = np.concatenate([[0], np.cumsum(g["c"].to_numpy())])
+        hi = np.searchsorted(tt, tt, side="right")
+        lo = np.searchsorted(tt, tt - W, side="left")
+        for e, v in zip(g["e"].to_numpy(), cum[hi] - cum[lo]):
+            want[int(e)] = int(v)
+    assert got == want
