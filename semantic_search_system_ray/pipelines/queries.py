@@ -5842,7 +5842,117 @@ FROM events
 """
 
 
+def q_concurrent_sessions(sf_dir: str):
+    """Occupancy / concurrency counting — per hour, how many user
+    sessions (the 30-minute-gap q_sessionize definition) were ACTIVE
+    during that hour: the interval-overlap metric capacity planning
+    needs (concurrent connections, active devices). A session [start,
+    end] covers every hour bucket it touches, so the count reduces to a
+    bounded coverage expansion — no pairwise interval join, no sweep
+    line over a global sort.
+
+    Scale shape: ONE user-keyed shuffle; session building is the
+    vectorized diff+cumsum pass; the hour expansion is np.repeat over
+    session-hour spans (gap-bounded); what leaves each partition is
+    (hour, n) partials, domain-bounded by the calendar."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    GAP_US = 30 * 60 * 1_000_000
+    HOUR_US = 3_600_000_000
+
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"event_id": t.column("event_id"),
+             "user_id": t.column("user_id"),
+             "ts_us": pc.cast(
+                 pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+             )}
+        )
+
+    part_schema = pa.schema([("h", pa.int64()), ("n", pa.int64())])
+
+    def hours(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        brk = np.ones(len(df), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > GAP_US)
+        sid = np.cumsum(brk)
+        s = pd.DataFrame({"sid": sid, "ts": ts}).groupby("sid")["ts"]
+        h0 = (s.min().to_numpy() // HOUR_US).astype(np.int64)
+        h1 = (s.max().to_numpy() // HOUR_US).astype(np.int64)
+        spans = h1 - h0 + 1
+        cov = np.repeat(h0, spans) + (
+            np.arange(int(spans.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(spans) - spans, spans)
+        )
+        vals, cnts = np.unique(cov, return_counts=True)
+        return pa.Table.from_pydict(
+            {"h": pa.array(vals, pa.int64()),
+             "n": pa.array(cnts.astype(np.int64), pa.int64())},
+            schema=part_schema,
+        )
+
+    partials = coarse_partition_apply(
+        ev.map_batches(proj, batch_format="pyarrow"), ["user_id"],
+        hours, part_schema,
+    )
+    out = partials.groupby("h").aggregate(Sum("n", alias_name="n_active"))
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"hour": pc.strftime(
+                pc.cast(
+                    pc.multiply(t.column("h"), pa.scalar(HOUR_US, pa.int64())),
+                    pa.timestamp("us"),
+                ),
+                format="%Y-%m-%d %H:00",
+            ),
+             "n_active": t.column("n_active")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CONCURRENT_SESSIONS = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+),
+sess AS (
+  SELECT user_id, sid,
+         epoch_us(min(ts)) // 3600000000 AS h0,
+         epoch_us(max(ts)) // 3600000000 AS h1
+  FROM s2 GROUP BY user_id, sid
+),
+cov AS (
+  SELECT unnest(generate_series(h0, h1)) AS h FROM sess
+)
+SELECT strftime(to_timestamp(h * 3600), '%Y-%m-%d %H:00') AS hour,
+       count(*) AS n_active
+FROM cov GROUP BY h
+"""
+
+
 QUERIES = {
+    "concurrent_sessions": q_concurrent_sessions,
     "scd2_asof_lookup": q_scd2_asof_lookup,
     "user_trailing_sum": q_user_trailing_sum,
     "rfm_segments": q_rfm_segments,
@@ -5946,6 +6056,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "concurrent_sessions": SQL_CONCURRENT_SESSIONS,
     "scd2_asof_lookup": SQL_SCD2_ASOF_LOOKUP,
     "user_trailing_sum": SQL_USER_TRAILING_SUM,
     "rfm_segments": SQL_RFM_SEGMENTS,
