@@ -172,6 +172,8 @@ def run_bench() -> dict:
         "dq_checks", "er_golden_records", "heavy_hitters", "funnel",
         "scd2_history", "copurchase_pairs", "dedup_spans", "kg_bfs",
         "small_qty_revenue", "orders_skyline", "event_transitions",
+        "late_suppliers", "fifo_match", "user_trailing_sum",
+        "rolling_distinct_users", "rfm_segments", "kg_weighted_paths",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         t0 = time.perf_counter()
