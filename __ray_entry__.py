@@ -563,6 +563,109 @@ def _q_kg_weighted_paths(sf_dir: str):
     return weighted_hops(seeds, edges, max_rounds=4)
 
 
+def _q_kg_assortativity(sf_dir: str):
+    """Degree ASSORTATIVITY of the KG (Newman's r): the Pearson
+    correlation of endpoint degrees over the symmetrized edge stubs —
+    the one-scalar diagnostic of hub-to-hub vs hub-to-leaf wiring that
+    decides salting strategy for graph ops. Exact integer moment sums
+    (arbitrary-precision string partials, the cov_qty_price pattern —
+    Σdeg² products overflow int64 on hub-heavy webscale graphs) →
+    mirrored one-divide/two-sqrt float chain; NULL when the degree
+    variance is zero on either side.
+
+    Scale shape: degrees = one node-bounded groupby; two coarse_attach
+    passes put (deg_x, deg_y) on every stub; moment partials leave each
+    block as ≤1 row."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.util import coarse_attach
+
+    triples = _kg_triples(sf_dir).materialize()
+    e1 = edges_from_triples(triples).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"src": pc.cast(t.column("src"), pa.string()),
+             "dst": pc.cast(t.column("dst"), pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    sym = e1.union(
+        e1.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"src": t.column("dst"), "dst": t.column("src")}
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        out = t.group_by(["src"]).aggregate([("src", "count")])
+        return out.rename_columns(["node", "d"])
+
+    from ray.data.aggregate import Sum
+
+    deg = (
+        sym.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="deg"))
+        .materialize()
+    )
+
+    with_x = coarse_attach(
+        sym, deg, left_key="src", right_key="node", attach_cols=["deg"],
+        attach_as=["deg_x"],
+        out_schema=pa.schema(
+            [("src", pa.string()), ("dst", pa.string()),
+             ("deg_x", pa.int64())]
+        ),
+    )
+    with_xy = coarse_attach(
+        with_x, deg, left_key="dst", right_key="node", attach_cols=["deg"],
+        attach_as=["deg_y"],
+        out_schema=pa.schema(
+            [("src", pa.string()), ("dst", pa.string()),
+             ("deg_x", pa.int64()), ("deg_y", pa.int64())]
+        ),
+    )
+
+    partial_schema = pa.schema(
+        [("n", pa.int64()), ("sx", pa.string()), ("sy", pa.string()),
+         ("sxy", pa.string()), ("sxx", pa.string()), ("syy", pa.string())]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("deg_x").to_numpy(zero_copy_only=False).astype(object)
+        y = t.column("deg_y").to_numpy(zero_copy_only=False).astype(object)
+        return pa.Table.from_pydict(
+            {"n": [len(x)], "sx": [str(sum(x))], "sy": [str(sum(y))],
+             "sxy": [str(sum(x * y))], "sxx": [str(sum(x * x))],
+             "syy": [str(sum(y * y))]},
+            schema=partial_schema,
+        )
+
+    n = sx = sy = sxy = sxx = syy = 0
+    for r in with_xy.map_batches(moments, batch_format="pyarrow").take_all():
+        n += r["n"]
+        sx += int(r["sx"])
+        sy += int(r["sy"])
+        sxy += int(r["sxy"])
+        sxx += int(r["sxx"])
+        syy += int(r["syy"])
+    num = n * sxy - sx * sy
+    dxx = n * sxx - sx * sx
+    dyy = n * syy - sy * sy
+    r_val = (
+        float(num) / (math.sqrt(float(dxx)) * math.sqrt(float(dyy)))
+        if dxx > 0 and dyy > 0 else None
+    )
+    return pa.Table.from_pydict(
+        {"n_stubs": pa.array([n], pa.int64()),
+         "assortativity": pa.array([r_val], pa.float64())}
+    )
+
+
 def _q_search_lexical(sf_dir: str):
     import pyarrow.compute as pc
     from semantic_search_system_ray.pipelines.search import search_lexical
@@ -673,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_pagerank": _q_kg_pagerank,
             "kg_bfs": _q_kg_bfs,
             "kg_weighted_paths": _q_kg_weighted_paths,
+            "kg_assortativity": _q_kg_assortativity,
             "kg_components": _q_kg_components,
             "kg_triangles": _q_kg_triangles,
             "kg_jaccard": _q_kg_jaccard,
@@ -767,6 +871,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_weighted_paths": tox.sql_kg_weighted_paths(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_assortativity": tox.sql_kg_assortativity(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_components": tox.sql_kg_components(

@@ -5951,7 +5951,86 @@ FROM cov GROUP BY h
 """
 
 
+def q_conversion_lag(sf_dir: str):
+    """Time-to-convert — per user, the lag in WHOLE SECONDS (exact µs
+    integer subtraction + floor division on both sides) between the
+    first signup and the first purchase AT OR AFTER it: the funnel
+    metric with a time dimension (q_funnel counts conversions; this
+    measures them). Users without a qualifying purchase drop (inner
+    join).
+
+    Scale shape: predicate-pushdown read of the two event types; ONE
+    user-keyed shuffle; per-partition pandas C-level groupby mins +
+    merge — no window sort, no driver state."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["user_id", "ts", "event_type"],
+        filter=(pc.field("event_type").isin(["signup", "purchase"])),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"user_id": t.column("user_id"),
+             "ts_us": pc.cast(
+                 pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+             ),
+             "is_signup": pc.equal(t.column("event_type"), "signup")}
+        )
+
+    out_schema = pa.schema([("user_id", pa.int64()), ("lag_s", pa.int64())])
+
+    def lag(df: pd.DataFrame) -> pa.Table:
+        s = df[df["is_signup"]].groupby("user_id")["ts_us"].min()
+        if s.empty:
+            return out_schema.empty_table()
+        p = df[~df["is_signup"]].merge(
+            s.rename("s_us"), left_on="user_id", right_index=True
+        )
+        p = p[p["ts_us"] >= p["s_us"]]
+        if p.empty:
+            return out_schema.empty_table()
+        first = p.groupby("user_id").agg(
+            p_us=("ts_us", "min"), s_us=("s_us", "first")
+        )
+        return pa.Table.from_pydict(
+            {"user_id": pa.array(first.index.to_numpy(), pa.int64()),
+             "lag_s": pa.array(
+                 (first["p_us"].to_numpy() - first["s_us"].to_numpy())
+                 // 1_000_000,
+                 pa.int64(),
+             )},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        ev.map_batches(proj, batch_format="pyarrow"), ["user_id"],
+        lag, out_schema,
+    )
+
+
+SQL_CONVERSION_LAG = """
+WITH s AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+  GROUP BY e.user_id
+)
+SELECT user_id,
+       (epoch_us(p_ts) - epoch_us(s_ts)) // 1000000 AS lag_s
+FROM s JOIN p USING (user_id)
+"""
+
+
 QUERIES = {
+    "conversion_lag": q_conversion_lag,
     "concurrent_sessions": q_concurrent_sessions,
     "scd2_asof_lookup": q_scd2_asof_lookup,
     "user_trailing_sum": q_user_trailing_sum,
@@ -6056,6 +6135,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "conversion_lag": SQL_CONVERSION_LAG,
     "concurrent_sessions": SQL_CONCURRENT_SESSIONS,
     "scd2_asof_lookup": SQL_SCD2_ASOF_LOOKUP,
     "user_trailing_sum": SQL_USER_TRAILING_SUM,

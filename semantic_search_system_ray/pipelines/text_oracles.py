@@ -880,6 +880,42 @@ SELECT node_id, min(dist) AS dist FROM reach GROUP BY node_id
 """
 
 
+def sql_kg_assortativity(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for the kg_assortativity gate query: Newman's degree
+    assortativity over the symmetrized KG edge stubs — exact HUGEINT
+    moment sums mirroring the engine's arbitrary-precision partials,
+    then the identical one-divide/two-sqrt double chain. NULL when the
+    degree variance is zero. Built over the kg_triples oracle subquery
+    (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples}),
+e0 AS (SELECT CAST(subj AS VARCHAR) AS src, CAST(obj AS VARCHAR) AS dst FROM t),
+es AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+d AS (SELECT src AS node, count(*) AS deg FROM es GROUP BY src),
+xy AS (
+  SELECT CAST(d1.deg AS HUGEINT) AS x, CAST(d2.deg AS HUGEINT) AS y
+  FROM es JOIN d d1 ON es.src = d1.node JOIN d d2 ON es.dst = d2.node
+),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_stubs,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS assortativity
+FROM s
+"""
+
+
 def sql_entity_link(entity_names: list[str]) -> str:
     """Oracle for the entity_link gate query (stages/entitylink via
     __ray_entry__._q_entity_link): distinct corpus word BIGRAMS linked at
