@@ -6029,7 +6029,202 @@ FROM s JOIN p USING (user_id)
 """
 
 
+def q_forget_users(sf_dir: str):
+    """Right-to-be-forgotten CASCADE — the privacy-compliance operation a
+    production corpus must support: the deletion set (every user who
+    emitted an 'error' event) is derived from the data, then erased
+    across THREE tables (events by user_id, orders and customer by
+    custkey); the certificate row per table carries n_deleted, n_kept
+    and the commutative md5 checksum of the SURVIVING rows, so the purge
+    is verifiable replica-to-replica without moving data.
+
+    Scale shape: the deletion set stays distributed — each purge is a
+    coarse_anti_join (hash-partitioned cogroup; the user set is never a
+    driver/broadcast structure, it's web-scale by assumption); counts
+    and checksums reduce through per-block partials (checksum sums ride
+    as arbitrary-precision strings, the table_checksum pattern)."""
+    from semantic_search_system_ray.functions.hashing import md5_hash64
+    from semantic_search_system_ray.stages.util import coarse_anti_join
+
+    bad = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["user_id", "event_type"],
+        filter=(pc.field("event_type") == "error"),
+    ).map_batches(
+        lambda t: pa.Table.from_pydict({"bad_key": t.column("user_id")})
+        .group_by(["bad_key"]).aggregate([]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    part_schema = pa.schema(
+        [("n", pa.int64()), ("s", pa.string())]
+    )
+
+    def survivors_cert(ds, row_strings) -> tuple[int, int]:
+        def partial(t: pa.Table) -> pa.Table:
+            total = sum(md5_hash64(s) for s in row_strings(t))
+            return pa.Table.from_pydict(
+                {"n": [t.num_rows], "s": [str(total)]}, schema=part_schema
+            )
+
+        n = cs = 0
+        for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+            n += r["n"]
+            cs += int(r["s"])
+        return n, cs
+
+    specs = [
+        ("events", ["event_id", "user_id"], "user_id",
+         lambda t: (f"{e}|{u}" for e, u in zip(
+             t.column("event_id").to_pylist(), t.column("user_id").to_pylist()))),
+        ("orders", ["o_orderkey", "o_custkey"], "o_custkey",
+         lambda t: (f"{o}|{c}" for o, c in zip(
+             t.column("o_orderkey").to_pylist(), t.column("o_custkey").to_pylist()))),
+        ("customer", ["c_custkey", "c_mktsegment"], "c_custkey",
+         lambda t: (f"{c}|{m}" for c, m in zip(
+             t.column("c_custkey").to_pylist(), t.column("c_mktsegment").to_pylist()))),
+    ]
+    out = {"table_name": [], "n_deleted": [], "n_kept": [], "checksum": []}
+    for name, cols, key, row_strings in specs:
+        ds = rd.read_parquet(_p(sf_dir, name), columns=cols)
+        total = ds.count()  # metadata-only on parquet
+        kept_ds = coarse_anti_join(
+            ds, bad, left_key=key, right_key="bad_key",
+            out_schema=pa.schema(
+                [(c, pa.int64() if c != "c_mktsegment" else pa.string())
+                 for c in cols]
+            ),
+        )
+        n_kept, cs = survivors_cert(kept_ds, row_strings)
+        out["table_name"].append(name)
+        out["n_deleted"].append(total - n_kept)
+        out["n_kept"].append(n_kept)
+        out["checksum"].append(str(cs))
+    return pa.Table.from_pydict(
+        {"table_name": pa.array(out["table_name"], pa.string()),
+         "n_deleted": pa.array(out["n_deleted"], pa.int64()),
+         "n_kept": pa.array(out["n_kept"], pa.int64()),
+         "checksum": pa.array(out["checksum"], pa.string())}
+    )
+
+
+SQL_FORGET_USERS = """
+WITH bad AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+SELECT 'events' AS table_name,
+       (SELECT count(*) FROM events) - count(*) AS n_deleted,
+       count(*) AS n_kept,
+       CAST(coalesce(sum(md5_number_lower(
+         CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+       )), 0) AS VARCHAR) AS checksum
+FROM events WHERE user_id NOT IN (SELECT user_id FROM bad)
+UNION ALL
+SELECT 'orders',
+       (SELECT count(*) FROM orders) - count(*),
+       count(*),
+       CAST(coalesce(sum(md5_number_lower(
+         CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+       )), 0) AS VARCHAR)
+FROM orders WHERE o_custkey NOT IN (SELECT user_id FROM bad)
+UNION ALL
+SELECT 'customer',
+       (SELECT count(*) FROM customer) - count(*),
+       count(*),
+       CAST(coalesce(sum(md5_number_lower(
+         CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment
+       )), 0) AS VARCHAR)
+FROM customer WHERE c_custkey NOT IN (SELECT user_id FROM bad)
+"""
+
+
+def q_dow_priority_contingency(sf_dir: str):
+    """Categorical-association diagnostics: the day-of-week × order
+    priority CONTINGENCY table with expected counts and per-cell chi²
+    contributions — the independence test a data-quality / seasonality
+    audit runs. Marginals and counts are exact integers; each cell's
+    (expected, chi2_cell) is ONE mirrored float chain (no cross-cell
+    float summation — per-cell values are order-independent, so the
+    hash gate holds; the global χ² is the trivial driver sum of the
+    emitted cells if a consumer wants it).
+
+    Scale shape: per-block (dow, priority) count combiners → one
+    groupby over the ≤7×|priorities| domain; everything after is
+    driver math on a calendar-bounded table."""
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderdate", "o_orderpriority"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = pc.cast(
+            pc.cast(
+                pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+                pa.date32(),
+            ),
+            pa.int32(),
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        dow = (days + 4) % 7  # 1970-01-01 was a Thursday; DuckDB Sunday=0
+        t2 = pa.Table.from_pydict(
+            {"dow": pa.array(dow, pa.int64()),
+             "pri": t.column("o_orderpriority")}
+        )
+        out = t2.group_by(["dow", "pri"]).aggregate([("pri", "count")])
+        return out.rename_columns(["dow", "pri", "o"])
+
+    rows = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["dow", "pri"])
+        .aggregate(Sum("o", alias_name="o"))
+        .take_all()  # ≤ 7 × |priorities|
+    )
+    row_tot: Counter = Counter()
+    col_tot: Counter = Counter()
+    n = 0
+    for r in rows:
+        row_tot[r["dow"]] += int(r["o"])
+        col_tot[r["pri"]] += int(r["o"])
+        n += int(r["o"])
+    out = {"dow": [], "pri": [], "o": [], "expected": [], "chi2_cell": []}
+    for r in sorted(rows, key=lambda r: (r["dow"], r["pri"])):
+        o = int(r["o"])
+        e = np.float64(row_tot[r["dow"]] * col_tot[r["pri"]]) / np.float64(n)
+        d = np.float64(o) - e
+        out["dow"].append(int(r["dow"]))
+        out["pri"].append(r["pri"])
+        out["o"].append(o)
+        out["expected"].append(e)
+        out["chi2_cell"].append(d * d / e)
+    return pa.Table.from_pydict(
+        {"dow": pa.array(out["dow"], pa.int64()),
+         "pri": pa.array(out["pri"], pa.string()),
+         "o": pa.array(out["o"], pa.int64()),
+         "expected": pa.array(out["expected"], pa.float64()),
+         "chi2_cell": pa.array(out["chi2_cell"], pa.float64())}
+    )
+
+
+SQL_DOW_PRIORITY_CONTINGENCY = """
+WITH c AS (
+  SELECT dayofweek(o_orderdate) AS dow, o_orderpriority AS pri,
+         count(*) AS o
+  FROM orders GROUP BY 1, 2
+),
+r AS (SELECT dow, sum(o) AS rt FROM c GROUP BY dow),
+k AS (SELECT pri, sum(o) AS ct FROM c GROUP BY pri),
+n AS (SELECT sum(o) AS n FROM c)
+SELECT c.dow, c.pri, c.o,
+       CAST(r.rt * k.ct AS DOUBLE) / CAST(n.n AS DOUBLE) AS expected,
+       (CAST(c.o AS DOUBLE) - CAST(r.rt * k.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+         * (CAST(c.o AS DOUBLE)
+            - CAST(r.rt * k.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+         / (CAST(r.rt * k.ct AS DOUBLE) / CAST(n.n AS DOUBLE)) AS chi2_cell
+FROM c JOIN r USING (dow) JOIN k USING (pri) CROSS JOIN n
+"""
+
+
 QUERIES = {
+    "forget_users": q_forget_users,
+    "dow_priority_contingency": q_dow_priority_contingency,
     "conversion_lag": q_conversion_lag,
     "concurrent_sessions": q_concurrent_sessions,
     "scd2_asof_lookup": q_scd2_asof_lookup,
@@ -6135,6 +6330,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "forget_users": SQL_FORGET_USERS,
+    "dow_priority_contingency": SQL_DOW_PRIORITY_CONTINGENCY,
     "conversion_lag": SQL_CONVERSION_LAG,
     "concurrent_sessions": SQL_CONCURRENT_SESSIONS,
     "scd2_asof_lookup": SQL_SCD2_ASOF_LOOKUP,
