@@ -6222,7 +6222,198 @@ FROM c JOIN r USING (dow) JOIN k USING (pri) CROSS JOIN n
 """
 
 
+def q_yoy_revenue(sf_dir: str):
+    """Year-over-year growth reporting — LAG over an AGGREGATED time
+    series (not over raw rows): revenue cents per (year, priority),
+    then each year's growth vs the same priority's prior year as an
+    EXACT integer ppm ratio ((cur−prev)·10⁶ // prev — no FP in the
+    growth figure). First year per priority emits NULL growth (no
+    prior), mirroring SQL LAG.
+
+    Scale shape: per-block (year, priority) cent-sum combiners → one
+    groupby over the calendar×priority domain; the lag runs on that
+    bounded table driver-side. Money rides as int64 cents."""
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderdate", "o_orderpriority",
+                                       "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = pc.cast(
+            pc.year(pc.cast(t.column("o_orderdate"), pa.timestamp("us"))),
+            pa.int64(),
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        t2 = pa.Table.from_pydict(
+            {"yr": yr, "pri": t.column("o_orderpriority"), "cents": cents}
+        )
+        out = t2.group_by(["yr", "pri"]).aggregate([("cents", "sum")])
+        return out.rename_columns(["yr", "pri", "cents"])
+
+    rows = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["yr", "pri"])
+        .aggregate(Sum("cents", alias_name="cents"))
+        .take_all()  # |years| × |priorities| — calendar-bounded
+    )
+    rows.sort(key=lambda r: (r["pri"], r["yr"]))
+    out = {"yr": [], "pri": [], "revenue": [], "yoy_ppm": []}
+    prev: dict = {}
+    for r in rows:
+        c = int(r["cents"])
+        p = prev.get(r["pri"])
+        out["yr"].append(int(r["yr"]))
+        out["pri"].append(r["pri"])
+        out["revenue"].append(np.float64(c) / 100.0)
+        if p is not None and p != 0:
+            # DuckDB // truncates toward zero; Python // floors — mirror
+            # truncation explicitly so NEGATIVE growth agrees
+            num = (c - p) * 1_000_000
+            out["yoy_ppm"].append((1 if num >= 0 else -1) * (abs(num) // p))
+        else:
+            out["yoy_ppm"].append(None)
+        prev[r["pri"]] = c
+    return pa.Table.from_pydict(
+        {"yr": pa.array(out["yr"], pa.int64()),
+         "pri": pa.array(out["pri"], pa.string()),
+         "revenue": pa.array(out["revenue"], pa.float64()),
+         "yoy_ppm": pa.array(out["yoy_ppm"], pa.int64())}
+    )
+
+
+SQL_YOY_REVENUE = """
+WITH a AS (
+  SELECT year(o_orderdate) AS yr, o_orderpriority AS pri,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+),
+l AS (
+  SELECT yr, pri, cents,
+         lag(cents) OVER (PARTITION BY pri ORDER BY yr) AS prev
+  FROM a
+)
+SELECT CAST(yr AS BIGINT) AS yr, pri,
+       CAST(CAST(cents AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
+       CASE WHEN prev IS NOT NULL AND prev <> 0
+            THEN CAST((CAST(cents AS HUGEINT) - prev) * 1000000 // prev
+                      AS BIGINT)
+       END AS yoy_ppm
+FROM l
+"""
+
+
+def q_order_intervals(sf_dir: str):
+    """Inter-event interval analytics — the repeat-purchase cadence
+    metric: per customer, the gaps in whole days between CONSECUTIVE
+    orders (ordered by date, ties by orderkey), then the EXACT global
+    p50/p90 of those gaps plus the gap count. A quantile over a
+    DERIVED per-key sequence: the derivation is a per-partition
+    vectorized diff, the quantiles come from the bounded-cardinality
+    integer histogram (day-domain cells) — no global sort at either
+    stage.
+
+    Scale shape: ONE customer-keyed shuffle emits per-partition
+    (gap_days, n) histogram partials; the global groupby is
+    day-domain-sized."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.sketch import _quantile_rank
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    QS = [0.5, 0.9]
+
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(
+                pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+                pa.date32(),
+            ),
+            pa.int32(),
+        )
+        return pa.Table.from_pydict(
+            {"o_custkey": t.column("o_custkey"),
+             "o_orderkey": t.column("o_orderkey"),
+             "day": pc.cast(day, pa.int64())}
+        )
+
+    part_schema = pa.schema([("gap", pa.int64()), ("n", pa.int64())])
+
+    def gaps(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        df = df.sort_values(["o_custkey", "day", "o_orderkey"],
+                            kind="mergesort")
+        u = df["o_custkey"].to_numpy()
+        d = df["day"].to_numpy()
+        same = np.zeros(len(df), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        gap = np.empty(len(df), np.int64)
+        gap[1:] = d[1:] - d[:-1]
+        gap = gap[same]
+        if not len(gap):
+            return part_schema.empty_table()
+        vals, cnts = np.unique(gap, return_counts=True)
+        return pa.Table.from_pydict(
+            {"gap": pa.array(vals, pa.int64()),
+             "n": pa.array(cnts.astype(np.int64), pa.int64())},
+            schema=part_schema,
+        )
+
+    rows = (
+        coarse_partition_apply(
+            orders.map_batches(proj, batch_format="pyarrow"), ["o_custkey"],
+            gaps, part_schema,
+        )
+        .groupby("gap").aggregate(Sum("n", alias_name="n"))
+        .take_all()  # day-domain-bounded
+    )
+    cells = np.array([r["gap"] for r in rows], dtype=np.int64)
+    counts = np.array([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(cells)
+    cells, counts = cells[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in QS:
+        out_q.append(q)
+        if n == 0:
+            out_v.append(None)
+        else:
+            idx = int(np.searchsorted(cum, _quantile_rank(q, n), side="left"))
+            out_v.append(int(cells[idx]))
+    return pa.Table.from_pydict(
+        {"q": pa.array(out_q, pa.float64()),
+         "gap_days": pa.array(out_v, pa.int64()),
+         "n_gaps": pa.array([n] * len(QS), pa.int64())}
+    )
+
+
+SQL_ORDER_INTERVALS = """
+WITH g AS (
+  SELECT CAST(o_orderdate AS DATE)
+           - lag(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE),
+                                               o_orderkey
+             ) AS gap
+  FROM orders
+),
+d AS (SELECT CAST(gap AS BIGINT) AS gap FROM g WHERE gap IS NOT NULL)
+SELECT unnest([0.5, 0.9]) AS q,
+       unnest(quantile_disc(gap, [0.5, 0.9])) AS gap_days,
+       count(*) AS n_gaps
+FROM d
+"""
+
+
 QUERIES = {
+    "yoy_revenue": q_yoy_revenue,
+    "order_intervals": q_order_intervals,
     "forget_users": q_forget_users,
     "dow_priority_contingency": q_dow_priority_contingency,
     "conversion_lag": q_conversion_lag,
@@ -6330,6 +6521,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "yoy_revenue": SQL_YOY_REVENUE,
+    "order_intervals": SQL_ORDER_INTERVALS,
     "forget_users": SQL_FORGET_USERS,
     "dow_priority_contingency": SQL_DOW_PRIORITY_CONTINGENCY,
     "conversion_lag": SQL_CONVERSION_LAG,
