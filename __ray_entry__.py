@@ -645,8 +645,24 @@ def _q_kg_assortativity(sf_dir: str):
             schema=partial_schema,
         )
 
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"n": [int(pc.sum(t.column("n")).as_py() or 0)],
+             **{c: [str(sum(int(x) for x in t.column(c).to_pylist()))]
+                for c in ("sx", "sy", "sxy", "sxx", "syy")}},
+            schema=partial_schema,
+        )
+
+    # fan-in-64 tree (table_checksum shape): driver sees ≤64 partials
+    parts = with_xy.map_batches(moments, batch_format="pyarrow")
+    k = parts.count()
+    while k > 64:
+        parts = parts.repartition(max(1, (k + 63) // 64)).map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+        )
+        k = parts.count()
     n = sx = sy = sxy = sxx = syy = 0
-    for r in with_xy.map_batches(moments, batch_format="pyarrow").take_all():
+    for r in parts.take_all():
         n += r["n"]
         sx += int(r["sx"])
         sy += int(r["sy"])

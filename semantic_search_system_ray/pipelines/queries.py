@@ -6067,8 +6067,24 @@ def q_forget_users(sf_dir: str):
                 {"n": [t.num_rows], "s": [str(total)]}, schema=part_schema
             )
 
+        def combine(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {"n": [int(pc.sum(t.column("n")).as_py() or 0)],
+                 "s": [str(sum(int(x) for x in t.column("s").to_pylist()))]},
+                schema=part_schema,
+            )
+
+        # fan-in-64 tree over per-block partials (the table_checksum
+        # shape) — the driver sees ≤64 rows at any block count
+        parts = ds.map_batches(partial, batch_format="pyarrow")
+        k = parts.count()
+        while k > 64:
+            parts = parts.repartition(max(1, (k + 63) // 64)).map_batches(
+                combine, batch_format="pyarrow", batch_size=None
+            )
+            k = parts.count()
         n = cs = 0
-        for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        for r in parts.take_all():
             n += r["n"]
             cs += int(r["s"])
         return n, cs
