@@ -6427,7 +6427,188 @@ FROM d
 """
 
 
+def q_orders_rank_ties(sf_dir: str):
+    """Per-group top-k WITH TIES — SQL ``rank()`` (gap rank) ≤ 3, the
+    tie-preserving variant of q_orders_topk_per_priority's ROW_NUMBER
+    cut. Prices compare as exact cents ints (no float-order ties).
+
+    Combiner correctness: a row with rank ≤ 3 has ≤ 2 distinct prices
+    above it globally, hence ≤ 2 within its own block — so keeping each
+    block's rows at its top-3 DISTINCT prices per group is a provable
+    superset, and every row above a surviving row is itself a candidate,
+    so ranks recomputed over the candidate set alone are EXACT. What
+    leaves each block is |groups|·3·(ties) rows — output-bounded."""
+    import pandas as pd
+
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
+    )
+
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"pri": t.column("o_orderpriority").to_pandas(),
+             "key": t.column("o_orderkey").to_pandas(),
+             "cents": pc.cast(
+                 pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                 pa.int64(),
+             ).to_pandas()}
+        )
+        top3 = (
+            df[["pri", "cents"]].drop_duplicates()
+            .sort_values(["pri", "cents"], ascending=[True, False],
+                         kind="mergesort")
+            .groupby("pri", sort=False).head(3)
+        )
+        kept = df.merge(top3, on=["pri", "cents"])
+        return pa.Table.from_pydict(
+            {"pri": kept["pri"].to_numpy(),
+             "key": kept["key"].to_numpy(np.int64),
+             "cents": kept["cents"].to_numpy(np.int64)}
+        )
+
+    cand = pd.DataFrame(
+        orders.map_batches(keep_candidates, batch_format="pyarrow").take_all()
+    )
+    # exact gap-rank over the candidate superset (see docstring proof)
+    cand = cand.sort_values(["pri", "cents", "key"],
+                            ascending=[True, False, True], kind="mergesort")
+    above = cand.groupby("pri", sort=False).cumcount()
+    first_of_price = ~cand.duplicated(["pri", "cents"])
+    rk = above.where(first_of_price).groupby(
+        [cand["pri"], cand["cents"]], sort=False
+    ).transform("first") + 1
+    cand = cand[rk <= 3]
+    rk = rk[rk <= 3]
+    return pa.Table.from_pydict(
+        {"o_orderpriority": pa.array(cand["pri"].to_numpy(), pa.string()),
+         "o_orderkey": pa.array(cand["key"].to_numpy(np.int64), pa.int64()),
+         "o_totalprice": pa.array(
+             cand["cents"].to_numpy(np.float64) / 100.0, pa.float64()),
+         "rk": pa.array(rk.to_numpy(np.int64), pa.int64())}
+    )
+
+
+SQL_ORDERS_RANK_TIES = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100.0
+         AS o_totalprice,
+       rk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         rank() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC
+         ) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+K_ANON = 10
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-ANONYMITY generalization ladder — the privacy-release
+    transform: quasi-identifier (nation, segment) groups smaller than
+    k=10 GENERALIZE up the hierarchy nation → region → '*' until they
+    clear k (the last level pools by segment and is emitted regardless —
+    the suppression bucket). Output: one row per released group with
+    its generalization level. Counts are exact integers end-to-end.
+
+    Scale shape: ONE groupby over the bounded QI domain (|nations| ×
+    |segments|) with per-block count combiners; the ladder itself is
+    driver math over that domain-bounded table plus the tiny nation
+    dimension (broadcast-read once)."""
+    cust = rd.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_nationkey", "c_mktsegment"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.Table.from_pydict(
+            {"nk": pc.cast(t.column("c_nationkey"), pa.int64()),
+             "seg": t.column("c_mktsegment")}
+        )
+        out = t2.group_by(["nk", "seg"]).aggregate([("seg", "count")])
+        return out.rename_columns(["nk", "seg", "n"])
+
+    rows = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby(["nk", "seg"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # |nations| × |segments| — domain-bounded
+    )
+    nat = {
+        r["n_nationkey"]: (r["n_name"], int(r["n_regionkey"]))
+        for r in rd.read_parquet(_p(sf_dir, "nation")).take_all()
+    }
+    out = {"qi": [], "seg": [], "n": [], "level": []}
+    roll1: Counter = Counter()
+    for r in rows:
+        n = int(r["n"])
+        name, rk = nat[r["nk"]]
+        if n >= K_ANON:
+            out["qi"].append(name)
+            out["seg"].append(r["seg"])
+            out["n"].append(n)
+            out["level"].append(0)
+        else:
+            roll1[(rk, r["seg"])] += n
+    roll2: Counter = Counter()
+    for (rk, seg), n in roll1.items():
+        if n >= K_ANON:
+            out["qi"].append(f"REGION_{rk}")
+            out["seg"].append(seg)
+            out["n"].append(n)
+            out["level"].append(1)
+        else:
+            roll2[seg] += n
+    for seg, n in roll2.items():
+        out["qi"].append("*")
+        out["seg"].append(seg)
+        out["n"].append(n)
+        out["level"].append(2)
+    return pa.Table.from_pydict(
+        {"qi": pa.array(out["qi"], pa.string()),
+         "seg": pa.array(out["seg"], pa.string()),
+         "n": pa.array(out["n"], pa.int64()),
+         "level": pa.array(out["level"], pa.int64())}
+    )
+
+
+SQL_K_ANONYMITY = f"""
+WITH c0 AS (
+  SELECT c_nationkey AS nk, c_mktsegment AS seg, count(*) AS n
+  FROM customer GROUP BY 1, 2
+),
+j AS (
+  SELECT c0.*, n.n_name, n.n_regionkey
+  FROM c0 JOIN nation n ON c0.nk = n.n_nationkey
+),
+lvl0 AS (SELECT n_name AS qi, seg, n FROM j WHERE n >= {K_ANON}),
+c1 AS (
+  SELECT n_regionkey AS rk, seg, sum(n) AS n
+  FROM j WHERE n < {K_ANON} GROUP BY 1, 2
+),
+lvl1 AS (
+  SELECT 'REGION_' || CAST(rk AS VARCHAR) AS qi, seg, n
+  FROM c1 WHERE n >= {K_ANON}
+),
+lvl2 AS (
+  SELECT '*' AS qi, seg, sum(n) AS n
+  FROM c1 WHERE n < {K_ANON} GROUP BY seg
+)
+SELECT qi, seg, CAST(n AS BIGINT) AS n, CAST(0 AS BIGINT) AS level FROM lvl0
+UNION ALL
+SELECT qi, seg, CAST(n AS BIGINT), CAST(1 AS BIGINT) FROM lvl1
+UNION ALL
+SELECT qi, seg, CAST(n AS BIGINT), CAST(2 AS BIGINT) FROM lvl2
+"""
+
+
 QUERIES = {
+    "orders_rank_ties": q_orders_rank_ties,
+    "k_anonymity": q_k_anonymity,
     "yoy_revenue": q_yoy_revenue,
     "order_intervals": q_order_intervals,
     "forget_users": q_forget_users,
@@ -6537,6 +6718,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "orders_rank_ties": SQL_ORDERS_RANK_TIES,
+    "k_anonymity": SQL_K_ANONYMITY,
     "yoy_revenue": SQL_YOY_REVENUE,
     "order_intervals": SQL_ORDER_INTERVALS,
     "forget_users": SQL_FORGET_USERS,

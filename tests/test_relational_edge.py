@@ -178,3 +178,28 @@ def test_user_trailing_sum_overflow_fallback_parity(ray_session, tmp_path):
         for e, v in zip(g["e"].to_numpy(), cum[hi] - cum[lo]):
             want[int(e)] = int(v)
     assert got == want
+
+
+def test_orders_rank_ties_gap_rank(ray_session, tmp_path):
+    """rank() gap semantics with planted ties: three rows tie at the top
+    (all rank 1) → the next price has rank 4 and is EXCLUDED; two-way
+    tie at rank 1 → next price has rank 3 and is INCLUDED."""
+    base = pd.Timestamp("2024-01-01")
+    orders = pd.DataFrame({
+        "o_orderkey":      [1, 2, 3, 4, 5, 6, 7],
+        "o_custkey":       [1] * 7,
+        "o_orderstatus":   ["F"] * 7,
+        "o_totalprice":    [9.99, 9.99, 9.99, 5.00,   # pri A: 3-way tie
+                            7.00, 7.00, 3.00],        # pri B: 2-way tie
+        "o_orderdate":     [base] * 7,
+        "o_orderpriority": ["A", "A", "A", "A", "B", "B", "B"],
+    })
+    orders.to_parquet(tmp_path / "orders.parquet")
+
+    from semantic_search_system_ray.pipelines.queries import q_orders_rank_ties
+
+    rows = q_orders_rank_ties(str(tmp_path)).to_pandas()
+    got = sorted(map(tuple, rows[["o_orderpriority", "o_orderkey", "rk"]]
+                     .itertuples(index=False)))
+    assert got == [("A", 1, 1), ("A", 2, 1), ("A", 3, 1),
+                   ("B", 5, 1), ("B", 6, 1), ("B", 7, 3)]
