@@ -6606,7 +6606,249 @@ SELECT qi, seg, CAST(n AS BIGINT), CAST(2 AS BIGINT) FROM lvl2
 """
 
 
+def q_mv_delta_refresh(sf_dir: str):
+    """INCREMENTAL materialized-view maintenance — the delta-merge that
+    keeps an aggregate MV current without rescanning history: the MV is
+    revenue cents per priority; the change log updates every order with
+    orderkey % 10 == 0 to price + 10% (exact integer cents' = c + c//10).
+    The refreshed MV = base MV ⊕ per-priority DELTA contributions
+    (new − old = c//10), where the delta pass reads ONLY the changed
+    rows — the self-maintainable-view property, exercised end-to-end.
+
+    Scale shape: both passes are per-block cent-sum combiners → one
+    |priorities|-sized groupby each; the ⊕ merge is driver math over
+    the bounded MV. The oracle recomputes from scratch over the
+    modified table — incremental must equal full recompute."""
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def base_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        t2 = pa.Table.from_pydict(
+            {"pri": t.column("o_orderpriority"), "cents": cents}
+        )
+        out = t2.group_by(["pri"]).aggregate([("cents", "sum")])
+        return out.rename_columns(["pri", "cents"])
+
+    def delta_partial(t: pa.Table) -> pa.Table:
+        keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        sel = keys % 10 == 0
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)[sel]
+        pri = t.column("o_orderpriority").to_numpy(zero_copy_only=False)[sel]
+        t2 = pa.Table.from_pydict(
+            {"pri": pa.array(pri, pa.string()),
+             "d": pa.array(cents // 10, pa.int64()),
+             "one": pa.array(np.ones(sel.sum(), np.int64))}
+        )
+        out = t2.group_by(["pri"]).aggregate([("d", "sum"), ("one", "sum")])
+        return out.rename_columns(["pri", "d", "n"])
+
+    base = {
+        r["pri"]: int(r["cents"])
+        for r in orders.map_batches(base_partial, batch_format="pyarrow")
+        .groupby("pri").aggregate(Sum("cents", alias_name="cents")).take_all()
+    }
+    delta: dict = {}
+    for r in (
+        orders.map_batches(delta_partial, batch_format="pyarrow")
+        .groupby("pri")
+        .aggregate(Sum("d", alias_name="d"), Sum("n", alias_name="n"))
+        .take_all()
+    ):
+        delta[r["pri"]] = (int(r["d"]), int(r["n"]))
+    out = {"pri": [], "revenue": [], "n_updated": []}
+    for pri in sorted(base):
+        d, n = delta.get(pri, (0, 0))
+        out["pri"].append(pri)
+        out["revenue"].append(np.float64(base[pri] + d) / 100.0)
+        out["n_updated"].append(n)
+    return pa.Table.from_pydict(
+        {"pri": pa.array(out["pri"], pa.string()),
+         "revenue": pa.array(out["revenue"], pa.float64()),
+         "n_updated": pa.array(out["n_updated"], pa.int64())}
+    )
+
+
+SQL_MV_DELTA_REFRESH = """
+WITH c AS (
+  SELECT o_orderpriority AS pri,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         (o_orderkey % 10 = 0) AS upd
+  FROM orders
+)
+SELECT pri,
+       CAST(CAST(sum(CASE WHEN upd THEN cents + cents // 10
+                          ELSE cents END) AS BIGINT) AS DOUBLE)
+         / 100.0 AS revenue,
+       CAST(sum(CASE WHEN upd THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+FROM c GROUP BY pri
+"""
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT) — the canonical cardinality
+    aggregate done EXACTLY at scale (the HLL sketch's exact sibling):
+    distinct users per event type via ONE user-keyed shuffle — a
+    (type, user) pair lives in exactly one user partition after the
+    per-block pre-dedup, so per-partition distinct counts sum globally
+    without a second distinct pass."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    part_schema = pa.schema([("event_type", pa.string()), ("n", pa.int64())])
+
+    def per_user(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        cnt = df.drop_duplicates(["event_type", "user_id"]) \
+                .groupby("event_type").size()
+        return pa.Table.from_pydict(
+            {"event_type": pa.array(cnt.index.to_numpy(), pa.string()),
+             "n": pa.array(cnt.to_numpy(), pa.int64())},
+            schema=part_schema,
+        )
+
+    partials = coarse_partition_apply(
+        ev.map_batches(pre, batch_format="pyarrow"), ["user_id"],
+        per_user, part_schema,
+    )
+    return partials.groupby("event_type").aggregate(
+        Sum("n", alias_name="n_users")
+    )
+
+
+SQL_DISTINCT_USERS_BY_TYPE = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_source_vocab_overlap(sf_dir: str):
+    """Pairwise corpus-segment similarity — the domain-shift diagnostic
+    a data-mixture pipeline runs: Jaccard overlap of the distinct
+    vocabularies of every source pair, exact (intersection/union counts
+    are integers; the ratio is an exact integer ppm — no FP ranking).
+
+    Scale shape: per-block distinct (source, term) pre-dedup → one
+    term-keyed coarse shuffle where each partition emits per-PAIR
+    intersection partials and per-source vocab partials (a term's
+    source set is tiny — |sources| bounded); the final groupbys run
+    over |sources|² rows. The vocabulary itself never reaches the
+    driver."""
+    import pandas as pd
+    from itertools import combinations
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import re as _re
+
+        seen = set()
+        for src, txt in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            for w in set(_re.findall(r"\w+", (txt or "").lower())):
+                seen.add((src, w))
+        return pa.Table.from_pydict(
+            {"source": pa.array([s for s, _ in seen], pa.string()),
+             "term": pa.array([w for _, w in seen], pa.string())}
+        )
+
+    part_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("n", pa.int64())]
+    )
+
+    def per_term(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        df = df.drop_duplicates(["source", "term"])
+        rows: Counter = Counter()
+        for _t, g in df.groupby("term", sort=False)["source"]:
+            ss = sorted(g)
+            for s in ss:
+                rows[(s, "")] += 1  # per-source vocab size partial
+            for x, y in combinations(ss, 2):
+                rows[(x, y)] += 1  # pair intersection partial
+        keys = list(rows.keys())
+        return pa.Table.from_pydict(
+            {"a": pa.array([k[0] for k in keys], pa.string()),
+             "b": pa.array([k[1] for k in keys], pa.string()),
+             "n": pa.array([rows[k] for k in keys], pa.int64())},
+            schema=part_schema,
+        )
+
+    rows = (
+        coarse_partition_apply(
+            docs.map_batches(pairs, batch_format="pyarrow"), ["term"],
+            per_term, part_schema,
+        )
+        .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n"))
+        .take_all()  # |sources|² — domain-bounded
+    )
+    vocab = {r["a"]: int(r["n"]) for r in rows if r["b"] == ""}
+    out = {"src_a": [], "src_b": [], "inter": [], "unions": [],
+           "jaccard_ppm": []}
+    for r in sorted(rows, key=lambda r: (r["a"], r["b"])):
+        if r["b"] == "":
+            continue
+        inter = int(r["n"])
+        union = vocab[r["a"]] + vocab[r["b"]] - inter
+        out["src_a"].append(r["a"])
+        out["src_b"].append(r["b"])
+        out["inter"].append(inter)
+        out["unions"].append(union)
+        out["jaccard_ppm"].append(inter * 1_000_000 // union)
+    return pa.Table.from_pydict(
+        {"src_a": pa.array(out["src_a"], pa.string()),
+         "src_b": pa.array(out["src_b"], pa.string()),
+         "inter": pa.array(out["inter"], pa.int64()),
+         "unions": pa.array(out["unions"], pa.int64()),
+         "jaccard_ppm": pa.array(out["jaccard_ppm"], pa.int64())}
+    )
+
+
+SQL_SOURCE_VOCAB_OVERLAP = r"""
+WITH st AS (
+  SELECT DISTINCT source,
+         unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM documents
+),
+v AS (SELECT source, count(*) AS nv FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, i.inter,
+       va.nv + vb.nv - i.inter AS unions,
+       CAST(CAST(i.inter AS HUGEINT) * 1000000
+            // (va.nv + vb.nv - i.inter) AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN v va ON i.src_a = va.source
+JOIN v vb ON i.src_b = vb.source
+"""
+
+
 QUERIES = {
+    "mv_delta_refresh": q_mv_delta_refresh,
+    "distinct_users_by_type": q_distinct_users_by_type,
+    "source_vocab_overlap": q_source_vocab_overlap,
     "orders_rank_ties": q_orders_rank_ties,
     "k_anonymity": q_k_anonymity,
     "yoy_revenue": q_yoy_revenue,
@@ -6718,6 +6960,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "mv_delta_refresh": SQL_MV_DELTA_REFRESH,
+    "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
+    "source_vocab_overlap": SQL_SOURCE_VOCAB_OVERLAP,
     "orders_rank_ties": SQL_ORDERS_RANK_TIES,
     "k_anonymity": SQL_K_ANONYMITY,
     "yoy_revenue": SQL_YOY_REVENUE,
