@@ -682,6 +682,173 @@ def _q_kg_assortativity(sf_dir: str):
     )
 
 
+def _q_corpus_near_clean(sf_dir: str):
+    """Near-dup dedup APPLIED (the MinHash analogue of corpus_clean's
+    exact dedup): the surviving corpus after LSH near-dup clustering —
+    one representative (min doc id) per near-dup cluster, singletons
+    untouched — with language provenance attached. The
+    curation composition an LLM-data pipeline actually ships: cluster →
+    select representative → rebuild corpus.
+
+    Scale shape: the full scale-switched minhash_lsh_clusters pipeline
+    (signatures → banding → verified pairs → CC), then a stateless
+    representative filter and ONE coarse_attach for the provenance
+    column — no driver materialization anywhere."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from semantic_search_system_ray.pipelines.queries import read_docs
+    from semantic_search_system_ray.stages.dedup import minhash_lsh_clusters
+    from semantic_search_system_ray.stages.util import coarse_attach
+
+    clusters = minhash_lsh_clusters(
+        read_docs(sf_dir, ["doc_id", "text"]), threshold=0.6
+    )
+    reps = clusters.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": pc.filter(
+                pc.cast(t.column("doc_id"), pa.string()),
+                pc.equal(pc.cast(t.column("doc_id"), pa.string()),
+                         pc.cast(t.column("cluster"), pa.string())),
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+    lang = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.string()),
+             "lang": t.column("lang")}
+        ),
+        batch_format="pyarrow",
+    )
+    return coarse_attach(
+        reps, lang, left_key="doc_id", right_key="doc_id",
+        attach_cols=["lang"],
+        out_schema=pa.schema([("doc_id", pa.string()), ("lang", pa.string())]),
+    )
+
+
+def _q_centroid_distances(sf_dir: str):
+    """EXACT pairwise distances between per-label embedding centroids —
+    the cluster-separation diagnostic for IVF/k-means quality. The
+    centroid never exists as a float: per-(label, dim) integer sums s
+    and counts n (the centroid_by_label scaling), and the squared
+    distance between centroids a, b is Σ_k (s_ak·n_b − s_bk·n_a)² —
+    an exact integer (common denominator (n_a·n_b·10⁶)²), emitted as a
+    decimal string plus ONE mirrored sqrt/divide chain for the human
+    number. No order-dependent float summation anywhere.
+
+    Scale shape: the same |labels|·dim-bounded partials as
+    centroid_by_label; the pairwise pass is driver math over the
+    |labels|²·dim-bounded sums (labels are model classes, never
+    row-scale)."""
+    import math
+
+    from semantic_search_system_ray.pipelines.queries import (
+        q_centroid_by_label,  # noqa: F401  (same scaling contract)
+        _p,
+    )
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["label", "embedding"])
+    part_schema = pa.schema(
+        [("label", pa.int64()), ("dim", pa.int64()),
+         ("s", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        col = t.column("embedding").combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0)
+        dim = len(col[0])
+        mat = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        ).reshape(t.num_rows, dim)
+        x = mat * 1_000_000.0
+        scaled = np.trunc(x + np.copysign(0.5, x)).astype(np.int64)
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), np.int64)
+        np.add.at(sums, inv, scaled)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        L = len(uniq)
+        return pa.Table.from_pydict(
+            {"label": np.repeat(uniq, dim),
+             "dim": np.tile(np.arange(dim, dtype=np.int64), L),
+             "s": sums.reshape(-1),
+             "cnt": np.repeat(cnts, dim)},
+            schema=part_schema,
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("cnt", alias_name="n"))
+        .take_all()  # |labels| × dim — domain-bounded
+    )
+    by_label: dict = {}
+    for r in rows:
+        e = by_label.setdefault(int(r["label"]), {})
+        e[int(r["dim"])] = (int(r["s"]), int(r["n"]))
+    labels = sorted(by_label)
+    out = {"label_a": [], "label_b": [], "d2": [], "dist": []}
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            da, db = by_label[a], by_label[b]
+            n_a = next(iter(da.values()))[1]
+            n_b = next(iter(db.values()))[1]
+            d2 = sum(
+                (da[k][0] * n_b - db[k][0] * n_a) ** 2 for k in sorted(da)
+            )
+            out["label_a"].append(a)
+            out["label_b"].append(b)
+            out["d2"].append(str(d2))
+            out["dist"].append(
+                math.sqrt(float(d2))
+                / (float(n_a * n_b) * 1_000_000.0)
+            )
+    return pa.Table.from_pydict(
+        {"label_a": pa.array(out["label_a"], pa.int64()),
+         "label_b": pa.array(out["label_b"], pa.int64()),
+         "d2": pa.array(out["d2"], pa.string()),
+         "dist": pa.array(out["dist"], pa.float64())}
+    )
+
+
+SQL_CENTROID_DISTANCES = """
+WITH u AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS s
+  FROM embeddings
+),
+c AS (
+  SELECT CAST(label AS BIGINT) AS label, dim,
+         CAST(sum(s) AS HUGEINT) AS s, CAST(count(*) AS HUGEINT) AS n
+  FROM u GROUP BY label, dim
+),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum((a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n)) AS d2,
+         max(a.n) AS n_a, max(b.n) AS n_b
+  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b, CAST(d2 AS VARCHAR) AS d2,
+       sqrt(CAST(d2 AS DOUBLE))
+         / (CAST(n_a * n_b AS DOUBLE) * 1000000.0) AS dist
+FROM p
+"""
+
+
 def _q_search_lexical(sf_dir: str):
     import pyarrow.compute as pc
     from semantic_search_system_ray.pipelines.search import search_lexical
@@ -805,6 +972,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "taxonomy_build": _q_taxonomy_build,
             "doc_topic_words": _q_doc_topic_words,
             "minhash_clusters": _q_minhash_clusters,
+            "corpus_near_clean": _q_corpus_near_clean,
+            "centroid_distances": _q_centroid_distances,
             "simhash": _q_simhash,
             "ngram_jaccard": _q_ngram_jaccard,
             "langid": _q_langid,
@@ -944,6 +1113,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             # full minhash pipeline in SQL (md5-based hashes since r3)
             "minhash_clusters": tox.sql_minhash_clusters(threshold=0.6),
+            "corpus_near_clean": tox.sql_corpus_near_clean(threshold=0.6),
+            "centroid_distances": SQL_CENTROID_DISTANCES,
             # r3 curation ops (stages/curation) — md5 decisions, exact SQL
             "stratified_sample": _sql_stratified_sample(),
             "repetition": tox.sql_repetition(n=3),

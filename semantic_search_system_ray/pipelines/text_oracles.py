@@ -614,6 +614,20 @@ FROM doc dd LEFT JOIN labels l ON l.d = dd.d
 """
 
 
+def sql_corpus_near_clean(threshold: float = 0.6) -> str:
+    """Oracle for the corpus_near_clean gate query: the surviving corpus
+    after MinHash-LSH near-dup clustering — representatives (doc_id ==
+    cluster, singletons included) with language attached. Built over
+    the full sql_minhash_clusters subquery (one source of truth)."""
+    inner = sql_minhash_clusters(threshold=threshold)
+    return f"""
+WITH cl AS ({inner})
+SELECT cl.doc_id, d.lang
+FROM cl JOIN documents d ON cl.doc_id = CAST(d.doc_id AS VARCHAR)
+WHERE cl.doc_id = cl.cluster
+"""
+
+
 def sql_stratified_sample(
     key_col: str, thresholds: dict[str, int], default_threshold: int
 ) -> str:
