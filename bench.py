@@ -174,6 +174,7 @@ def run_bench() -> dict:
         "small_qty_revenue", "orders_skyline", "event_transitions",
         "late_suppliers", "fifo_match", "user_trailing_sum",
         "rolling_distinct_users", "rfm_segments", "kg_weighted_paths",
+        "bucketed_join",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         t0 = time.perf_counter()

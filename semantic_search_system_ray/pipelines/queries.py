@@ -6845,7 +6845,96 @@ JOIN v vb ON i.src_b = vb.source
 """
 
 
+BUCKET_N = 16
+
+
+def q_bucketed_join(sf_dir: str):
+    """BUCKETED-STORAGE join — co-location as a DATA LAYOUT property:
+    lineitem and orders are written ONCE into hash-bucketed layouts on
+    the join key (`sources/bucketstore`, same routing hash as the
+    coarse primitives), and the join then runs as a union of per-bucket
+    single-task cogroups with ZERO cross-bucket movement — the
+    pay-the-shuffle-once-at-write-time pattern every warehouse uses to
+    amortize co-location across queries on the same key. Result:
+    revenue per priority (cents-exact), identical to the shuffle-join
+    plan — bench compares the two.
+
+    Scale shape: the one-time layout write is the only all-to-all;
+    bucket pairs join independently (bucket count sized so a bucket
+    pair fits one task's memory); the final groupby is
+    |priorities|-sized over per-block combiners."""
+    import os
+
+    from semantic_search_system_ray.sources.bucketstore import (
+        bucketed_attach,
+        write_bucketed,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    store = f"/tmp/bucketstore_{sf_name}_{BUCKET_N}"
+    marker = os.path.join(store, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(store, exist_ok=True)
+        write_bucketed(
+            rd.read_parquet(_p(sf_dir, "lineitem"),
+                            columns=["l_orderkey", "l_extendedprice"]),
+            ["l_orderkey"], BUCKET_N, os.path.join(store, "lineitem"),
+        )
+        write_bucketed(
+            rd.read_parquet(_p(sf_dir, "orders"),
+                            columns=["o_orderkey", "o_orderpriority"]),
+            ["o_orderkey"], BUCKET_N, os.path.join(store, "orders"),
+        )
+        open(marker, "w").write("ok")
+
+    joined = bucketed_attach(
+        os.path.join(store, "lineitem"), os.path.join(store, "orders"),
+        left_key="l_orderkey", right_key="o_orderkey",
+        attach_cols=["o_orderpriority"],
+        out_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_extendedprice", pa.float64()),
+             ("o_orderpriority", pa.string())]
+        ),
+        left_columns=["l_orderkey", "l_extendedprice"],
+        right_columns=["o_orderkey", "o_orderpriority"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        t2 = pa.Table.from_pydict(
+            {"pri": t.column("o_orderpriority"), "cents": cents}
+        )
+        out = t2.group_by(["pri"]).aggregate([("cents", "sum")])
+        return out.rename_columns(["pri", "cents"])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("pri")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .take_all()
+    )
+    agg.sort(key=lambda r: r["pri"])
+    return pa.Table.from_pydict(
+        {"pri": pa.array([r["pri"] for r in agg], pa.string()),
+         "revenue": pa.array(
+             [np.float64(int(r["cents"])) / 100.0 for r in agg], pa.float64())}
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o_orderpriority AS pri,
+       CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "bucketed_join": q_bucketed_join,
     "mv_delta_refresh": q_mv_delta_refresh,
     "distinct_users_by_type": q_distinct_users_by_type,
     "source_vocab_overlap": q_source_vocab_overlap,
@@ -6960,6 +7049,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "bucketed_join": SQL_BUCKETED_JOIN,
     "mv_delta_refresh": SQL_MV_DELTA_REFRESH,
     "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
     "source_vocab_overlap": SQL_SOURCE_VOCAB_OVERLAP,
