@@ -6933,7 +6933,269 @@ GROUP BY o_orderpriority
 """
 
 
+def q_revenue_concentration(sf_dir: str):
+    """Pareto / 80-20 concentration — what share of total revenue comes
+    from the top-decile customers: per-customer lifetime cents → the
+    exact p90 revenue threshold (bounded-cardinality histogram over
+    whole-dollar cells, the rfm_segments quantization) → share of cents
+    at-or-above it. Counts and sums are exact integers; the two shares
+    are ONE mirrored divide each.
+
+    Scale shape: one customer-keyed groupby with per-block combiners;
+    the threshold comes from the dollar-domain histogram; the final
+    conditional sum is another combiner pass over the customer
+    profile. Nothing row-scale reaches the driver."""
+    from semantic_search_system_ray.stages.sketch import exact_quantiles_histogram
+
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        t2 = pa.Table.from_pydict(
+            {"o_custkey": t.column("o_custkey"), "cents": cents}
+        )
+        out = t2.group_by(["o_custkey"]).aggregate([("cents", "sum")])
+        return out.rename_columns(["o_custkey", "cents"])
+
+    cust = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .materialize()
+    )
+
+    def with_dollars(t: pa.Table) -> pa.Table:
+        d = t.column("cents").to_numpy(zero_copy_only=False) // 100
+        return t.append_column("dollars", pa.array(d, pa.int64()))
+
+    cust_d = cust.map_batches(with_dollars, batch_format="pyarrow").materialize()
+    thr = exact_quantiles_histogram(cust_d, "dollars", [0.9], scale=1)[0][1]
+
+    def cond_partial(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        d = t.column("dollars").to_numpy(zero_copy_only=False)
+        top = d >= thr
+        return pa.Table.from_pydict(
+            {"n_top": pa.array([int(top.sum())], pa.int64()),
+             "n_all": pa.array([len(c)], pa.int64()),
+             "c_top": pa.array([int(c[top].sum())], pa.int64()),
+             "c_all": pa.array([int(c.sum())], pa.int64())}
+        )
+
+    agg = (
+        cust_d.map_batches(cond_partial, batch_format="pyarrow")
+        .sum(["n_top", "n_all", "c_top", "c_all"])
+    )
+    n_top, n_all = int(agg["sum(n_top)"]), int(agg["sum(n_all)"])
+    c_top, c_all = int(agg["sum(c_top)"]), int(agg["sum(c_all)"])
+    return pa.Table.from_pydict(
+        {"n_top": pa.array([n_top], pa.int64()),
+         "n_customers": pa.array([n_all], pa.int64()),
+         "revenue_share": pa.array(
+             [np.float64(c_top) / np.float64(c_all)], pa.float64()),
+         "customer_share": pa.array(
+             [np.float64(n_top) / np.float64(n_all)], pa.float64())}
+    )
+
+
+SQL_REVENUE_CONCENTRATION = """
+WITH cust AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+c2 AS (SELECT cents, cents // 100 AS dollars FROM cust),
+thr AS (SELECT quantile_disc(dollars, 0.9) AS t FROM c2)
+SELECT CAST(sum(CASE WHEN dollars >= thr.t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_top,
+       count(*) AS n_customers,
+       CAST(CAST(sum(CASE WHEN dollars >= thr.t THEN cents ELSE 0 END)
+                 AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) AS revenue_share,
+       CAST(CAST(sum(CASE WHEN dollars >= thr.t THEN 1 ELSE 0 END)
+                 AS BIGINT) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS customer_share
+FROM c2, thr
+"""
+
+
+def q_event_type_affinity(sf_dir: str):
+    """Behavior-affinity mining — which event types co-occur in the
+    same users' histories beyond what popularity predicts: per
+    unordered type pair, the users doing BOTH, with exact integer lift
+    (⌊n_ab·N·10⁶/(n_a·n_b)⌋) — the market-basket measure over user
+    behavior instead of order baskets.
+
+    Scale shape: ONE user-keyed shuffle; each partition reduces its
+    users to per-pair partial counts over the tiny type domain
+    (|types|² pairs); marginals derive from the same rows. Exact
+    big-int scoring driver-side over the domain-bounded table."""
+    import pandas as pd
+    from itertools import combinations
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    part_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("n", pa.int64())]
+    )
+
+    def per_user(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        df = df.drop_duplicates(["user_id", "event_type"])
+        rows: Counter = Counter()
+        for _u, g in df.groupby("user_id", sort=False)["event_type"]:
+            ts = sorted(g)
+            rows[("", "")] += 1  # distinct-user partial
+            for t_ in ts:
+                rows[(t_, "")] += 1  # per-type marginal partial
+            for x, y in combinations(ts, 2):
+                rows[(x, y)] += 1
+        keys = list(rows.keys())
+        return pa.Table.from_pydict(
+            {"a": pa.array([k[0] for k in keys], pa.string()),
+             "b": pa.array([k[1] for k in keys], pa.string()),
+             "n": pa.array([rows[k] for k in keys], pa.int64())},
+            schema=part_schema,
+        )
+
+    rows = (
+        coarse_partition_apply(
+            ev.map_batches(pre, batch_format="pyarrow"), ["user_id"],
+            per_user, part_schema,
+        )
+        .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n"))
+        .take_all()  # |types|² — domain-bounded
+    )
+    marg = {r["a"]: int(r["n"]) for r in rows if r["b"] == "" and r["a"] != ""}
+    n_users = next(int(r["n"]) for r in rows if r["a"] == "" and r["b"] == "")
+    out = {"type_a": [], "type_b": [], "n_both": [], "lift_ppm": []}
+    for r in sorted(rows, key=lambda r: (r["a"], r["b"])):
+        if r["b"] == "":
+            continue
+        n_ab = int(r["n"])
+        out["type_a"].append(r["a"])
+        out["type_b"].append(r["b"])
+        out["n_both"].append(n_ab)
+        out["lift_ppm"].append(
+            n_ab * n_users * 1_000_000 // (marg[r["a"]] * marg[r["b"]])
+        )
+    return pa.Table.from_pydict(
+        {"type_a": pa.array(out["type_a"], pa.string()),
+         "type_b": pa.array(out["type_b"], pa.string()),
+         "n_both": pa.array(out["n_both"], pa.int64()),
+         "lift_ppm": pa.array(out["lift_ppm"], pa.int64())}
+    )
+
+
+SQL_EVENT_TYPE_AFFINITY = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT count(DISTINCT user_id) AS n FROM ut),
+m AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       CAST(CAST(p.n_both AS HUGEINT) * nu.n * 1000000
+            // (ma.n * mb.n) AS BIGINT) AS lift_ppm
+FROM p
+JOIN m ma ON p.type_a = ma.event_type
+JOIN m mb ON p.type_b = mb.event_type
+CROSS JOIN nu
+"""
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford's-law forensics — the fraud/data-quality screen: the
+    first significant digit distribution of order totals vs the
+    Benford expectation log10(1 + 1/d). Digit counts are exact
+    integers; each digit's (expected, chi2_cell) is ONE mirrored
+    float chain (libm log10 — bit-identical cross-system on the same
+    platform; no cross-digit float summation).
+
+    Scale shape: per-block digit-count combiners (first digit via
+    string of the cents int — no float log in the hot path) → one
+    9-row groupby; the expectation math is driver-side."""
+    import math
+
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        first = pc.utf8_slice_codeunits(
+            pc.cast(cents, pa.string()), 0, 1
+        )
+        t2 = pa.Table.from_pydict({"d": first})
+        out = t2.group_by(["d"]).aggregate([("d", "count")])
+        return out.rename_columns(["d", "n"])
+
+    rows = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("d").aggregate(Sum("n", alias_name="n"))
+        .take_all()  # ≤ 9 rows
+    )
+    total = sum(int(r["n"]) for r in rows)
+    out = {"digit": [], "n": [], "expected": [], "chi2_cell": []}
+    for r in sorted(rows, key=lambda r: r["d"]):
+        d = int(r["d"])
+        n = int(r["n"])
+        e = np.float64(total) * math.log10(1.0 + 1.0 / np.float64(d))
+        diff = np.float64(n) - e
+        out["digit"].append(d)
+        out["n"].append(n)
+        out["expected"].append(e)
+        out["chi2_cell"].append(diff * diff / e)
+    return pa.Table.from_pydict(
+        {"digit": pa.array(out["digit"], pa.int64()),
+         "n": pa.array(out["n"], pa.int64()),
+         "expected": pa.array(out["expected"], pa.float64()),
+         "chi2_cell": pa.array(out["chi2_cell"], pa.float64())}
+    )
+
+
+SQL_BENFORD_DIGITS = """
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+g AS (SELECT digit, count(*) AS n FROM c GROUP BY digit),
+t AS (SELECT sum(n) AS total FROM g)
+SELECT g.digit, g.n,
+       CAST(t.total AS DOUBLE) * log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE))
+         AS expected,
+       (CAST(g.n AS DOUBLE)
+        - CAST(t.total AS DOUBLE)
+          * log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE)))
+       * (CAST(g.n AS DOUBLE)
+          - CAST(t.total AS DOUBLE)
+            * log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE)))
+       / (CAST(t.total AS DOUBLE)
+          * log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE))) AS chi2_cell
+FROM g CROSS JOIN t
+"""
+
+
 QUERIES = {
+    "revenue_concentration": q_revenue_concentration,
+    "event_type_affinity": q_event_type_affinity,
+    "benford_digits": q_benford_digits,
     "bucketed_join": q_bucketed_join,
     "mv_delta_refresh": q_mv_delta_refresh,
     "distinct_users_by_type": q_distinct_users_by_type,
@@ -7049,6 +7311,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "revenue_concentration": SQL_REVENUE_CONCENTRATION,
+    "event_type_affinity": SQL_EVENT_TYPE_AFFINITY,
+    "benford_digits": SQL_BENFORD_DIGITS,
     "bucketed_join": SQL_BUCKETED_JOIN,
     "mv_delta_refresh": SQL_MV_DELTA_REFRESH,
     "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
