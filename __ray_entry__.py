@@ -682,6 +682,91 @@ def _q_kg_assortativity(sf_dir: str):
     )
 
 
+KG_DIFF_DROP_TOPIC = "scans"
+KG_DIFF_ADD_TOPIC = ("storage", ["column", "row"])
+
+
+def _kg_diff_taxonomy() -> dict[str, list[str]]:
+    mod = {k: v for k, v in TESTDATA_TAXONOMY.items()
+           if k != KG_DIFF_DROP_TOPIC}
+    mod[KG_DIFF_ADD_TOPIC[0]] = list(KG_DIFF_ADD_TOPIC[1])
+    return mod
+
+
+def _q_kg_diff(sf_dir: str):
+    """KG SNAPSHOT DIFF — incremental-maintenance on the hard gate: the
+    taxonomy changes (topic 'scans' dropped, topic 'storage' added) and
+    the diff emits exactly the (subj, pred, obj) triples added/removed
+    between the two KG builds — what a production KG pipeline publishes
+    per refresh instead of a full rebuild downstream.
+
+    Scale shape: both builds stream the same corpus; the compare is ONE
+    triple-keyed coarse cogroup (per-partition presence flags — neither
+    snapshot materializes on the driver). The oracle is the two
+    generated kg_triples subqueries EXCEPTed both ways."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from semantic_search_system_ray.pipelines.kg_build import build_triples
+    from semantic_search_system_ray.pipelines.queries import read_docs
+    from semantic_search_system_ray.sources.documents import text_table_to_spans
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    def build(tax: dict[str, list[str]]):
+        rows = [(t, p) for t, ps in tax.items() for p in ps]
+        tax_table = pa.Table.from_pydict(
+            {"broad_topic": [r[0] for r in rows],
+             "phrase": [r[1] for r in rows]}
+        )
+        docs = read_docs(sf_dir, ["doc_id", "text"])
+        return build_triples(
+            text_table_to_spans(docs), tax_table,
+            _testdata_phrase_docs(sf_dir), TESTDATA_GAZETTEER,
+            concurrency=(1, 4), batch_size=128,
+        ).triples
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {"subj": pc.cast(t.column("subj"), pa.string()),
+                 "pred": pc.cast(t.column("pred"), pa.string()),
+                 "obj": pc.cast(t.column("obj"), pa.string()),
+                 "side": pa.array([side] * t.num_rows, pa.int64())}
+            )
+        return fn
+
+    both = build(TESTDATA_TAXONOMY).map_batches(
+        tag(0), batch_format="pyarrow"
+    ).union(
+        build(_kg_diff_taxonomy()).map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [("subj", pa.string()), ("pred", pa.string()),
+         ("obj", pa.string()), ("status", pa.string())]
+    )
+
+    def diff(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        g = df.groupby(["subj", "pred", "obj"])["side"].agg(["min", "max"])
+        removed = g[(g["min"] == 0) & (g["max"] == 0)].index
+        added = g[(g["min"] == 1) & (g["max"] == 1)].index
+        rows = [(s, p, o, "removed") for s, p, o in removed] + \
+               [(s, p, o, "added") for s, p, o in added]
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pydict(
+            {"subj": [r[0] for r in rows], "pred": [r[1] for r in rows],
+             "obj": [r[2] for r in rows], "status": [r[3] for r in rows]},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        both, ["subj", "pred", "obj"], diff, out_schema
+    )
+
+
 def _q_corpus_near_clean(sf_dir: str):
     """Near-dup dedup APPLIED (the MinHash analogue of corpus_clean's
     exact dedup): the surviving corpus after LSH near-dup clustering —
@@ -973,6 +1058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_topic_words": _q_doc_topic_words,
             "minhash_clusters": _q_minhash_clusters,
             "corpus_near_clean": _q_corpus_near_clean,
+            "kg_diff": _q_kg_diff,
             "centroid_distances": _q_centroid_distances,
             "simhash": _q_simhash,
             "ngram_jaccard": _q_ngram_jaccard,
@@ -1114,6 +1200,10 @@ def oracle_sql() -> dict[str, str]:
             # full minhash pipeline in SQL (md5-based hashes since r3)
             "minhash_clusters": tox.sql_minhash_clusters(threshold=0.6),
             "corpus_near_clean": tox.sql_corpus_near_clean(threshold=0.6),
+            "kg_diff": tox.sql_kg_diff(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, _kg_diff_taxonomy(),
+                TESTDATA_PHRASE_LIST,
+            ),
             "centroid_distances": SQL_CENTROID_DISTANCES,
             # r3 curation ops (stages/curation) — md5 decisions, exact SQL
             "stratified_sample": _sql_stratified_sample(),

@@ -7192,7 +7192,87 @@ FROM g CROSS JOIN t
 """
 
 
+def q_ks_value_test(sf_dir: str):
+    """EXACT two-sample Kolmogorov–Smirnov distance between the value
+    distributions of 'purchase' and 'click' events — the drift /
+    distribution-shift test, done with NO approximation and NO sort:
+    D = max |CDF_a − CDF_b| evaluated on the merged bounded-cardinality
+    integer histogram, where the max runs over the integer
+    cross-products |cum_a·n_b − cum_b·n_a| (exact), and the only float
+    op is the single final divide by n_a·n_b — mirrored verbatim.
+
+    Scale shape: per-block (type, cents) histogram combiners → one
+    value-domain-sized groupby; the CDF scan is driver math over the
+    domain-bounded cells."""
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_type", "value"],
+        filter=(pc.field("event_type").isin(["purchase", "click"])),
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                        pa.int64())
+        t2 = pa.Table.from_pydict(
+            {"g": t.column("event_type"), "cell": cents}
+        )
+        out = t2.group_by(["g", "cell"]).aggregate([("cell", "count")])
+        return out.rename_columns(["g", "cell", "n"])
+
+    rows = (
+        ev.map_batches(hist, batch_format="pyarrow")
+        .groupby(["g", "cell"]).sum("n")
+        .take_all()  # value-domain-bounded
+    )
+    cells: dict[int, list[int]] = {}
+    for r in rows:
+        e = cells.setdefault(int(r["cell"]), [0, 0])
+        e[0 if r["g"] == "purchase" else 1] += int(r["sum(n)"])
+    na = sum(v[0] for v in cells.values())
+    nb = sum(v[1] for v in cells.values())
+    ca = cb = 0
+    d_num = 0
+    for cell in sorted(cells):
+        ca += cells[cell][0]
+        cb += cells[cell][1]
+        d_num = max(d_num, abs(ca * nb - cb * na))
+    return pa.Table.from_pydict(
+        {"n_purchase": pa.array([na], pa.int64()),
+         "n_click": pa.array([nb], pa.int64()),
+         "ks": pa.array(
+             [np.float64(d_num) / np.float64(na * nb)], pa.float64())}
+    )
+
+
+SQL_KS_VALUE_TEST = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cell
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+h AS (
+  SELECT cell,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb
+  FROM c GROUP BY cell
+),
+t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+      FROM h),
+cum AS (
+  SELECT sum(na) OVER (ORDER BY cell ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(nb) OVER (ORDER BY cell ROWS UNBOUNDED PRECEDING) AS cb
+  FROM h
+)
+SELECT t.ta AS n_purchase, t.tb AS n_click,
+       CAST(max(abs(CAST(ca AS HUGEINT) * t.tb
+                    - CAST(cb AS HUGEINT) * t.ta)) AS DOUBLE)
+         / CAST(t.ta * t.tb AS DOUBLE) AS ks
+FROM cum CROSS JOIN t
+GROUP BY t.ta, t.tb
+"""
+
+
 QUERIES = {
+    "ks_value_test": q_ks_value_test,
     "revenue_concentration": q_revenue_concentration,
     "event_type_affinity": q_event_type_affinity,
     "benford_digits": q_benford_digits,
@@ -7311,6 +7391,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ks_value_test": SQL_KS_VALUE_TEST,
     "revenue_concentration": SQL_REVENUE_CONCENTRATION,
     "event_type_affinity": SQL_EVENT_TYPE_AFFINITY,
     "benford_digits": SQL_BENFORD_DIGITS,

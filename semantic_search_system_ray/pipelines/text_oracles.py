@@ -614,6 +614,27 @@ FROM doc dd LEFT JOIN labels l ON l.d = dd.d
 """
 
 
+def sql_kg_diff(
+    gazetteer: dict[str, str],
+    taxonomy_a: dict[str, list[str]],
+    taxonomy_b: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for the kg_diff gate query: the two generated kg_triples
+    subqueries (same corpus, taxonomy A vs B) EXCEPTed both ways with a
+    status tag — the published per-refresh delta."""
+    a = sql_kg_triples(gazetteer, taxonomy_a, phrase_list)
+    b = sql_kg_triples(gazetteer, taxonomy_b, phrase_list)
+    return f"""
+WITH a AS ({a}), b AS ({b})
+SELECT subj, pred, obj, 'removed' AS status
+FROM (SELECT subj, pred, obj FROM a EXCEPT SELECT subj, pred, obj FROM b)
+UNION ALL
+SELECT subj, pred, obj, 'added'
+FROM (SELECT subj, pred, obj FROM b EXCEPT SELECT subj, pred, obj FROM a)
+"""
+
+
 def sql_corpus_near_clean(threshold: float = 0.6) -> str:
     """Oracle for the corpus_near_clean gate query: the surviving corpus
     after MinHash-LSH near-dup clustering — representatives (doc_id ==
