@@ -7271,7 +7271,173 @@ GROUP BY t.ta, t.tb
 """
 
 
+def q_dup_payments(sf_dir: str):
+    """Suspicious-payment screen — the payments-ops fraud query: pairs
+    of orders by the SAME customer in the SAME $10k amount band within
+    30 days of each other (orderkey_a < orderkey_b). Exact integers
+    throughout: band = cents // 10⁶ (no float rounding-mode surface)
+    and a µs window predicate.
+
+    Scale shape: ONE customer-keyed shuffle; each partition
+    self-merges on (customer, band) — candidates collapse to same-band
+    collisions per customer (per-key bounded) before the window
+    filter; no global self-join."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    WINDOW_US = 30 * 86400 * 1_000_000
+    BAND_CENTS = 1_000_000  # $10k bands
+
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"o_custkey": t.column("o_custkey"),
+             "o_orderkey": t.column("o_orderkey"),
+             "ts_us": pc.cast(
+                 pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+                 pa.int64(),
+             ),
+             "band": pa.array(
+                 pc.cast(
+                     pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                     pa.int64(),
+                 ).to_numpy(zero_copy_only=False) // BAND_CENTS,
+                 pa.int64(),
+             )}
+        )
+
+    out_schema = pa.schema(
+        [("o_custkey", pa.int64()), ("orderkey_a", pa.int64()),
+         ("orderkey_b", pa.int64()), ("band", pa.int64())]
+    )
+
+    def dups(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        m = df.merge(df, on=["o_custkey", "band"], suffixes=("_a", "_b"))
+        m = m[m["o_orderkey_a"] < m["o_orderkey_b"]]
+        m = m[(m["ts_us_a"] - m["ts_us_b"]).abs() <= WINDOW_US]
+        return pa.Table.from_pydict(
+            {"o_custkey": m["o_custkey"].to_numpy(np.int64),
+             "orderkey_a": m["o_orderkey_a"].to_numpy(np.int64),
+             "orderkey_b": m["o_orderkey_b"].to_numpy(np.int64),
+             "band": m["band"].to_numpy(np.int64)},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        orders.map_batches(proj, batch_format="pyarrow"), ["o_custkey"],
+        dups, out_schema,
+    )
+
+
+SQL_DUP_PAYMENTS = """
+SELECT a.o_custkey,
+       a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+       CAST(round(a.o_totalprice * 100) AS BIGINT) // 1000000 AS band
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND CAST(round(a.o_totalprice * 100) AS BIGINT) // 1000000
+     = CAST(round(b.o_totalprice * 100) AS BIGINT) // 1000000
+ AND a.o_orderkey < b.o_orderkey
+ AND abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate))
+     <= 2592000000000
+"""
+
+
+def q_bounce_rate(sf_dir: str):
+    """Session BOUNCE RATE — the engagement-quality scalar: share of
+    sessions (30-minute-gap definition) containing exactly one event.
+    Counts are exact integers from the same vectorized session pass as
+    q_session_paths; ONE mirrored divide at the end.
+
+    Scale shape: one user-keyed shuffle emitting two-integer partials
+    per partition; the rate is driver math."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"event_id": t.column("event_id"),
+             "user_id": t.column("user_id"),
+             "ts_us": pc.cast(
+                 pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+             )}
+        )
+
+    part_schema = pa.schema(
+        [("n_sessions", pa.int64()), ("n_bounces", pa.int64())]
+    )
+
+    def bounce(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        brk = np.ones(len(df), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > GAP_US)
+        sid = np.cumsum(brk)
+        sizes = np.bincount(sid)[1:]
+        return pa.Table.from_pydict(
+            {"n_sessions": pa.array([int(len(sizes))], pa.int64()),
+             "n_bounces": pa.array([int((sizes == 1).sum())], pa.int64())},
+            schema=part_schema,
+        )
+
+    agg = coarse_partition_apply(
+        ev.map_batches(proj, batch_format="pyarrow"), ["user_id"],
+        bounce, part_schema,
+    ).sum(["n_sessions", "n_bounces"])
+    ns, nb = int(agg["sum(n_sessions)"]), int(agg["sum(n_bounces)"])
+    return pa.Table.from_pydict(
+        {"n_sessions": pa.array([ns], pa.int64()),
+         "n_bounces": pa.array([nb], pa.int64()),
+         "bounce_rate": pa.array(
+             [np.float64(nb) / np.float64(ns)], pa.float64())}
+    )
+
+
+SQL_BOUNCE_RATE = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+),
+sess AS (SELECT user_id, sid, count(*) AS n FROM s2 GROUP BY user_id, sid)
+SELECT count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS bounce_rate
+FROM sess
+"""
+
+
 QUERIES = {
+    "dup_payments": q_dup_payments,
+    "bounce_rate": q_bounce_rate,
     "ks_value_test": q_ks_value_test,
     "revenue_concentration": q_revenue_concentration,
     "event_type_affinity": q_event_type_affinity,
@@ -7391,6 +7557,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dup_payments": SQL_DUP_PAYMENTS,
+    "bounce_rate": SQL_BOUNCE_RATE,
     "ks_value_test": SQL_KS_VALUE_TEST,
     "revenue_concentration": SQL_REVENUE_CONCENTRATION,
     "event_type_affinity": SQL_EVENT_TYPE_AFFINITY,
