@@ -5475,12 +5475,31 @@ def q_session_paths(sf_dir: str):
         ts = df["ts_us"].to_numpy()
         brk = np.ones(len(df), dtype=bool)
         brk[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > GAP_US)
-        sid = np.cumsum(brk)
-        agg = pd.Series(df["event_type"].to_numpy()).groupby(sid).agg("/".join)
-        cnt = agg.value_counts()
+        # vectorized path building: event types factorize to single
+        # bytes (type vocabulary is tiny), one separator-inserted blob
+        # splits into per-session byte codes with ONE C-level split,
+        # and only the DISTINCT code paths (path-vocabulary bounded)
+        # are translated back to '/'-joined names — no per-session
+        # Python string assembly
+        codes, names = pd.factorize(df["event_type"].to_numpy())
+        if len(names) > 200:  # keep each code one printable byte
+            raise ValueError("event_type vocabulary too large to byte-code")
+        n = len(df)
+        n_sess = int(brk.sum())
+        blob = np.empty(n + n_sess, dtype=np.uint8)
+        sep_pos = np.flatnonzero(brk) + np.arange(n_sess)  # boundary slots
+        blob[sep_pos] = 0
+        mask = np.ones(n + n_sess, dtype=bool)
+        mask[sep_pos] = False
+        blob[mask] = codes.astype(np.uint8) + 1
+        pieces = blob.tobytes().split(b"\x00")[1:]  # leading separator
+        cnt: Counter = Counter(pieces)
+        trans = {
+            bs: "/".join(names[c - 1] for c in bs) for bs in cnt
+        }  # distinct paths only — path-vocabulary bounded
         return pa.Table.from_pydict(
-            {"path": pa.array(cnt.index.to_numpy(), pa.string()),
-             "n": pa.array(cnt.to_numpy(), pa.int64())},
+            {"path": pa.array([trans[k] for k in cnt], pa.string()),
+             "n": pa.array(list(cnt.values()), pa.int64())},
             schema=part_schema,
         )
 
