@@ -6769,7 +6769,6 @@ def q_source_vocab_overlap(sf_dir: str):
     over |sources|² rows. The vocabulary itself never reaches the
     driver."""
     import pandas as pd
-    from itertools import combinations
 
     from semantic_search_system_ray.stages.util import coarse_partition_apply
 
@@ -6797,18 +6796,23 @@ def q_source_vocab_overlap(sf_dir: str):
         if df.empty:
             return part_schema.empty_table()
         df = df.drop_duplicates(["source", "term"])
-        rows: Counter = Counter()
-        for _t, g in df.groupby("term", sort=False)["source"]:
-            ss = sorted(g)
-            for s in ss:
-                rows[(s, "")] += 1  # per-source vocab size partial
-            for x, y in combinations(ss, 2):
-                rows[(x, y)] += 1  # pair intersection partial
-        keys = list(rows.keys())
+        # vectorized: pair intersections via one C-level self-merge on
+        # term (per-term fanout ≤ |sources|²), marginals via one groupby
+        # — no per-term Python loop (the vocabulary is web-scale)
+        m = df.merge(df, on="term", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        pair_n = m.groupby(["source_a", "source_b"]).size()
+        vocab_n = df.groupby("source").size()
         return pa.Table.from_pydict(
-            {"a": pa.array([k[0] for k in keys], pa.string()),
-             "b": pa.array([k[1] for k in keys], pa.string()),
-             "n": pa.array([rows[k] for k in keys], pa.int64())},
+            {"a": pa.array(
+                list(pair_n.index.get_level_values(0))
+                + list(vocab_n.index), pa.string()),
+             "b": pa.array(
+                 list(pair_n.index.get_level_values(1))
+                 + [""] * len(vocab_n), pa.string()),
+             "n": pa.array(
+                 list(pair_n.to_numpy()) + list(vocab_n.to_numpy()),
+                 pa.int64())},
             schema=part_schema,
         )
 
@@ -7054,7 +7058,6 @@ def q_event_type_affinity(sf_dir: str):
     (|types|² pairs); marginals derive from the same rows. Exact
     big-int scoring driver-side over the domain-bounded table."""
     import pandas as pd
-    from itertools import combinations
 
     from semantic_search_system_ray.stages.util import coarse_partition_apply
 
@@ -7073,19 +7076,25 @@ def q_event_type_affinity(sf_dir: str):
         if df.empty:
             return part_schema.empty_table()
         df = df.drop_duplicates(["user_id", "event_type"])
-        rows: Counter = Counter()
-        for _u, g in df.groupby("user_id", sort=False)["event_type"]:
-            ts = sorted(g)
-            rows[("", "")] += 1  # distinct-user partial
-            for t_ in ts:
-                rows[(t_, "")] += 1  # per-type marginal partial
-            for x, y in combinations(ts, 2):
-                rows[(x, y)] += 1
-        keys = list(rows.keys())
+        # vectorized: pair co-occurrence via one C-level self-merge on
+        # user (fanout ≤ |types|² per user), marginals + distinct-user
+        # count via groupbys — no per-user Python loop (users are
+        # row-scale)
+        m = df.merge(df, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        pair_n = m.groupby(["event_type_a", "event_type_b"]).size()
+        marg_n = df.groupby("event_type").size()
+        n_users = df["user_id"].nunique()
         return pa.Table.from_pydict(
-            {"a": pa.array([k[0] for k in keys], pa.string()),
-             "b": pa.array([k[1] for k in keys], pa.string()),
-             "n": pa.array([rows[k] for k in keys], pa.int64())},
+            {"a": pa.array(
+                list(pair_n.index.get_level_values(0))
+                + list(marg_n.index) + [""], pa.string()),
+             "b": pa.array(
+                 list(pair_n.index.get_level_values(1))
+                 + [""] * len(marg_n) + [""], pa.string()),
+             "n": pa.array(
+                 list(pair_n.to_numpy()) + list(marg_n.to_numpy())
+                 + [int(n_users)], pa.int64())},
             schema=part_schema,
         )
 
