@@ -7463,7 +7463,107 @@ FROM sess
 """
 
 
+def q_key_skew_report(sf_dir: str):
+    """KEY-SKEW diagnostics — the partitioning/salting decision input:
+    for each candidate shuffle key (orders.o_custkey, events.user_id),
+    the key count, hottest-key share, and the EXACT Gini coefficient of
+    the per-key row counts, all in integer arithmetic (Gini via the
+    count-of-counts histogram: a multiplicity-m run of equal counts v
+    occupying ranks r+1..r+m contributes v·(m·r + m(m+1)/2) to Σi·cᵢ —
+    no sort of the key table, no floats until the two final ppm
+    divides, which are exact integer // on both sides).
+
+    Scale shape: one count-combiner groupby per key (key-scale but
+    pre-combined) → a COUNT-OF-COUNTS histogram (domain = distinct
+    per-key counts, tiny) → driver integer math."""
+    def skew_of(table: str, key: str):
+        ds = rd.read_parquet(_p(sf_dir, table), columns=[key])
+
+        def cnt_partial(t: pa.Table) -> pa.Table:
+            out = t.group_by([key]).aggregate([(key, "count")])
+            return out.rename_columns(["k", "c"])
+
+        counts = (
+            ds.map_batches(cnt_partial, batch_format="pyarrow")
+            .groupby("k").aggregate(Sum("c", alias_name="c"))
+        )
+
+        def coc_partial(t: pa.Table) -> pa.Table:
+            out = t.group_by(["c"]).aggregate([("c", "count")])
+            return out.rename_columns(["v", "m"])
+
+        rows = (
+            counts.map_batches(coc_partial, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("m", alias_name="m"))
+            .take_all()  # distinct count values — tiny
+        )
+        pairs = sorted((int(r["v"]), int(r["m"])) for r in rows)
+        n = sum(m for _v, m in pairs)
+        s = sum(v * m for v, m in pairs)
+        r = 0
+        weighted = 0  # Σ i·c_i over counts sorted ascending
+        vmax = 0
+        for v, m in pairs:
+            weighted += v * (m * r + m * (m + 1) // 2)
+            r += m
+            vmax = max(vmax, v)
+        gini_ppm = (2 * weighted - (n + 1) * s) * 1_000_000 // (n * s)
+        max_share_ppm = vmax * 1_000_000 // s
+        return n, s, max_share_ppm, gini_ppm
+
+    out = {"table_key": [], "n_keys": [], "n_rows": [],
+           "max_share_ppm": [], "gini_ppm": []}
+    for table, key in [("orders", "o_custkey"), ("events", "user_id")]:
+        n, s, mx, g = skew_of(table, key)
+        out["table_key"].append(f"{table}.{key}")
+        out["n_keys"].append(n)
+        out["n_rows"].append(s)
+        out["max_share_ppm"].append(mx)
+        out["gini_ppm"].append(g)
+    return pa.Table.from_pydict(
+        {"table_key": pa.array(out["table_key"], pa.string()),
+         "n_keys": pa.array(out["n_keys"], pa.int64()),
+         "n_rows": pa.array(out["n_rows"], pa.int64()),
+         "max_share_ppm": pa.array(out["max_share_ppm"], pa.int64()),
+         "gini_ppm": pa.array(out["gini_ppm"], pa.int64())}
+    )
+
+
+SQL_KEY_SKEW_REPORT = """
+WITH oc AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+ork AS (
+  SELECT c, row_number() OVER (ORDER BY c) AS i FROM oc
+),
+os AS (
+  SELECT count(*) AS n, sum(c) AS s, sum(i * c) AS w, max(c) AS vmax
+  FROM ork
+),
+ec AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+erk AS (
+  SELECT c, row_number() OVER (ORDER BY c) AS i FROM ec
+),
+es AS (
+  SELECT count(*) AS n, sum(c) AS s, sum(i * c) AS w, max(c) AS vmax
+  FROM erk
+)
+SELECT 'orders.o_custkey' AS table_key,
+       n AS n_keys, CAST(s AS BIGINT) AS n_rows,
+       CAST(CAST(vmax AS HUGEINT) * 1000000 // s AS BIGINT)
+         AS max_share_ppm,
+       CAST((2 * CAST(w AS HUGEINT) - (n + 1) * s) * 1000000 // (n * s)
+            AS BIGINT) AS gini_ppm
+FROM os
+UNION ALL
+SELECT 'events.user_id', n, CAST(s AS BIGINT),
+       CAST(CAST(vmax AS HUGEINT) * 1000000 // s AS BIGINT),
+       CAST((2 * CAST(w AS HUGEINT) - (n + 1) * s) * 1000000 // (n * s)
+            AS BIGINT)
+FROM es
+"""
+
+
 QUERIES = {
+    "key_skew_report": q_key_skew_report,
     "dup_payments": q_dup_payments,
     "bounce_rate": q_bounce_rate,
     "ks_value_test": q_ks_value_test,
@@ -7585,6 +7685,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "key_skew_report": SQL_KEY_SKEW_REPORT,
     "dup_payments": SQL_DUP_PAYMENTS,
     "bounce_rate": SQL_BOUNCE_RATE,
     "ks_value_test": SQL_KS_VALUE_TEST,
