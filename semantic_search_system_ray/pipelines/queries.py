@@ -7562,7 +7562,105 @@ FROM es
 """
 
 
+def q_quantile_normalize(sf_dir: str):
+    """EXACT two-sample QUANTILE NORMALIZATION — the batch-effect /
+    domain-adaptation preprocessing: every distinct 'click' value maps
+    to the 'purchase' value at the same CDF position (map = the
+    purchase element of rank ⌈cum_click·n_p / n_c⌉, the quantile_disc
+    rule) — so the click distribution, re-expressed, exactly matches
+    purchase marginals. All arithmetic is integer (histogram cums +
+    one ceiling cross-multiply); the mapped value is a table LOOKUP,
+    never interpolated floats.
+
+    Scale shape: two bounded-cardinality histogram passes (one per
+    distribution — same combiner shape as events_quantiles); the
+    mapping is a driver searchsorted over the value-domain-bounded
+    cells."""
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_type", "value"],
+        filter=(pc.field("event_type").isin(["purchase", "click"])),
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                        pa.int64())
+        t2 = pa.Table.from_pydict(
+            {"g": t.column("event_type"), "cell": cents}
+        )
+        out = t2.group_by(["g", "cell"]).aggregate([("cell", "count")])
+        return out.rename_columns(["g", "cell", "n"])
+
+    rows = (
+        ev.map_batches(hist, batch_format="pyarrow")
+        .groupby(["g", "cell"]).sum("n")
+        .take_all()  # value-domain-bounded
+    )
+    h: dict[str, dict[int, int]] = {"purchase": {}, "click": {}}
+    for r in rows:
+        h[r["g"]][int(r["cell"])] = h[r["g"]].get(int(r["cell"]), 0) + int(
+            r["sum(n)"]
+        )
+    p_cells = np.array(sorted(h["purchase"]), dtype=np.int64)
+    p_cum = np.cumsum([h["purchase"][c] for c in p_cells])
+    n_p = int(p_cum[-1])
+    c_cells = np.array(sorted(h["click"]), dtype=np.int64)
+    c_cum = np.cumsum([h["click"][c] for c in c_cells])
+    n_c = int(c_cum[-1])
+    out = {"click_cents": [], "n": [], "mapped_cents": []}
+    for cell, cum in zip(c_cells, c_cum):
+        target = (int(cum) * n_p + n_c - 1) // n_c  # ceil, exact ints
+        idx = int(np.searchsorted(p_cum, max(target, 1), side="left"))
+        out["click_cents"].append(int(cell))
+        out["n"].append(h["click"][int(cell)])
+        out["mapped_cents"].append(int(p_cells[idx]))
+    return pa.Table.from_pydict(
+        {"click_cents": pa.array(out["click_cents"], pa.int64()),
+         "n": pa.array(out["n"], pa.int64()),
+         "mapped_cents": pa.array(out["mapped_cents"], pa.int64())}
+    )
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cell
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+ph AS (
+  SELECT cell, count(*) AS n FROM c WHERE event_type = 'purchase'
+  GROUP BY cell
+),
+pcum AS (
+  SELECT cell, sum(n) OVER (ORDER BY cell ROWS UNBOUNDED PRECEDING) AS cum
+  FROM ph
+),
+pt AS (SELECT CAST(sum(n) AS BIGINT) AS n_p FROM ph),
+ch AS (
+  SELECT cell, count(*) AS n FROM c WHERE event_type = 'click'
+  GROUP BY cell
+),
+ccum AS (
+  SELECT cell, n,
+         sum(n) OVER (ORDER BY cell ROWS UNBOUNDED PRECEDING) AS cum
+  FROM ch
+),
+ct AS (SELECT CAST(sum(n) AS BIGINT) AS n_c FROM ch),
+tgt AS (
+  SELECT ccum.cell AS click_cents, ccum.n,
+         -CAST(greatest((CAST(ccum.cum AS HUGEINT) * pt.n_p + ct.n_c - 1)
+                        // ct.n_c, 1) AS BIGINT) AS neg_target
+  FROM ccum CROSS JOIN pt CROSS JOIN ct
+),
+pneg AS (SELECT cell, -CAST(cum AS BIGINT) AS neg_cum FROM pcum)
+-- min cum ≥ target via negation + ASOF (largest neg_cum ≤ neg_target)
+SELECT t.click_cents, CAST(t.n AS BIGINT) AS n,
+       p.cell AS mapped_cents
+FROM tgt t ASOF JOIN pneg p ON t.neg_target >= p.neg_cum
+"""
+
+
 QUERIES = {
+    "quantile_normalize": q_quantile_normalize,
     "key_skew_report": q_key_skew_report,
     "dup_payments": q_dup_payments,
     "bounce_rate": q_bounce_rate,
@@ -7685,6 +7783,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "quantile_normalize": SQL_QUANTILE_NORMALIZE,
     "key_skew_report": SQL_KEY_SKEW_REPORT,
     "dup_payments": SQL_DUP_PAYMENTS,
     "bounce_rate": SQL_BOUNCE_RATE,
