@@ -7659,7 +7659,93 @@ FROM tgt t ASOF JOIN pneg p ON t.neg_target >= p.neg_cum
 """
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink/source on the HARD gate (the parquet analogue is
+    q_compact_roundtrip): orders' key columns stream out through
+    ``write_csv`` and back through ``read_csv``, and the driver's
+    rows/schema/hash compare certifies the text round-trip lost or
+    corrupted NOTHING — the delimiter/quoting/typing surface a data
+    platform must guarantee, not assume. Money survives as exact cents
+    (int64 column in the CSV, no float re-parse surface)."""
+    import os
+    import shutil
+
+    src = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"o_orderkey": t.column("o_orderkey"),
+             "o_orderpriority": t.column("o_orderpriority"),
+             "cents": pc.cast(
+                 pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                 pa.int64(),
+             )}
+        ),
+        batch_format="pyarrow",
+    )
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = f"/tmp/csv_roundtrip_{sf_name}"
+    shutil.rmtree(out, ignore_errors=True)
+    src.write_csv(out)
+    back = rd.read_csv(out)
+    return back.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+             "o_orderpriority": t.column("o_orderpriority"),
+             "cents": pc.cast(t.column("cents"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders
+"""
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink/source on the HARD gate (reference S4/S5,
+    sources/jsonio): the documents' metadata columns stream out through
+    ``write_json`` (JSONL) and back through ``read_json``; the content
+    identity rides the driver's hash compare — the schema-on-read
+    surface (string escaping, int typing) certified end-to-end."""
+    import os
+    import shutil
+
+    from semantic_search_system_ray.sources.jsonio import (
+        read_json_records,
+        write_json_records,
+    )
+
+    src = rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = f"/tmp/jsonl_roundtrip_{sf_name}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_json_records(src, out)
+    back = read_json_records(out)
+    return back.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             "lang": t.column("lang"),
+             "n_chars": pc.cast(t.column("n_chars"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
 QUERIES = {
+    "csv_roundtrip": q_csv_roundtrip,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     "quantile_normalize": q_quantile_normalize,
     "key_skew_report": q_key_skew_report,
     "dup_payments": q_dup_payments,
@@ -7783,6 +7869,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "csv_roundtrip": SQL_CSV_ROUNDTRIP,
+    "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "quantile_normalize": SQL_QUANTILE_NORMALIZE,
     "key_skew_report": SQL_KEY_SKEW_REPORT,
     "dup_payments": SQL_DUP_PAYMENTS,
