@@ -7743,7 +7743,88 @@ SELECT doc_id, lang, n_chars FROM documents
 """
 
 
+def q_weighted_median_price(sf_dir: str):
+    """Per-group WEIGHTED median — the volume-weighted price statistic
+    (each lineitem counts by its quantity): the smallest price whose
+    cumulative weight reaches ⌈W/2⌉ (the lower weighted median —
+    deterministic under any tie/ordering). Same bounded-cardinality
+    histogram trick as events_quantiles with integer WEIGHTS instead of
+    row counts — exact at any scale, no sort; one mirrored divide for
+    the dollar output.
+
+    Scale shape: per-block (flag, cents)→Σqty combiners → one
+    value-domain groupby → driver cum-scan over the bounded cells."""
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        q = pc.cast(t.column("l_quantity"), pa.int64())
+        t2 = pa.Table.from_pydict(
+            {"g": t.column("l_returnflag"), "cell": cents, "w": q}
+        )
+        out = t2.group_by(["g", "cell"]).aggregate([("w", "sum")])
+        return out.rename_columns(["g", "cell", "w"])
+
+    rows = (
+        li.map_batches(hist, batch_format="pyarrow")
+        .groupby(["g", "cell"]).aggregate(Sum("w", alias_name="w"))
+        .take_all()  # |groups| × value domain — bounded
+    )
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append((int(r["cell"]), int(r["w"])))
+    out = {"l_returnflag": [], "total_qty": [], "wmedian_price": []}
+    for g in sorted(by_g):
+        cells = sorted(by_g[g])
+        total = sum(w for _c, w in cells)
+        target = (total + 1) // 2
+        cum = 0
+        med = cells[-1][0]
+        for c, w in cells:
+            cum += w
+            if cum >= target:
+                med = c
+                break
+        out["l_returnflag"].append(g)
+        out["total_qty"].append(total)
+        out["wmedian_price"].append(np.float64(med) / 100.0)
+    return pa.Table.from_pydict(
+        {"l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+         "total_qty": pa.array(out["total_qty"], pa.int64()),
+         "wmedian_price": pa.array(out["wmedian_price"], pa.float64())}
+    )
+
+
+SQL_WEIGHTED_MEDIAN_PRICE = """
+WITH h AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cell,
+         sum(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT g, cell, w,
+         sum(w) OVER (PARTITION BY g ORDER BY cell
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY g) AS total
+  FROM h
+)
+SELECT g AS l_returnflag,
+       CAST(max(total) AS BIGINT) AS total_qty,
+       CAST(min(CASE WHEN cum >= (total + 1) // 2 THEN cell END)
+            AS DOUBLE) / 100.0 AS wmedian_price
+FROM c GROUP BY g
+"""
+
+
 QUERIES = {
+    "weighted_median_price": q_weighted_median_price,
     "csv_roundtrip": q_csv_roundtrip,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "quantile_normalize": q_quantile_normalize,
@@ -7869,6 +7950,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "weighted_median_price": SQL_WEIGHTED_MEDIAN_PRICE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "quantile_normalize": SQL_QUANTILE_NORMALIZE,
