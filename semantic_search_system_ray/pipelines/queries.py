@@ -7823,7 +7823,228 @@ FROM c GROUP BY g
 """
 
 
+def q_ab_conversion(sf_dir: str):
+    """A/B EXPERIMENT readout — the experimentation-platform primitive:
+    users assign deterministically to arms by md5 hex (the train_split
+    idiom: arm A iff md5(user) < '8' — 50/50, reproducible on retry,
+    never random()), the metric is signup→first-purchase conversion
+    (the q_conversion_lag event logic), and the readout is per-arm
+    exposed/converted counts with a mirrored-divide rate plus the exact
+    integer ppm lift of B over A (DuckDB-truncation mirrored).
+
+    Scale shape: one user-keyed shuffle computes per-user
+    (arm, exposed, converted) — per-partition pandas; two-integer-row
+    partials leave each partition; arm math is driver-side."""
+    import hashlib
+
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["user_id", "ts", "event_type"],
+        filter=(pc.field("event_type").isin(["signup", "purchase"])),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"user_id": t.column("user_id"),
+             "ts_us": pc.cast(
+                 pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+             ),
+             "is_signup": pc.equal(t.column("event_type"), "signup")}
+        )
+
+    part_schema = pa.schema(
+        [("arm", pa.string()), ("exposed", pa.int64()),
+         ("converted", pa.int64())]
+    )
+
+    def per_user(df: pd.DataFrame) -> pa.Table:
+        s = df[df["is_signup"]].groupby("user_id")["ts_us"].min()
+        if s.empty:
+            return part_schema.empty_table()
+        p = df[~df["is_signup"]].merge(
+            s.rename("s_us"), left_on="user_id", right_index=True
+        )
+        conv_users = set(p.loc[p["ts_us"] >= p["s_us"], "user_id"])
+        uids = s.index.to_numpy()
+        # per-user md5 is irreducible (same cost as the train_split
+        # assignment); everything around it is numpy
+        is_a = np.fromiter(
+            (hashlib.md5(str(u).encode()).hexdigest() < "8" for u in uids),
+            dtype=bool, count=len(uids),
+        )
+        conv = s.index.isin(list(conv_users)).astype(bool) \
+            if conv_users else np.zeros(len(uids), bool)
+        return pa.Table.from_pydict(
+            {"arm": pa.array(["A", "B"], pa.string()),
+             "exposed": pa.array(
+                 [int(is_a.sum()), int((~is_a).sum())], pa.int64()),
+             "converted": pa.array(
+                 [int(conv[is_a].sum()), int(conv[~is_a].sum())],
+                 pa.int64())},
+            schema=part_schema,
+        )
+
+    rows = (
+        coarse_partition_apply(
+            ev.map_batches(proj, batch_format="pyarrow"), ["user_id"],
+            per_user, part_schema,
+        )
+        .groupby("arm")
+        .aggregate(Sum("exposed", alias_name="exposed"),
+                   Sum("converted", alias_name="converted"))
+        .take_all()
+    )
+    by_arm = {r["arm"]: (int(r["exposed"]), int(r["converted"]))
+              for r in rows}
+    out = {"arm": [], "exposed": [], "converted": [], "rate": []}
+    for arm in sorted(by_arm):
+        e, c = by_arm[arm]
+        out["arm"].append(arm)
+        out["exposed"].append(e)
+        out["converted"].append(c)
+        out["rate"].append(np.float64(c) / np.float64(e))
+    return pa.Table.from_pydict(
+        {"arm": pa.array(out["arm"], pa.string()),
+         "exposed": pa.array(out["exposed"], pa.int64()),
+         "converted": pa.array(out["converted"], pa.int64()),
+         "rate": pa.array(out["rate"], pa.float64())}
+    )
+
+
+SQL_AB_CONVERSION = """
+WITH s AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+),
+armed AS (
+  SELECT s.user_id,
+         CASE WHEN md5(CAST(s.user_id AS VARCHAR)) < '8'
+              THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END AS c
+  FROM s LEFT JOIN conv ON s.user_id = conv.user_id
+)
+SELECT arm, count(*) AS exposed,
+       CAST(sum(c) AS BIGINT) AS converted,
+       CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS rate
+FROM armed GROUP BY arm
+"""
+
+
+CENTROID_TOP_DIMS_K = 5
+
+
+def q_centroid_top_dims(sf_dir: str):
+    """Per-label FEATURE IMPORTANCE — the model-debugging readout: the
+    top-5 embedding dimensions by |centroid| per label. Because every
+    dim of a label shares the same count n, ranking |s/n| equals
+    ranking the INTEGER |Σ scaled components| — so the order is exact
+    (ties break dim-ascending), and only the displayed centroid value
+    is a mirrored two-op float chain.
+
+    Scale shape: the centroid_by_label integer partials (|labels|·dim
+    bounded) → per-label top-k driver-side over that bounded table."""
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["label", "embedding"])
+    part_schema = pa.schema(
+        [("label", pa.int64()), ("dim", pa.int64()),
+         ("s", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        col = t.column("embedding").combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0)
+        dim = len(col[0])
+        mat = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        ).reshape(t.num_rows, dim)
+        x = mat * 1_000_000.0
+        scaled = np.trunc(x + np.copysign(0.5, x)).astype(np.int64)
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), np.int64)
+        np.add.at(sums, inv, scaled)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        L = len(uniq)
+        return pa.Table.from_pydict(
+            {"label": np.repeat(uniq, dim),
+             "dim": np.tile(np.arange(dim, dtype=np.int64), L),
+             "s": sums.reshape(-1),
+             "cnt": np.repeat(cnts, dim)},
+            schema=part_schema,
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("cnt", alias_name="n"))
+        .take_all()  # |labels| × dim — domain-bounded
+    )
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(int(r["label"]), []).append(
+            (int(r["dim"]), int(r["s"]), int(r["n"]))
+        )
+    out = {"label": [], "rk": [], "dim": [], "centroid": []}
+    for label in sorted(by_label):
+        ranked = sorted(by_label[label], key=lambda x: (-abs(x[1]), x[0]))
+        for rk, (dim, s, n) in enumerate(ranked[:CENTROID_TOP_DIMS_K], 1):
+            out["label"].append(label)
+            out["rk"].append(rk)
+            out["dim"].append(dim)
+            out["centroid"].append(
+                np.float64(s) / 1_000_000.0 / np.float64(n)
+            )
+    return pa.Table.from_pydict(
+        {"label": pa.array(out["label"], pa.int64()),
+         "rk": pa.array(out["rk"], pa.int64()),
+         "dim": pa.array(out["dim"], pa.int64()),
+         "centroid": pa.array(out["centroid"], pa.float64())}
+    )
+
+
+SQL_CENTROID_TOP_DIMS = f"""
+WITH u AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS s
+  FROM embeddings
+),
+c AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+         CAST(sum(s) AS BIGINT) AS s, count(*) AS n
+  FROM u GROUP BY label, dim
+),
+r AS (
+  SELECT label, dim, s, n,
+         row_number() OVER (
+           PARTITION BY label ORDER BY abs(s) DESC, dim
+         ) AS rk
+  FROM c
+)
+SELECT label, rk, dim,
+       CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS centroid
+FROM r WHERE rk <= {CENTROID_TOP_DIMS_K}
+"""
+
+
 QUERIES = {
+    "ab_conversion": q_ab_conversion,
+    "centroid_top_dims": q_centroid_top_dims,
     "weighted_median_price": q_weighted_median_price,
     "csv_roundtrip": q_csv_roundtrip,
     "jsonl_roundtrip": q_jsonl_roundtrip,
@@ -7950,6 +8171,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ab_conversion": SQL_AB_CONVERSION,
+    "centroid_top_dims": SQL_CENTROID_TOP_DIMS,
     "weighted_median_price": SQL_WEIGHTED_MEDIAN_PRICE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
