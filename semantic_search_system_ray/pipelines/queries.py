@@ -8042,7 +8042,150 @@ FROM r WHERE rk <= {CENTROID_TOP_DIMS_K}
 """
 
 
+INTERP_GRID_US = 6 * 3600 * 1_000_000  # 6-hour grid
+
+
+def q_events_interp_grid(sf_dir: str):
+    """Linear-INTERPOLATION resample — the smooth complement of
+    q_events_locf's step-fill: per user, the value at every 6-hour grid
+    timestamp inside the user's observed span, interpolated between the
+    bracketing events (v0 + (v1−v0)·(g−t0)/(t1−t0), ONE mirrored float
+    chain per grid point — no summation, so doubles hash exactly).
+    Bracket ties at equal timestamps are pinned: backward neighbor =
+    max (ts, event_id), forward = min (ts, event_id), mirrored by the
+    oracle's arg_max/arg_min over [ts, event_id] lists; a grid point on
+    an event takes that event's value (t1 = t0 guard).
+
+    Scale shape: ONE user-keyed shuffle; grids are span-bounded per
+    user and built vectorized; both neighbor lookups are pandas
+    merge_asof (C-level, by=user)."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"event_id": t.column("event_id"),
+             "user_id": t.column("user_id"),
+             "ts_us": pc.cast(
+                 pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+             ),
+             "value": t.column("value")}
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("g_us", pa.int64()),
+         ("value_interp", pa.float64())]
+    )
+
+    P = INTERP_GRID_US
+
+    def interp(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        df = df.sort_values(["ts_us", "event_id"], kind="mergesort")
+        b = df.groupby("user_id")["ts_us"].agg(["min", "max"])
+        gstart = -(-b["min"].to_numpy() // P) * P
+        gend = (b["max"].to_numpy() // P) * P
+        npts = np.maximum((gend - gstart) // P + 1, 0)
+        if npts.sum() == 0:
+            return out_schema.empty_table()
+        users = np.repeat(b.index.to_numpy(), npts)
+        offs = np.arange(int(npts.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(npts) - npts, npts
+        )
+        gs = np.repeat(gstart, npts) + offs * P
+        grid = pd.DataFrame({"user_id": users, "g": gs}).sort_values(
+            "g", kind="mergesort"
+        )
+        back = pd.merge_asof(
+            grid, df.rename(columns={"ts_us": "t0", "value": "v0"})[
+                ["user_id", "t0", "v0"]],
+            left_on="g", right_on="t0", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )
+        both = pd.merge_asof(
+            back, df.rename(columns={"ts_us": "t1", "value": "v1"})[
+                ["user_id", "t1", "v1"]],
+            left_on="g", right_on="t1", by="user_id",
+            direction="forward", allow_exact_matches=True,
+        )
+        t0 = both["t0"].to_numpy(np.int64)
+        t1 = both["t1"].to_numpy(np.int64)
+        v0 = both["v0"].to_numpy(np.float64)
+        v1 = both["v1"].to_numpy(np.float64)
+        g = both["g"].to_numpy(np.int64)
+        same = t1 == t0
+        frac = np.zeros(len(g), np.float64)
+        np.divide(
+            (g - t0).astype(np.float64), (t1 - t0).astype(np.float64),
+            out=frac, where=~same,
+        )
+        val = np.where(same, v0, v0 + (v1 - v0) * frac)
+        return pa.Table.from_pydict(
+            {"user_id": both["user_id"].to_numpy(np.int64),
+             "g_us": g, "value_interp": val},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        ev.map_batches(proj, batch_format="pyarrow"), ["user_id"],
+        interp, out_schema,
+    )
+
+
+SQL_EVENTS_INTERP_GRID = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+),
+b AS (
+  SELECT user_id,
+         ((min(ts_us) + {INTERP_GRID_US} - 1) // {INTERP_GRID_US})
+           * {INTERP_GRID_US} AS gstart,
+         (max(ts_us) // {INTERP_GRID_US}) * {INTERP_GRID_US} AS gend
+  FROM e GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(gstart, gend, {INTERP_GRID_US}))
+           AS g
+  FROM b WHERE gstart <= gend
+),
+nb AS (
+  SELECT gr.user_id, gr.g,
+         max(e.ts_us) FILTER (WHERE e.ts_us <= gr.g) AS t0,
+         min(e.ts_us) FILTER (WHERE e.ts_us >= gr.g) AS t1
+  FROM grid gr JOIN e USING (user_id)
+  GROUP BY gr.user_id, gr.g
+),
+-- tie pins at the bracket timestamps: backward = max event_id,
+-- forward = min event_id (the engine's merge_asof order)
+vb AS (
+  SELECT nb.user_id, nb.g, nb.t0, nb.t1,
+         arg_max(e0.value, e0.event_id) AS v0
+  FROM nb JOIN e e0 ON e0.user_id = nb.user_id AND e0.ts_us = nb.t0
+  GROUP BY nb.user_id, nb.g, nb.t0, nb.t1
+),
+vf AS (
+  SELECT vb.user_id, vb.g, vb.t0, vb.t1, vb.v0,
+         arg_min(e1.value, e1.event_id) AS v1
+  FROM vb JOIN e e1 ON e1.user_id = vb.user_id AND e1.ts_us = vb.t1
+  GROUP BY vb.user_id, vb.g, vb.t0, vb.t1, vb.v0
+)
+SELECT user_id, g AS g_us,
+       CASE WHEN t1 = t0 THEN v0
+            ELSE v0 + (v1 - v0)
+                 * (CAST(g - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+       END AS value_interp
+FROM vf
+"""
+
+
 QUERIES = {
+    "events_interp_grid": q_events_interp_grid,
     "ab_conversion": q_ab_conversion,
     "centroid_top_dims": q_centroid_top_dims,
     "weighted_median_price": q_weighted_median_price,
@@ -8171,6 +8314,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_interp_grid": SQL_EVENTS_INTERP_GRID,
     "ab_conversion": SQL_AB_CONVERSION,
     "centroid_top_dims": SQL_CENTROID_TOP_DIMS,
     "weighted_median_price": SQL_WEIGHTED_MEDIAN_PRICE,
