@@ -8184,7 +8184,113 @@ FROM vf
 """
 
 
+ATTRIB_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def q_purchase_attribution(sf_dir: str):
+    """LAST-TOUCH attribution — the marketing-analytics primitive: each
+    purchase credits the user's most recent NON-purchase event within
+    the 24h before it (strictly earlier ts; ties at the bracket ts pin
+    to max event_id), and the rollup counts purchases per credited
+    touch type plus the unattributed remainder. Exact integer time
+    arithmetic; counts only.
+
+    Scale shape: ONE user-keyed shuffle; the per-partition lookup is a
+    pandas merge_asof (C-level, by=user, backward, exclusive); what
+    leaves each partition is (touch_type, n) partials over the tiny
+    type domain."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"event_id": t.column("event_id"),
+             "user_id": t.column("user_id"),
+             "ts_us": pc.cast(
+                 pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+             ),
+             "event_type": t.column("event_type")}
+        )
+
+    part_schema = pa.schema([("touch", pa.string()), ("n", pa.int64())])
+
+    def attrib(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        df = df.sort_values(["ts_us", "event_id"], kind="mergesort")
+        purchases = df[df["event_type"] == "purchase"][
+            ["user_id", "ts_us"]].copy()
+        touches = df[df["event_type"] != "purchase"].rename(
+            columns={"ts_us": "t_ts", "event_type": "touch"}
+        )[["user_id", "t_ts", "touch"]]
+        if purchases.empty:
+            return part_schema.empty_table()
+        m = pd.merge_asof(
+            purchases, touches, left_on="ts_us", right_on="t_ts",
+            by="user_id", direction="backward", allow_exact_matches=False,
+        )
+        in_window = m["t_ts"].notna() & (
+            m["ts_us"] - m["t_ts"] <= ATTRIB_WINDOW_US
+        )
+        credited = m.loc[in_window, "touch"]
+        cnt = credited.value_counts()
+        touches_out = list(cnt.index) + ["(none)"]
+        ns = list(cnt.to_numpy()) + [int((~in_window).sum())]
+        return pa.Table.from_pydict(
+            {"touch": pa.array(touches_out, pa.string()),
+             "n": pa.array([int(x) for x in ns], pa.int64())},
+            schema=part_schema,
+        )
+
+    out = coarse_partition_apply(
+        ev.map_batches(proj, batch_format="pyarrow"), ["user_id"],
+        attrib, part_schema,
+    ).groupby("touch").aggregate(Sum("n", alias_name="n_purchases"))
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"touch": t.column("touch"),
+             "n_purchases": t.column("n_purchases")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PURCHASE_ATTRIBUTION = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+p AS (SELECT event_id AS p_id, user_id, ts_us FROM e
+      WHERE event_type = 'purchase'),
+t AS (SELECT user_id, ts_us AS t_ts, event_id, event_type
+      FROM e WHERE event_type <> 'purchase'),
+last_ts AS (
+  SELECT p.p_id, p.user_id, p.ts_us,
+         max(t.t_ts) FILTER (WHERE t.t_ts < p.ts_us) AS t_ts
+  FROM p LEFT JOIN t USING (user_id)
+  GROUP BY p.p_id, p.user_id, p.ts_us
+),
+credited AS (
+  SELECT l.user_id, l.ts_us, l.t_ts,
+         CASE WHEN l.t_ts IS NOT NULL
+                   AND l.ts_us - l.t_ts <= {ATTRIB_WINDOW_US}
+              THEN (SELECT arg_max(t2.event_type, t2.event_id)
+                    FROM t t2
+                    WHERE t2.user_id = l.user_id AND t2.t_ts = l.t_ts)
+              ELSE '(none)' END AS touch
+  FROM last_ts l
+)
+SELECT touch, count(*) AS n_purchases
+FROM credited GROUP BY touch
+"""
+
+
 QUERIES = {
+    "purchase_attribution": q_purchase_attribution,
     "events_interp_grid": q_events_interp_grid,
     "ab_conversion": q_ab_conversion,
     "centroid_top_dims": q_centroid_top_dims,
@@ -8314,6 +8420,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
     "events_interp_grid": SQL_EVENTS_INTERP_GRID,
     "ab_conversion": SQL_AB_CONVERSION,
     "centroid_top_dims": SQL_CENTROID_TOP_DIMS,
