@@ -174,7 +174,8 @@ def run_bench() -> dict:
         "small_qty_revenue", "orders_skyline", "event_transitions",
         "late_suppliers", "fifo_match", "user_trailing_sum",
         "rolling_distinct_users", "rfm_segments", "kg_weighted_paths",
-        "bucketed_join",
+        "bucketed_join", "events_interp_grid", "quantile_normalize",
+        "key_skew_report", "purchase_attribution",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         t0 = time.perf_counter()
