@@ -8289,7 +8289,69 @@ FROM credited GROUP BY touch
 """
 
 
+def q_longest_quiet_run(sf_dir: str):
+    """GAPS-AND-ISLANDS — the outage/monitoring pattern: the longest run
+    of consecutive MINUTES with zero events (the quiet window), with
+    its start minute (ties → earliest). Presence reduces to the
+    bounded minute-bucket domain, so the island scan never touches
+    row-scale data and needs no global sort of events.
+
+    Scale shape: per-block distinct-minute combiners → one groupby over
+    the calendar-minute domain → driver lag-scan for the runs."""
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["ts"])
+    MIN_US = 60 * 1_000_000
+
+    def mins(t: pa.Table) -> pa.Table:
+        m = pc.cast(
+            pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False) // MIN_US
+        return pa.Table.from_pydict(
+            {"m": pa.array(np.unique(m), pa.int64())}
+        )
+
+    rows = (
+        ev.map_batches(mins, batch_format="pyarrow")
+        .groupby("m").count()
+        .take_all()  # calendar-minute domain — bounded
+    )
+    present = np.sort(np.array([r["m"] for r in rows], dtype=np.int64))
+    gaps = present[1:] - present[:-1] - 1
+    if len(gaps) == 0 or gaps.max() == 0:
+        return pa.Table.from_pydict(
+            {"start": pa.array([], pa.string()),
+             "quiet_minutes": pa.array([], pa.int64())}
+        )
+    best = int(gaps.max())
+    idx = int(np.argmax(gaps))  # first occurrence → earliest start
+    start_min = int(present[idx]) + 1
+    start = pa.array([start_min * MIN_US], pa.int64())
+    return pa.Table.from_pydict(
+        {"start": pc.strftime(
+            pc.cast(start, pa.timestamp("us")), format="%Y-%m-%d %H:%M"
+        ),
+         "quiet_minutes": pa.array([best], pa.int64())}
+    )
+
+
+SQL_LONGEST_QUIET_RUN = """
+WITH h AS (
+  SELECT DISTINCT epoch_us(ts) // 60000000 AS m FROM events
+),
+g AS (SELECT m, lag(m) OVER (ORDER BY m) AS prev FROM h),
+runs AS (
+  SELECT prev + 1 AS start_m, m - prev - 1 AS quiet
+  FROM g WHERE prev IS NOT NULL AND m - prev > 1
+)
+SELECT strftime(to_timestamp(start_m * 60), '%Y-%m-%d %H:%M') AS start,
+       CAST(quiet AS BIGINT) AS quiet_minutes
+FROM runs
+ORDER BY quiet DESC, start_m
+LIMIT 1
+"""
+
+
 QUERIES = {
+    "longest_quiet_run": q_longest_quiet_run,
     "purchase_attribution": q_purchase_attribution,
     "events_interp_grid": q_events_interp_grid,
     "ab_conversion": q_ab_conversion,
@@ -8420,6 +8482,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "longest_quiet_run": SQL_LONGEST_QUIET_RUN,
     "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
     "events_interp_grid": SQL_EVENTS_INTERP_GRID,
     "ab_conversion": SQL_AB_CONVERSION,
