@@ -8350,7 +8350,95 @@ LIMIT 1
 """
 
 
+def q_longest_streak(sf_dir: str):
+    """Per-user longest CONSECUTIVE-DAY activity streak, top-10 users
+    (ties → user_id asc) — the engagement-streak islands problem (the
+    per-key counterpart of q_longest_quiet_run's global gaps). Runs are
+    computed in one vectorized pass over per-user distinct days
+    (boundary mask + segment lengths — no row_number trick needed
+    engine-side); each partition pre-trims to its local top-10, so the
+    driver sees ≤ P·10 rows.
+
+    Scale shape: ONE user-keyed shuffle; day dedup, run segmentation
+    and the per-user max are all numpy over the sorted partition."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(
+                pc.cast(t.column("ts"), pa.timestamp("us")), pa.date32()
+            ),
+            pa.int32(),
+        )
+        t2 = pa.Table.from_pydict(
+            {"user_id": t.column("user_id"),
+             "day": pc.cast(day, pa.int64())}
+        )
+        return t2.group_by(["user_id", "day"]).aggregate([])
+
+    part_schema = pa.schema([("user_id", pa.int64()), ("streak", pa.int64())])
+
+    def streaks(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        df = df.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy()
+        brk = np.ones(len(df), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1)
+        seg = np.cumsum(brk)
+        lengths = np.bincount(seg)[1:]
+        seg_user = u[brk]
+        per_user = pd.Series(lengths).groupby(seg_user).max().reset_index()
+        per_user.columns = ["user_id", "streak"]
+        # local trim with the GLOBAL tie-break (streak desc, user asc) —
+        # a value-only trim could cut a smaller-id tied user that the
+        # global ordering would keep
+        top = per_user.sort_values(
+            ["streak", "user_id"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+        return pa.Table.from_pydict(
+            {"user_id": pa.array(top["user_id"].to_numpy(), pa.int64()),
+             "streak": pa.array(top["streak"].to_numpy(), pa.int64())},
+            schema=part_schema,
+        )
+
+    out = coarse_partition_apply(
+        ev.map_batches(proj, batch_format="pyarrow"), ["user_id"],
+        streaks, part_schema,
+    )
+    return out.sort(["streak", "user_id"], descending=[True, False]).limit(10)
+
+
+SQL_LONGEST_STREAK = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+  FROM events
+),
+g AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS grp
+  FROM ud
+),
+runs AS (
+  SELECT user_id, count(*) AS len FROM g GROUP BY user_id, grp
+),
+best AS (SELECT user_id, max(len) AS streak FROM runs GROUP BY user_id)
+SELECT user_id, CAST(streak AS BIGINT) AS streak
+FROM best ORDER BY streak DESC, user_id LIMIT 10
+"""
+
+
 QUERIES = {
+    "longest_streak": q_longest_streak,
     "longest_quiet_run": q_longest_quiet_run,
     "purchase_attribution": q_purchase_attribution,
     "events_interp_grid": q_events_interp_grid,
@@ -8482,6 +8570,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "longest_streak": SQL_LONGEST_STREAK,
     "longest_quiet_run": SQL_LONGEST_QUIET_RUN,
     "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
     "events_interp_grid": SQL_EVENTS_INTERP_GRID,
