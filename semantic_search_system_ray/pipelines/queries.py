@@ -8437,7 +8437,208 @@ FROM best ORDER BY streak DESC, user_id LIMIT 10
 """
 
 
+def q_region_share(sf_dir: str):
+    """Percent-of-PARENT rollup — the BI hierarchy ratio: each nation's
+    share of its region's customer account balance, exact integer ppm
+    (cents // cents, truncation mirrored). The two hierarchy levels
+    aggregate in ONE pass (nation-level cents), the region level derives
+    from it driver-side (nation domain is tiny), and the dims broadcast.
+
+    Scale shape: per-block (nationkey, cents) combiners over customer →
+    one |nations|-sized groupby; dims (nation, region) are driver-read
+    small tables."""
+    cust = rd.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("c_acctbal"), 100.0)), pa.int64()
+        )
+        t2 = pa.Table.from_pydict(
+            {"nk": pc.cast(t.column("c_nationkey"), pa.int64()),
+             "cents": cents}
+        )
+        out = t2.group_by(["nk"]).aggregate([("cents", "sum")])
+        return out.rename_columns(["nk", "cents"])
+
+    rows = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby("nk").aggregate(Sum("cents", alias_name="cents"))
+        .take_all()  # |nations|
+    )
+    nat = {
+        r["n_nationkey"]: (r["n_name"], int(r["n_regionkey"]))
+        for r in rd.read_parquet(_p(sf_dir, "nation")).take_all()
+    }
+    region_tot: Counter = Counter()
+    for r in rows:
+        region_tot[nat[r["nk"]][1]] += int(r["cents"])
+    out = {"n_name": [], "r_key": [], "share_ppm": []}
+    for r in sorted(rows, key=lambda r: r["nk"]):
+        name, rk = nat[r["nk"]]
+        c = int(r["cents"])
+        tot = region_tot[rk]
+        # balances can be negative: mirror DuckDB truncation explicitly
+        num = c * 1_000_000
+        share = (1 if (num >= 0) == (tot >= 0) else -1) * (
+            abs(num) // abs(tot)
+        )
+        out["n_name"].append(name)
+        out["r_key"].append(rk)
+        out["share_ppm"].append(share)
+    return pa.Table.from_pydict(
+        {"n_name": pa.array(out["n_name"], pa.string()),
+         "r_key": pa.array(out["r_key"], pa.int64()),
+         "share_ppm": pa.array(out["share_ppm"], pa.int64())}
+    )
+
+
+SQL_REGION_SHARE = """
+WITH n AS (
+  SELECT c.c_nationkey AS nk,
+         sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS cents
+  FROM customer c GROUP BY 1
+),
+j AS (
+  SELECT nat.n_name, CAST(nat.n_regionkey AS BIGINT) AS r_key, n.cents
+  FROM n JOIN nation nat ON n.nk = nat.n_nationkey
+),
+r AS (SELECT r_key, sum(cents) AS tot FROM j GROUP BY r_key)
+SELECT j.n_name, j.r_key,
+       CAST(CAST(j.cents AS HUGEINT) * 1000000 // r.tot AS BIGINT)
+         AS share_ppm
+FROM j JOIN r USING (r_key)
+"""
+
+
+GAP_BUCKET = 1024
+
+
+def q_orderkey_gaps(sf_dir: str):
+    """Distributed ID-GAP detection — the data-integrity audit for
+    expected-contiguous key sequences (missing invoices / lost
+    messages), exercised on the naturally sparse URGENT-order key
+    subsequence: the top-20 largest gaps, found WITHOUT a global sort
+    via bucketed presence: keys route into 1024-key buckets; each
+    bucket partition emits its interior top-20 gaps (a gap lives
+    entirely inside one bucket, and local (gap desc, start asc) top-20
+    provably contains every globally-selected gap from that bucket)
+    plus a (kmin, kmax) summary row; cross-bucket gaps stitch from the
+    bucket-domain-bounded summaries on the driver. Ties: (gap desc,
+    start asc) — heavily exercised (the subsequence has many equal
+    gaps)."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=(pc.field("o_orderpriority") == "1-URGENT"),
+    )
+    B = GAP_BUCKET
+
+    def proj(t: pa.Table) -> pa.Table:
+        k = np.unique(t.column("o_orderkey").to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict(
+            {"k": pa.array(k, pa.int64()),
+             "b": pa.array(k // B, pa.int64())}
+        )
+
+    part_schema = pa.schema(
+        [("b", pa.int64()), ("is_summary", pa.bool_()),
+         ("kmin", pa.int64()), ("kmax", pa.int64()),
+         ("gap", pa.int64()), ("start", pa.int64())]
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        df = df.drop_duplicates(["k"]).sort_values(["b", "k"],
+                                                   kind="mergesort")
+        k = df["k"].to_numpy()
+        b = df["b"].to_numpy()
+        brk = np.ones(len(df), dtype=bool)
+        brk[1:] = b[1:] != b[:-1]
+        seg_starts = np.flatnonzero(brk)
+        kmin = np.minimum.reduceat(k, seg_starts)
+        kmax = np.maximum.reduceat(k, seg_starts)
+        gaps = np.zeros(len(df), np.int64)
+        starts = np.zeros(len(df), np.int64)
+        gaps[1:] = np.where(~brk[1:], k[1:] - k[:-1] - 1, 0)
+        starts[1:] = k[:-1] + 1
+        seg = np.cumsum(brk) - 1
+        gdf = pd.DataFrame({"seg": seg, "gap": gaps, "start": starts})
+        gdf = gdf[gdf["gap"] > 0]
+        # per-bucket top-20 under the GLOBAL ordering (see docstring)
+        top = gdf.sort_values(["gap", "start"],
+                              ascending=[False, True],
+                              kind="mergesort").groupby(
+            "seg", sort=False
+        ).head(20)
+        n_sum = len(kmin)
+        n_gap = len(top)
+        return pa.Table.from_pydict(
+            {"b": pa.array(
+                np.concatenate([b[seg_starts],
+                                b[seg_starts][top["seg"].to_numpy()]]),
+                pa.int64()),
+             "is_summary": pa.array([True] * n_sum + [False] * n_gap),
+             "kmin": pa.array(
+                 np.concatenate([kmin, np.zeros(n_gap, np.int64)]),
+                 pa.int64()),
+             "kmax": pa.array(
+                 np.concatenate([kmax, np.zeros(n_gap, np.int64)]),
+                 pa.int64()),
+             "gap": pa.array(
+                 np.concatenate([np.zeros(n_sum, np.int64),
+                                 top["gap"].to_numpy()]), pa.int64()),
+             "start": pa.array(
+                 np.concatenate([np.zeros(n_sum, np.int64),
+                                 top["start"].to_numpy()]), pa.int64())},
+            schema=part_schema,
+        )
+
+    rows = coarse_partition_apply(
+        orders.map_batches(proj, batch_format="pyarrow"), ["b"],
+        per_bucket, part_schema,
+    ).take_all()  # bucket-domain bounded
+    summaries = sorted(
+        ((int(r["b"]), int(r["kmin"]), int(r["kmax"]))
+         for r in rows if r["is_summary"]),
+    )
+    cands = [(int(r["gap"]), int(r["start"]))
+             for r in rows if not r["is_summary"]]
+    prev_max = None
+    for _b, kmin, kmax in summaries:
+        if prev_max is not None and kmin - prev_max > 1:
+            cands.append((kmin - prev_max - 1, prev_max + 1))
+        prev_max = kmax
+    cands.sort(key=lambda x: (-x[0], x[1]))
+    top = cands[:20]
+    return pa.Table.from_pydict(
+        {"gap_start": pa.array([s for _g, s in top], pa.int64()),
+         "gap_len": pa.array([g for g, _s in top], pa.int64())}
+    )
+
+
+SQL_ORDERKEY_GAPS = """
+WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+g AS (SELECT k, lag(k) OVER (ORDER BY k) AS prev FROM k),
+gaps AS (
+  SELECT prev + 1 AS gap_start, k - prev - 1 AS gap_len
+  FROM g WHERE prev IS NOT NULL AND k - prev > 1
+)
+SELECT gap_start, CAST(gap_len AS BIGINT) AS gap_len
+FROM gaps ORDER BY gap_len DESC, gap_start LIMIT 20
+"""
+
+
 QUERIES = {
+    "region_share": q_region_share,
+    "orderkey_gaps": q_orderkey_gaps,
     "longest_streak": q_longest_streak,
     "longest_quiet_run": q_longest_quiet_run,
     "purchase_attribution": q_purchase_attribution,
@@ -8570,6 +8771,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "region_share": SQL_REGION_SHARE,
+    "orderkey_gaps": SQL_ORDERKEY_GAPS,
     "longest_streak": SQL_LONGEST_STREAK,
     "longest_quiet_run": SQL_LONGEST_QUIET_RUN,
     "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
