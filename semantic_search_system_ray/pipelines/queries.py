@@ -8636,7 +8636,184 @@ FROM gaps ORDER BY gap_len DESC, gap_start LIMIT 20
 """
 
 
+ALLOC_TOTAL = 1_000_000  # cents to allocate
+
+
+def q_allocate_budget(sf_dir: str):
+    """Largest-remainder (Hamilton) ALLOCATION — the penny-allocation
+    problem every billing/settlement system has: split a fixed budget
+    across priorities proportional to revenue such that the integer
+    parts sum EXACTLY to the total. floor shares first, then the
+    leftover pennies go to the largest remainders (ties → priority
+    asc) — all integer arithmetic, mirrored by the oracle's
+    remainder-ranked window.
+
+    Scale shape: the distributed part is the revenue aggregate
+    (per-block cent combiners → |priorities| groupby); the allocation
+    is driver math over the bounded result."""
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        t2 = pa.Table.from_pydict(
+            {"pri": t.column("o_orderpriority"), "cents": cents}
+        )
+        out = t2.group_by(["pri"]).aggregate([("cents", "sum")])
+        return out.rename_columns(["pri", "cents"])
+
+    rows = sorted(
+        ((r["pri"], int(r["cents"])) for r in
+         orders.map_batches(partial, batch_format="pyarrow")
+         .groupby("pri").aggregate(Sum("cents", alias_name="cents"))
+         .take_all()),
+    )
+    total = sum(c for _p, c in rows)
+    floors = [(p, c, ALLOC_TOTAL * c // total, ALLOC_TOTAL * c % total)
+              for p, c in rows]
+    leftover = ALLOC_TOTAL - sum(f for _p, _c, f, _r in floors)
+    # leftover pennies to the largest remainders, ties priority-asc
+    order = sorted(floors, key=lambda x: (-x[3], x[0]))
+    bump = {p for p, _c, _f, _r in order[:leftover]}
+    out = {"pri": [], "alloc_cents": []}
+    for p, _c, f, _r in floors:
+        out["pri"].append(p)
+        out["alloc_cents"].append(f + (1 if p in bump else 0))
+    if sum(out["alloc_cents"]) != ALLOC_TOTAL:  # loud in ALL run modes
+        raise ValueError("allocation does not sum to the budget")
+    return pa.Table.from_pydict(
+        {"pri": pa.array(out["pri"], pa.string()),
+         "alloc_cents": pa.array(out["alloc_cents"], pa.int64())}
+    )
+
+
+SQL_ALLOCATE_BUDGET = f"""
+WITH a AS (
+  SELECT o_orderpriority AS pri,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+t AS (SELECT CAST(sum(cents) AS HUGEINT) AS total FROM a),
+f AS (
+  SELECT a.pri,
+         {ALLOC_TOTAL} * CAST(a.cents AS HUGEINT) // t.total AS fl,
+         {ALLOC_TOTAL} * CAST(a.cents AS HUGEINT) % t.total AS rem
+  FROM a CROSS JOIN t
+),
+l AS (SELECT {ALLOC_TOTAL} - CAST(sum(fl) AS BIGINT) AS leftover FROM f),
+r AS (
+  SELECT pri, fl,
+         row_number() OVER (ORDER BY rem DESC, pri) AS rk
+  FROM f
+)
+SELECT r.pri,
+       CAST(r.fl + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_cents
+FROM r CROSS JOIN l
+"""
+
+
+def q_interarrival_hist(sf_dir: str):
+    """LOG-SCALE inter-arrival histogram — the telemetry latency/burst
+    profile: per event type, counts of per-user consecutive-event gaps
+    bucketed by ⌊log2(gap seconds)⌋ (gap 0 → bucket −1). The bucket
+    function is the same libm log2 double on both sides (bit-identical
+    here); everything else is integer.
+
+    Scale shape: ONE user-keyed shuffle; lag + bucketing vectorized
+    per partition; (type, bucket, n) partials are domain-bounded."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"event_id": t.column("event_id"),
+             "user_id": t.column("user_id"),
+             "ts_us": pc.cast(
+                 pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+             ),
+             "event_type": t.column("event_type")}
+        )
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("bucket", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def hist(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        same = np.zeros(len(df), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        gap_s = np.zeros(len(df), np.int64)
+        gap_s[1:] = (ts[1:] - ts[:-1]) // 1_000_000
+        et = df["event_type"].to_numpy()
+        g = gap_s[same]
+        t_ = et[same]
+        bucket = np.full(len(g), -1, np.int64)
+        pos = g > 0
+        bucket[pos] = np.floor(np.log2(g[pos].astype(np.float64))).astype(
+            np.int64
+        )
+        out = pd.DataFrame({"event_type": t_, "bucket": bucket}).groupby(
+            ["event_type", "bucket"]
+        ).size()
+        idx = out.index
+        return pa.Table.from_pydict(
+            {"event_type": pa.array(
+                list(idx.get_level_values(0)), pa.string()),
+             "bucket": pa.array(
+                 idx.get_level_values(1).to_numpy(np.int64), pa.int64()),
+             "n": pa.array(out.to_numpy(np.int64), pa.int64())},
+            schema=part_schema,
+        )
+
+    return (
+        coarse_partition_apply(
+            ev.map_batches(proj, batch_format="pyarrow"), ["user_id"],
+            hist, part_schema,
+        )
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_INTERARRIVAL_HIST = """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts)
+          - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) // 1000000
+           AS gap_s
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         CASE WHEN gap_s > 0
+              THEN CAST(floor(log2(CAST(gap_s AS DOUBLE))) AS BIGINT)
+              ELSE -1 END AS bucket
+  FROM g WHERE gap_s IS NOT NULL
+)
+SELECT event_type, bucket, count(*) AS n
+FROM b GROUP BY event_type, bucket
+"""
+
+
 QUERIES = {
+    "allocate_budget": q_allocate_budget,
+    "interarrival_hist": q_interarrival_hist,
     "region_share": q_region_share,
     "orderkey_gaps": q_orderkey_gaps,
     "longest_streak": q_longest_streak,
@@ -8771,6 +8948,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "allocate_budget": SQL_ALLOCATE_BUDGET,
+    "interarrival_hist": SQL_INTERARRIVAL_HIST,
     "region_share": SQL_REGION_SHARE,
     "orderkey_gaps": SQL_ORDERKEY_GAPS,
     "longest_streak": SQL_LONGEST_STREAK,
