@@ -8811,7 +8811,80 @@ FROM b GROUP BY event_type, bucket
 """
 
 
+VOCAB_CHECKPOINTS = [50, 100, 200, 500]
+
+
+def q_vocab_growth(sf_dir: str):
+    """VOCABULARY GROWTH curve (Heaps'-law measurement) — the
+    corpus-statistics readout a tokenizer/dedup budget is planned
+    against: |distinct terms| within the first N docs (doc_id order)
+    at fixed checkpoints. Prefix-distinct counting decomposes exactly:
+    a term's contribution is its FIRST-occurrence doc position, so one
+    term-keyed min-aggregate + a cumulative count over checkpoint
+    buckets replaces any sequential scan.
+
+    Scale shape: per-block (term, min doc) partials → one vocab-keyed
+    groupby min → per-checkpoint counts via one more combiner pass;
+    only |checkpoints| rows reach the driver."""
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import re as _re
+
+        first: dict = {}
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            for w in set(_re.findall(r"\w+", (txt or "").lower())):
+                if w not in first or did < first[w]:
+                    first[w] = did
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(first.keys()), pa.string()),
+             "first_doc": pa.array(list(first.values()), pa.int64())}
+        )
+
+    firsts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Min("first_doc", alias_name="first_doc"))
+    )
+
+    cps = np.array(VOCAB_CHECKPOINTS, dtype=np.int64)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        fd = t.column("first_doc").to_numpy(zero_copy_only=False)
+        # count terms whose first doc is < each checkpoint (doc_id is
+        # 0-based: first N docs = ids 0..N-1)
+        counts = np.array(
+            [(fd < c).sum() for c in cps], dtype=np.int64
+        )
+        return pa.Table.from_pydict(
+            {"checkpoint": pa.array(cps, pa.int64()),
+             "n": pa.array(counts, pa.int64())}
+        )
+
+    return (
+        firsts.map_batches(bucket, batch_format="pyarrow")
+        .groupby("checkpoint")
+        .aggregate(Sum("n", alias_name="vocab_size"))
+    )
+
+
+SQL_VOCAB_GROWTH = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM documents
+),
+f AS (SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY term)
+SELECT CAST(cp AS BIGINT) AS checkpoint, count(*) AS vocab_size
+FROM f, unnest([{", ".join(str(c) for c in VOCAB_CHECKPOINTS)}]) t(cp)
+WHERE f.first_doc < cp
+GROUP BY cp
+"""
+
+
 QUERIES = {
+    "vocab_growth": q_vocab_growth,
     "allocate_budget": q_allocate_budget,
     "interarrival_hist": q_interarrival_hist,
     "region_share": q_region_share,
@@ -8948,6 +9021,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "vocab_growth": SQL_VOCAB_GROWTH,
     "allocate_budget": SQL_ALLOCATE_BUDGET,
     "interarrival_hist": SQL_INTERARRIVAL_HIST,
     "region_share": SQL_REGION_SHARE,
