@@ -8883,7 +8883,82 @@ GROUP BY cp
 """
 
 
+def q_iqm_price(sf_dir: str):
+    """INTERQUARTILE MEAN (25% two-sided trimmed mean) of order totals —
+    the robust average that survives fat tails: drop the lowest and
+    highest ⌊n/4⌋ values BY RANK and average the rest, computed exactly
+    on the bounded integer histogram with partial boundary-cell counts
+    (kept_in_cell = overlap of the cell's rank run with the kept rank
+    range — pure integers; ONE mirrored divide at the end). No sort, no
+    approximation.
+
+    Scale shape: per-block cent histograms → one value-domain groupby →
+    driver integer scan."""
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        t2 = pa.Table.from_pydict({"cell": cents})
+        out = t2.group_by(["cell"]).aggregate([("cell", "count")])
+        return out.rename_columns(["cell", "n"])
+
+    rows = (
+        orders.map_batches(hist, batch_format="pyarrow")
+        .groupby("cell").sum("n")
+        .take_all()  # value-domain-bounded
+    )
+    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+    counts = np.array([r["sum(n)"] for r in rows], dtype=np.int64)
+    order = np.argsort(cells)
+    cells, counts = cells[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    k = n // 4
+    lo_rank, hi_rank = k + 1, n - k
+    first = cum - counts + 1
+    kept = np.maximum(
+        0, np.minimum(cum, hi_rank) - np.maximum(first, lo_rank) + 1
+    )
+    total = int((cells * kept).sum())
+    n_kept = hi_rank - lo_rank + 1
+    return pa.Table.from_pydict(
+        {"n": pa.array([n], pa.int64()),
+         "n_kept": pa.array([n_kept], pa.int64()),
+         "iqm": pa.array(
+             [np.float64(total) / np.float64(n_kept) / 100.0], pa.float64())}
+    )
+
+
+SQL_IQM_PRICE = """
+WITH h AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cell,
+         count(*) AS cnt
+  FROM orders GROUP BY 1
+),
+c AS (
+  SELECT cell, cnt,
+         sum(cnt) OVER (ORDER BY cell ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER () AS n
+  FROM h
+),
+b AS (
+  SELECT cell, n,
+         greatest(0, least(cum, n - n // 4)
+                     - greatest(cum - cnt + 1, n // 4 + 1) + 1) AS kept
+  FROM c
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST(max(n) - 2 * (max(n) // 4) AS BIGINT) AS n_kept,
+       CAST(CAST(sum(cell * kept) AS HUGEINT) AS DOUBLE)
+         / CAST(max(n) - 2 * (max(n) // 4) AS DOUBLE) / 100.0 AS iqm
+FROM b
+"""
+
+
 QUERIES = {
+    "iqm_price": q_iqm_price,
     "vocab_growth": q_vocab_growth,
     "allocate_budget": q_allocate_budget,
     "interarrival_hist": q_interarrival_hist,
@@ -9021,6 +9096,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "iqm_price": SQL_IQM_PRICE,
     "vocab_growth": SQL_VOCAB_GROWTH,
     "allocate_budget": SQL_ALLOCATE_BUDGET,
     "interarrival_hist": SQL_INTERARRIVAL_HIST,
