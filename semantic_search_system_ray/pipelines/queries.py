@@ -8957,7 +8957,138 @@ FROM b
 """
 
 
+def q_spearman_qty_price(sf_dir: str):
+    """EXACT Spearman rank correlation at scale — the monotonic-
+    association test, with NO global sort: tied values take average
+    ranks, and 2·avgrank(v) = 2·cum_{<v} + m_v + 1 is an INTEGER from
+    the bounded value-domain histogram, so ρ = Pearson over the
+    2×-scaled ranks computes from exact big-int moments (the ×2
+    cancels; arbitrary-precision string partials, the corr pattern)
+    with the one-divide/two-sqrt mirrored chain at the end.
+
+    Scale shape: two histogram passes build the rank maps (domain-
+    bounded, ray.put broadcast); one map_batches pass emits per-block
+    moment partials; driver math is O(domain)."""
+    import math
+
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_quantity", "l_extendedprice"]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        q = pc.cast(t.column("l_quantity"), pa.int64())
+        c = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        tq = pa.Table.from_pydict({"which": ["q"] * len(q), "v": q})
+        tc = pa.Table.from_pydict({"which": ["c"] * len(c), "v": c})
+        both = pa.concat_tables([tq, tc])
+        out = both.group_by(["which", "v"]).aggregate([("v", "count")])
+        return out.rename_columns(["which", "v", "m"])
+
+    rows = (
+        li.map_batches(hist, batch_format="pyarrow")
+        .groupby(["which", "v"]).sum("m")
+        .take_all()  # value domains — bounded
+    )
+    maps = {}
+    for which in ("q", "c"):
+        sub = sorted(
+            (int(r["v"]), int(r["sum(m)"])) for r in rows
+            if r["which"] == which
+        )
+        vals = np.array([v for v, _m in sub], dtype=np.int64)
+        ms = np.array([m for _v, m in sub], dtype=np.int64)
+        cum_prev = np.cumsum(ms) - ms
+        maps[which] = (vals, 2 * cum_prev + ms + 1)  # integer 2·avgrank
+    ref = ray.put(maps)
+
+    partial_schema = pa.schema(
+        [("n", pa.int64()), ("sx", pa.string()), ("sy", pa.string()),
+         ("sxy", pa.string()), ("sxx", pa.string()), ("syy", pa.string())]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        mp = ray.get(ref)
+        q = pc.cast(t.column("l_quantity"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        c = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        qv, qr = mp["q"]
+        cv, cr = mp["c"]
+        x = qr[np.searchsorted(qv, q)].astype(object)
+        y = cr[np.searchsorted(cv, c)].astype(object)
+        return pa.Table.from_pydict(
+            {"n": [len(x)], "sx": [str(sum(x))], "sy": [str(sum(y))],
+             "sxy": [str(sum(x * y))], "sxx": [str(sum(x * x))],
+             "syy": [str(sum(y * y))]},
+            schema=partial_schema,
+        )
+
+    n = sx = sy = sxy = sxx = syy = 0
+    for r in li.map_batches(moments, batch_format="pyarrow").take_all():
+        n += r["n"]
+        sx += int(r["sx"])
+        sy += int(r["sy"])
+        sxy += int(r["sxy"])
+        sxx += int(r["sxx"])
+        syy += int(r["syy"])
+    num = n * sxy - sx * sy
+    dxx = n * sxx - sx * sx
+    dyy = n * syy - sy * sy
+    rho = (
+        float(num) / (math.sqrt(float(dxx)) * math.sqrt(float(dyy)))
+        if dxx > 0 and dyy > 0 else None
+    )
+    return pa.Table.from_pydict(
+        {"n": pa.array([n], pa.int64()),
+         "spearman": pa.array([rho], pa.float64())}
+    )
+
+
+SQL_SPEARMAN_QTY_PRICE = """
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+),
+qh AS (SELECT q, count(*) AS m FROM base GROUP BY q),
+qr AS (
+  SELECT q, 2 * (sum(m) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) - m)
+            + m + 1 AS x
+  FROM qh
+),
+ch AS (SELECT c, count(*) AS m FROM base GROUP BY c),
+cr AS (
+  SELECT c, 2 * (sum(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) - m)
+            + m + 1 AS y
+  FROM ch
+),
+j AS (
+  SELECT CAST(qr.x AS HUGEINT) AS x, CAST(cr.y AS HUGEINT) AS y
+  FROM base JOIN qr USING (q) JOIN cr USING (c)
+),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS spearman
+FROM s
+"""
+
+
 QUERIES = {
+    "spearman_qty_price": q_spearman_qty_price,
     "iqm_price": q_iqm_price,
     "vocab_growth": q_vocab_growth,
     "allocate_budget": q_allocate_budget,
@@ -9096,6 +9227,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "spearman_qty_price": SQL_SPEARMAN_QTY_PRICE,
     "iqm_price": SQL_IQM_PRICE,
     "vocab_growth": SQL_VOCAB_GROWTH,
     "allocate_budget": SQL_ALLOCATE_BUDGET,
