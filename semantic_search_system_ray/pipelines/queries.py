@@ -9087,7 +9087,94 @@ FROM s
 """
 
 
+def q_mannwhitney_value(sf_dir: str):
+    """EXACT Mann–Whitney U — the rank-sum two-sample test (the
+    nonparametric sibling of q_ks_value_test): purchase vs click
+    values, with tied values taking POOLED average ranks. Everything is
+    integer via the 2× trick (2·avgrank = 2·cum_{<v} + m_v + 1 over the
+    pooled histogram; 2U = 2·S_a − n_a(n_a+1)); the common-language
+    effect size U/(n_a·n_b) is ONE mirrored divide.
+
+    Scale shape: one per-block (type, cents) histogram combiner pass →
+    value-domain groupby → driver integer scan. No sort, no
+    approximation."""
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_type", "value"],
+        filter=(pc.field("event_type").isin(["purchase", "click"])),
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                        pa.int64())
+        t2 = pa.Table.from_pydict(
+            {"g": t.column("event_type"), "cell": cents}
+        )
+        out = t2.group_by(["g", "cell"]).aggregate([("cell", "count")])
+        return out.rename_columns(["g", "cell", "n"])
+
+    rows = (
+        ev.map_batches(hist, batch_format="pyarrow")
+        .groupby(["g", "cell"]).sum("n")
+        .take_all()  # value-domain-bounded
+    )
+    cells: dict[int, list[int]] = {}
+    for r in rows:
+        e = cells.setdefault(int(r["cell"]), [0, 0])
+        e[0 if r["g"] == "purchase" else 1] += int(r["sum(n)"])
+    na = sum(v[0] for v in cells.values())
+    nb = sum(v[1] for v in cells.values())
+    cum = 0
+    s2a = 0  # 2 × (sum of pooled avg ranks of sample A)
+    for cell in sorted(cells):
+        ma, mb = cells[cell]
+        m = ma + mb
+        r2 = 2 * cum + m + 1  # integer 2·avgrank of this pooled value
+        s2a += ma * r2
+        cum += m
+    u2 = s2a - na * (na + 1)  # 2·U_a, exact integer
+    return pa.Table.from_pydict(
+        {"n_purchase": pa.array([na], pa.int64()),
+         "n_click": pa.array([nb], pa.int64()),
+         "u2": pa.array([u2], pa.int64()),
+         "effect": pa.array(
+             [np.float64(u2) / np.float64(2 * na * nb)], pa.float64())}
+    )
+
+
+SQL_MANNWHITNEY_VALUE = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cell
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+h AS (
+  SELECT cell,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ma,
+         count(*) AS m
+  FROM c GROUP BY cell
+),
+r AS (
+  SELECT cell, ma, m,
+         2 * (sum(m) OVER (ORDER BY cell ROWS UNBOUNDED PRECEDING) - m)
+           + m + 1 AS r2
+  FROM h
+),
+t AS (
+  SELECT CAST(sum(ma) AS BIGINT) AS na,
+         CAST(sum(m) - sum(ma) AS BIGINT) AS nb,
+         CAST(sum(ma * r2) AS HUGEINT) AS s2a
+  FROM r
+)
+SELECT na AS n_purchase, nb AS n_click,
+       CAST(s2a - CAST(na AS HUGEINT) * (na + 1) AS BIGINT) AS u2,
+       CAST(s2a - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE)
+         / CAST(2 * na * nb AS DOUBLE) AS effect
+FROM t
+"""
+
+
 QUERIES = {
+    "mannwhitney_value": q_mannwhitney_value,
     "spearman_qty_price": q_spearman_qty_price,
     "iqm_price": q_iqm_price,
     "vocab_growth": q_vocab_growth,
@@ -9227,6 +9314,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "mannwhitney_value": SQL_MANNWHITNEY_VALUE,
     "spearman_qty_price": SQL_SPEARMAN_QTY_PRICE,
     "iqm_price": SQL_IQM_PRICE,
     "vocab_growth": SQL_VOCAB_GROWTH,
