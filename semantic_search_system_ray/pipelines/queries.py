@@ -9173,7 +9173,108 @@ FROM t
 """
 
 
+ANOM_WINDOW_H = 24
+
+
+def q_anomalous_hours(sf_dir: str):
+    """EXACT anomaly ranking — the monitoring alert query: the top-5
+    hours whose event-value total deviates most from their trailing
+    24-hour window mean. The mean never exists as a float: the
+    deviation |W·v_h − Σwindow| is an exact cross-multiplied integer
+    (W = hours actually in the window, so partial leading windows are
+    handled exactly), ranked (dev desc, hour asc); only the displayed
+    score divides once.
+
+    Scale shape: per-block (hour, cents) combiners → one
+    calendar-bounded groupby → driver prefix-sum scan."""
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "value"])
+    HOUR_US = 3_600_000_000
+
+    def hist(t: pa.Table) -> pa.Table:
+        h = pc.cast(
+            pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False) // HOUR_US
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        hh, inv = np.unique(h, return_inverse=True)
+        sums = np.zeros(len(hh), np.int64)
+        np.add.at(sums, inv, cents)
+        return pa.Table.from_pydict(
+            {"h": pa.array(hh, pa.int64()),
+             "cents": pa.array(sums, pa.int64())}
+        )
+
+    rows = (
+        ev.map_batches(hist, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("cents", alias_name="cents"))
+        .take_all()  # calendar-hour domain — bounded
+    )
+    pairs = sorted((int(r["h"]), int(r["cents"])) for r in rows)
+    hours = np.array([h for h, _c in pairs], dtype=np.int64)
+    vals = np.array([c for _h, c in pairs], dtype=np.int64)
+    lo, hi = int(hours.min()), int(hours.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[hours - lo] = vals
+    cum = np.concatenate([[0], np.cumsum(dense)])
+    scored = []
+    for h, v in pairs:
+        i = h - lo
+        w0 = max(0, i - ANOM_WINDOW_H + 1)
+        wsum = int(cum[i + 1] - cum[w0])
+        w = i + 1 - w0  # hours actually inside the trailing window
+        dev = abs(w * v - wsum)  # exact cross-multiply, no float mean
+        scored.append((dev, h, v, w, wsum))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    top = scored[:5]
+    return pa.Table.from_pydict(
+        {"hour": pc.strftime(
+            pc.cast(
+                pa.array([h * HOUR_US for _d, h, _v, _w, _s in top],
+                         pa.int64()),
+                pa.timestamp("us"),
+            ),
+            format="%Y-%m-%d %H:00",
+        ),
+         "cents": pa.array([v for _d, _h, v, _w, _s in top], pa.int64()),
+         "dev": pa.array([d for d, _h, _v, _w, _s in top], pa.int64())}
+    )
+
+
+SQL_ANOMALOUS_HOURS = f"""
+WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT hr, cents,
+         sum(cents) OVER (ORDER BY hr
+                          RANGE BETWEEN {ANOM_WINDOW_H - 1} PRECEDING
+                          AND CURRENT ROW) AS wsum,
+         count(*) OVER (ORDER BY hr
+                        RANGE BETWEEN {ANOM_WINDOW_H - 1} PRECEDING
+                        AND CURRENT ROW) AS wn
+  FROM h
+),
+-- empty hours contribute zero to the sum but DO count in the engine's
+-- window width: widen wn to the calendar width (bounded by the span)
+b AS (
+  SELECT hr, cents, wsum,
+         least(hr - (SELECT min(hr) FROM h) + 1, {ANOM_WINDOW_H}) AS wn
+  FROM w
+)
+SELECT strftime(to_timestamp(hr * 3600), '%Y-%m-%d %H:00') AS hour,
+       CAST(cents AS BIGINT) AS cents,
+       CAST(abs(wn * cents - wsum) AS BIGINT) AS dev
+FROM b
+ORDER BY abs(wn * cents - wsum) DESC, hr
+LIMIT 5
+"""
+
+
 QUERIES = {
+    "anomalous_hours": q_anomalous_hours,
     "mannwhitney_value": q_mannwhitney_value,
     "spearman_qty_price": q_spearman_qty_price,
     "iqm_price": q_iqm_price,
@@ -9314,6 +9415,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "anomalous_hours": SQL_ANOMALOUS_HOURS,
     "mannwhitney_value": SQL_MANNWHITNEY_VALUE,
     "spearman_qty_price": SQL_SPEARMAN_QTY_PRICE,
     "iqm_price": SQL_IQM_PRICE,
