@@ -9029,8 +9029,24 @@ def q_spearman_qty_price(sf_dir: str):
             schema=partial_schema,
         )
 
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"n": [int(pc.sum(t.column("n")).as_py() or 0)],
+             **{c: [str(sum(int(x) for x in t.column(c).to_pylist()))]
+                for c in ("sx", "sy", "sxy", "sxx", "syy")}},
+            schema=partial_schema,
+        )
+
+    # fan-in-64 tree (the table_checksum shape): ≤64 partials on driver
+    parts = li.map_batches(moments, batch_format="pyarrow")
+    k = parts.count()
+    while k > 64:
+        parts = parts.repartition(max(1, (k + 63) // 64)).map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+        )
+        k = parts.count()
     n = sx = sy = sxy = sxx = syy = 0
-    for r in li.map_batches(moments, batch_format="pyarrow").take_all():
+    for r in parts.take_all():
         n += r["n"]
         sx += int(r["sx"])
         sy += int(r["sy"])
