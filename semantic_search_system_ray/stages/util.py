@@ -740,3 +740,48 @@ def grouped_topk(
         .repartition(1)
         .map_batches(local_topk, batch_format="pyarrow", batch_size=None)
     )
+
+
+def salted_group_sum(
+    ds: rd.Dataset,
+    keys: list[str],
+    value_col: str,
+    *,
+    n_salts: int = 16,
+    alias: str | None = None,
+) -> rd.Dataset:
+    """EXPLICIT salted two-phase aggregation — the north rule's
+    hot-key treatment spelled out as its own primitive: phase 1 groups
+    by (keys…, salt) so a head key's rows split across ``n_salts``
+    reducers instead of melting one; phase 2 re-groups the ≤
+    |keys|·n_salts partial rows by the true keys. The salt is a
+    per-batch row counter modulo S — distribution is all that matters,
+    no determinism needed (sums are commutative).
+
+    Most of this repo reaches the same effect more cheaply with
+    per-BLOCK combiners (the hot key collapses to one row per block
+    before any shuffle); this primitive exists for aggregations whose
+    per-block state would be too large to pre-combine (huge value
+    payloads per key), and as the explicit, parity-tested form of the
+    pattern. Results are identical to a direct groupby — pinned by
+    tests/test_util_primitives.py."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__salt",
+            pa.array(np.arange(t.num_rows, dtype=np.int64) % n_salts),
+        )
+
+    phase1 = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby(keys + ["__salt"])
+        .aggregate(Sum(value_col, alias_name="__part_sum"))
+    )
+    out_name = alias or f"sum({value_col})"
+    return (
+        phase1.groupby(keys)
+        .aggregate(Sum("__part_sum", alias_name=out_name))
+    )

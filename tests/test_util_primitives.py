@@ -472,3 +472,30 @@ def test_coarse_anti_join_null_int_key_kept_as_null(ray_session):
     ).to_pandas()
     assert len(got) == 2  # 2 (no match) + the null-key row
     assert got["k"].isna().sum() == 1 and 2 in set(got["k"].dropna())
+
+
+def test_salted_group_sum_parity_on_hot_key(ray_session):
+    """The explicit salted two-phase aggregation (north rule wording)
+    must equal a direct groupby — exercised on a head key holding 2/3
+    of all rows across multiple blocks."""
+    import numpy as np
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import salted_group_sum
+
+    rng = np.random.RandomState(17)
+    n = 30_000
+    keys = np.where(rng.rand(n) < (2 / 3), "HEAD", rng.choice(
+        [f"k{i}" for i in range(50)], size=n
+    ))
+    vals = rng.randint(0, 1000, size=n).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"k": keys, "v": vals})).repartition(9)
+
+    got = {
+        r["k"]: r["total"]
+        for r in salted_group_sum(
+            ds, ["k"], "v", n_salts=8, alias="total"
+        ).take_all()
+    }
+    want = pd.Series(vals).groupby(keys).sum().to_dict()
+    assert got == want
