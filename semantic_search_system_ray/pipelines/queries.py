@@ -9289,7 +9289,102 @@ LIMIT 5
 """
 
 
+def q_cohort_revenue(sf_dir: str):
+    """COHORT REVENUE matrix — the lifetime-value readout
+    (q_user_retention counts users; this follows the MONEY): customers
+    cohorted by FIRST-order month, revenue cents per (cohort month,
+    months-since-first) cell. Month index = 12·year + month (exact
+    integer calendar math, mirrored).
+
+    Scale shape: ONE customer-keyed cogroup computes each customer's
+    first month and per-(customer, month) cents partials in a single
+    vectorized pass; what leaves a partition is (cohort, months_since,
+    cents) rows over the bounded calendar² domain."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("o_orderdate"), pa.timestamp("us"))
+        m = pc.add(
+            pc.multiply(pc.cast(pc.year(ts), pa.int64()),
+                        pa.scalar(12, pa.int64())),
+            pc.cast(pc.month(ts), pa.int64()),
+        )
+        return pa.Table.from_pydict(
+            {"o_custkey": t.column("o_custkey"), "m": m,
+             "cents": pc.cast(
+                 pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                 pa.int64(),
+             )}
+        )
+
+    part_schema = pa.schema(
+        [("cohort_m", pa.int64()), ("months_since", pa.int64()),
+         ("cents", pa.int64())]
+    )
+
+    def cells(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        first = df.groupby("o_custkey")["m"].transform("min")
+        out = pd.DataFrame({
+            "cohort_m": first,
+            "months_since": df["m"].to_numpy() - first.to_numpy(),
+            "cents": df["cents"].to_numpy(),
+        }).groupby(["cohort_m", "months_since"])["cents"].sum()
+        idx = out.index
+        return pa.Table.from_pydict(
+            {"cohort_m": pa.array(
+                idx.get_level_values(0).to_numpy(np.int64), pa.int64()),
+             "months_since": pa.array(
+                 idx.get_level_values(1).to_numpy(np.int64), pa.int64()),
+             "cents": pa.array(out.to_numpy(np.int64), pa.int64())},
+            schema=part_schema,
+        )
+
+    agg = (
+        coarse_partition_apply(
+            orders.map_batches(proj, batch_format="pyarrow"), ["o_custkey"],
+            cells, part_schema,
+        )
+        .groupby(["cohort_m", "months_since"])
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"cohort_m": t.column("cohort_m"),
+             "months_since": t.column("months_since"),
+             "revenue": pc.divide(
+                 pc.cast(t.column("cents"), pa.float64()), pa.scalar(100.0)
+             )}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_COHORT_REVENUE = """
+WITH o AS (
+  SELECT o_custkey,
+         12 * year(o_orderdate) + month(o_orderdate) AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+f AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1)
+SELECT f.cohort_m, o.m - f.cohort_m AS months_since,
+       CAST(CAST(sum(o.cents) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+FROM o JOIN f USING (o_custkey)
+GROUP BY f.cohort_m, months_since
+"""
+
+
 QUERIES = {
+    "cohort_revenue": q_cohort_revenue,
     "anomalous_hours": q_anomalous_hours,
     "mannwhitney_value": q_mannwhitney_value,
     "spearman_qty_price": q_spearman_qty_price,
@@ -9431,6 +9526,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "cohort_revenue": SQL_COHORT_REVENUE,
     "anomalous_hours": SQL_ANOMALOUS_HOURS,
     "mannwhitney_value": SQL_MANNWHITNEY_VALUE,
     "spearman_qty_price": SQL_SPEARMAN_QTY_PRICE,
