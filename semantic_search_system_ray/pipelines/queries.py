@@ -9383,7 +9383,158 @@ GROUP BY f.cohort_m, months_since
 """
 
 
+def q_ar_aging(sf_dir: str):
+    """A/R AGING buckets — the finance close report: orders bucketed by
+    age relative to the NEWEST order date (current / 31-60 / 61-90 /
+    90+ days), counts + exact cent totals per bucket. The as-of date is
+    data-derived (max order date — one metadata-cheap aggregate), age
+    is integer days, bucket edges are integer compares.
+
+    Scale shape: one tiny max-aggregate; then one per-block
+    bucket-combiner pass → a 4-row groupby."""
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def day_col(t: pa.Table):
+        return pc.cast(
+            pc.cast(
+                pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+                pa.date32(),
+            ),
+            pa.int32(),
+        )
+
+    as_of = int(
+        orders.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"d": [int(day_col(t).to_numpy(zero_copy_only=False).max())]}
+            ),
+            batch_format="pyarrow",
+        ).max("d")
+    )
+
+    EDGES = [30, 60, 90]
+    LABELS = ["0-30", "31-60", "61-90", "90+"]
+
+    def bucket(t: pa.Table) -> pa.Table:
+        age = as_of - day_col(t).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        b = np.searchsorted(np.array(EDGES, np.int64), age, side="left")
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        t2 = pa.Table.from_pydict(
+            {"bucket": pa.array([LABELS[i] for i in b], pa.string()),
+             "cents": pa.array(cents, pa.int64()),
+             "one": pa.array(np.ones(len(b), np.int64))}
+        )
+        out = t2.group_by(["bucket"]).aggregate(
+            [("one", "sum"), ("cents", "sum")]
+        )
+        return out.rename_columns(["bucket", "n", "cents"])
+
+    agg = (
+        orders.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n_orders"),
+                   Sum("cents", alias_name="cents"))
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"bucket": t.column("bucket"),
+             "n_orders": t.column("n_orders"),
+             "total": pc.divide(
+                 pc.cast(t.column("cents"), pa.float64()), pa.scalar(100.0)
+             )}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_AR_AGING = """
+WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS as_of FROM orders),
+b AS (
+  SELECT CASE
+           WHEN mx.as_of - CAST(o_orderdate AS DATE) < 30 THEN '0-30'
+           WHEN mx.as_of - CAST(o_orderdate AS DATE) < 60 THEN '31-60'
+           WHEN mx.as_of - CAST(o_orderdate AS DATE) < 90 THEN '61-90'
+           ELSE '90+' END AS bucket,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders CROSS JOIN mx
+)
+SELECT bucket, count(*) AS n_orders,
+       CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS total
+FROM b GROUP BY bucket
+"""
+
+
+def q_activity_joint_hist(sf_dir: str):
+    """Cross-table behavioral JOINT profile — the 2-D count-of-counts
+    linking the order and event streams: for every shared id, the
+    (n_orders, n_events) pair, rolled to (n_orders, n_events, n_ids).
+    Exact integers; the profile domain is per-key activity levels, not
+    row scale.
+
+    Scale shape: per-table per-block count combiners → two key-scale
+    groupbys → ONE key-keyed cogroup attach → a domain-bounded final
+    groupby."""
+    from semantic_search_system_ray.stages.util import coarse_attach
+
+    def counts_of(table: str, key: str, alias: str):
+        ds = rd.read_parquet(_p(sf_dir, table), columns=[key])
+
+        def partial(t: pa.Table) -> pa.Table:
+            out = t.group_by([key]).aggregate([(key, "count")])
+            return out.rename_columns(["k", "c"])
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("k").aggregate(Sum("c", alias_name=alias))
+        )
+
+    oc = counts_of("orders", "o_custkey", "n_orders").materialize()
+    ec = counts_of("events", "user_id", "n_events").materialize()
+    joined = coarse_attach(
+        oc, ec, left_key="k", right_key="k", attach_cols=["n_events"],
+        out_schema=pa.schema(
+            [("k", pa.int64()), ("n_orders", pa.int64()),
+             ("n_events", pa.int64())]
+        ),
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t2 = pa.Table.from_pydict(
+            {"n_orders": t.column("n_orders"),
+             "n_events": t.column("n_events"),
+             "one": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+        out = t2.group_by(["n_orders", "n_events"]).aggregate(
+            [("one", "sum")]
+        )
+        return out.rename_columns(["n_orders", "n_events", "n"])
+
+    return (
+        joined.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["n_orders", "n_events"])
+        .aggregate(Sum("n", alias_name="n_ids"))
+    )
+
+
+SQL_ACTIVITY_JOINT_HIST = """
+WITH oc AS (SELECT o_custkey AS k, count(*) AS n_orders
+            FROM orders GROUP BY 1),
+ec AS (SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY 1)
+SELECT oc.n_orders, ec.n_events, count(*) AS n_ids
+FROM oc JOIN ec USING (k)
+GROUP BY oc.n_orders, ec.n_events
+"""
+
+
 QUERIES = {
+    "ar_aging": q_ar_aging,
+    "activity_joint_hist": q_activity_joint_hist,
     "cohort_revenue": q_cohort_revenue,
     "anomalous_hours": q_anomalous_hours,
     "mannwhitney_value": q_mannwhitney_value,
@@ -9526,6 +9677,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ar_aging": SQL_AR_AGING,
+    "activity_joint_hist": SQL_ACTIVITY_JOINT_HIST,
     "cohort_revenue": SQL_COHORT_REVENUE,
     "anomalous_hours": SQL_ANOMALOUS_HOURS,
     "mannwhitney_value": SQL_MANNWHITNEY_VALUE,
