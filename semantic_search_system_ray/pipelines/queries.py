@@ -9421,7 +9421,8 @@ def q_ar_aging(sf_dir: str):
         age = as_of - day_col(t).to_numpy(zero_copy_only=False).astype(
             np.int64
         )
-        b = np.searchsorted(np.array(EDGES, np.int64), age, side="left")
+        # side="right": age == 30 belongs to '31-60' (SQL `age < 30`)
+        b = np.searchsorted(np.array(EDGES, np.int64), age, side="right")
         cents = pc.cast(
             pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
         ).to_numpy(zero_copy_only=False)
