@@ -9533,7 +9533,137 @@ GROUP BY oc.n_orders, ec.n_events
 """
 
 
+def q_ship_lag_quantiles(sf_dir: str):
+    """Fulfillment SLA report — grouped EXACT quantiles over a JOINED
+    derived value: p50/p90 of ship lag (l_shipdate − o_orderdate, whole
+    days) per order month. Composes the distributed join
+    (coarse_attach, planner-chosen) with the bounded-cardinality
+    grouped histogram — the lag domain is days, the group domain is
+    calendar months, so the quantile pass never sorts or samples.
+
+    Scale shape: one orderkey-keyed attach puts the order date on each
+    lineitem; per-block (month, lag) histograms → one domain-bounded
+    groupby → driver cum-scan per group."""
+    from semantic_search_system_ray.stages.sketch import _quantile_rank
+    from semantic_search_system_ray.stages.util import coarse_attach
+
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"l_orderkey": t.column("l_orderkey"),
+             "ship_day": pc.cast(
+                 pc.cast(
+                     pc.cast(t.column("l_shipdate"), pa.timestamp("us")),
+                     pa.date32(),
+                 ),
+                 pa.int32(),
+             )}
+        ),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"o_orderkey": t.column("o_orderkey"),
+             "ord_day": pc.cast(
+                 pc.cast(
+                     pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+                     pa.date32(),
+                 ),
+                 pa.int32(),
+             ),
+             "m": pc.add(
+                 pc.multiply(
+                     pc.cast(
+                         pc.year(pc.cast(t.column("o_orderdate"),
+                                         pa.timestamp("us"))),
+                         pa.int64(),
+                     ),
+                     pa.scalar(12, pa.int64()),
+                 ),
+                 pc.cast(
+                     pc.month(pc.cast(t.column("o_orderdate"),
+                                      pa.timestamp("us"))),
+                     pa.int64(),
+                 ),
+             )}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    joined = coarse_attach(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey",
+        attach_cols=["ord_day", "m"],
+        out_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("ship_day", pa.int32()),
+             ("ord_day", pa.int32()), ("m", pa.int64())]
+        ),
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        lag = (
+            t.column("ship_day").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            - t.column("ord_day").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+        )
+        t2 = pa.Table.from_pydict(
+            {"m": t.column("m"), "lag": pa.array(lag, pa.int64())}
+        )
+        out = t2.group_by(["m", "lag"]).aggregate([("lag", "count")])
+        return out.rename_columns(["m", "lag", "n"])
+
+    rows = (
+        joined.map_batches(hist, batch_format="pyarrow")
+        .groupby(["m", "lag"]).sum("n")
+        .take_all()  # months × lag-day domain — bounded
+    )
+    by_m: dict = {}
+    for r in rows:
+        by_m.setdefault(int(r["m"]), []).append(
+            (int(r["lag"]), int(r["sum(n)"]))
+        )
+    QS = [0.5, 0.9]
+    out = {"m": [], "q": [], "lag_days": []}
+    for m in sorted(by_m):
+        cells = sorted(by_m[m])
+        vals = np.array([v for v, _n in cells], dtype=np.int64)
+        cnts = np.array([n for _v, n in cells], dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        for q in QS:
+            idx = int(np.searchsorted(cum, _quantile_rank(q, n),
+                                      side="left"))
+            out["m"].append(m)
+            out["q"].append(q)
+            out["lag_days"].append(int(vals[idx]))
+    return pa.Table.from_pydict(
+        {"m": pa.array(out["m"], pa.int64()),
+         "q": pa.array(out["q"], pa.float64()),
+         "lag_days": pa.array(out["lag_days"], pa.int64())}
+    )
+
+
+SQL_SHIP_LAG_QUANTILES = """
+WITH j AS (
+  SELECT 12 * year(o.o_orderdate) + month(o.o_orderdate) AS m,
+         CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+              AS BIGINT) AS lag
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT CAST(m AS BIGINT) AS m,
+       unnest([0.5, 0.9]) AS q,
+       unnest(quantile_disc(lag, [0.5, 0.9])) AS lag_days
+FROM j GROUP BY m
+"""
+
+
 QUERIES = {
+    "ship_lag_quantiles": q_ship_lag_quantiles,
     "ar_aging": q_ar_aging,
     "activity_joint_hist": q_activity_joint_hist,
     "cohort_revenue": q_cohort_revenue,
@@ -9678,6 +9808,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ship_lag_quantiles": SQL_SHIP_LAG_QUANTILES,
     "ar_aging": SQL_AR_AGING,
     "activity_joint_hist": SQL_ACTIVITY_JOINT_HIST,
     "cohort_revenue": SQL_COHORT_REVENUE,
