@@ -9662,7 +9662,104 @@ FROM j GROUP BY m
 """
 
 
+def q_comparable_growth(sf_dir: str):
+    """COMPARABLE ("same-store") growth — the retail metric that holds
+    the population fixed: revenue growth from the penultimate to the
+    final calendar year computed ONLY over customers active in BOTH
+    years (an intersection-constrained aggregate — naive YoY confounds
+    growth with churn/acquisition). Exact cents; growth is integer ppm
+    with DuckDB truncation mirrored.
+
+    Scale shape: per-block (customer, year) cent combiners → one
+    customer-keyed groupby; the both-years filter and the two
+    conditional sums run as per-partition vectorized partials via the
+    same coarse cogroup; driver sees two integers."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate",
+                                       "o_totalprice"],
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        yr = pc.cast(
+            pc.year(pc.cast(t.column("o_orderdate"), pa.timestamp("us"))),
+            pa.int64(),
+        )
+        return pa.Table.from_pydict(
+            {"o_custkey": t.column("o_custkey"), "yr": yr,
+             "cents": pc.cast(
+                 pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                 pa.int64(),
+             )}
+        )
+
+    proj_ds = orders.map_batches(proj, batch_format="pyarrow").materialize()
+    y2 = int(proj_ds.max("yr"))
+    y1 = y2 - 1
+
+    part_schema = pa.schema(
+        [("n", pa.int64()), ("c1", pa.int64()), ("c2", pa.int64())]
+    )
+
+    def partials(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        df = df[df["yr"].isin([y1, y2])]
+        g = df.groupby(["o_custkey", "yr"])["cents"].sum().unstack("yr")
+        if y1 not in g.columns or y2 not in g.columns:
+            return part_schema.empty_table()
+        both = g.dropna(subset=[y1, y2])
+        return pa.Table.from_pydict(
+            {"n": pa.array([len(both)], pa.int64()),
+             "c1": pa.array([int(both[y1].sum())], pa.int64()),
+             "c2": pa.array([int(both[y2].sum())], pa.int64())},
+            schema=part_schema,
+        )
+
+    agg = coarse_partition_apply(
+        proj_ds, ["o_custkey"], partials, part_schema
+    ).sum(["n", "c1", "c2"])
+    n = int(agg["sum(n)"])
+    c1, c2 = int(agg["sum(c1)"]), int(agg["sum(c2)"])
+    num = (c2 - c1) * 1_000_000
+    growth = (1 if num >= 0 else -1) * (abs(num) // c1) if c1 else None
+    return pa.Table.from_pydict(
+        {"y1": pa.array([y1], pa.int64()),
+         "y2": pa.array([y2], pa.int64()),
+         "n_comparable": pa.array([n], pa.int64()),
+         "growth_ppm": pa.array([growth], pa.int64())}
+    )
+
+
+SQL_COMPARABLE_GROWTH = """
+WITH o AS (
+  SELECT o_custkey, year(o_orderdate) AS yr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+ys AS (SELECT max(yr) AS y2, max(yr) - 1 AS y1 FROM o),
+per AS (
+  SELECT o.o_custkey,
+         sum(CASE WHEN o.yr = ys.y1 THEN o.cents END) AS c1,
+         sum(CASE WHEN o.yr = ys.y2 THEN o.cents END) AS c2
+  FROM o CROSS JOIN ys
+  GROUP BY o.o_custkey
+),
+b AS (SELECT * FROM per WHERE c1 IS NOT NULL AND c2 IS NOT NULL)
+SELECT CAST(ys.y1 AS BIGINT) AS y1, CAST(ys.y2 AS BIGINT) AS y2,
+       (SELECT count(*) FROM b) AS n_comparable,
+       CAST((CAST((SELECT sum(c2) FROM b) AS HUGEINT)
+             - (SELECT sum(c1) FROM b)) * 1000000
+            // (SELECT sum(c1) FROM b) AS BIGINT) AS growth_ppm
+FROM ys
+"""
+
+
 QUERIES = {
+    "comparable_growth": q_comparable_growth,
     "ship_lag_quantiles": q_ship_lag_quantiles,
     "ar_aging": q_ar_aging,
     "activity_joint_hist": q_activity_joint_hist,
@@ -9808,6 +9905,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "comparable_growth": SQL_COMPARABLE_GROWTH,
     "ship_lag_quantiles": SQL_SHIP_LAG_QUANTILES,
     "ar_aging": SQL_AR_AGING,
     "activity_joint_hist": SQL_ACTIVITY_JOINT_HIST,
