@@ -64,3 +64,21 @@ def test_bucket_count_mismatch_raises(ray_session, tmp_path):
             a, b, left_key="k", right_key="k", attach_cols=["v"],
             out_schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
         )
+
+
+def test_bucketed_join_duplicate_right_keys_multiply(ray_session, tmp_path):
+    """Unlike coarse_attach's deterministic min-pick, bucketed_attach
+    documents SQL join semantics: duplicate right keys multiply rows."""
+    left = pd.DataFrame({"k": [1, 1, 2], "v": [10, 11, 20]})
+    right = pd.DataFrame({"rk": [1, 1, 2], "w": [7, 8, 9]})
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    write_bucketed(rd.from_pandas(left), ["k"], 4, lp)
+    write_bucketed(rd.from_pandas(right), ["rk"], 4, rp)
+    out = bucketed_attach(
+        lp, rp, left_key="k", right_key="rk", attach_cols=["w"],
+        out_schema=pa.schema([("k", pa.int64()), ("v", pa.int64()),
+                              ("w", pa.int64())]),
+    ).to_pandas().sort_values(["k", "v", "w"]).reset_index(drop=True)
+    want = left.merge(right.rename(columns={"rk": "k"}), on="k") \
+        .sort_values(["k", "v", "w"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
