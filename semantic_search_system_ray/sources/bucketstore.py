@@ -93,16 +93,21 @@ def bucketed_attach(
     out_cols = [f.name for f in out_schema]
 
     def join(batch: pa.Table) -> pa.Table:
+        import os
+
         import pyarrow.parquet as pq
 
         outs = []
         for i in batch.column("item").to_pylist():
-            lt = pq.read_table(
-                f"{left_path}/__bucket={i}", columns=left_columns
-            ).to_pandas()
-            rt = pq.read_table(
-                f"{right_path}/__bucket={i}", columns=right_columns
-            ).to_pandas()
+            # a bucket with no rows on a side has NO directory
+            # (hive-partitioned writes create only non-empty buckets);
+            # inner-join semantics make either-side-empty → no output
+            ldir = f"{left_path}/__bucket={i}"
+            rdir = f"{right_path}/__bucket={i}"
+            if not (os.path.isdir(ldir) and os.path.isdir(rdir)):
+                continue
+            lt = pq.read_table(ldir, columns=left_columns).to_pandas()
+            rt = pq.read_table(rdir, columns=right_columns).to_pandas()
             lt = lt.dropna(subset=[left_key])
             rt = rt.dropna(subset=[right_key])
             if right_key != left_key:
