@@ -9758,7 +9758,133 @@ FROM ys
 """
 
 
+def q_lorenz_curve(sf_dir: str):
+    """LORENZ CURVE points — the inequality profile behind
+    q_revenue_concentration's single number and q_key_skew_report's
+    Gini: at each customer-count decile (quantile_disc ranks), the
+    cumulative share of revenue held by the poorest-k/10 of customers,
+    exact integer ppm. Customers order by their whole-dollar total (the
+    rfm quantization keeps the cell domain bounded); a decile landing
+    inside a cell contributes a deterministic partial
+    (target − cumN_prev) · cell_cents // cell_n — integer truncation,
+    mirrored.
+
+    Scale shape: one customer-keyed groupby → one dollar-cell groupby
+    carrying (n customers, exact cents) per cell → driver scan over the
+    bounded cells."""
+    from semantic_search_system_ray.stages.sketch import _quantile_rank
+
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        t2 = pa.Table.from_pydict(
+            {"o_custkey": t.column("o_custkey"), "cents": cents}
+        )
+        out = t2.group_by(["o_custkey"]).aggregate([("cents", "sum")])
+        return out.rename_columns(["o_custkey", "cents"])
+
+    cust = (
+        orders.map_batches(per_cust, batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("cents", alias_name="cents"))
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        d = c // 100
+        t2 = pa.Table.from_pydict(
+            {"dollars": pa.array(d, pa.int64()),
+             "cents": pa.array(c, pa.int64()),
+             "one": pa.array(np.ones(len(c), np.int64))}
+        )
+        out = t2.group_by(["dollars"]).aggregate(
+            [("one", "sum"), ("cents", "sum")]
+        )
+        return out.rename_columns(["dollars", "cn", "cc"])
+
+    rows = (
+        cust.map_batches(cells, batch_format="pyarrow")
+        .groupby("dollars")
+        .aggregate(Sum("cn", alias_name="cn"), Sum("cc", alias_name="cc"))
+        .take_all()  # dollar-cell domain — bounded
+    )
+    rows.sort(key=lambda r: r["dollars"])
+    cns = np.array([int(r["cn"]) for r in rows], dtype=np.int64)
+    ccs = np.array([int(r["cc"]) for r in rows], dtype=np.int64)
+    cum_n = np.cumsum(cns)
+    cum_c = np.cumsum(ccs)
+    n = int(cum_n[-1])
+    total = int(cum_c[-1])
+    out = {"decile": [], "cum_share_ppm": []}
+    for k in range(1, 10):
+        target = _quantile_rank(k / 10, n)
+        i = int(np.searchsorted(cum_n, target, side="left"))
+        prev_n = int(cum_n[i - 1]) if i > 0 else 0
+        prev_c = int(cum_c[i - 1]) if i > 0 else 0
+        part = prev_c + (target - prev_n) * int(ccs[i]) // int(cns[i])
+        out["decile"].append(k)
+        out["cum_share_ppm"].append(part * 1_000_000 // total)
+    return pa.Table.from_pydict(
+        {"decile": pa.array(out["decile"], pa.int64()),
+         "cum_share_ppm": pa.array(out["cum_share_ppm"], pa.int64())}
+    )
+
+
+SQL_LORENZ_CURVE = """
+WITH cust AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+cells AS (
+  SELECT cents // 100 AS dollars, count(*) AS cn, sum(cents) AS cc
+  FROM cust GROUP BY 1
+),
+c AS (
+  SELECT dollars, cn, cc,
+         sum(cn) OVER (ORDER BY dollars ROWS UNBOUNDED PRECEDING) AS cum_n,
+         sum(cc) OVER (ORDER BY dollars ROWS UNBOUNDED PRECEDING) AS cum_c
+  FROM cells
+),
+t AS (SELECT CAST(sum(cn) AS BIGINT) AS n, CAST(sum(cc) AS HUGEINT)
+             AS total FROM cells),
+k AS (
+  SELECT unnest(generate_series(1, 9)) AS decile
+),
+tgt AS (
+  -- quantile_disc rank: ceil(k/10 · n), exact in integers
+  SELECT k.decile, (k.decile * t.n + 9) // 10 AS target
+  FROM k CROSS JOIN t
+),
+pick AS (
+  SELECT tgt.decile, tgt.target, min(c.cum_n) AS cum_n
+  FROM tgt JOIN c ON c.cum_n >= tgt.target
+  GROUP BY tgt.decile, tgt.target
+),
+calc AS (
+  SELECT p.decile,
+         coalesce(prev.cum_c, 0)
+           + (p.target - coalesce(prev.cum_n, 0))
+             * cell.cc // cell.cn AS part
+  FROM pick p
+  JOIN c cell ON cell.cum_n = p.cum_n
+  LEFT JOIN c prev ON prev.cum_n = (
+    SELECT max(c2.cum_n) FROM c c2 WHERE c2.cum_n < p.cum_n
+  )
+)
+SELECT CAST(calc.decile AS BIGINT) AS decile,
+       CAST(CAST(calc.part AS HUGEINT) * 1000000 // t.total AS BIGINT)
+         AS cum_share_ppm
+FROM calc CROSS JOIN t
+"""
+
+
 QUERIES = {
+    "lorenz_curve": q_lorenz_curve,
     "comparable_growth": q_comparable_growth,
     "ship_lag_quantiles": q_ship_lag_quantiles,
     "ar_aging": q_ar_aging,
@@ -9905,6 +10031,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "lorenz_curve": SQL_LORENZ_CURVE,
     "comparable_growth": SQL_COMPARABLE_GROWTH,
     "ship_lag_quantiles": SQL_SHIP_LAG_QUANTILES,
     "ar_aging": SQL_AR_AGING,
