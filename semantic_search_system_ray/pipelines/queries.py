@@ -9883,7 +9883,118 @@ FROM calc CROSS JOIN t
 """
 
 
+KNN_QUERIES = 10
+KNN_K = 10
+
+
+def q_knn_classify(sf_dir: str):
+    """k-NN CLASSIFICATION — the exact-retrieval ML op on the gate: for
+    each of the first 10 vectors, the majority label of its 10 nearest
+    neighbors by cosine (self excluded; scores rounded to 4dp on both
+    sides; neighbor ties (score desc, vec_id asc); vote ties → smaller
+    label). One FUSED pass scores every block against the broadcast
+    query matrix; each block pre-trims to its per-query top-10 under
+    the EXACT global ordering (rounded score, id — a provable
+    combiner), so the global rank sees |blocks|·q·k lean rows.
+
+    Scale shape: one broadcast (ray.put) of the 10×dim matrix, one
+    map_batches matmul pass, grouped_topk with per-block combiners,
+    and a 100-row driver vote."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.ann import _as_matrix
+    from semantic_search_system_ray.stages.util import grouped_topk
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
+    )
+
+    qt = pa.parquet.read_table(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", KNN_QUERIES)],
+    ).sort_by("vec_id")
+    qm = _as_matrix(qt.column("embedding"))  # rows already L2-normalized
+    qref = ray.put(qm.T.copy())
+
+    def score(t: pa.Table) -> pa.Table:
+        q = ray.get(qref)  # dim × 10
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        labels = pc.cast(t.column("label"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sims = np.round(_as_matrix(t.column("embedding")) @ q, 4)  # B×10
+        outs = {"qid": [], "vec_id": [], "label": [], "score": []}
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            keep = ids != qi  # self excluded
+            order = np.lexsort((ids[keep], -s[keep]))[:KNN_K]
+            sel = np.flatnonzero(keep)[order]
+            outs["qid"].append(np.full(len(sel), qi, np.int64))
+            outs["vec_id"].append(ids[sel])
+            outs["label"].append(labels[sel])
+            outs["score"].append(s[sel])
+        return pa.Table.from_pydict(
+            {"qid": pa.array(np.concatenate(outs["qid"]), pa.int64()),
+             "vec_id": pa.array(
+                 np.concatenate(outs["vec_id"]).astype(np.int64), pa.int64()),
+             "label": pa.array(np.concatenate(outs["label"]), pa.int64()),
+             "score": pa.array(np.concatenate(outs["score"]), pa.float64())}
+        )
+
+    top = grouped_topk(
+        ds.map_batches(score, batch_format="pyarrow"),
+        ["qid"], ["score", "vec_id"], descending=[True, False], k=KNN_K,
+    )
+    rows = top.take_all()  # 10 queries × k — bounded
+    votes: dict = {}
+    for r in rows:
+        votes.setdefault(int(r["qid"]), Counter())[int(r["label"])] += 1
+    out = {"query_id": [], "pred_label": [], "n_votes": []}
+    for qid in sorted(votes):
+        lab, n = sorted(votes[qid].items(), key=lambda x: (-x[1], x[0]))[0]
+        out["query_id"].append(qid)
+        out["pred_label"].append(lab)
+        out["n_votes"].append(n)
+    return pa.Table.from_pydict(
+        {"query_id": pa.array(out["query_id"], pa.int64()),
+         "pred_label": pa.array(out["pred_label"], pa.int64()),
+         "n_votes": pa.array(out["n_votes"], pa.int64())}
+    )
+
+
+SQL_KNN_CLASSIFY = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id < {KNN_QUERIES}
+),
+scored AS (
+  SELECT q.qid, e.vec_id, CAST(e.label AS BIGINT) AS label,
+         round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4)
+           AS score
+  FROM embeddings e JOIN q ON e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY score DESC, vec_id
+  ) AS rk
+  FROM scored
+),
+votes AS (
+  SELECT qid, label, count(*) AS n
+  FROM ranked WHERE rk <= {KNN_K}
+  GROUP BY qid, label
+)
+SELECT qid AS query_id, label AS pred_label, CAST(n AS BIGINT) AS n_votes
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY n DESC, label
+  ) AS vr FROM votes
+) WHERE vr = 1
+"""
+
+
 QUERIES = {
+    "knn_classify": q_knn_classify,
     "lorenz_curve": q_lorenz_curve,
     "comparable_growth": q_comparable_growth,
     "ship_lag_quantiles": q_ship_lag_quantiles,
@@ -10031,6 +10142,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "knn_classify": SQL_KNN_CLASSIFY,
     "lorenz_curve": SQL_LORENZ_CURVE,
     "comparable_growth": SQL_COMPARABLE_GROWTH,
     "ship_lag_quantiles": SQL_SHIP_LAG_QUANTILES,
