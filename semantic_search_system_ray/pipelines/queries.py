@@ -9909,7 +9909,9 @@ def q_knn_classify(sf_dir: str):
         _p(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
     )
 
-    qt = pa.parquet.read_table(
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
         _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", KNN_QUERIES)],
     ).sort_by("vec_id")
