@@ -54,7 +54,37 @@ def main(argv: list[str] | None = None) -> int:
     rt.add_argument("--out", required=True, help="existing KG out dir (manifest)")
     rt.add_argument("--num-cpus", type=int, default=None)
 
+    q = sub.add_parser(
+        "query",
+        help="run any registered queries() pipeline over an sf directory "
+             "(the full operator catalog; `query --list` prints the names)",
+    )
+    q.add_argument("name", nargs="?", help="query name (see --list)")
+    q.add_argument("--sf", default="/root/testdata/sf0.01",
+                   help="table directory (TPC-H-ish parquet files)")
+    q.add_argument("--list", action="store_true", dest="list_names")
+    q.add_argument("--out", default=None,
+                   help="optional parquet output path (default: print head)")
+    q.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
+
+    def _registry():
+        # the full catalog lives in the driver-contract module when the
+        # repo root is importable; the package registry is the fallback
+        try:
+            import __ray_entry__ as entry
+
+            return entry.queries()
+        except ImportError:
+            from semantic_search_system_ray.pipelines.queries import QUERIES
+
+            return dict(QUERIES)
+
+    if args.cmd == "query" and args.list_names:
+        for name in sorted(_registry()):
+            print(name)
+        return 0
 
     import ray
 
@@ -80,6 +110,24 @@ def main(argv: list[str] | None = None) -> int:
         import pyarrow.parquet as pq
 
         import ray.data as rd
+
+        if args.cmd == "query":
+            reg = _registry()
+            if not args.name or args.name not in reg:
+                print(json.dumps({"error": "unknown query",
+                                  "hint": "use `query --list`"}))
+                return 2
+            out = reg[args.name](args.sf)
+            if args.out:
+                (out if hasattr(out, "write_parquet")
+                 else rd.from_arrow(
+                     out if not hasattr(out, "to_arrow") else out.to_arrow()
+                 )).write_parquet(args.out)
+                print(json.dumps({"query": args.name, "out": args.out}))
+            else:
+                df = out.to_pandas() if hasattr(out, "to_pandas") else out
+                print(df.head(20).to_string() if hasattr(df, "head") else df)
+            return 0
 
         if args.cmd == "refresh-taxonomy":
             from semantic_search_system_ray.pipelines.runner import refresh_taxonomy
