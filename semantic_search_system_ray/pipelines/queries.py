@@ -9995,7 +9995,73 @@ FROM (
 """
 
 
+def q_ab_significance(sf_dir: str):
+    """Two-proportion z-test for the A/B readout — the significance
+    number next to q_ab_conversion's rates: z = (p_B − p_A) / √(p̂(1−p̂)
+    (1/n_A + 1/n_B)) with the pooled proportion p̂. Inputs are the exact
+    integer arm counts (the same distributed pass as ab_conversion);
+    the z value is ONE mirrored float chain (identical parenthesization
+    both sides, no summation — bit-stable)."""
+    import math
+
+    counts = {
+        r["arm"]: (int(r["exposed"]), int(r["converted"]))
+        for r in q_ab_conversion(sf_dir).to_pylist()
+    }
+    ea, ca = counts["A"]
+    eb, cb = counts["B"]
+    pa_ = np.float64(ca) / np.float64(ea)
+    pb_ = np.float64(cb) / np.float64(eb)
+    pool = np.float64(ca + cb) / np.float64(ea + eb)
+    se = math.sqrt(
+        pool * (1.0 - pool) * (1.0 / np.float64(ea) + 1.0 / np.float64(eb))
+    )
+    return pa.Table.from_pydict(
+        {"n_a": pa.array([ea], pa.int64()),
+         "n_b": pa.array([eb], pa.int64()),
+         "z": pa.array([(pb_ - pa_) / se], pa.float64())}
+    )
+
+
+SQL_AB_SIGNIFICANCE = """
+WITH s AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+),
+armed AS (
+  SELECT s.user_id,
+         CASE WHEN md5(CAST(s.user_id AS VARCHAR)) < '8'
+              THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END AS c
+  FROM s LEFT JOIN conv ON s.user_id = conv.user_id
+),
+t AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ea,
+    CAST(sum(CASE WHEN arm = 'A' THEN c ELSE 0 END) AS BIGINT) AS ca,
+    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS eb,
+    CAST(sum(CASE WHEN arm = 'B' THEN c ELSE 0 END) AS BIGINT) AS cb
+  FROM armed
+)
+SELECT ea AS n_a, eb AS n_b,
+       (CAST(cb AS DOUBLE) / CAST(eb AS DOUBLE)
+        - CAST(ca AS DOUBLE) / CAST(ea AS DOUBLE))
+       / sqrt(
+           (CAST(ca + cb AS DOUBLE) / CAST(ea + eb AS DOUBLE))
+           * (1.0 - CAST(ca + cb AS DOUBLE) / CAST(ea + eb AS DOUBLE))
+           * (1.0 / CAST(ea AS DOUBLE) + 1.0 / CAST(eb AS DOUBLE))
+         ) AS z
+FROM t
+"""
+
+
 QUERIES = {
+    "ab_significance": q_ab_significance,
     "knn_classify": q_knn_classify,
     "lorenz_curve": q_lorenz_curve,
     "comparable_growth": q_comparable_growth,
@@ -10144,6 +10210,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ab_significance": SQL_AB_SIGNIFICANCE,
     "knn_classify": SQL_KNN_CLASSIFY,
     "lorenz_curve": SQL_LORENZ_CURVE,
     "comparable_growth": SQL_COMPARABLE_GROWTH,
