@@ -473,3 +473,24 @@ def test_events_ohlc_cross_block_and_ties(ray_session, tmp_path, n_blocks):
     assert b0["high"] == 90.0 and b0["low"] == 20.0
     b1 = got.iloc[1]
     assert (b1["n"], b1["open"], b1["close"]) == (1, 11.0, 11.0)
+
+
+def test_rows_only_set_is_pinned():
+    """Every queries() entry must carry an oracle unless it is one of
+    the three justified seeded/iterative ops — new operators cannot
+    silently land without a SQL twin."""
+    import __ray_entry__ as e
+
+    qs, sql = e.queries(), e.oracle_sql()
+    assert set(qs) - set(sql) == {"ann_lsh", "ann_ivf", "taxonomy_build"}
+
+
+def test_kg_memo_keyed_by_sf(ray_session, tmp_path):
+    """The session-level kg-triples memo must not cross sf directories."""
+    import __ray_entry__ as e
+
+    e._KG_TRIPLES_CACHE.clear()
+    t1 = e._kg_triples(SF_DIR)
+    assert SF_DIR in e._KG_TRIPLES_CACHE
+    assert e._kg_triples(SF_DIR) is t1  # cached hit
+    assert str(tmp_path) not in e._KG_TRIPLES_CACHE
