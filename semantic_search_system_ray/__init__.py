@@ -21,4 +21,8 @@ No module in this package calls ``ray.init()``/``ray.shutdown()`` — the
 driver, ``bench.py``, and the pytest session fixture own the Ray session.
 """
 
+from semantic_search_system_ray._compat import ensure_fsspec_http_stub
+
+ensure_fsspec_http_stub()
+
 __version__ = "0.1.0"

@@ -362,10 +362,11 @@ def finalize_triples(
        dedup switches to the hash-partitioned exact distinct.
 
     Returned ``canon``: the full dict (regime 1), the non-identity dict
-    (regime 2), or the (surface, canonical) Dataset (regime 3).
+    (regime 2), or the (surface, canonical) Dataset (regime 3). The
+    regime switch itself is ``stages.canon.canonical_map_auto`` — ONE
+    shared implementation with ``canonical_map_dict`` (VERDICT r3 #1).
     """
-    from semantic_search_system_ray.functions.canon_spec import canonicalize_exact
-    from semantic_search_system_ray.stages.canon import canonical_map_ds
+    from semantic_search_system_ray.stages.canon import canonical_map_auto
     from semantic_search_system_ray.stages.util import coarse_map_column
 
     vocab_rows = distinct_rows(
@@ -390,34 +391,22 @@ def finalize_triples(
         ),
         batch_format="pyarrow",
     ).materialize()
-    n_surfaces = surfaces_ds.count()
 
+    regime, map_dict, map_ds = canonical_map_auto(
+        surfaces_ds,
+        driver_threshold=canon_driver_threshold,
+        assume_distinct=True,  # vocab_rows is an exact distinct already
+    )
     canon: dict[str, str] | rd.Dataset
     canon_map: rd.Dataset | None = None  # regime-3 map Dataset
-    if n_surfaces <= canon_driver_threshold:
-        # regime 1: vocabulary fits the driver — exact union-find
-        surfaces = sorted(r["surface"] for r in surfaces_ds.take_all())
-        canon = canonicalize_exact(surfaces)
-        apply_dict = {s: c for s, c in canon.items() if s != c}
-    else:
-        labels = canonical_map_ds(surfaces_ds).materialize()
-        nonid = labels.map_batches(
-            lambda t: t.filter(
-                pc.invert(pc.equal(t.column("surface"), t.column("canonical")))
-            ),
-            batch_format="pyarrow",
-        ).materialize()
-        if nonid.count() <= canon_driver_threshold:
-            # regime 2: merges fit the driver even though the vocabulary
-            # doesn't — broadcast only the non-identity entries
-            apply_dict = {
-                r["surface"]: r["canonical"] for r in nonid.take_all()
-            }
-            canon = apply_dict
-        else:
-            # regime 3: fully distributed application
-            apply_dict = None
-            canon = canon_map = nonid
+    if regime == "driver":
+        canon = map_dict
+        apply_dict = {s: c for s, c in map_dict.items() if s != c}
+    elif regime == "broadcast":
+        canon = apply_dict = map_dict
+    else:  # fully distributed application
+        apply_dict = None
+        canon = canon_map = map_ds
 
     svo_raw = vocab_rows.map_batches(
         lambda t: t.filter(pc.equal(t.column("rowkind"), "T")).select(

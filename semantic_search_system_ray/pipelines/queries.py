@@ -9918,20 +9918,26 @@ def q_knn_classify(sf_dir: str):
     qm = _as_matrix(qt.column("embedding"))  # rows already L2-normalized
     qref = ray.put(qm.T.copy())
 
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+
     def score(t: pa.Table) -> pa.Table:
         q = ray.get(qref)  # dim × 10
         ids = t.column("vec_id").to_numpy(zero_copy_only=False)
         labels = pc.cast(t.column("label"), pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        sims = np.round(_as_matrix(t.column("embedding")) @ q, 4)  # B×10
+        raw = _as_matrix(t.column("embedding")) @ q  # B×10
+        # round half-away-from-zero at 4dp to match DuckDB round();
+        # np.round is banker's (half-to-even) and would diverge on exact
+        # binary halfway points like 0.03125 (ADVICE r3).
+        sims = np.copysign(np.floor(np.abs(raw) * 1e4 + 0.5), raw) / 1e4
         outs = {"qid": [], "vec_id": [], "label": [], "score": []}
         for qi in range(sims.shape[1]):
             s = sims[:, qi]
-            keep = ids != qi  # self excluded
+            keep = ids != qids[qi]  # self excluded by ACTUAL vec_id
             order = np.lexsort((ids[keep], -s[keep]))[:KNN_K]
             sel = np.flatnonzero(keep)[order]
-            outs["qid"].append(np.full(len(sel), qi, np.int64))
+            outs["qid"].append(np.full(len(sel), qids[qi], np.int64))
             outs["vec_id"].append(ids[sel])
             outs["label"].append(labels[sel])
             outs["score"].append(s[sel])

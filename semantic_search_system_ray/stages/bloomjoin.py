@@ -109,16 +109,21 @@ def build_bloom(
     ~10^5-10^6 blocks, and a flat take_all would move #blocks × m/8
     bytes (hundreds of GB at m=2^23) to the driver; the tree moves
     ≤ 1/64 of that per level and the driver only ever sees ≤ 64 rows."""
+    # materialize() pins each level so count() doesn't re-run the whole
+    # build-side scan once per fan-in level plus the final take_all
+    # (ADVICE r3 — same fix as heavy_hitters).
     parts = build.map_batches(
         bloom_partial_batch,
         batch_format="pyarrow",
         fn_kwargs=dict(key=key, log2_bits=log2_bits, nhash=nhash),
-    )
+    ).materialize()
     n = parts.count()
     while n > _OR_FAN_IN:
-        parts = parts.repartition(
-            max(1, (n + _OR_FAN_IN - 1) // _OR_FAN_IN)
-        ).map_batches(_or_batch, batch_format="pyarrow", batch_size=None)
+        parts = (
+            parts.repartition(max(1, (n + _OR_FAN_IN - 1) // _OR_FAN_IN))
+            .map_batches(_or_batch, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
         n = parts.count()
     rows = parts.take_all()
     if not rows:

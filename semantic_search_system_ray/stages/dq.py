@@ -20,8 +20,6 @@ of the beyond-reference training-data surface (SURVEY §2.11).
 
 from __future__ import annotations
 
-import sys
-import types
 from typing import Callable
 
 import pyarrow as pa
@@ -30,30 +28,9 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-# Ray's read-path check `_is_http_filesystem` lazily does
-# `from fsspec.implementations.http import HTTPFileSystem` on EVERY
-# read_parquet and relies on catching ModuleNotFoundError when aiohttp is
-# absent — under concurrent driver threads that surfaces as an uncaught
-# "cannot import name HTTPFileSystem" race instead. Planting a benign
-# stub makes the import deterministic (the isinstance check against the
-# stub class is False for every real filesystem, which is the same
-# answer the ModuleNotFoundError branch returns).
-try:  # pragma: no cover - depends on env
-    from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
-except Exception:  # aiohttp missing in this env
-    try:
-        import fsspec.implementations as _fsi
-
-        _m = types.ModuleType("fsspec.implementations.http")
-
-        class _StubHTTPFileSystem:  # never instantiated
-            pass
-
-        _m.HTTPFileSystem = _StubHTTPFileSystem
-        sys.modules["fsspec.implementations.http"] = _m
-        _fsi.http = _m
-    except Exception:
-        pass
+# The fsspec http-import race workaround this module used to install
+# inline now lives in the package bootstrap (``_compat.py``), version-
+# guarded — importing dq has no process-global side effects (ADVICE r3).
 
 DQ_SCHEMA = pa.schema(
     [("check_name", pa.string()), ("violations", pa.int64())]

@@ -137,13 +137,18 @@ def heavy_hitters(
 
     # distributed fan-in tree: the driver never sees more than
     # _MERGE_FAN_IN summaries no matter how many input blocks exist
-    parts = ds.map_batches(summarize, batch_format="pyarrow")
+    # materialize() pins each level: count() on a lazy Dataset would
+    # re-run the whole tokenize+MG pass once per fan-in level plus the
+    # final take_all (ADVICE r3) — same reason pagerank pins its edges.
+    parts = ds.map_batches(summarize, batch_format="pyarrow").materialize()
     n_rows = parts.count()
     max_rows = _MERGE_FAN_IN * (capacity + 1)
     while n_rows > max_rows:
-        parts = parts.repartition(
-            max(1, (n_rows + max_rows - 1) // max_rows)
-        ).map_batches(merge_batch, batch_format="pyarrow", batch_size=None)
+        parts = (
+            parts.repartition(max(1, (n_rows + max_rows - 1) // max_rows))
+            .map_batches(merge_batch, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
         n_rows = parts.count()
     merged, total_err = _merge_summaries(
         pa.Table.from_pylist(parts.take_all(), schema=_SUMMARY_SCHEMA),

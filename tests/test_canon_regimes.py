@@ -103,3 +103,65 @@ def test_regime3_distributed_join_application(ray_session):
     assert not isinstance(canon, dict)    # regime 3 returns the map Dataset
     m = {r["surface"]: r["canonical"] for r in canon.take_all()}
     assert m["John Larson"] == "john b larson"
+
+
+# ---------------------------------------------------------------------------
+# canonical_map_dict / canonical_map_auto (round-3 verdict item 1): the
+# exported helper must decide its regime from DISTRIBUTED counts before
+# collecting anything — above the threshold the driver must never pay the
+# vocabulary materialization, and the helper returns the map Dataset.
+# ---------------------------------------------------------------------------
+
+def _surface_ds() -> rd.Dataset:
+    # deliberately NON-distinct input (each surface ×3)
+    return rd.from_arrow(
+        pa.table({"surface": pa.array(_SURFACES * 3, pa.string())})
+    )
+
+
+def test_canonical_map_dict_regime1_full_map(ray_session):
+    from semantic_search_system_ray.stages.canon import canonical_map_dict
+
+    m = canonical_map_dict(_surface_ds(), driver_threshold=10**9)
+    assert isinstance(m, dict)
+    assert m["John Larson"] == "john b larson"
+    assert m["widget"] == "widget"          # full map includes identities
+
+
+def test_canonical_map_dict_regime2_nonidentity(ray_session):
+    from semantic_search_system_ray.stages.canon import canonical_map_dict
+
+    m = canonical_map_dict(_surface_ds(), driver_threshold=5)
+    assert isinstance(m, dict)
+    assert "widget" not in m                # identities not shipped
+    assert m["John B. Larson"] == "john b larson"
+    assert m["Acme Corp"] == "acme corp"
+
+
+def test_canonical_map_dict_never_collects_above_threshold(ray_session):
+    """Above the threshold, NO take_all may move more than threshold rows
+    to the driver (the round-3 self-defeating-switch bug), and the helper
+    returns the parity-correct (surface, canonical) Dataset."""
+    from semantic_search_system_ray.stages.canon import canonical_map_dict
+
+    threshold = 1
+    orig = rd.Dataset.take_all
+
+    def guarded(self, *a, **k):
+        rows = orig(self, *a, **k)
+        assert len(rows) <= threshold, (
+            f"driver collected {len(rows)} rows above threshold {threshold}"
+        )
+        return rows
+
+    rd.Dataset.take_all = guarded
+    try:
+        out = canonical_map_dict(_surface_ds(), driver_threshold=threshold)
+    finally:
+        rd.Dataset.take_all = orig
+    assert not isinstance(out, dict)        # regime 3 → Dataset
+    m = {r["surface"]: r["canonical"] for r in out.take_all()}
+    assert m["John Larson"] == "john b larson"
+    assert m["Acme Corp"] == "acme corp"
+    assert "acme corp" not in m            # identities absent by design
+    assert "widget" not in m
