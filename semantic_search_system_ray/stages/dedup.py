@@ -32,6 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -307,30 +308,42 @@ def _verify_pairs_join(
 
 def _verify_pairs_with_sigs(pairs: rd.Dataset, sigs: rd.Dataset, threshold: float):
     """Broadcast verification (small-collection path): signatures travel
-    via ray.put (a doc-count × num_perm uint32 matrix); each batch checks
-    its pairs against the in-memory map. Beyond
+    via ray.put as ONE stacked doc-count × num_perm uint32 matrix plus a
+    doc_id → row-index map; each batch maps its pair endpoints to row
+    indices (pandas C-level map) and compares the two gathered slices in
+    one vectorized equality — no per-pair Python (r3 verdict #7), same
+    shape as ``_verify_pairs_join``. Beyond
     ``VERIFY_BROADCAST_THRESHOLD`` docs use ``_verify_pairs_join``."""
+    import pandas as pd
+
     rows = sigs.take_all()
-    sig_map = {r["doc_id"]: np.asarray(r["sig"], dtype=np.uint32) for r in rows}
-    ref = ray.put(sig_map)
-    _cache: dict[str, dict] = {}
+    idx = {r["doc_id"]: i for i, r in enumerate(rows)}
+    mat = (
+        np.stack([np.asarray(r["sig"], dtype=np.uint32) for r in rows])
+        if rows else np.zeros((0, 1), np.uint32)
+    )
+    ref = ray.put((idx, mat))
+    _cache: dict[str, tuple] = {}
 
     def verify(t: pa.Table) -> pa.Table:
         m = _cache.get("m")
         if m is None:
             m = ray.get(ref)
             _cache["m"] = m
-        src = t.column("src").to_pylist()
-        dst = t.column("dst").to_pylist()
-        keep_s, keep_d = [], []
-        for a, b in zip(src, dst):
-            sa, sb = m.get(a), m.get(b)
-            if sa is not None and sb is not None and float((sa == sb).mean()) >= threshold:
-                keep_s.append(a)
-                keep_d.append(b)
-        return pa.Table.from_pydict(
-            {"src": pa.array(keep_s, pa.string()), "dst": pa.array(keep_d, pa.string())}
-        )
+        idx, mat = m
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+            )
+        ia = t.column("src").to_pandas().map(idx)
+        ib = t.column("dst").to_pandas().map(idx)
+        present = (ia.notna() & ib.notna()).to_numpy()
+        ra = ia.to_numpy()[present].astype(np.int64)
+        rb = ib.to_numpy()[present].astype(np.int64)
+        sim = (mat[ra] == mat[rb]).mean(axis=1) if len(ra) else np.zeros(0)
+        keep = np.zeros(t.num_rows, bool)
+        keep[np.flatnonzero(present)[sim >= threshold]] = True
+        return t.select(["src", "dst"]).filter(pa.array(keep))
 
     return pairs.map_batches(verify, batch_format="pyarrow")
 
@@ -484,6 +497,73 @@ def _jaccard_of_serialized(sa: str, sb: str) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+def _ragged_take(off: np.ndarray, rows: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat indices that gather CSR rows ``rows`` (lengths ``lens``) out of
+    a ragged array with offsets ``off`` — the standard repeat/arange trick,
+    no Python loop."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return np.repeat(off[rows] - cum, lens) + np.arange(total, dtype=np.int64)
+
+
+def _jaccard_pairs_vectorized(
+    src: np.ndarray,
+    dst: np.ndarray,
+    la: np.ndarray,
+    flat_a: np.ndarray,
+    lb: np.ndarray,
+    flat_b: np.ndarray,
+    threshold: float,
+) -> pa.Table:
+    """Exact per-pair Jaccard for a batch of candidate pairs with NO
+    per-pair Python (r3 verdict #7) — the shared kernel behind both the
+    broadcast and the join verification regimes.
+
+    CSR-ish inputs: ``la``/``lb`` are per-pair gram counts and
+    ``flat_a``/``flat_b`` the correspondingly flattened gram values
+    (within one side, one pair's grams are already distinct). The
+    pair-key trick computes every intersection size in one sort:
+    factorize all gram strings of the batch to int codes, key each
+    occurrence as pair_idx * G + code, sort the concatenated keys — a
+    key appearing twice (necessarily once per side) is one intersecting
+    gram; a bincount by pair recovers |A ∩ B|. O(total grams · log)
+    instead of O(pairs) Python set ops."""
+    import pandas as pd
+
+    n = len(src)
+    la = np.asarray(la, np.int64)
+    lb = np.asarray(lb, np.int64)
+    total = int(la.sum() + lb.sum())
+    if n == 0 or total == 0:
+        return _JACCARD_SCHEMA.empty_table()
+    codes, _ = pd.factorize(np.concatenate([flat_a, flat_b]))
+    G = int(codes.max()) + 1
+    ca, cb = codes[: la.sum()], codes[la.sum():]
+    keys = np.concatenate(
+        [np.repeat(np.arange(n, dtype=np.int64), la) * G + ca,
+         np.repeat(np.arange(n, dtype=np.int64), lb) * G + cb]
+    )
+    keys.sort(kind="stable")
+    dup = keys[:-1][keys[1:] == keys[:-1]]
+    inter = np.bincount(dup // G, minlength=n).astype(np.int64)
+    union = la + lb - inter
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    keep = (inter > 0) & (jac >= threshold)
+    src_k = np.asarray(src, dtype=object)[keep].astype(str)
+    dst_k = np.asarray(dst, dtype=object)[keep].astype(str)
+    swap = src_k > dst_k
+    return pa.Table.from_pydict(
+        {
+            "id_a": pa.array(np.where(swap, dst_k, src_k), pa.string()),
+            "id_b": pa.array(np.where(swap, src_k, dst_k), pa.string()),
+            "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+        },
+        schema=_JACCARD_SCHEMA,
+    )
+
+
 def _verify_grams_join(
     candidates: rd.Dataset, sigs: rd.Dataset, threshold: float
 ) -> rd.Dataset:
@@ -521,18 +601,24 @@ def _verify_grams_join(
     )
 
     def verify(t: pa.Table) -> pa.Table:
-        a_out, b_out, j_out = [], [], []
-        for a, b, sa, sb in zip(
-            t.column("src").to_pylist(), t.column("dst").to_pylist(),
-            t.column("g_a").to_pylist(), t.column("g_b").to_pylist(),
-        ):
-            jac = _jaccard_of_serialized(sa, sb)
-            if jac >= threshold:
-                x, y = (a, b) if a < b else (b, a)
-                a_out.append(x); b_out.append(y); j_out.append(round(jac, 6))
-        return pa.Table.from_pydict(
-            {"id_a": a_out, "id_b": b_out, "jaccard": j_out},
-            schema=_JACCARD_SCHEMA,
+        # empty/null serialized grams = empty set = jaccard 0 → drop first
+        # (filter treats nulls as false, matching the set version's skip)
+        t = t.filter(
+            pc.and_(pc.not_equal(t.column("g_a"), ""),
+                    pc.not_equal(t.column("g_b"), ""))
+        )
+        if t.num_rows == 0:
+            return _JACCARD_SCHEMA.empty_table()
+        ga = pc.split_pattern(t.column("g_a"), _GRAM_SEP).combine_chunks()
+        gb = pc.split_pattern(t.column("g_b"), _GRAM_SEP).combine_chunks()
+        return _jaccard_pairs_vectorized(
+            t.column("src").combine_chunks().to_numpy(zero_copy_only=False),
+            t.column("dst").combine_chunks().to_numpy(zero_copy_only=False),
+            pc.list_value_length(ga).to_numpy(zero_copy_only=False),
+            pc.list_flatten(ga).to_numpy(zero_copy_only=False),
+            pc.list_value_length(gb).to_numpy(zero_copy_only=False),
+            pc.list_flatten(gb).to_numpy(zero_copy_only=False),
+            threshold,
         )
 
     return step2.map_batches(verify, batch_format="pyarrow")
@@ -595,32 +681,46 @@ def ngram_jaccard_pairs(
     if verify == "join":
         return _verify_grams_join(candidates, sigs, threshold)
 
-    gram_map = {r["doc_id"]: frozenset(r["grams"]) for r in
-                sigs.select_columns(["doc_id", "grams"]).take_all()}
-    ref = ray.put(gram_map)
-    _cache: dict[str, dict] = {}
-    pair_schema = _JACCARD_SCHEMA
+    # broadcast regime: the gram table travels via ray.put as ONE ragged
+    # CSR (doc_id → row dict, offsets, flat gram values); each batch maps
+    # endpoints to rows (pandas C map), gathers both sides with a
+    # vectorized ragged take, and runs the shared pair-key intersection
+    # kernel — no per-pair Python in this regime either (r3 verdict #7).
+    rows = sigs.select_columns(["doc_id", "grams"]).take_all()
+    idx = {r["doc_id"]: i for i, r in enumerate(rows)}
+    lens = np.fromiter((len(r["grams"]) for r in rows), np.int64, len(rows))
+    off = np.zeros(len(rows) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    flat = np.asarray(
+        [g for r in rows for g in r["grams"]], dtype=object
+    )
+    ref = ray.put((idx, off, flat))
+    _cache: dict[str, tuple] = {}
 
     def verify(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
         m = _cache.get("m")
         if m is None:
             m = ray.get(ref)
             _cache["m"] = m
-        a_out, b_out, j_out = [], [], []
-        for a, b in zip(t.column("src").to_pylist(), t.column("dst").to_pylist()):
-            sa, sb = m.get(a), m.get(b)
-            if not sa or not sb:
-                continue
-            inter = len(sa & sb)
-            if not inter:
-                continue
-            jac = inter / len(sa | sb)
-            if jac >= threshold:
-                x, y = (a, b) if a < b else (b, a)
-                a_out.append(x); b_out.append(y); j_out.append(round(jac, 6))
-        return pa.Table.from_pydict(
-            {"id_a": pa.array(a_out, pa.string()), "id_b": pa.array(b_out, pa.string()),
-             "jaccard": pa.array(j_out, pa.float64())}
+        idx, off, flat = m
+        if t.num_rows == 0:
+            return _JACCARD_SCHEMA.empty_table()
+        ia = t.column("src").to_pandas().map(idx)
+        ib = t.column("dst").to_pandas().map(idx)
+        present = (ia.notna() & ib.notna()).to_numpy()
+        ra = ia.to_numpy()[present].astype(np.int64)
+        rb = ib.to_numpy()[present].astype(np.int64)
+        la, lb = off[ra + 1] - off[ra], off[rb + 1] - off[rb]
+        return _jaccard_pairs_vectorized(
+            t.column("src").combine_chunks().to_numpy(
+                zero_copy_only=False)[present],
+            t.column("dst").combine_chunks().to_numpy(
+                zero_copy_only=False)[present],
+            la, flat[_ragged_take(off, ra, la)],
+            lb, flat[_ragged_take(off, rb, lb)],
+            threshold,
         )
 
     return candidates.map_batches(verify, batch_format="pyarrow")
