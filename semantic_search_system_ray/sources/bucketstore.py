@@ -74,16 +74,16 @@ def bucketed_attach(
     routing hash), so a tiny bucket-INDEX Dataset drives one task per
     bucket — each task reads its two co-located bucket directories
     straight from storage (task-local pyarrow read; nothing crosses the
-    object store) and merges them with pandas' C-level hash join. This
-    is the amortized payoff of the one-time layout write: the join that
+    object store) and merges them with Arrow's native hash join
+    (``pyarrow.Table.join`` — no pandas round-trip copy; the task's
+    working set stays the two mapped bucket files). This is the
+    amortized payoff of the one-time layout write: the join that
     coarse_attach runs as route+sort+cogroup becomes a pure map.
 
     Inner-join semantics; null keys drop (SQL); the right side is
     expected key-unique per the attach contract (duplicates would
     multiply rows like SQL would — callers wanting the deterministic
     min-pick should pre-dedup at write time)."""
-    import pandas as pd
-
     nl, nr = n_buckets_of(left_path), n_buckets_of(right_path)
     if nl != nr:
         raise ValueError(
@@ -95,6 +95,7 @@ def bucketed_attach(
     def join(batch: pa.Table) -> pa.Table:
         import os
 
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         outs = []
@@ -106,18 +107,16 @@ def bucketed_attach(
             rdir = f"{right_path}/__bucket={i}"
             if not (os.path.isdir(ldir) and os.path.isdir(rdir)):
                 continue
-            lt = pq.read_table(ldir, columns=left_columns).to_pandas()
-            rt = pq.read_table(rdir, columns=right_columns).to_pandas()
-            lt = lt.dropna(subset=[left_key])
-            rt = rt.dropna(subset=[right_key])
+            lt = pq.read_table(ldir, columns=left_columns)
+            rt = pq.read_table(rdir, columns=right_columns)
+            lt = lt.filter(pc.is_valid(lt.column(left_key)))
+            rt = rt.filter(pc.is_valid(rt.column(right_key)))
             if right_key != left_key:
-                rt = rt.rename(columns={right_key: left_key})
-            merged = lt.merge(rt, on=left_key)
-            outs.append(
-                pa.Table.from_pandas(
-                    merged[out_cols], preserve_index=False
-                ).cast(out_schema)
-            )
+                rt = rt.rename_columns(
+                    [left_key if c == right_key else c for c in rt.column_names]
+                )
+            merged = lt.join(rt, keys=left_key, join_type="inner")
+            outs.append(merged.select(out_cols).cast(out_schema))
         if not outs:
             return out_schema.empty_table()
         return pa.concat_tables(outs)
