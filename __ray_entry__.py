@@ -17,9 +17,12 @@
   SQL-recomputable). Since late r3 the HLL sketch and the LSH media
   dedup are on the hard gate too (the sketch is bit-recomputed in SQL;
   the media pair set collapses to an exact join for the injective stub
-  features). The three genuinely non-SQL ops (seeded-hyperplane ANN,
-  IVF ANN, k-means taxonomy) are rows-only with a one-line
-  justification on each callable and pytest coverage instead.
+  features). Since r4 the approximate ANN paths (LSH, IVF) are ALSO
+  hash-gated via recall certificates: each emits per-query + mean
+  recall-vs-exact pass rows under measured, pinned bounds, and the
+  exact side is fully value-oracled (``ann_exact_multi``). The one
+  remaining non-SQL op (seeded iterative k-means taxonomy) is
+  rows-only with a justification on the callable and pytest coverage.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
@@ -244,33 +247,95 @@ def _q_fingerprint(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
-def _q_ann_lsh(sf_dir: str):
-    """No SQL oracle: bucket membership depends on seeded random
-    hyperplanes — approximate BY DESIGN; recall ≥ target vs the exact
-    top-k is pytest-gated (tests/test_dedup_ann.py)."""
+# ANN recall-certificate constants: bounds pinned from measured recall at
+# sf0.001/0.01/0.1 (per-query min 6/10, mean ≥0.84 at these settings) with
+# comfortable margin; seeds fixed → deterministic. The certificate rows are
+# constants under the bound, so the DuckDB oracle hash-gates them.
+ANN_CERT_QUERIES = 10
+ANN_CERT_K = 10
+ANN_CERT_PER_QUERY_PPM = 500_000
+ANN_CERT_MEAN_PPM = 700_000
+
+
+def _ann_query_matrix(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", ANN_CERT_QUERIES)],
+    ).sort_by("vec_id")
+    qm = np.array(qt.column("embedding").to_pylist(), np.float64)
+    return qm, qt.column("vec_id").to_numpy()
+
+
+def _q_ann_exact_multi(sf_dir: str):
+    """Fused multi-query EXACT brute-force top-k (one matmul pass for all
+    10 queries, per-block per-query combiner) — the exact side of the
+    ANN recall certificates, value-oracled in SQL."""
     import ray.data as rd
 
-    from semantic_search_system_ray.pipelines.queries import _query_vec
-    from semantic_search_system_ray.stages.ann import lsh_bucket_topk
+    from semantic_search_system_ray.stages.ann import multi_query_exact_topk
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    # vectorized query-vector fetch (Arrow filter kernel), not a per-row
-    # Python ds.filter(lambda)
-    q = _query_vec(sf_dir)
-    return lsh_bucket_topk(ds, q, k=10, num_planes=4)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qm, qids = _ann_query_matrix(sf_dir)
+    return multi_query_exact_topk(ds, qm, qids, k=ANN_CERT_K)
+
+
+def _q_ann_lsh(sf_dir: str):
+    """Multi-probe LSH top-k → HARD-GATED recall certificate (r3 verdict
+    ask #3): per-query recall vs the fused exact top-k must be ≥ 0.5 and
+    the mean ≥ 0.7 (bounds pinned from measurement, seeds fixed); the
+    certificate rows are then constants the DuckDB oracle hash-checks.
+    The exact side's values are independently oracled (ann_exact_multi);
+    raw recall counts stay pytest-observable (ann_recall_counts)."""
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.ann import (
+        ann_recall_certificate,
+        lsh_bucket_topk_multi,
+        multi_query_exact_topk,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()  # both sides rescan — pin the (tiny-per-block) input
+    qm, qids = _ann_query_matrix(sf_dir)
+    exact = multi_query_exact_topk(ds, qm, qids, k=ANN_CERT_K)
+    approx = lsh_bucket_topk_multi(
+        ds, qm, qids, k=ANN_CERT_K, num_planes=4, probes=2
+    )
+    return ann_recall_certificate(
+        exact, approx, k=ANN_CERT_K,
+        min_recall_ppm=ANN_CERT_PER_QUERY_PPM,
+        mean_min_recall_ppm=ANN_CERT_MEAN_PPM,
+    )
 
 
 def _q_ann_ivf(sf_dir: str):
-    """IVF approximate top-k (seeded coarse quantizer, nprobe lists) —
-    approximate by design (rows-only); recall + full-probe==exact are
-    pytest-gated (tests/test_dedup_ann.py::test_ivf_topk_recall)."""
+    """IVF top-k (seeded coarse quantizer, nprobe=8/16 lists) → the same
+    HARD-GATED recall-certificate form as ann_lsh."""
     import ray.data as rd
 
-    from semantic_search_system_ray.pipelines.queries import _query_vec
-    from semantic_search_system_ray.stages.ann import ivf_topk
+    from semantic_search_system_ray.stages.ann import (
+        ann_recall_certificate,
+        ivf_topk_multi,
+        multi_query_exact_topk,
+    )
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, _query_vec(sf_dir), k=10, nlist=16, nprobe=4)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    qm, qids = _ann_query_matrix(sf_dir)
+    exact = multi_query_exact_topk(ds, qm, qids, k=ANN_CERT_K)
+    approx = ivf_topk_multi(ds, qm, qids, k=ANN_CERT_K, nlist=16, nprobe=8)
+    return ann_recall_certificate(
+        exact, approx, k=ANN_CERT_K,
+        min_recall_ppm=ANN_CERT_PER_QUERY_PPM,
+        mean_min_recall_ppm=ANN_CERT_MEAN_PPM,
+    )
 
 
 def _q_media_features(sf_dir: str):
@@ -1082,6 +1147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "fingerprint": _q_fingerprint,
             "ann_lsh": _q_ann_lsh,
             "ann_ivf": _q_ann_ivf,
+            "ann_exact_multi": _q_ann_exact_multi,
             "media_features": _q_media_features,
             "media_frame_sample": _q_media_frame_sample,
             "media_dedup": _q_media_dedup,
@@ -1128,6 +1194,37 @@ def _sql_stratified_sample() -> str:
         sample_thresholds(SAMPLE_RATES),
         int(SAMPLE_DEFAULT_RATE * SAMPLE_MOD),
     )
+
+
+SQL_ANN_EXACT_MULTI = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {ANN_CERT_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4)
+           AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, vec_id
+  ) AS rk FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rk <= {ANN_CERT_K}
+"""
+
+SQL_ANN_CERT = f"""
+SELECT CAST(vec_id AS BIGINT) AS query_id,
+       CAST({ANN_CERT_K} AS BIGINT) AS k,
+       CAST({ANN_CERT_PER_QUERY_PPM} AS BIGINT) AS min_recall_ppm,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < {ANN_CERT_QUERIES}
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST({ANN_CERT_K} AS BIGINT),
+       CAST({ANN_CERT_MEAN_PPM} AS BIGINT), TRUE
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1239,6 +1336,14 @@ def oracle_sql() -> dict[str, str]:
             # stub features are injective in (kind, media_ref))
             "approx_distinct": tox.sql_approx_distinct(),
             "media_dedup": tox.sql_media_dedup(),
+            # r4: fused multi-query exact top-k (full value oracle) and
+            # the LSH/IVF recall certificates — approximate results are
+            # gated via constant certificate rows (recall_ok must be TRUE
+            # for every query and for the mean row; a recall regression
+            # flips rows and fails the driver's hash compare)
+            "ann_exact_multi": SQL_ANN_EXACT_MULTI,
+            "ann_lsh": SQL_ANN_CERT,
+            "ann_ivf": SQL_ANN_CERT,
         }
     )
     return out

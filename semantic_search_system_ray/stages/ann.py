@@ -263,3 +263,260 @@ def lsh_bucket_topk(
 
     scored = ds.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 8))
     return scored.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+# --------------------------------------------------------------------------
+# fused multi-query top-k + recall certificates (round-4: puts the
+# approximate ANN paths on the driver's hard oracle gate)
+# --------------------------------------------------------------------------
+
+def _ids_np(batch: pa.Table, id_col: str) -> np.ndarray:
+    ids = batch.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return ids.to_numpy(zero_copy_only=False)
+
+
+def _multi_local_topk(
+    qids: np.ndarray,
+    sims: np.ndarray,
+    ids: np.ndarray,
+    sel_per_q,
+    k: int,
+    round_to: int,
+) -> pa.Table:
+    """Per-query LOCAL top-k rows under the EXACT global ordering
+    (score DESC, id ASC) — a provable combiner: any row outside a block's
+    per-query top-k under that ordering can't be in the global top-k.
+    ``sel_per_q`` maps query index → row-index array to score (None =
+    all rows)."""
+    out_q, out_i, out_s = [], [], []
+    scale = 10.0 ** round_to
+    for qi in range(len(qids)):
+        sel = sel_per_q(qi)
+        s = sims[sel, qi] if sel is not None else sims[:, qi]
+        i = ids[sel] if sel is not None else ids
+        if not len(s):
+            continue
+        # round BEFORE the local trim (half-away-from-zero, matching SQL
+        # round()): the combiner is only provable under the same
+        # (rounded score DESC, id ASC) ordering the global rank uses
+        s = np.copysign(np.floor(np.abs(s) * scale + 0.5), s) / scale
+        take = min(k, len(s))
+        order = np.lexsort((i, -s))[:take]
+        out_q.append(np.full(take, qids[qi], np.int64))
+        out_i.append(i[order])
+        out_s.append(s[order])
+    if not out_q:
+        return pa.Table.from_pydict(
+            {"query_id": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+    return pa.Table.from_pydict(
+        {"query_id": pa.array(np.concatenate(out_q), pa.int64()),
+         "vec_id": pa.array(
+             np.concatenate(out_i).astype(np.int64), pa.int64()),
+         "score": pa.array(np.concatenate(out_s), pa.float64())}
+    )
+
+
+def _grouped_topk_of(scored: rd.Dataset, k: int) -> rd.Dataset:
+    from semantic_search_system_ray.stages.util import grouped_topk
+
+    return grouped_topk(
+        scored, ["query_id"], ["score", "vec_id"],
+        descending=[True, False], k=k,
+    )
+
+
+def multi_query_exact_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> rd.Dataset:
+    """EXACT brute-force top-k for Q queries in ONE fused pass: every
+    block computes one (block × Q) matmul against the broadcast query
+    matrix and emits its per-query local top-k (provable combiner), so
+    the wide step sees ≤ #blocks·Q·k rows. → (query_id, vec_id, score),
+    score rounded half-even to ``round_to`` (np.round; query vectors are
+    L2-normalized on both sides)."""
+    qm = np.asarray(queries, np.float64)
+    n = np.linalg.norm(qm, axis=1)
+    n[n == 0] = 1.0
+    qm = qm / n[:, None]
+    qids = np.asarray(query_ids, np.int64)
+    ref = ray.put(qm.T.copy())
+
+    def score(batch: pa.Table) -> pa.Table:
+        qt = ray.get(ref)
+        sims = _as_matrix(batch.column(vec_col)) @ qt
+        return _multi_local_topk(
+            qids, sims, _ids_np(batch, id_col), lambda qi: None, k, round_to
+        )
+
+    return _grouped_topk_of(
+        ds.map_batches(score, batch_format="pyarrow"), k
+    )
+
+
+def lsh_bucket_topk_multi(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    seed: int = 17,
+    probes: int = 1,
+    round_to: int = 4,
+) -> rd.Dataset:
+    """Multi-probe LSH top-k for Q queries in ONE fused pass: block
+    signatures are computed ONCE per batch; each query scores only rows
+    landing in its probe-bucket set. Same output shape as
+    ``multi_query_exact_topk`` (approximate: per-query recall < 1 by
+    design, seeded hyperplanes → deterministic)."""
+    qm = np.asarray(queries, np.float64)
+    n = np.linalg.norm(qm, axis=1)
+    n[n == 0] = 1.0
+    qm = qm / n[:, None]
+    qids = np.asarray(query_ids, np.int64)
+    dim = qm.shape[1]
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(num_planes, dim))
+    qbuckets = lsh_signature(qm, planes)
+    probe_sets = []
+    for qb in qbuckets:
+        s = {int(qb)}
+        if probes >= 1:
+            s |= {int(qb) ^ (1 << b) for b in range(num_planes)}
+        if probes >= 2:
+            for b1 in range(num_planes):
+                for b2 in range(b1 + 1, num_planes):
+                    s.add(int(qb) ^ (1 << b1) ^ (1 << b2))
+        probe_sets.append(np.array(sorted(s), np.int64))
+    ref = ray.put((qm.T.copy(), planes, probe_sets))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qt, pl, psets = ray.get(ref)
+        mat = _as_matrix(batch.column(vec_col))
+        buckets = lsh_signature(mat, pl)
+        sims = mat @ qt
+        return _multi_local_topk(
+            qids, sims, _ids_np(batch, id_col),
+            lambda qi: np.flatnonzero(np.isin(buckets, psets[qi])),
+            k, round_to,
+        )
+
+    return _grouped_topk_of(
+        ds.map_batches(score, batch_format="pyarrow"), k
+    )
+
+
+def ivf_topk_multi(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    round_to: int = 4,
+) -> rd.Dataset:
+    """IVF top-k for Q queries in ONE fused pass: the coarse quantizer
+    trains once (seeded, bounded sample), list assignment is computed
+    ONCE per batch, each query scores only its nprobe lists. Same output
+    shape as ``multi_query_exact_topk`` (approximate by design)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, vec_col=vec_col, nlist=nlist)
+    qm = np.asarray(queries, np.float64)
+    n = np.linalg.norm(qm, axis=1)
+    n[n == 0] = 1.0
+    qm = qm / n[:, None]
+    qids = np.asarray(query_ids, np.int64)
+    probe_sets = [
+        np.sort(np.argsort(-(centroids @ qm[qi]), kind="stable")[:nprobe])
+        for qi in range(len(qids))
+    ]
+    ref = ray.put((qm.T.copy(), centroids, probe_sets))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qt, cent, psets = ray.get(ref)
+        mat = _as_matrix(batch.column(vec_col))
+        assign = np.argmax(mat @ cent.T, axis=1)
+        sims = mat @ qt
+        return _multi_local_topk(
+            qids, sims, _ids_np(batch, id_col),
+            lambda qi: np.flatnonzero(np.isin(assign, psets[qi])),
+            k, round_to,
+        )
+
+    return _grouped_topk_of(
+        ds.map_batches(score, batch_format="pyarrow"), k
+    )
+
+
+def ann_recall_certificate(
+    exact: rd.Dataset,
+    approx: rd.Dataset,
+    *,
+    k: int,
+    min_recall_ppm: int,
+    mean_min_recall_ppm: int | None = None,
+) -> pa.Table:
+    """→ one row per query: (query_id, k, min_recall_ppm, hits,
+    recall_ok) — the HARD-GATE form of an approximate ANN result
+    (round-3 verdict ask #3). Both inputs are (query_id, vec_id, ...)
+    top-k datasets — Q·k rows, bounded — so the driver-side set compare
+    is domain-bounded. ``recall_ok`` asserts
+    |approx ∩ exact| / k ≥ min_recall_ppm / 1e6 per query; the exact
+    side's VALUES are separately value-oracled (ann_exact_multi), so a
+    recall regression flips rows and fails the driver's hash compare.
+    ``hits`` is NOT emitted in the hashed columns (SQL can't know it);
+    it is exposed to pytest via :func:`ann_recall_counts`."""
+    counts = ann_recall_counts(exact, approx)
+    q_sorted = sorted(counts)
+    qid = list(q_sorted)
+    bound = [min_recall_ppm] * len(q_sorted)
+    ok = [counts[q] * 1_000_000 >= k * min_recall_ppm for q in q_sorted]
+    if mean_min_recall_ppm is not None:
+        # aggregate row (query_id = -1): mean recall over all queries ≥
+        # its own (tighter) bound — per-query floors tolerate variance,
+        # the mean row catches a broad regression
+        qid.append(-1)
+        bound.append(mean_min_recall_ppm)
+        ok.append(
+            sum(counts.values()) * 1_000_000
+            >= k * len(q_sorted) * mean_min_recall_ppm
+        )
+    return pa.Table.from_pydict(
+        {
+            "query_id": pa.array(qid, pa.int64()),
+            "k": pa.array([k] * len(qid), pa.int64()),
+            "min_recall_ppm": pa.array(bound, pa.int64()),
+            "recall_ok": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
+def ann_recall_counts(exact: rd.Dataset, approx: rd.Dataset) -> dict[int, int]:
+    """query_id → |approx top-k ∩ exact top-k| (both inputs bounded Q·k)."""
+    ex: dict[int, set] = {}
+    for r in exact.take_all():
+        ex.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    hits = {q: 0 for q in ex}
+    for r in approx.take_all():
+        q = int(r["query_id"])
+        if q in ex and int(r["vec_id"]) in ex[q]:
+            hits[q] += 1
+    return hits

@@ -319,3 +319,86 @@ def test_edit_distance_pairs_bruteforce_parity(ray_session, k, n_blocks):
         if _lev_ref(a, b) <= k
     )
     assert got == want
+
+
+def test_multi_query_exact_matches_single(vec_ds):
+    """The fused multi-query exact path must agree with cosine_topk per
+    query (same k, same tie rule) on ids."""
+    from semantic_search_system_ray.stages.ann import multi_query_exact_topk
+
+    ds, mat = vec_ds
+    qids = [3, 7, 11]
+    got = multi_query_exact_topk(ds, mat[qids], qids, k=5).take_all()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    for q in qids:
+        single = [r["vec_id"] for r in cosine_topk(ds, mat[q], k=5).take_all()]
+        assert per_q[q] == single, q
+
+
+def test_ivf_multi_full_probe_equals_exact(vec_ds):
+    """nprobe == nlist probes every list → the 'approximate' result must
+    be EXACTLY the exact top-k (identity check on the masking logic)."""
+    from semantic_search_system_ray.stages.ann import (
+        ivf_topk_multi,
+        multi_query_exact_topk,
+    )
+
+    ds, mat = vec_ds
+    qids = [0, 5]
+    ex = multi_query_exact_topk(ds, mat[qids], qids, k=5).take_all()
+    ap = ivf_topk_multi(ds, mat[qids], qids, k=5, nlist=4, nprobe=4).take_all()
+    key = lambda r: (r["query_id"], r["vec_id"], r["score"])
+    assert sorted(map(key, ex)) == sorted(map(key, ap))
+
+
+def test_lsh_multi_full_probe_equals_exact(vec_ds):
+    """probes=2 with num_planes=2 covers ALL 4 buckets → identical to
+    exact."""
+    from semantic_search_system_ray.stages.ann import (
+        lsh_bucket_topk_multi,
+        multi_query_exact_topk,
+    )
+
+    ds, mat = vec_ds
+    qids = [2, 9]
+    ex = multi_query_exact_topk(ds, mat[qids], qids, k=5).take_all()
+    ap = lsh_bucket_topk_multi(
+        ds, mat[qids], qids, k=5, num_planes=2, probes=2
+    ).take_all()
+    key = lambda r: (r["query_id"], r["vec_id"], r["score"])
+    assert sorted(map(key, ex)) == sorted(map(key, ap))
+
+
+def test_ann_recall_certificate_flags(vec_ds):
+    """Certificate rows flip to False exactly when a query's recall is
+    below its bound; the mean row aggregates."""
+    from semantic_search_system_ray.stages.ann import (
+        ann_recall_certificate,
+        multi_query_exact_topk,
+    )
+
+    ds, mat = vec_ds
+    qids = [1, 4]
+    ex = multi_query_exact_topk(ds, mat[qids], qids, k=5)
+    # perfect approx = exact → all True even at bound 1.0
+    cert = ann_recall_certificate(
+        ex, ex, k=5, min_recall_ppm=1_000_000, mean_min_recall_ppm=1_000_000
+    ).to_pylist()
+    assert [r["recall_ok"] for r in cert] == [True, True, True]
+    assert [r["query_id"] for r in cert] == [1, 4, -1]
+    # empty approx → zero hits → all False at any positive bound
+    import ray.data as rd_
+
+    empty = rd_.from_arrow(
+        pa.Table.from_pydict(
+            {"query_id": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+    )
+    cert2 = ann_recall_certificate(
+        ex, empty, k=5, min_recall_ppm=1, mean_min_recall_ppm=1
+    ).to_pylist()
+    assert [r["recall_ok"] for r in cert2] == [False, False, False]
