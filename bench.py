@@ -35,6 +35,7 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # work dominates fixed costs (see run_scaling).
 _CORPUS_DOCS = {"sf0.001": 500, "sf0.01": 8_000, "sf0.1": 400_000}
 _SCALING_DOCS = 2_000_000
+_SKEW_DOCS = 60_000
 _CORPUS_SEED = 42
 
 
@@ -194,6 +195,34 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     entrymod._kg_triples(SF_DIR).count()
     timings["kg_build_testdata"] = round(time.perf_counter() - t0, 3)
+
+    # --- skew stress (r3 verdict #6): two same-size corpora, one uniform
+    # and one with a planted 2/3-mass near-dup family — ONE head key
+    # through every banding bucket and ONE giant CC component. Skew
+    # safety = planted wall stays within ~2x of uniform (the >cap bucket
+    # falls back to star edges instead of all-pairs; CC rounds stay
+    # bounded on the star component).
+    from semantic_search_system_ray.sources.synth import write_skew_corpus
+    from semantic_search_system_ray.stages.dedup import minhash_lsh_clusters
+
+    for tag, frac in (("uniform", 0.0), ("planted", 2 / 3)):
+        d = f"/tmp/kg_skew_{tag}_{_SKEW_DOCS}_{_CORPUS_SEED}"
+        marker = os.path.join(d, "_COMPLETE")
+        if not os.path.exists(marker):
+            write_skew_corpus(
+                d, n_docs=_SKEW_DOCS, head_fraction=frac, seed=_CORPUS_SEED
+            )
+            open(marker, "w").write("ok")
+        _warm(f"{d}/*.parquet")
+        t0 = time.perf_counter()
+        minhash_lsh_clusters(
+            rd.read_parquet(d), threshold=0.5
+        ).count()
+        timings[f"minhash_skew_{tag}"] = round(time.perf_counter() - t0, 3)
+    timings["minhash_skew_ratio"] = round(
+        timings["minhash_skew_planted"]
+        / max(timings["minhash_skew_uniform"], 1e-9), 2,
+    )
 
     # enriched mode (DocNLP actor pool incl. 256-dim embeddings) over a
     # slice of the spans corpus — the results.json-contract path.

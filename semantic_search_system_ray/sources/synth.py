@@ -299,3 +299,75 @@ def write_corpus_parallel(
     ]
     ray.get(refs)
     pq.write_table(build_taxonomy_table(seed), f"{out_dir}/taxonomy.parquet")
+
+
+# --------------------------------------------------------------------------
+# skew-stress corpus (bench): a planted 2/3-mass near-dup family
+# --------------------------------------------------------------------------
+
+_SKEW_BASE_WORDS = (
+    "stream shuffle merge join filter window aggregate partition broadcast "
+    "spill vector batch column sort hash scan index cache lineage replay "
+    "checkpoint commit offset bucket salt probe build emit flush drain"
+).split()
+
+
+def _skew_doc(seed: int, i: int, head: bool) -> str:
+    """Deterministic doc text. Head docs are ONE near-dup family: the
+    fixed 30-word base with a single position mutated among 5 variants —
+    pairwise word-shingle Jaccard stays ≈0.65-0.8, so banding routes the
+    whole family through the same buckets and verification accepts it
+    into one giant component (the worst-case key for the dedup
+    shuffles). Non-head docs are seeded random word soup over the same
+    vocabulary (shared words, distinct shingles)."""
+    if head:
+        w = list(_SKEW_BASE_WORDS)
+        w[i % len(w)] = f"v{i % 5}"
+        return " ".join(w)
+    rng = random.Random((seed << 20) ^ (i * 2654435761 & 0x7FFFFFFF))
+    return " ".join(
+        rng.choice(_SKEW_BASE_WORDS) for _ in range(len(_SKEW_BASE_WORDS))
+    )
+
+
+def write_skew_corpus(
+    out_dir: str,
+    n_docs: int,
+    head_fraction: float,
+    seed: int = 42,
+    num_shards: int = 64,
+) -> None:
+    """Write a (doc_id, text) corpus where ``head_fraction`` of rows (by
+    index interleaving, so every shard carries the head key) belong to
+    ONE near-dup family — the bench's skew-stress input (r3 verdict #6).
+    Requires an initialized Ray session (bench.py owns one)."""
+    import os
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    mod = 1_000_000
+    cut = int(head_fraction * mod)
+
+    @ray.remote
+    def gen_shard(k: int, lo: int, hi: int) -> int:
+        rows_id, rows_tx = [], []
+        for i in range(lo, hi):
+            head = ((i * 2654435761) % mod) < cut  # index-hash interleave
+            rows_id.append(f"s{i:08d}")
+            rows_tx.append(_skew_doc(seed, i, head))
+        pq.write_table(
+            pa.Table.from_pydict(
+                {"doc_id": pa.array(rows_id, pa.string()),
+                 "text": pa.array(rows_tx, pa.string())}
+            ),
+            f"{out_dir}/part-{k:04d}.parquet",
+        )
+        return hi - lo
+
+    per = (n_docs + num_shards - 1) // num_shards
+    ray.get([
+        gen_shard.remote(k, k * per, min(n_docs, (k + 1) * per))
+        for k in range(num_shards)
+        if k * per < n_docs
+    ])
