@@ -103,3 +103,71 @@ def test_top_n_matches_counter(parts, n):
     got = [e["text"] for e in top_n_with_first_label(mentions, n)]
     ref = [k for k, _v in Counter(parts).most_common(n)]
     assert got == ref
+
+
+# --- r4: the vectorized pair-key Jaccard kernel must equal set math -------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _gram_pairs(draw):
+    n = draw(st.integers(0, 12))
+    vocab = [f"g{i}" for i in range(12)]
+    pairs = []
+    for i in range(n):
+        a = draw(st.sets(st.sampled_from(vocab), max_size=8))
+        b = draw(st.sets(st.sampled_from(vocab), max_size=8))
+        pairs.append((f"a{i}", f"b{i}", sorted(a), sorted(b)))
+    return pairs
+
+
+@given(_gram_pairs(), st.sampled_from([0.0, 0.3, 0.7, 1.0]))
+@settings(max_examples=200, deadline=None)
+def test_jaccard_pairs_vectorized_matches_sets(pairs, threshold):
+    import numpy as np
+
+    from semantic_search_system_ray.stages.dedup import (
+        _jaccard_pairs_vectorized,
+    )
+
+    src = np.array([p[0] for p in pairs], dtype=object)
+    dst = np.array([p[1] for p in pairs], dtype=object)
+    la = np.array([len(p[2]) for p in pairs], np.int64)
+    lb = np.array([len(p[3]) for p in pairs], np.int64)
+    flat_a = np.array([g for p in pairs for g in p[2]], dtype=object)
+    flat_b = np.array([g for p in pairs for g in p[3]], dtype=object)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in _jaccard_pairs_vectorized(
+            src, dst, la, flat_a, lb, flat_b, threshold
+        ).to_pylist()
+    }
+    expect = {}
+    for s, d, a, b in pairs:
+        a, b = set(a), set(b)
+        inter = len(a & b)
+        if not inter:
+            continue
+        jac = inter / len(a | b)
+        if jac >= threshold:
+            x, y = (s, d) if s < d else (d, s)
+            expect[(x, y)] = round(jac, 6)  # kernel emits 6dp (pinned)
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-9, k
+
+
+def test_ragged_take_gathers_rows():
+    import numpy as np
+
+    from semantic_search_system_ray.stages.dedup import _ragged_take
+
+    off = np.array([0, 3, 3, 7, 9], np.int64)  # rows of len 3,0,4,2
+    flat = np.arange(9)
+    rows = np.array([2, 0, 1, 2], np.int64)
+    lens = off[rows + 1] - off[rows]
+    got = flat[_ragged_take(off, rows, lens)]
+    assert got.tolist() == [3, 4, 5, 6, 0, 1, 2, 3, 4, 5, 6]
+    assert _ragged_take(off, np.array([1], np.int64),
+                        np.array([0], np.int64)).tolist() == []
