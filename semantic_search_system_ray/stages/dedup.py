@@ -385,6 +385,16 @@ def minhash_lsh_clusters(
         banded, ["band", "band_hash"], _bucket_pairs, _PAIR_SCHEMA,
         min_group_size=2,
     )
+    # distinct BEFORE verify/CC: a near-dup family surfaces in EVERY band
+    # (the planted-skew worst case emits ~bands× duplicate star edges —
+    # 640k vs 40k distinct at the 60k-doc skew bench, which alone pushed
+    # CC past its driver threshold into the iterative path); the tree
+    # distinct collapses duplicates in per-block combiners first.
+    from semantic_search_system_ray.pipelines.kg_build import distinct_rows
+
+    candidates = distinct_rows(
+        candidates, ["src", "dst"], strategy="tree", out_blocks=8
+    )
     if verify == "auto":
         verify = "broadcast" if sigs.count() <= VERIFY_BROADCAST_THRESHOLD else "join"
     if verify == "join":
