@@ -20,9 +20,10 @@
   features). Since r4 the approximate ANN paths (LSH, IVF) are ALSO
   hash-gated via recall certificates: each emits per-query + mean
   recall-vs-exact pass rows under measured, pinned bounds, and the
-  exact side is fully value-oracled (``ann_exact_multi``). The one
-  remaining non-SQL op (seeded iterative k-means taxonomy) is
-  rows-only with a justification on the callable and pytest coverage.
+  exact side is fully value-oracled (``ann_exact_multi``). The seeded
+  iterative k-means taxonomy is gated the same way (a property
+  certificate: exact partition, ≤k topics, centroid-member labels,
+  rerun-identical) — EVERY queries() entry carries an oracle since r4.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
@@ -1075,12 +1076,7 @@ def _q_rag_answer(sf_dir: str):
     return rag_answer(docs, "stream table hash window", k=5)
 
 
-def _q_taxonomy_build(sf_dir: str):
-    """No SQL oracle: k-means over hash embeddings is iterative (not
-    SQL-expressible); determinism contract: fixed seed + deterministic
-    input (word_topk is itself oracle-checked) ⇒ stable row count and
-    membership, pinned by the seeded-fixture golden in
-    tests/test_search_topics_ingest.py."""
+def _taxonomy_of(sf_dir: str):
     import ray.data as rd
 
     from semantic_search_system_ray.pipelines.queries import q_word_topk
@@ -1088,7 +1084,62 @@ def _q_taxonomy_build(sf_dir: str):
 
     top_words = q_word_topk(sf_dir).take_all()
     phrases = rd.from_items([{"phrase": r["word"]} for r in top_words])
-    return build_taxonomy(phrases, num_topics=6)
+    return build_taxonomy(phrases, num_topics=6), phrases
+
+
+def _q_taxonomy_build(sf_dir: str):
+    """k-means over hash embeddings is iterative (not SQL-expressible as
+    values), so — like the ANN entries since r4 — the gate row form is a
+    PROPERTY CERTIFICATE the DuckDB oracle hash-checks as constants:
+
+    - partition_exact: output phrases == the distinct cleaned input
+      phrases, each in exactly one topic;
+    - topics_le_k: ≤ num_topics distinct topics, ≥ 1;
+    - labels_are_members: every topic label is a member of its own topic
+      (the reference's centroid-nearest-phrase labeling semantic);
+    - rerun_identical: a full second build yields the identical
+      (broad_topic, phrase) set — the determinism contract, previously
+      only pytest-pinned.
+
+    The taxonomy VALUES stay covered by the seeded-fixture golden in
+    tests/test_search_topics_ingest.py and remain available via
+    pipelines.topic_model.build_taxonomy."""
+    from semantic_search_system_ray.functions.text import clean_text_topic
+
+    tax1, phrases = _taxonomy_of(sf_dir)
+    rows1 = {(r["broad_topic"], r["phrase"]) for r in tax1.take_all()}
+    tax2, _ = _taxonomy_of(sf_dir)
+    rows2 = {(r["broad_topic"], r["phrase"]) for r in tax2.take_all()}
+
+    cleaned = {
+        clean_text_topic(r["phrase"]) for r in phrases.take_all()
+    } - {""}
+    out_phrases = [p for _t, p in rows1]
+    by_topic: dict[str, set] = {}
+    for t, p in rows1:
+        by_topic.setdefault(t, set()).add(p)
+
+    checks = {
+        "partition_exact": (
+            sorted(out_phrases) == sorted(set(out_phrases))
+            and set(out_phrases) == cleaned
+        ),
+        "topics_le_k": 1 <= len(by_topic) <= 6,
+        "labels_are_members": all(t in ps for t, ps in by_topic.items()),
+        "rerun_identical": rows1 == rows2,
+    }
+    return pa.Table.from_pydict(
+        {"check_name": pa.array(sorted(checks), pa.string()),
+         "ok": pa.array([checks[k] for k in sorted(checks)], pa.bool_())}
+    )
+
+
+SQL_TAXONOMY_CERT = """
+SELECT 'labels_are_members' AS check_name, TRUE AS ok
+UNION ALL SELECT 'partition_exact', TRUE
+UNION ALL SELECT 'rerun_identical', TRUE
+UNION ALL SELECT 'topics_le_k', TRUE
+"""
 
 
 def _q_doc_topic_words(sf_dir: str):
@@ -1344,6 +1395,7 @@ def oracle_sql() -> dict[str, str]:
             "ann_exact_multi": SQL_ANN_EXACT_MULTI,
             "ann_lsh": SQL_ANN_CERT,
             "ann_ivf": SQL_ANN_CERT,
+            "taxonomy_build": SQL_TAXONOMY_CERT,
         }
     )
     return out

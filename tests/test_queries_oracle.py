@@ -476,14 +476,14 @@ def test_events_ohlc_cross_block_and_ties(ray_session, tmp_path, n_blocks):
 
 
 def test_rows_only_set_is_pinned():
-    """Every queries() entry must carry an oracle unless it is the one
-    justified iterative op (seeded k-means taxonomy) — new operators
-    cannot silently land without a SQL twin. ann_lsh/ann_ivf left this
-    set in r4: they now emit hash-gated recall certificates."""
+    """EVERY queries() entry carries an oracle since r4 — approximate /
+    iterative ops (ann_lsh, ann_ivf, taxonomy_build) moved onto the hard
+    gate via hash-checked recall/property certificates. New operators
+    cannot silently land without a SQL twin."""
     import __ray_entry__ as e
 
     qs, sql = e.queries(), e.oracle_sql()
-    assert set(qs) - set(sql) == {"taxonomy_build"}
+    assert set(qs) - set(sql) == set()
 
 
 def test_kg_memo_keyed_by_sf(ray_session, tmp_path):
