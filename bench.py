@@ -15,6 +15,9 @@ Env: ``GRAFT_SF_DIR`` (default /root/testdata/sf0.1), ``RAY_GRAFT_CPUS``
 num_cpus=8 and num_cpus=32 on the same input (page cache warmed) and
 report both throughputs + scaling efficiency = (t8/t32)/(32/8). This is
 the sandbox stand-in for the north rule's N vs 4N cluster sizes.
+
+``--stats``: run the flagship once and print Ray Data's per-operator
+``ds.stats()`` breakdown (human-readable, not the JSON contract).
 """
 
 from __future__ import annotations
@@ -300,8 +303,54 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """``--stats``: run the flagship ONCE over the bench corpus and print
+    Ray Data's per-operator stats for both executed plans (the fused
+    extract/materialize and the finalize/union consume) — the evidence
+    that wall-time is spent in the NLP/dedup compute, not in scheduling
+    or format conversions. Human-readable text, not the JSON contract."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NCPU, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from semantic_search_system_ray.context import tune
+
+    tune(NCPU)
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from semantic_search_system_ray.pipelines.kg_build import build_triples
+    from semantic_search_system_ray.sources.synth import build_gazetteer
+
+    corpus = _corpus_dir()
+    t0 = time.perf_counter()
+    res = build_triples(
+        rd.read_parquet(f"{corpus}/documents"),
+        pq.read_table(f"{corpus}/taxonomy.parquet"),
+        rd.read_parquet(_phrase_docs_path(corpus)),
+        build_gazetteer(),
+        concurrency=(2, max(2, NCPU // 2)),
+        batch_size=256,
+    )
+    # materialize() (not count(), which can take a metadata fast path and
+    # leave no executed plan behind) so stats() reflects a real execution
+    mat = res.triples.materialize()
+    n = mat.count()
+    wall = time.perf_counter() - t0
+    print(f"# kg_build over {corpus}: {n} triples in {wall:.2f}s "
+          f"({n / wall / 1000:.0f}k triples/s, num_cpus={NCPU})")
+    print("\n## triples plan (finalize + union consume)\n")
+    print(mat.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_bench()))
