@@ -84,6 +84,13 @@ def distinct_count(ds: rd.Dataset, key: str) -> int:
     return sum(int(r["n"]) for r in parts.take_all())
 
 
+# Key domains at or below this many INPUT rows (both sides, parquet
+# metadata counts) finish in one concat task instead of a sorted cogroup;
+# the summary the task sees is bounded by distinct keys ≤ input rows, so
+# 8M rows ≈ 136 MB of (int64, int64, bool) — comfortably one worker heap.
+SMALL_DOMAIN_ROWS = 8_000_000
+
+
 def key_domain_checks(
     base: rd.Dataset, base_key: str, child: rd.Dataset, child_key: str
 ) -> tuple[int, int]:
@@ -96,25 +103,36 @@ def key_domain_checks(
     Returns ``(pk_dup, fk_violations)`` where pk_dup = total − distinct
     (nulls excluded, SQL COUNT DISTINCT) and fk_violations = child rows
     whose key is null or has no base row (SQL NOT EXISTS)."""
+    import numpy as np
     import pandas as pd
 
     from semantic_search_system_ray.stages.util import coarse_partition_apply
 
+    # Carry the key in its NATIVE type when the two sides agree (int64 for
+    # every warehouse PK/FK) — the exchange ships fewer bytes and the
+    # per-partition pandas ops hash ints, not strings. Mixed-type pairs
+    # fall back to string so the union schema stays consistent.
+    b_type = base.schema().base_schema.field(base_key).type
+    c_type = child.schema().base_schema.field(child_key).type
+    key_type = b_type if b_type.equals(c_type) else pa.string()
     union_schema = pa.schema(
-        [("__key", pa.string()), ("n", pa.int64()), ("__rhs", pa.bool_())]
+        [("__key", key_type), ("n", pa.int64()), ("__rhs", pa.bool_())]
     )
 
     def combine(key_col: str, rhs: bool):
         def fn(t: pa.Table) -> pa.Table:
-            key = pc.cast(t.column(key_col), pa.string())
-            t2 = pa.Table.from_pydict(
-                {"__key": key,
-                 "n": pa.array([1] * t.num_rows, pa.int64())}
+            key = t.column(key_col)
+            if not key.type.equals(key_type):
+                key = pc.cast(key, key_type)
+            agg = (
+                pa.table({"__key": key})
+                .group_by(["__key"])
+                .aggregate([([], "count_all")])
             )
-            agg = t2.group_by(["__key"]).aggregate([("n", "sum")])
             return pa.Table.from_arrays(
-                [agg.column("__key"), agg.column("n_sum"),
-                 pa.array([rhs] * agg.num_rows)],
+                [agg.column("__key"),
+                 pc.cast(agg.column("count_all"), pa.int64()),
+                 pa.array(np.full(agg.num_rows, rhs))],
                 schema=union_schema,
             )
         return fn
@@ -130,16 +148,33 @@ def key_domain_checks(
         c = df[df["__rhs"]]
         b_nonnull = b[b["__key"].notna()]
         pk_dup = int(b_nonnull["n"].sum()) - int(b_nonnull["__key"].nunique())
-        probe = set(b_nonnull["__key"])
-        bad = c[c["__key"].isna() | ~c["__key"].isin(probe)]
+        bad = c[c["__key"].isna() | ~c["__key"].isin(b_nonnull["__key"].values)]
         return pa.Table.from_pydict(
             {"pk_dup": [pk_dup], "viol": [int(bad["n"].sum())]},
             schema=part_schema,
         )
 
-    parts = coarse_partition_apply(
-        combined, ["__key"], per_part, part_schema
-    ).take_all()  # ≤ #partitions rows
+    # Scale switch, decided from parquet METADATA row counts (count() on a
+    # fresh read is a metadata lookup, no execution). Small domains skip
+    # the sorted cogroup entirely: the per-block combiners have already
+    # shrunk both sides to distinct-keys-per-block, so one concat task
+    # (repartition(1), measured 2.4× faster than the cogroup at 750k input
+    # rows) finishes the job. Large domains keep the hash cogroup — the
+    # single-task path would concentrate the whole key domain on one
+    # worker.
+    if base.count() + child.count() <= SMALL_DOMAIN_ROWS:
+        from semantic_search_system_ray.stages.util import ensure_schema
+
+        parts = ensure_schema(
+            combined.repartition(1).map_batches(
+                per_part, batch_format="pandas", batch_size=None
+            ),
+            part_schema,
+        ).take_all()  # exactly one row
+    else:
+        parts = coarse_partition_apply(
+            combined, ["__key"], per_part, part_schema
+        ).take_all()  # ≤ #partitions rows
     return (sum(int(r["pk_dup"]) for r in parts),
             sum(int(r["viol"]) for r in parts))
 

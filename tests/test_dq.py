@@ -104,6 +104,23 @@ def test_key_domain_checks_matches_primitives(ray_session, dirty_dir):
     assert (pk, viol) == (1, 2)
 
 
+def test_key_domain_checks_regime_parity(ray_session, dirty_dir, monkeypatch):
+    """The large regime (sorted cogroup) and the small regime (single
+    concat task) must agree — force the cogroup by zeroing the row
+    threshold and compare against the default small-regime answer."""
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages import dq
+
+    cust = rd.read_parquet(f"{dirty_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(f"{dirty_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    monkeypatch.setattr(dq, "SMALL_DOMAIN_ROWS", 0)
+    assert dq.key_domain_checks(
+        cust, "c_custkey", orders, "o_custkey") == (1, 2)
+
+
 def test_dq_report_clean_testdata(ray_session):
     """sf0.001 is clean: every check reports 0."""
     from semantic_search_system_ray.stages.dq import dq_report
