@@ -84,8 +84,13 @@ def golden_records(
         ["name"], per_name, _NAME_STATS,
     ).materialize()  # consumed twice: as the CC node set and as facts
 
-    # --- pair graph + clustering over the distinct-name vocabulary
-    pairs = edit_distance_pairs(ds, name_col=name_col, k=k)
+    # --- pair graph + clustering over the distinct-name vocabulary.
+    # name_stats IS the distinct vocabulary (one row per name), so the
+    # blocker skips its own row-scale distinct over the raw fact table —
+    # one fewer full-input shuffle at any scale.
+    pairs = edit_distance_pairs(
+        name_stats, name_col="name", k=k, assume_distinct=True
+    )
     edges = pairs.map_batches(
         lambda t: pa.Table.from_pydict(
             {"src": t.column("name_a"), "dst": t.column("name_b")}

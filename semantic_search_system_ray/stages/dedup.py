@@ -982,6 +982,7 @@ def edit_distance_pairs(
     name_col: str,
     k: int = 2,
     num_partitions: int | None = None,
+    assume_distinct: bool = False,
 ) -> rd.Dataset:
     """→ (name_a, name_b, dist) for all DISTINCT value pairs of
     ``name_col`` within Levenshtein distance ≤ k (name_a < name_b) —
@@ -1002,6 +1003,13 @@ def edit_distance_pairs(
        the distance and drops false candidates. Blocking is lossless
        (see _delete_variants), so the output is EXACTLY the ≤k pair
        set — oracle-comparable against SQL ``levenshtein``.
+
+    ``assume_distinct=True`` skips step 1's row-scale distinct shuffle —
+    pass it when ``ds`` already holds one row per distinct non-null
+    value (e.g. a vocabulary/stats table a caller built anyway, as
+    pipelines/er.golden_records does). Duplicate input rows under this
+    flag would emit duplicate variant rows (wasted candidate work), not
+    wrong answers — the pair-level distinct still runs.
     """
     from semantic_search_system_ray.pipelines.kg_build import distinct_rows
     from semantic_search_system_ray.stages.util import coarse_grouped_apply
@@ -1012,10 +1020,9 @@ def edit_distance_pairs(
         tt = pa.Table.from_pydict({"name": col})
         return tt.filter(pc.is_valid(tt.column("name")))
 
-    names = distinct_rows(
-        ds.map_batches(as_name, batch_format="pyarrow"), ["name"],
-        strategy="partition",
-    )
+    names = ds.map_batches(as_name, batch_format="pyarrow")
+    if not assume_distinct:
+        names = distinct_rows(names, ["name"], strategy="partition")
 
     var_schema = pa.schema([("variant", pa.string()), ("name", pa.string())])
 
