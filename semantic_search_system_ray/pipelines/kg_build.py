@@ -165,15 +165,19 @@ def distinct_rows(
       once per-operator CPU reservation is off, and unlike ``tree`` it
       has no O(n) single-task combine, so it is the default.
     """
-    from ray.data import DataContext
-
     combined = ds.map_batches(
         lambda t: _distinct_batch(t.select(columns)),
         batch_format="pyarrow",
         batch_size=None,
     )
     if out_blocks is None:
-        out_blocks = max(16, DataContext.get_current().min_parallelism)
+        # cluster/data-sized, NOT DataContext.min_parallelism: that knob
+        # defaults to a constant 200, which fragments small shuffles into
+        # micro-tasks under any driver that didn't call context.tune()
+        # (see stages/util._default_partitions' rationale)
+        from semantic_search_system_ray.stages.util import _default_partitions
+
+        out_blocks = _default_partitions(ds)
 
     if strategy == "partition":
         from semantic_search_system_ray.stages.util import (
