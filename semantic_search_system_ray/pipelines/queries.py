@@ -4796,6 +4796,21 @@ def q_dq_checks(sf_dir: str):
     return dq_report(sf_dir)
 
 
+def _kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means (K=8, 3 iterations) over the
+    embeddings table, EXACT on the hash gate via integer-quantized
+    arithmetic — see ``stages/kmeans``."""
+    from semantic_search_system_ray.stages.kmeans import q_kmeans_embeddings
+
+    return q_kmeans_embeddings(sf_dir)
+
+
+def _sql_kmeans_embeddings() -> str:
+    from semantic_search_system_ray.stages.kmeans import SQL_KMEANS_EMBEDDINGS
+
+    return SQL_KMEANS_EMBEDDINGS
+
+
 SQL_MERGE_UPSERT = f"""
 WITH ch AS (
   SELECT o_custkey AS key,
@@ -10129,6 +10144,7 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "dq_checks": q_dq_checks,
     "er_golden_records": _er_golden_records,
+    "kmeans_embeddings": _kmeans_embeddings,
     "heavy_hitters": q_heavy_hitters,
     "grouped_sample": q_grouped_sample,
     "funnel": q_funnel,
@@ -10278,6 +10294,7 @@ ORACLE_SQL = {
     "merge_upsert": SQL_MERGE_UPSERT,
     "dq_checks": SQL_DQ_CHECKS,
     "er_golden_records": SQL_ER_GOLDEN_RECORDS,
+    "kmeans_embeddings": _sql_kmeans_embeddings(),
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "grouped_sample": SQL_GROUPED_SAMPLE,
     "funnel": SQL_FUNNEL,

@@ -1,0 +1,90 @@
+"""Distributed quantized k-means (stages/kmeans) — exactness properties.
+
+The oracle gate (tools/verify_oracles.py kmeans_embeddings) checks the
+full SQL twin; these tests pin the properties that MAKE it exact:
+block-order/split invariance (integer sums are associative), the
+empty-cluster carry rule, and parity with a single-process reference
+implementation of the same integer arithmetic.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from semantic_search_system_ray.stages.kmeans import (
+    _assign,
+    kmeans_quantized,
+    quantize_matrix,
+)
+
+
+def _ref_kmeans(mat, ids, k, iters):
+    """Single-process reference: same init, same integer rules."""
+    order = np.argsort(ids, kind="stable")[:k]
+    order = order[np.argsort(ids[order], kind="stable")]
+    cent = quantize_matrix(mat[order])
+    x = quantize_matrix(mat)
+    counts = np.zeros(k, dtype=np.int64)
+    for _ in range(iters):
+        a = _assign(x, cent)
+        counts = np.bincount(a, minlength=k).astype(np.int64)
+        nxt = cent.copy()
+        for j in range(k):
+            if counts[j]:
+                nxt[j] = np.floor_divide(
+                    x[a == j].sum(axis=0, dtype=np.int64), counts[j]
+                )
+        cent = nxt
+    return cent, counts
+
+
+def _ds_from(mat, ids, blocks):
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    })
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def test_matches_reference_and_block_invariant(ray_session):
+    rng = np.random.RandomState(7)
+    mat = rng.randn(200, 16).astype(np.float32) * 0.4
+    ids = rng.permutation(1000)[:200].astype(np.int64)  # sparse, non-dense
+    ref_c, ref_n = _ref_kmeans(mat.astype(np.float64), ids, k=5, iters=3)
+    for blocks in (1, 7):
+        c, n = kmeans_quantized(
+            _ds_from(mat, ids, blocks), k=5, iters=3
+        )
+        np.testing.assert_array_equal(c, ref_c)
+        np.testing.assert_array_equal(n, ref_n)
+
+
+def test_empty_cluster_carries_centroid(ray_session):
+    # ids 0 and 1 are IDENTICAL points → both init centroids equal; ties
+    # assign to the lowest cluster, so cluster 1 empties and must carry
+    # its (unchanged) centroid with n = 0.
+    mat = np.array(
+        [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.96, 0.0], [0.0, 0.9]],
+        dtype=np.float32,
+    )
+    ids = np.arange(5, dtype=np.int64)
+    c, n = kmeans_quantized(_ds_from(mat, ids, 2), k=3, iters=1)
+    assert n[1] == 0
+    np.testing.assert_array_equal(c[1], quantize_matrix(mat[1:2])[0])
+    assert n.sum() == 5
+
+
+def test_too_few_rows_raises(ray_session):
+    mat = np.array([[1.0, 0.0], [0.0, 1.0]], dtype=np.float32)
+    with pytest.raises(ValueError, match="need"):
+        kmeans_quantized(_ds_from(mat, np.array([0, 1]), 1), k=3, iters=1)
+
+
+def test_quantize_half_away_from_zero():
+    m = np.array([[0.0005, -0.0005, 0.0004, -0.0014, 0.0]])
+    np.testing.assert_array_equal(
+        quantize_matrix(m), np.array([[1, -1, 0, -1, 0]])
+    )
