@@ -4811,6 +4811,20 @@ def _sql_kmeans_embeddings() -> str:
     return SQL_KMEANS_EMBEDDINGS
 
 
+def _semantic_dedup(sf_dir: str):
+    """SemDeDup-style within-cluster cosine near-dup pairs (k-means
+    blocking + integer-exact threshold) — see ``stages/kmeans``."""
+    from semantic_search_system_ray.stages.kmeans import q_semantic_dedup
+
+    return q_semantic_dedup(sf_dir)
+
+
+def _sql_semantic_dedup() -> str:
+    from semantic_search_system_ray.stages.kmeans import SQL_SEMANTIC_DEDUP
+
+    return SQL_SEMANTIC_DEDUP
+
+
 SQL_MERGE_UPSERT = f"""
 WITH ch AS (
   SELECT o_custkey AS key,
@@ -10145,6 +10159,7 @@ QUERIES = {
     "dq_checks": q_dq_checks,
     "er_golden_records": _er_golden_records,
     "kmeans_embeddings": _kmeans_embeddings,
+    "semantic_dedup": _semantic_dedup,
     "heavy_hitters": q_heavy_hitters,
     "grouped_sample": q_grouped_sample,
     "funnel": q_funnel,
@@ -10295,6 +10310,7 @@ ORACLE_SQL = {
     "dq_checks": SQL_DQ_CHECKS,
     "er_golden_records": SQL_ER_GOLDEN_RECORDS,
     "kmeans_embeddings": _sql_kmeans_embeddings(),
+    "semantic_dedup": _sql_semantic_dedup(),
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "grouped_sample": SQL_GROUPED_SAMPLE,
     "funnel": SQL_FUNNEL,

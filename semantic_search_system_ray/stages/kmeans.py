@@ -38,6 +38,8 @@ clusters).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import pyarrow as pa
 
@@ -95,6 +97,13 @@ def _assign(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return np.argmin(d, axis=1)
 
 
+class KMeansResult(NamedTuple):
+    centroids: np.ndarray         # int64 (K, D), after the final update
+    counts: np.ndarray            # int64 (K,), final-assignment sizes
+    assign_centroids: np.ndarray  # the centroids that PRODUCED the
+    #                               final assignment (for re-deriving it)
+
+
 def kmeans_quantized(
     ds: rd.Dataset,
     *,
@@ -102,15 +111,17 @@ def kmeans_quantized(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 3,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Full-data distributed Lloyd's over quantized vectors → (final
-    int64 centroids (K, D), final assignment counts (K,)). ``counts``
-    are the sizes of the assignment that PRODUCED the final centroids
-    (iteration ``iters``'s assignment); empty clusters carry their
-    previous centroid and report n = 0."""
+) -> KMeansResult:
+    """Full-data distributed Lloyd's over quantized vectors →
+    ``KMeansResult``. ``counts`` are the sizes of the assignment that
+    PRODUCED the final centroids (iteration ``iters``'s assignment);
+    empty clusters carry their previous centroid and report n = 0.
+    ``assign_centroids`` (the iteration-``iters - 1`` centroids) let a
+    consumer re-derive that exact assignment in one streaming pass."""
     cent = _init_centroids(ds, id_col=id_col, vec_col=vec_col, k=k)
     dim = cent.shape[1]
     counts = np.zeros(k, dtype=np.int64)
+    assign_cent = cent
 
     for _ in range(iters):
         frozen = cent  # capture by value: each pass broadcasts K×D ints
@@ -140,8 +151,9 @@ def kmeans_quantized(
         nz = counts > 0
         nxt = cent.copy()  # empty cluster → keep previous centroid
         nxt[nz] = np.floor_divide(sums[nz], counts[nz, None])
+        assign_cent = cent
         cent = nxt
-    return cent, counts
+    return KMeansResult(cent, counts, assign_cent)
 
 
 def q_kmeans_embeddings(sf_dir: str) -> pa.Table:
@@ -151,14 +163,155 @@ def q_kmeans_embeddings(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    cent, counts = kmeans_quantized(ds, k=8, iters=3)
+    km = kmeans_quantized(ds, k=8, iters=3)
     return pa.Table.from_pydict(
         {"cluster": np.arange(8, dtype=np.int64),
-         "n": counts,
-         "c_sum": cent.sum(axis=1),
-         "c_abs": np.abs(cent).sum(axis=1)},
+         "n": km.counts,
+         "c_sum": km.centroids.sum(axis=1),
+         "c_abs": np.abs(km.centroids).sum(axis=1)},
         schema=KMEANS_SCHEMA,
     )
+
+
+PAIRS_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("cluster", pa.int64())]
+)
+
+# |quantized component| bound for the int64-exact cosine test below:
+# dot ≤ D·B², 400·dot² must stay < 2⁶³ → B ≤ ~2600 at D = 64. The
+# embeddings table is unit-ish (|x| ≤ ~1 → |q| ≤ ~1000); vectors
+# outside the bound fail LOUDLY instead of overflowing silently.
+_COSINE_Q_BOUND = 2600
+
+
+def semantic_dedup_pairs(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    tau_num: int = 361,
+    tau_den: int = 400,
+) -> rd.Dataset:
+    """SemDeDup-style semantic near-duplicate pairs: k-means is the
+    BLOCKING structure (quadratic work happens only within a cluster —
+    choose K ∝ N so clusters stay bounded; K here is the gate-query
+    default), then every within-cluster pair with cosine ≥ √(τ²) is
+    emitted, where τ² = ``tau_num/tau_den`` (default 361/400 → cosine ≥
+    0.95). The threshold test is INTEGER-EXACT on the quantized
+    vectors: cos ≥ τ ⟺ dot ≥ 0 ∧ tau_den·dot² ≥ tau_num·|a|²·|b|² —
+    no float comparison anywhere, so the SQL twin hashes bit-identically.
+    Zero-norm vectors (undefined cosine) never pair. → (id_a, id_b,
+    cluster), id_a < id_b.
+
+    Scale shape: one fit (see kmeans_quantized), one streaming
+    assignment pass, ONE shuffle grouping rows by cluster, vectorized
+    integer gram matrix per cluster group."""
+    from semantic_search_system_ray.stages.util import coarse_grouped_apply
+
+    km = kmeans_quantized(
+        ds, vec_col=vec_col, id_col=id_col, k=k, iters=iters
+    )
+    C = km.assign_centroids
+
+    member_schema = pa.schema(
+        [("vec_id", pa.int64()), ("cluster", pa.int64()),
+         ("q", pa.list_(pa.int64()))]
+    )
+
+    def assign_batch(t: pa.Table) -> pa.Table:
+        x = quantize_matrix(list_column_to_matrix(t.column(vec_col)))
+        hi = int(np.abs(x).max(initial=0))
+        if hi > _COSINE_Q_BOUND:
+            raise ValueError(
+                f"semantic_dedup_pairs: |quantized| {hi} > "
+                f"{_COSINE_Q_BOUND} would overflow the int64-exact "
+                "cosine test (vectors must be unit-ish)"
+            )
+        import pyarrow.compute as pc
+
+        a = _assign(x, C)
+        return pa.Table.from_pydict(
+            {"vec_id": pc.cast(t.column(id_col), pa.int64()),
+             "cluster": pa.array(a, pa.int64()),
+             "q": pa.array(x.tolist(), pa.list_(pa.int64()))},
+            schema=member_schema,
+        )
+
+    def cluster_pairs(df) -> pa.Table:
+        m = len(df)
+        if m < 2:
+            return PAIRS_SCHEMA.empty_table()
+        ids = df["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.stack(df["q"].to_numpy()[order]).astype(np.int64)
+        gram = mat @ mat.T
+        nn = np.einsum("bd,bd->b", mat, mat)
+        iu, ju = np.triu_indices(m, k=1)
+        dot = gram[iu, ju]
+        ok = (
+            (nn[iu] > 0) & (nn[ju] > 0) & (dot >= 0)
+            & (tau_den * dot * dot >= tau_num * nn[iu] * nn[ju])
+        )
+        return pa.Table.from_pydict(
+            {"id_a": ids[iu[ok]], "id_b": ids[ju[ok]],
+             "cluster": np.full(int(ok.sum()), int(df["cluster"].iloc[0]),
+                                dtype=np.int64)},
+            schema=PAIRS_SCHEMA,
+        )
+
+    members = ds.map_batches(assign_batch, batch_format="pyarrow")
+    return coarse_grouped_apply(
+        members, ["cluster"], cluster_pairs, PAIRS_SCHEMA, min_group_size=2
+    )
+
+
+def q_semantic_dedup(sf_dir: str) -> rd.Dataset:
+    """Gate query: within-cluster high-cosine pairs over the embeddings
+    table, k-means blocking (K=8, 3 iterations). The gate threshold is
+    τ = 0.45 (τ² = 81/400) because the synthetic embeddings carry no
+    planted near-duplicates (max pairwise cosine ≈ 0.51) — a 0.95 gate
+    would hash an always-empty set and verify nothing; the operator
+    default stays 0.95 for real near-dup use."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semantic_dedup_pairs(ds, k=8, iters=3, tau_num=81, tau_den=400)
+
+
+def semantic_dedup_sql(k: int = 8, iters: int = 3,
+                       tau_num: int = 361, tau_den: int = 400) -> str:
+    """DuckDB twin of semantic_dedup_pairs: the kmeans CTE chain's final
+    assignment blocks the pair space; the cosine threshold is the same
+    integer test (HUGEINT in SQL — the engine asserts the int64 bound)."""
+    base = kmeans_sql(k, iters)
+    prefix = base[: base.index("\nSELECT cc.cluster")]
+    return (prefix + f""",
+nrm AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS nn FROM pts GROUP BY vec_id),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster
+  FROM a{iters} a JOIN a{iters} b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.id_a, c.id_b, c.cluster,
+         CAST(sum(pa.v * pb.v) AS BIGINT) AS dot
+  FROM cand c
+  JOIN pts pa ON pa.vec_id = c.id_a
+  JOIN pts pb ON pb.vec_id = c.id_b AND pb.d = pa.d
+  GROUP BY c.id_a, c.id_b, c.cluster
+)
+SELECT d.id_a, d.id_b, d.cluster
+FROM dots d
+JOIN nrm na ON na.vec_id = d.id_a
+JOIN nrm nb ON nb.vec_id = d.id_b
+WHERE na.nn > 0 AND nb.nn > 0 AND d.dot >= 0
+  AND {tau_den} * CAST(d.dot AS HUGEINT) * d.dot
+      >= {tau_num} * CAST(na.nn AS HUGEINT) * nb.nn
+ORDER BY id_a, id_b
+""")
 
 
 def kmeans_sql(k: int = 8, iters: int = 3) -> str:
@@ -228,3 +381,4 @@ ORDER BY cc.cluster
 
 
 SQL_KMEANS_EMBEDDINGS = kmeans_sql(8, 3)
+SQL_SEMANTIC_DEDUP = semantic_dedup_sql(8, 3, tau_num=81, tau_den=400)

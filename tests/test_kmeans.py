@@ -55,11 +55,9 @@ def test_matches_reference_and_block_invariant(ray_session):
     ids = rng.permutation(1000)[:200].astype(np.int64)  # sparse, non-dense
     ref_c, ref_n = _ref_kmeans(mat.astype(np.float64), ids, k=5, iters=3)
     for blocks in (1, 7):
-        c, n = kmeans_quantized(
-            _ds_from(mat, ids, blocks), k=5, iters=3
-        )
-        np.testing.assert_array_equal(c, ref_c)
-        np.testing.assert_array_equal(n, ref_n)
+        km = kmeans_quantized(_ds_from(mat, ids, blocks), k=5, iters=3)
+        np.testing.assert_array_equal(km.centroids, ref_c)
+        np.testing.assert_array_equal(km.counts, ref_n)
 
 
 def test_empty_cluster_carries_centroid(ray_session):
@@ -71,16 +69,49 @@ def test_empty_cluster_carries_centroid(ray_session):
         dtype=np.float32,
     )
     ids = np.arange(5, dtype=np.int64)
-    c, n = kmeans_quantized(_ds_from(mat, ids, 2), k=3, iters=1)
-    assert n[1] == 0
-    np.testing.assert_array_equal(c[1], quantize_matrix(mat[1:2])[0])
-    assert n.sum() == 5
+    km = kmeans_quantized(_ds_from(mat, ids, 2), k=3, iters=1)
+    assert km.counts[1] == 0
+    np.testing.assert_array_equal(km.centroids[1], quantize_matrix(mat[1:2])[0])
+    assert km.counts.sum() == 5
 
 
 def test_too_few_rows_raises(ray_session):
     mat = np.array([[1.0, 0.0], [0.0, 1.0]], dtype=np.float32)
     with pytest.raises(ValueError, match="need"):
         kmeans_quantized(_ds_from(mat, np.array([0, 1]), 1), k=3, iters=1)
+
+
+def test_semantic_dedup_finds_planted_pairs(ray_session):
+    from semantic_search_system_ray.stages.kmeans import semantic_dedup_pairs
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(60, 8).astype(np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    # plant two exact-duplicate pairs (cosine 1.0 survives quantization)
+    mat[10] = mat[11]
+    mat[40] = mat[41]
+    ids = np.arange(60, dtype=np.int64)
+    for blocks in (1, 5):
+        got = (
+            semantic_dedup_pairs(_ds_from(mat, ids, blocks), k=4, iters=2)
+            .to_pandas().sort_values(["id_a", "id_b"])
+        )
+        planted = set(map(tuple, got[["id_a", "id_b"]].values))
+        assert {(10, 11), (40, 41)} <= planted
+        # identical vectors always co-cluster, and 0.95 is strict enough
+        # that random unit vectors in 8-d rarely pair — but any extra
+        # pair must at least be within one cluster (schema sanity)
+        assert (got["cluster"] >= 0).all()
+
+
+def test_semantic_dedup_overflow_guard(ray_session):
+    from semantic_search_system_ray.stages.kmeans import semantic_dedup_pairs
+
+    mat = np.full((6, 4), 5.0, dtype=np.float32)  # |q| = 5000 > bound
+    with pytest.raises(Exception, match="overflow|unit-ish"):
+        semantic_dedup_pairs(
+            _ds_from(mat, np.arange(6, dtype=np.int64), 1), k=2, iters=1
+        ).materialize()
 
 
 def test_quantize_half_away_from_zero():
