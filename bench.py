@@ -39,6 +39,7 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 _CORPUS_DOCS = {"sf0.001": 500, "sf0.01": 8_000, "sf0.1": 400_000}
 _SCALING_DOCS = 2_000_000
 _SKEW_DOCS = 60_000
+_KMEANS_VECS = 1_000_000
 _CORPUS_SEED = 42
 
 
@@ -226,6 +227,24 @@ def run_bench() -> dict:
         timings["minhash_skew_planted"]
         / max(timings["minhash_skew_uniform"], 1e-9), 2,
     )
+
+    # distributed quantized k-means throughput (broadcast-iterate shape:
+    # K×D centroid broadcast, one streaming partial-sum pass per Lloyd
+    # round, zero shuffles) over 1M unit vectors — the embeddings table
+    # is too small (5k rows at sf0.1) to measure the new op
+    from semantic_search_system_ray.sources.synth import write_vector_corpus
+    from semantic_search_system_ray.stages.kmeans import kmeans_quantized
+
+    d = f"/tmp/kg_vecs_{_KMEANS_VECS}_{_CORPUS_SEED}"
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        write_vector_corpus(d, n_vecs=_KMEANS_VECS, seed=_CORPUS_SEED)
+        open(marker, "w").write("ok")
+    _warm(f"{d}/*.parquet")
+    t0 = time.perf_counter()
+    km = kmeans_quantized(rd.read_parquet(d), k=8, iters=3)
+    assert int(km.counts.sum()) == _KMEANS_VECS
+    timings["kmeans_1m_vectors"] = round(time.perf_counter() - t0, 3)
 
     # enriched mode (DocNLP actor pool incl. 256-dim embeddings) over a
     # slice of the spans corpus — the results.json-contract path.

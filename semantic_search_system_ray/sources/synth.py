@@ -330,6 +330,50 @@ def _skew_doc(seed: int, i: int, head: bool) -> str:
     )
 
 
+def write_vector_corpus(
+    out_dir: str,
+    n_vecs: int,
+    dim: int = 64,
+    seed: int = 42,
+    num_shards: int = 32,
+) -> None:
+    """Write a (vec_id, embedding list<float32>) table of unit-ish
+    random vectors — the bench input for the distributed k-means /
+    semantic-dedup throughput entries. Requires an initialized Ray
+    session (bench.py owns one)."""
+    import os
+
+    import numpy as np
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def gen_shard(k: int, lo: int, hi: int) -> int:
+        rng = np.random.RandomState(seed + k)
+        m = rng.randn(hi - lo, dim).astype(np.float32)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        flat = pa.array(m.reshape(-1), pa.float32())
+        emb = pa.FixedSizeListArray.from_arrays(flat, dim).cast(
+            pa.list_(pa.float32())
+        )
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array(range(lo, hi), pa.int64()), emb],
+                names=["vec_id", "embedding"],
+            ),
+            f"{out_dir}/part-{k:04d}.parquet",
+        )
+        return hi - lo
+
+    per = (n_vecs + num_shards - 1) // num_shards
+    ray.get([
+        gen_shard.remote(k, k * per, min(n_vecs, (k + 1) * per))
+        for k in range(num_shards)
+        if k * per < n_vecs
+    ])
+
+
 def write_skew_corpus(
     out_dir: str,
     n_docs: int,
