@@ -70,16 +70,21 @@ def _init_centroids(
     ds: rd.Dataset, *, id_col: str, vec_col: str, k: int
 ) -> np.ndarray:
     """The K rows with the smallest ids, as quantized int64 (K, D) —
-    cluster j = rank j. Per-block local top-k combiner + a bounded
-    driver fold (blocks × k candidate rows), never a global sort."""
+    cluster j = rank j. TWO top-k combiner levels (per input block, then
+    per reduce partition), never a global sort: the driver fold sees at
+    most ``reduce_parts × k`` rows however many blocks the corpus has."""
     def local_topk(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         take = np.argsort(ids, kind="stable")[:k]
         return t.select([id_col, vec_col]).take(pa.array(take))
 
-    cand = ds.map_batches(
-        local_topk, batch_format="pyarrow", batch_size=None
-    ).take_all()
+    reduce_parts = 16
+    cand = (
+        ds.map_batches(local_topk, batch_format="pyarrow", batch_size=None)
+        .repartition(reduce_parts)
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )  # ≤ reduce_parts × k rows
     if len(cand) < k:
         raise ValueError(f"kmeans: need ≥ {k} rows, got {len(cand)}")
     cand.sort(key=lambda r: r[id_col])
