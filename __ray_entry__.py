@@ -576,6 +576,20 @@ def _q_kg_components(sf_dir: str):
     )
 
 
+def _q_kg_kcore(sf_dir: str):
+    """Bounded k-core peeling over the KG edge set
+    (stages/graph.kcore, k=2, 4 synchronous rounds) → (node_id, deg) =
+    degree within the surviving subgraph. Scale-switched like
+    pagerank/BFS: exact numpy twin below the edge threshold,
+    distributed peel (degree aggregation + two cogroup semi-joins per
+    round) above. Oracle: unrolled chained-CTE peel rounds over the
+    kg_triples SQL subquery (text_oracles.sql_kg_kcore)."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import kcore
+
+    return kcore(edges_from_triples(_kg_triples(sf_dir)), k=2, rounds=4)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Deterministic integer PageRank (stages/graph.pagerank, 5 rounds)
     over the KG edge set → top-20 nodes by (pr desc, node_id). The
@@ -1177,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_weighted_paths": _q_kg_weighted_paths,
             "kg_assortativity": _q_kg_assortativity,
             "kg_components": _q_kg_components,
+            "kg_kcore": _q_kg_kcore,
             "kg_triangles": _q_kg_triangles,
             "kg_jaccard": _q_kg_jaccard,
             "fuzzy_name_pairs": _q_fuzzy_name_pairs,
@@ -1311,6 +1326,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_components": tox.sql_kg_components(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_kcore": tox.sql_kg_kcore(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_triangles": tox.sql_kg_triangles(

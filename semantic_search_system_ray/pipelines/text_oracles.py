@@ -1392,3 +1392,52 @@ kept AS (
 SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text
 FROM kept GROUP BY doc_id
 """
+
+
+def sql_kg_kcore(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    k: int = 2,
+    rounds: int = 4,
+) -> str:
+    """Oracle for stages/graph.kcore over the KG edge set: ``rounds``
+    unrolled synchronous peel rounds (the same fixed-round contract as
+    the engine — extra rounds after convergence are no-ops), chained
+    CTEs exactly like sql_kg_pagerank's unrolled iterations. u0 is the
+    distinct undirected simple edge set {(a,b): a<b} (binary string
+    collation on both sides); each round recomputes integer degrees and
+    keeps nodes with deg >= k. Built over the kg_triples oracle
+    subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    parts = [
+        f"WITH t AS MATERIALIZED ({triples}),\n",
+        "raw AS MATERIALIZED (SELECT CAST(subj AS VARCHAR) AS s, CAST(obj AS VARCHAR) AS d FROM t),\n",
+        "u0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b "
+        "FROM raw WHERE s <> d)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+d{r} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM u{r} UNION ALL SELECT b AS node FROM u{r}
+  ) GROUP BY node
+),
+n{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+u{r + 1} AS MATERIALIZED (
+  SELECT u.a, u.b FROM u{r} u
+  JOIN n{r} x ON u.a = x.node
+  JOIN n{r} y ON u.b = y.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS node_id, CAST(deg AS BIGINT) AS deg FROM (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM u{rounds} UNION ALL SELECT b AS node FROM u{rounds}
+  ) GROUP BY node
+)"""
+    )
+    return "".join(parts)

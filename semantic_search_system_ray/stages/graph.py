@@ -1172,3 +1172,176 @@ def weighted_hops(
             break
         prev = cur
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peeling (synchronous rounds, unrolled-CTE oracle twin)
+
+KCORE_DRIVER_EDGE_THRESHOLD = 2_000_000
+
+KCORE_SCHEMA = pa.schema([("node_id", pa.string()), ("deg", pa.int64())])
+
+_KC_NODE_SCHEMA = pa.schema([("node", pa.string())])
+_KC_CNT_SCHEMA = pa.schema([("node", pa.string()), ("cnt", pa.int64())])
+_KC_EDGE_A_SCHEMA = pa.schema(
+    [("key", pa.string()), ("other", pa.string()), ("is_alive", pa.bool_())]
+)
+
+
+def _und_degree_ds(und: rd.Dataset, P: int | None) -> rd.Dataset:
+    """(node, cnt) over the simple undirected edge set — per-block
+    endpoint count combiners → ONE coarse-partition sum."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        both = pa.Table.from_pydict(
+            {"node": pa.concat_arrays([_str(t.column("a")), _str(t.column("b"))])}
+        )
+        g = both.group_by(["node"]).aggregate([("node", "count")])
+        return pa.Table.from_pydict(
+            {"node": g.column("node"), "cnt": pc.cast(g.column("node_count"), pa.int64())},
+            schema=_KC_CNT_SCHEMA,
+        )
+
+    def total(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _KC_CNT_SCHEMA.empty_table()
+        g = df.groupby("node", sort=False)["cnt"].sum().reset_index()
+        return pa.Table.from_pandas(g, schema=_KC_CNT_SCHEMA, preserve_index=False)
+
+    return coarse_partition_apply(
+        und.map_batches(partial, batch_format="pyarrow"),
+        ["node"], total, _KC_CNT_SCHEMA, num_partitions=P,
+    )
+
+
+def _semi_on(und: rd.Dataset, alive: rd.Dataset, col: str, P: int | None) -> rd.Dataset:
+    """Semi-join: keep edges whose endpoint ``col`` ('a'|'b') appears in
+    ``alive(node)`` — ONE coarse cogroup keyed on that endpoint (never a
+    driver-side node set; the alive set is corpus-sized at KG scale)."""
+    other = "b" if col == "a" else "a"
+    out_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [_str(t.column(col)), _str(t.column(other)),
+             pa.array([False] * n)],
+            schema=_KC_EDGE_A_SCHEMA,
+        )
+
+    def alive_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [_str(t.column("node")), pa.array([""] * n, pa.string()),
+             pa.array([True] * n)],
+            schema=_KC_EDGE_A_SCHEMA,
+        )
+
+    combined = und.map_batches(edge_rows, batch_format="pyarrow").union(
+        alive.map_batches(alive_rows, batch_format="pyarrow")
+    )
+
+    def keep(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        ok = set(df.loc[df["is_alive"], "key"])
+        e = df.loc[~df["is_alive"] & df["key"].isin(ok)]
+        vals = {col: e["key"].to_numpy(), other: e["other"].to_numpy()}
+        return pa.Table.from_pydict(
+            {"a": pa.array(vals["a"], pa.string()),
+             "b": pa.array(vals["b"], pa.string())},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(combined, ["key"], keep, out_schema, num_partitions=P)
+
+
+def _kcore_driver(und: pa.Table, k: int, rounds: int) -> rd.Dataset:
+    """Exact numpy twin of the distributed peel (factorized endpoints +
+    bincount degrees); parity pinned by tests/test_graph.py."""
+    a = _str(und.column("a")).to_numpy(zero_copy_only=False)
+    b = _str(und.column("b")).to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    n = len(nodes)
+    mask = np.ones(len(ai), dtype=bool)
+    for _ in range(rounds):
+        deg = np.bincount(ai[mask], minlength=n) + np.bincount(bi[mask], minlength=n)
+        alive = deg >= k
+        new = mask & alive[ai] & alive[bi]
+        if int(new.sum()) == int(mask.sum()):
+            break
+        mask = new
+    deg = np.bincount(ai[mask], minlength=n) + np.bincount(bi[mask], minlength=n)
+    keep = deg >= 1
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"node_id": nodes[keep], "deg": deg[keep].astype(np.int64)},
+            schema=KCORE_SCHEMA,
+        )
+    )
+
+
+def kcore(
+    edges: rd.Dataset,
+    *,
+    k: int = 2,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    driver_threshold: int = KCORE_DRIVER_EDGE_THRESHOLD,
+) -> rd.Dataset:
+    """Bounded k-core peeling over the distinct undirected simple edge
+    set of ``edges``: ``rounds`` synchronous rounds, each computing
+    per-node degrees in the surviving subgraph and dropping every node
+    with degree < ``k`` (and its edges) → (node_id, deg) = degree of
+    every node still carrying an edge after the last round. When the
+    peel converges within the round budget, extra rounds are no-ops and
+    this IS the classic k-core; otherwise it is the exact
+    ``rounds``-step prefix — the same contract as the unrolled-CTE
+    DuckDB twin (pipelines/text_oracles.sql_kg_kcore), so both sides
+    are well-defined regardless of convergence. Reference analogue: the
+    graph store's centrality/pruning queries run driver-side over
+    NetworkX (/root/reference/knowledge_graph/knowledge_graph.py); here
+    the subgraph stays a Dataset throughout.
+
+    Scale: same switch as pagerank/BFS — edge sets at or below
+    ``driver_threshold`` take the exact numpy twin; larger graphs run
+    the distributed peel: per round ONE degree aggregation (per-block
+    endpoint count combiners → coarse sum) and TWO cogroup semi-joins
+    (endpoint a, then b) — the alive node set is never collected to the
+    driver. Early exit when the surviving edge count stops changing."""
+    from semantic_search_system_ray.stages.util import _default_partitions
+
+    und = undirected_simple_edges(
+        edges, src_col=src_col, dst_col=dst_col
+    ).materialize()
+    if und.count() <= driver_threshold:
+        parts = [p for p in und.to_arrow_refs()]
+        import ray
+
+        tables = [t for t in ray.get(parts) if t.num_rows > 0]
+        if not tables:
+            return rd.from_arrow(KCORE_SCHEMA.empty_table())
+        return _kcore_driver(pa.concat_tables(tables), k, rounds)
+
+    P = _default_partitions(und, und)
+    prev_edges = und.count()
+    for _ in range(rounds):
+        deg = _und_degree_ds(und, P)
+        alive = deg.filter(expr=f"cnt >= {k}")
+        und = _semi_on(und, alive, "a", P)
+        und = _semi_on(und, alive, "b", P).materialize()
+        cur = und.count()
+        if cur == prev_edges:
+            break
+        prev_edges = cur
+    deg = _und_degree_ds(und, P).materialize()
+    return deg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node_id": t.column("node"), "deg": t.column("cnt")},
+            schema=KCORE_SCHEMA,
+        ),
+        batch_format="pyarrow",
+    )

@@ -154,3 +154,59 @@ def test_triangle_count_random_graph_parity(ray_session):
     ).repartition(4)
     out = triangle_count(ds, num_partitions=8)
     assert out.column("triangles").to_pylist() == [_brute_triangles(edge_list)]
+
+
+def _reference_kcore(edges, k, rounds):
+    """Single-process peel over the distinct undirected simple edges."""
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    for _ in range(rounds):
+        deg = defaultdict(int)
+        for a, b in und:
+            deg[a] += 1
+            deg[b] += 1
+        alive = {n for n, d in deg.items() if d >= k}
+        new = [(a, b) for a, b in und if a in alive and b in alive]
+        if len(new) == len(und):
+            break
+        und = new
+    deg = defaultdict(int)
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    return sorted(deg.items())
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_kcore_regime_parity(ray_session, n_blocks, driver_threshold):
+    """Both regimes of the scale switch — threshold 0 forces the
+    distributed peel (degree agg + two cogroup semi-joins per round),
+    10k the driver numpy twin — must match the single-process peel.
+    The triangle a-b-c survives k=2; the d/e pendants peel away."""
+    from semantic_search_system_ray.stages.graph import kcore
+
+    got = (
+        kcore(_edges_ds(n_blocks), k=2, rounds=4,
+              driver_threshold=driver_threshold)
+        .to_pandas()
+        .sort_values("node_id")
+        .reset_index(drop=True)
+    )
+    ref = _reference_kcore(EDGES, 2, 4)
+    assert list(zip(got["node_id"], got["deg"])) == ref
+    assert set(got["node_id"]) == {"a", "b", "c"}
+
+
+def test_kcore_nonconverged_prefix_is_fixed_rounds(ray_session):
+    """rounds=1 on a path graph = exactly one peel step (ends peel, the
+    rest stays) — pins the bounded-rounds contract the SQL twin unrolls."""
+    from semantic_search_system_ray.stages.graph import kcore
+
+    path = [("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n4", "n5")]
+    t = pa.table({"src": [e[0] for e in path], "dst": [e[1] for e in path]})
+    got = (
+        kcore(rd.from_arrow(t), k=2, rounds=1)
+        .to_pandas().sort_values("node_id").reset_index(drop=True)
+    )
+    ref = _reference_kcore(path, 2, 1)
+    assert list(zip(got["node_id"], got["deg"])) == ref
