@@ -47,7 +47,10 @@ from semantic_search_system_ray.pipelines.er import SQL_ER_GOLDEN_RECORDS
 from semantic_search_system_ray.stages.dq import SQL_DQ_CHECKS
 from semantic_search_system_ray.stages.ann import cosine_topk
 from semantic_search_system_ray.stages.dedup import embedding_cosine_dups, exact_dedup
-from semantic_search_system_ray.stages.textstats import token_count_batch
+from semantic_search_system_ray.stages.textstats import (
+    gopher_rules_batch,
+    token_count_batch,
+)
 from semantic_search_system_ray.stages.util import ensure_schema
 
 
@@ -1137,6 +1140,59 @@ def q_token_count(sf_dir: str):
 SQL_TOKEN_COUNT = r"""
 SELECT doc_id, len(regexp_extract_all(text, '\w+')) AS n_tokens FROM documents
 """
+
+
+def q_gopher_filter(sf_dir: str):
+    """Gopher-style quality-rule filter (stages/textstats
+    .gopher_rules_batch): per-doc keep/reject with the FIRST failing
+    rule as the reason — word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, alphabetic-word fraction, stopword presence.
+    Integer-exact (cross-multiplied ratio comparisons, RE2 counts on
+    both sides); one streaming map_batches pass, no shuffle."""
+    ds = read_docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(gopher_rules_batch, batch_format="pyarrow")
+
+
+def _sql_gopher_filter() -> str:
+    from semantic_search_system_ray.stages.textstats import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    stop_expr = " + ".join(
+        f"CAST(regexp_matches(text, '\\b{sw}\\b') AS BIGINT)"
+        for sw in GOPHER_STOPWORDS
+    )
+    return rf"""
+WITH f AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+    len(regexp_extract_all(text, '\S')) AS n_nonspace,
+    len(regexp_extract_all(text, '#'))
+      + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+    len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha,
+    ({stop_expr}) AS stop_hits
+  FROM documents
+), r AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+    CASE
+      WHEN n_tokens < {GOPHER_MIN_WORDS}
+        OR n_tokens > {GOPHER_MAX_WORDS} THEN 'word_count'
+      WHEN n_nonspace < 3 * n_tokens
+        OR n_nonspace > 10 * n_tokens THEN 'mean_word_len'
+      WHEN 10 * n_sym > n_tokens THEN 'symbol_ratio'
+      WHEN 5 * n_alpha < 4 * n_tokens THEN 'alpha_fraction'
+      WHEN stop_hits < 2 THEN 'stopwords'
+      ELSE 'ok'
+    END AS reason
+  FROM f
+)
+SELECT doc_id, n_tokens, (reason = 'ok') AS keep, reason FROM r
+"""
+
+
+SQL_GOPHER_FILTER = _sql_gopher_filter()
 
 
 def q_word_topk(sf_dir: str):
@@ -10239,6 +10295,7 @@ QUERIES = {
     "orders_unpivot": q_orders_unpivot,
     "events_hourly": q_events_hourly,
     "token_count": q_token_count,
+    "gopher_filter": q_gopher_filter,
     "word_topk": q_word_topk,
     "lang_stats": q_lang_stats,
     "ann_cosine": q_ann_cosine,
@@ -10383,6 +10440,7 @@ ORACLE_SQL = {
     "orders_unpivot": SQL_ORDERS_UNPIVOT,
     "events_hourly": SQL_EVENTS_HOURLY,
     "token_count": SQL_TOKEN_COUNT,
+    "gopher_filter": SQL_GOPHER_FILTER,
     "word_topk": SQL_WORD_TOPK,
     "lang_stats": SQL_LANG_STATS,
     "ann_cosine": SQL_ANN_COSINE,

@@ -258,3 +258,71 @@ def fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
     return pa.Table.from_pydict(
         {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, pa.string())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style document quality rules (integer-exact, RE2 on both sides)
+
+# Rae et al. 2021 (Gopher) §A1.1 heuristics, thresholds adapted to the
+# synthetic corpus; the reference has no rule filter (its quality gate is
+# the LLM extraction itself — ingest/processor.py drops docs the model
+# rejects), so this is a beyond-reference curation operator.
+# "a" added to Gopher's required-word list: the synthetic corpus vocabulary
+# contains only {the, a} of the canonical eight, and the rule needs two
+# distinct hits to discriminate rather than reject everything.
+GOPHER_STOPWORDS = ("the", "a", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 10_000
+# mean word length bounds [3, 10] and ratio rules are evaluated as
+# cross-multiplied INTEGER comparisons — no floats anywhere, so the
+# DuckDB twin (pipelines/queries.SQL_GOPHER_FILTER) agrees bit-for-bit.
+
+_GOPHER_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+     ("keep", pa.bool_()), ("reason", pa.string())]
+)
+
+
+def gopher_rules_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized Gopher-rule evaluation: every count comes from Arrow's
+    RE2 kernels (the same regex engine DuckDB uses, so token/symbol
+    counts match the oracle exactly); rule outcomes are integer
+    comparisons; ``reason`` is the FIRST failing rule in documented
+    order (word_count, mean_word_len, symbol_ratio, alpha_fraction,
+    stopwords) or 'ok'."""
+    text = batch.column("text")
+    cnt = lambda pat: pc.cast(  # noqa: E731
+        pc.count_substring_regex(text, pattern=pat), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    n_tokens = cnt(r"\S+")
+    n_nonspace = cnt(r"\S")
+    n_sym = cnt(r"#") + cnt(r"\.\.\.")
+    n_alpha = cnt(r"\S*[A-Za-z]\S*")
+    stop_hits = np.zeros(len(n_tokens), np.int64)
+    for sw in GOPHER_STOPWORDS:
+        stop_hits += (
+            pc.cast(
+                pc.match_substring_regex(text, pattern=rf"\b{sw}\b"),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+        )
+    bad_wc = (n_tokens < GOPHER_MIN_WORDS) | (n_tokens > GOPHER_MAX_WORDS)
+    bad_mwl = (n_nonspace < 3 * n_tokens) | (n_nonspace > 10 * n_tokens)
+    bad_sym = 10 * n_sym > n_tokens
+    bad_alpha = 5 * n_alpha < 4 * n_tokens
+    bad_stop = stop_hits < 2
+    reason = np.select(
+        [bad_wc, bad_mwl, bad_sym, bad_alpha, bad_stop],
+        ["word_count", "mean_word_len", "symbol_ratio", "alpha_fraction",
+         "stopwords"],
+        default="ok",
+    )
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "keep": pa.array(reason == "ok"),
+            "reason": pa.array(reason.astype(object), pa.string()),
+        },
+        schema=_GOPHER_SCHEMA,
+    )

@@ -238,3 +238,44 @@ def test_media_frame_sample_layout_and_duration_hook(ray_session, small_corpus):
             r["chunk_idx"]
         )
     assert all(v == {0, 2, 4} for v in per_span.values())
+
+
+def test_gopher_rules_every_branch_and_duckdb_parity():
+    """Crafted docs hit each rule in documented order (the synthetic
+    corpus only ever fails word_count/stopwords); per-row reasons match
+    a DuckDB run of the oracle SQL on the same rows — pins the RE2 count
+    semantics (non-overlapping '...', \\b word bounds) on both sides."""
+    import duckdb
+    import pyarrow as pa
+
+    from semantic_search_system_ray.pipelines.queries import SQL_GOPHER_FILTER
+    from semantic_search_system_ray.stages.textstats import gopher_rules_batch
+
+    base = "the data and a value " * 5  # 25 tokens, passes everything
+    docs = {
+        "ok": base,
+        "word_count": "the a short doc",
+        # 20 long tokens -> mean word length > 10
+        "mean_word_len": " ".join(["thisisaverylongword"] * 20),
+        # 33 '#' chars vs 24 tokens -> ratio > 0.1 (tokens long enough to
+        # keep the mean-word-length rule from firing first)
+        "symbol_ratio": ("the and " + "### wordword " * 11).strip(),
+        # 24 tokens, only 4 alphabetic -> alpha fraction 1/6 < 0.8
+        # (numeric tokens 4 chars so mean word length stays >= 3)
+        "alpha_fraction": "the a of to " + " ".join(["1234"] * 20),
+        "stopwords": " ".join(["data"] * 25),
+    }
+    t = pa.table(
+        {"doc_id": list(range(len(docs))), "text": list(docs.values())}
+    )
+    out = gopher_rules_batch(t).to_pylist()
+    got = {r["doc_id"]: (r["reason"], r["keep"]) for r in out}
+    for i, expect in enumerate(docs):
+        assert got[i] == (expect, expect == "ok"), (i, expect, got[i])
+
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    sql = con.execute(SQL_GOPHER_FILTER).df().set_index("doc_id")
+    for i, expect in enumerate(docs):
+        assert sql.loc[i, "reason"] == expect
+        assert bool(sql.loc[i, "keep"]) == (expect == "ok")
