@@ -33,6 +33,7 @@ from __future__ import annotations
 from collections import Counter
 
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -1106,6 +1107,126 @@ FROM documents
 
 
 SQL_TRAIN_SPLIT = _sql_train_split()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic domain-mixture sampling (training-data mixing)
+
+MIX_MOD = 1_000_000  # ppm acceptance rates — integer arithmetic end to end
+
+
+def _mix_weight(source: str) -> int:
+    """Target mixture weight for a source: 1 + (trailing integer % 10).
+    A pure function of the source NAME (no hard-coded domain dict), so
+    the operator is scale-free: new sources at bigger corpora get
+    well-defined weights without code changes."""
+    m = re.search(r"(\d+)$", source)
+    return 1 + (int(m.group(1)) % 10 if m else 0)
+
+
+def q_domain_mix(sf_dir: str):
+    """Reshape the corpus toward a target per-source mixture at half the
+    corpus size: per-source target share ∝ _mix_weight(source), then a
+    deterministic ppm-rate Bernoulli keep via md5_number_lower('mix-' ||
+    doc_id) — the same hash on both engine and oracle sides, so the kept
+    SET (not just counts) is reproducible under reshuffles and resumes
+    (the property data-mixing needs: re-running the job keeps the same
+    docs). Two passes: (1) per-block source-count combiners → tiny
+    groupby; the per-source rate table is DOMAIN-BOUNDED (one row per
+    source) and computed driver-side with pure integer arithmetic;
+    (2) one streaming keep pass with per-block kept-count combiners.
+    Returns the per-source summary (n_docs, weight, target, rate_ppm,
+    kept_docs) — all int64, on the exact hash gate."""
+    from semantic_search_system_ray.functions.hashing import md5_hash64
+
+    docs = read_docs(sf_dir, ["doc_id", "source"])
+
+    def src_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source"]).aggregate([("source", "count")])
+        return pa.Table.from_pydict(
+            {"source": g.column("source"),
+             "n": pc.cast(g.column("source_count"), pa.int64())}
+        )
+
+    counts = (
+        docs.map_batches(src_partial, batch_format="pyarrow")
+        .groupby("source").sum("n")
+    )
+    n_by = {r["source"]: int(r["sum(n)"]) for r in counts.take_all()}
+    total = sum(n_by.values())
+    target_total = total // 2
+    w_by = {s: _mix_weight(s) for s in n_by}
+    sum_w = sum(w_by.values())
+    t_by = {s: w_by[s] * target_total // sum_w for s in n_by}
+    rate_by = {
+        s: min(MIX_MOD, t_by[s] * MIX_MOD // n_by[s]) for s in n_by
+    }
+
+    def keep_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        srcs = t.column("source").to_pylist()
+        kept: Counter[str] = Counter()
+        for i, s in zip(ids, srcs):
+            if md5_hash64(f"mix-{i}") % MIX_MOD < rate_by[s]:
+                kept[s] += 1
+        return pa.Table.from_pydict(
+            {"source": pa.array(list(kept), pa.string()),
+             "kept": pa.array([kept[s] for s in kept], pa.int64())}
+        )
+
+    kept_by = {
+        r["source"]: int(r["sum(kept)"])
+        for r in docs.map_batches(keep_partial, batch_format="pyarrow")
+        .groupby("source").sum("kept").take_all()
+    }
+    order = sorted(n_by)
+    return pa.table(
+        {
+            "source": pa.array(order, pa.string()),
+            "n_docs": pa.array([n_by[s] for s in order], pa.int64()),
+            "w": pa.array([w_by[s] for s in order], pa.int64()),
+            "target_docs": pa.array([t_by[s] for s in order], pa.int64()),
+            "rate_ppm": pa.array([rate_by[s] for s in order], pa.int64()),
+            "kept_docs": pa.array(
+                [kept_by.get(s, 0) for s in order], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_DOMAIN_MIX = rf"""
+WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs,
+         1 + (CAST(coalesce(nullif(regexp_extract(source, '(\d+)$', 1), ''),
+                            '0') AS BIGINT) % 10) AS w
+  FROM n
+),
+r AS (
+  SELECT source, n_docs, w,
+         (w * ((SELECT sum(n_docs) FROM n) // 2))
+           // (SELECT sum(w) FROM w) AS target_docs
+  FROM w
+),
+rr AS (
+  SELECT source, n_docs, w, target_docs,
+         least({MIX_MOD}, target_docs * {MIX_MOD} // n_docs) AS rate_ppm
+  FROM r
+),
+k AS (
+  SELECT d.source, count(*) AS kept_docs
+  FROM documents d JOIN rr ON rr.source = d.source
+  WHERE md5_number_lower('mix-' || CAST(d.doc_id AS VARCHAR))
+          % {MIX_MOD} < rr.rate_ppm
+  GROUP BY d.source
+)
+SELECT rr.source, CAST(rr.n_docs AS BIGINT) AS n_docs,
+       CAST(rr.w AS BIGINT) AS w,
+       CAST(rr.target_docs AS BIGINT) AS target_docs,
+       CAST(rr.rate_ppm AS BIGINT) AS rate_ppm,
+       CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs
+FROM rr LEFT JOIN k ON k.source = rr.source
+"""
 
 
 def q_redact_pii(sf_dir: str):
@@ -10296,6 +10417,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "token_count": q_token_count,
     "gopher_filter": q_gopher_filter,
+    "domain_mix": q_domain_mix,
     "word_topk": q_word_topk,
     "lang_stats": q_lang_stats,
     "ann_cosine": q_ann_cosine,
@@ -10441,6 +10563,7 @@ ORACLE_SQL = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "token_count": SQL_TOKEN_COUNT,
     "gopher_filter": SQL_GOPHER_FILTER,
+    "domain_mix": SQL_DOMAIN_MIX,
     "word_topk": SQL_WORD_TOPK,
     "lang_stats": SQL_LANG_STATS,
     "ann_cosine": SQL_ANN_COSINE,

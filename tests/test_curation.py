@@ -182,3 +182,25 @@ def test_remove_duplicated_spans_ground_truth(ray_session):
     assert out["3"] == docs[3]
     assert out["4"] == docs[4]
     assert "5" not in out and len(out) == 4
+
+
+def test_domain_mix_deterministic_and_bounded(ray_session):
+    """The kept set is a pure function of doc_id (md5 ppm threshold), so
+    two runs are bit-identical; per-source kept counts never exceed the
+    source size; rates are exactly the integer formula."""
+    from semantic_search_system_ray.pipelines.queries import (
+        MIX_MOD,
+        _mix_weight,
+        q_domain_mix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = q_domain_mix(sf).to_pandas().sort_values("source").reset_index(drop=True)
+    b = q_domain_mix(sf).to_pandas().sort_values("source").reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["kept_docs"] <= a["n_docs"]).all()
+    assert (a["rate_ppm"] <= MIX_MOD).all()
+    total, sum_w = a["n_docs"].sum(), a["w"].sum()
+    for _, r in a.iterrows():
+        assert r["w"] == _mix_weight(r["source"])
+        assert r["target_docs"] == r["w"] * (total // 2) // sum_w
