@@ -180,7 +180,8 @@ def run_bench() -> dict:
         "late_suppliers", "fifo_match", "user_trailing_sum",
         "rolling_distinct_users", "rfm_segments", "kg_weighted_paths",
         "bucketed_join", "events_interp_grid", "quantile_normalize",
-        "key_skew_report", "purchase_attribution",
+        "key_skew_report", "purchase_attribution", "gopher_filter",
+        "domain_mix", "kg_kcore",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level

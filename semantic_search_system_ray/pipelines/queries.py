@@ -7717,10 +7717,17 @@ def q_key_skew_report(sf_dir: str):
         max_share_ppm = vmax * 1_000_000 // s
         return n, s, max_share_ppm, gini_ppm
 
+    # the two table legs are independent Dataset jobs — overlap them via
+    # driver threads (the dq_checks pattern) instead of paying two
+    # serial executor ramp-ups
+    from concurrent.futures import ThreadPoolExecutor
+
+    legs = [("orders", "o_custkey"), ("events", "user_id")]
+    with ThreadPoolExecutor(max_workers=len(legs)) as ex:
+        results = list(ex.map(lambda tk: skew_of(*tk), legs))
     out = {"table_key": [], "n_keys": [], "n_rows": [],
            "max_share_ppm": [], "gini_ppm": []}
-    for table, key in [("orders", "o_custkey"), ("events", "user_id")]:
-        n, s, mx, g = skew_of(table, key)
+    for (table, key), (n, s, mx, g) in zip(legs, results):
         out["table_key"].append(f"{table}.{key}")
         out["n_keys"].append(n)
         out["n_rows"].append(s)
