@@ -362,6 +362,9 @@ def run_stats() -> None:
     wall = time.perf_counter() - t0
     print(f"# kg_build over {corpus}: {n} triples in {wall:.2f}s "
           f"({n / wall / 1000:.0f}k triples/s, num_cpus={NCPU})")
+    if res.flat is not None:
+        print("\n## extract plan (fused DocNLP flatten + materialize — the cost center)\n")
+        print(res.flat.stats())
     print("\n## triples plan (finalize + union consume)\n")
     print(mat.stats())
     ray.shutdown()

@@ -278,6 +278,10 @@ class KGResult:
     # (regime 2), or a (surface, canonical) Dataset (regime 3) — see
     # finalize_triples for the measured-count scale switch
     canon: "dict[str, str] | rd.Dataset"
+    # the materialized fused-extract dataset — exposed so observers
+    # (bench --stats) can read the EXTRACT plan's per-operator stats;
+    # None in enriched mode
+    flat: "rd.Dataset | None" = None
 
 
 FLAT_SCHEMA = pa.schema(
@@ -515,7 +519,7 @@ def build_triples(
         doc_col="obj",  # phrase_docs files are doc-contiguous
     )
     triples = triples.union(rd.from_arrow(tax_tbl), rel)
-    return KGResult(triples=triples, enriched=None, canon=canon)
+    return KGResult(triples=triples, enriched=None, canon=canon, flat=flat)
 
 
 # --- graph materialize -------------------------------------------------------
