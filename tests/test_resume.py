@@ -229,3 +229,30 @@ def test_sigkill_resume_bitidentical(tmp_path):
         f"{_RB_PARTS} resume_sec={resumed['sec']} scratch_sec={scratch['sec']} "
         f"triples={resumed['n']} checksum_match=True"
     )
+
+
+@pytest.mark.skipif(
+    _os.environ.get("CHAOS_BENCH") != "1",
+    reason="worker-kill chaos at bench scale — run with CHAOS_BENCH=1 "
+    "(two ~35 s fresh-process flagship runs; executed manually per round, "
+    "results in BASELINE.md)",
+)
+def test_worker_kill_bitidentical():
+    """Ray-level fault injection (distinct from the driver SIGKILL resume
+    case above): SIGKILL worker PROCESSES mid-extract and assert the
+    flagship still completes with a bit-identical triple checksum — the
+    executor-loss story a multi-node cluster needs (task lineage
+    reconstruction + block-order-invariant output)."""
+    import json as _json
+    import subprocess as _sp
+    import sys as _sys
+
+    out = _sp.run(
+        [_sys.executable, _os.path.join(_os.path.dirname(__file__),
+                                        "..", "tools", "chaos_worker_kill.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    res = _json.loads(out.strip().splitlines()[-1])
+    assert res["checksum_match"] is True
+    assert res["workers_killed"] >= 1
+    print(f"CHAOS_BENCH {res}")
