@@ -171,3 +171,37 @@ def test_ragged_take_gathers_rows():
     assert got.tolist() == [3, 4, 5, 6, 0, 1, 2, 3, 4, 5, 6]
     assert _ragged_take(off, np.array([1], np.int64),
                         np.array([0], np.int64)).tolist() == []
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_gopher_rules_duckdb_parity_property(texts):
+    """Engine gopher rules vs the DuckDB oracle SQL on arbitrary unicode
+    text: token/symbol/alpha counts come from RE2 on BOTH sides and every
+    threshold is an integer comparison, so reason and n_tokens must agree
+    per row — the property the hash gate relies on, checked off-corpus."""
+    import duckdb
+    import pyarrow as pa
+
+    from semantic_search_system_ray.pipelines.queries import SQL_GOPHER_FILTER
+    from semantic_search_system_ray.stages.textstats import gopher_rules_batch
+
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    eng = gopher_rules_batch(t).to_pandas().set_index("doc_id")
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    sql = con.execute(SQL_GOPHER_FILTER).df().set_index("doc_id")
+    for i in range(len(texts)):
+        assert eng.loc[i, "reason"] == sql.loc[i, "reason"], texts[i]
+        assert int(eng.loc[i, "n_tokens"]) == int(sql.loc[i, "n_tokens"])
