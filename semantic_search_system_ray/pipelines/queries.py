@@ -1194,6 +1194,114 @@ def q_domain_mix(sf_dir: str):
     )
 
 
+def q_quality_prune(sf_dir: str):
+    """Per-SOURCE adaptive quality pruning: keep docs whose whitespace
+    token count is at or above their own source's EXACT lower median —
+    the per-domain-threshold curation pattern (a global cutoff
+    over-prunes verbose domains and under-prunes terse ones). Exact at
+    any scale via the engine's bounded-cardinality histogram idiom: one
+    streaming pass builds per-(source, n_tokens) count combiners (domain
+    ≤ sources × distinct token counts — tiny, and independent of row
+    count), the driver reads each source's median off the cumulative
+    histogram with pure integer arithmetic, and a second streaming pass
+    counts survivors against the broadcast thresholds. No sort, no
+    row-scale shuffle, nothing corpus-sized on the driver."""
+    docs = read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        nt = pc.cast(
+            pc.count_substring_regex(t.column("text"), pattern=r"\S+"),
+            pa.int64(),
+        )
+        g = (
+            pa.Table.from_pydict({"source": t.column("source"), "nt": nt})
+            .group_by(["source", "nt"]).aggregate([("nt", "count")])
+        )
+        return pa.Table.from_pydict(
+            {"source": g.column("source"), "nt": g.column("nt"),
+             "c": pc.cast(g.column("nt_count"), pa.int64())}
+        )
+
+    hist = (
+        docs.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["source", "nt"]).sum("c")
+    )
+    # domain-bounded collect: one row per (source, distinct token count)
+    rows = sorted(
+        (r["source"], int(r["nt"]), int(r["sum(c)"])) for r in hist.take_all()
+    )
+    n_by: dict[str, int] = Counter()
+    for s, _nt, c in rows:
+        n_by[s] += c
+    med_by: dict[str, int] = {}
+    cum: Counter[str] = Counter()
+    for s, nt, c in rows:  # sorted by (source, nt) → cumulative is exact
+        cum[s] += c
+        if s not in med_by and cum[s] >= (n_by[s] + 1) // 2:
+            med_by[s] = nt
+
+    def kept_partial(t: pa.Table) -> pa.Table:
+        nt = pc.cast(
+            pc.count_substring_regex(t.column("text"), pattern=r"\S+"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        srcs = t.column("source").to_pylist()
+        thr = np.array([med_by[s] for s in srcs], np.int64)
+        kept: Counter[str] = Counter()
+        for s in np.asarray(srcs, dtype=object)[nt >= thr]:
+            kept[s] += 1
+        return pa.Table.from_pydict(
+            {"source": pa.array(list(kept), pa.string()),
+             "kept": pa.array([kept[s] for s in kept], pa.int64())}
+        )
+
+    kept_by = {
+        r["source"]: int(r["sum(kept)"])
+        for r in docs.map_batches(kept_partial, batch_format="pyarrow")
+        .groupby("source").sum("kept").take_all()
+    }
+    order = sorted(n_by)
+    return pa.table(
+        {
+            "source": pa.array(order, pa.string()),
+            "n_docs": pa.array([n_by[s] for s in order], pa.int64()),
+            "median_tokens": pa.array([med_by[s] for s in order], pa.int64()),
+            "kept_docs": pa.array([kept_by.get(s, 0) for s in order], pa.int64()),
+        }
+    )
+
+
+SQL_QUALITY_PRUNE = r"""
+WITH f AS (
+  SELECT source, len(regexp_extract_all(text, '\S+')) AS nt FROM documents
+),
+n AS (SELECT source, count(*) AS n_docs FROM f GROUP BY source),
+h AS (SELECT source, nt, count(*) AS c FROM f GROUP BY source, nt),
+cum AS (
+  SELECT source, nt,
+         sum(c) OVER (PARTITION BY source ORDER BY nt) AS cc
+  FROM h
+),
+med AS (
+  SELECT c.source, min(c.nt) AS median_tokens
+  FROM cum c JOIN n ON n.source = c.source
+  WHERE c.cc >= (n.n_docs + 1) // 2
+  GROUP BY c.source
+),
+k AS (
+  SELECT f.source, count(*) AS kept_docs
+  FROM f JOIN med m ON m.source = f.source
+  WHERE f.nt >= m.median_tokens
+  GROUP BY f.source
+)
+SELECT n.source, CAST(n.n_docs AS BIGINT) AS n_docs,
+       CAST(m.median_tokens AS BIGINT) AS median_tokens,
+       CAST(k.kept_docs AS BIGINT) AS kept_docs
+FROM n JOIN med m ON m.source = n.source
+       JOIN k ON k.source = n.source
+"""
+
+
 SQL_DOMAIN_MIX = rf"""
 WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
 w AS (
@@ -10425,6 +10533,7 @@ QUERIES = {
     "token_count": q_token_count,
     "gopher_filter": q_gopher_filter,
     "domain_mix": q_domain_mix,
+    "quality_prune": q_quality_prune,
     "word_topk": q_word_topk,
     "lang_stats": q_lang_stats,
     "ann_cosine": q_ann_cosine,
@@ -10571,6 +10680,7 @@ ORACLE_SQL = {
     "token_count": SQL_TOKEN_COUNT,
     "gopher_filter": SQL_GOPHER_FILTER,
     "domain_mix": SQL_DOMAIN_MIX,
+    "quality_prune": SQL_QUALITY_PRUNE,
     "word_topk": SQL_WORD_TOPK,
     "lang_stats": SQL_LANG_STATS,
     "ann_cosine": SQL_ANN_COSINE,
