@@ -590,6 +590,21 @@ def _q_kg_kcore(sf_dir: str):
     return kcore(edges_from_triples(_kg_triples(sf_dir)), k=2, rounds=4)
 
 
+def _q_kg_communities(sf_dir: str):
+    """Label-propagation communities over the KG edge set
+    (stages/graph.label_propagation, 3 synchronous rounds): every node
+    starts as its own label; each round takes the most frequent
+    neighbor label, ties to the smallest label. Scale-switched like
+    pagerank/kcore: exact numpy twin below the edge threshold,
+    distributed rounds (one label attach + one mode aggregation per
+    round) above. Oracle: unrolled chained-CTE rounds over the
+    kg_triples SQL subquery (text_oracles.sql_kg_communities)."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import label_propagation
+
+    return label_propagation(edges_from_triples(_kg_triples(sf_dir)), rounds=3)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Deterministic integer PageRank (stages/graph.pagerank, 5 rounds)
     over the KG edge set → top-20 nodes by (pr desc, node_id). The
@@ -1192,6 +1207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_assortativity": _q_kg_assortativity,
             "kg_components": _q_kg_components,
             "kg_kcore": _q_kg_kcore,
+            "kg_communities": _q_kg_communities,
             "kg_triangles": _q_kg_triangles,
             "kg_jaccard": _q_kg_jaccard,
             "fuzzy_name_pairs": _q_fuzzy_name_pairs,
@@ -1329,6 +1345,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_kcore": tox.sql_kg_kcore(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_communities": tox.sql_kg_communities(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_triangles": tox.sql_kg_triangles(

@@ -1441,3 +1441,51 @@ SELECT node AS node_id, CAST(deg AS BIGINT) AS deg FROM (
 )"""
     )
     return "".join(parts)
+
+
+def sql_kg_communities(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    rounds: int = 3,
+) -> str:
+    """Oracle for stages/graph.label_propagation over the KG edge set:
+    ``rounds`` unrolled synchronous label-propagation rounds (the exact
+    fixed-round prefix contract — synchronous LPA may oscillate, and
+    both sides compute the same prefix). l0 labels every node of the
+    distinct undirected simple edge set with its own id; each round
+    relabels every node with the most frequent neighbor label, ties to
+    the SMALLEST label (DuckDB binary collation = the engine's byte
+    order). Chained CTEs stay AS MATERIALIZED like sql_kg_kcore — each
+    l{r} is referenced once per round, but materializing pins the plan.
+    Built over the kg_triples oracle subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    parts = [
+        f"WITH t AS MATERIALIZED ({triples}),\n",
+        "raw AS MATERIALIZED (SELECT CAST(subj AS VARCHAR) AS s, CAST(obj AS VARCHAR) AS d FROM t),\n",
+        "u0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b "
+        "FROM raw WHERE s <> d),\n",
+        "adj AS MATERIALIZED (SELECT a AS node, b AS other FROM u0 "
+        "UNION ALL SELECT b AS node, a AS other FROM u0),\n",
+        "l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+l{r + 1} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (
+      PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM (
+      SELECT e.node AS node, l.label AS label, count(*) AS c
+      FROM adj e JOIN l{r} l ON l.node = e.other
+      GROUP BY e.node, l.label
+    )
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"\nSELECT node AS node_id, label AS community FROM l{rounds}"
+    )
+    return "".join(parts)

@@ -1345,3 +1345,184 @@ def kcore(
         ),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# label-propagation communities (synchronous, fixed rounds, min-label ties)
+# --------------------------------------------------------------------------
+
+LPA_DRIVER_EDGE_THRESHOLD = 2_000_000
+
+LPA_SCHEMA = pa.schema([("node_id", pa.string()), ("community", pa.string())])
+
+_LPA_ADJ_SCHEMA = pa.schema([("node", pa.string()), ("other", pa.string())])
+_LPA_LAB_SCHEMA = pa.schema([("node", pa.string()), ("label", pa.string())])
+_LPA_NLC_SCHEMA = pa.schema(
+    [("node", pa.string()), ("label", pa.string()), ("c", pa.int64())]
+)
+
+
+def _lpa_driver(und: pa.Table, rounds: int) -> rd.Dataset:
+    """Exact numpy twin of the distributed propagation (factorized
+    endpoints + segment mode); parity pinned by tests/test_graph.py.
+    Labels are node INDICES into the sorted node array, so "smallest
+    label" in index space equals smallest label string in byte order."""
+    a = _str(und.column("a")).to_numpy(zero_copy_only=False)
+    b = _str(und.column("b")).to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    src = np.concatenate([ai, bi])
+    dst = np.concatenate([bi, ai])
+    lab = np.arange(len(nodes), dtype=np.int64)
+    for _ in range(rounds):
+        nl = lab[dst]
+        order = np.lexsort((nl, src))
+        s, l = src[order], nl[order]
+        brk = np.concatenate(
+            [[True], (s[1:] != s[:-1]) | (l[1:] != l[:-1])]
+        )
+        idx = np.nonzero(brk)[0]
+        gs, gl = s[idx], l[idx]
+        counts = np.diff(np.concatenate([idx, [len(s)]]))
+        # per node: max count first, then smallest label
+        o2 = np.lexsort((gl, -counts, gs))
+        gs2 = gs[o2]
+        first = np.concatenate([[True], gs2[1:] != gs2[:-1]])
+        new = lab.copy()
+        new[gs2[first]] = gl[o2][first]
+        lab = new
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"node_id": nodes, "community": nodes[lab]}, schema=LPA_SCHEMA
+        )
+    )
+
+
+def label_propagation(
+    edges: rd.Dataset,
+    *,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    driver_threshold: int = LPA_DRIVER_EDGE_THRESHOLD,
+) -> rd.Dataset:
+    """Synchronous label-propagation communities (Raghavan et al. 2007,
+    made deterministic) over the distinct undirected simple edge set of
+    ``edges``: every node starts labeled with its own id; each of the
+    fixed ``rounds`` rounds relabels EVERY node with the most frequent
+    label among its neighbors, ties broken by the SMALLEST label (binary
+    string order — same collation convention as kcore's least/greatest).
+    Self-label is not counted (pure neighbor mode; every node in the
+    edge set has >= 1 neighbor, so each round is total). Output:
+    (node_id, community = label after the last round). Synchronous LPA
+    can oscillate on bipartite structures, so the contract is the exact
+    ``rounds``-step prefix — identical to the unrolled-CTE DuckDB twin
+    (pipelines/text_oracles.sql_kg_communities), well-defined with or
+    without convergence. Reference analogue: community queries run
+    driver-side over the graph store
+    (/root/reference/knowledge_graph/knowledge_graph.py); here labels
+    and adjacency stay Datasets throughout.
+
+    Scale: same switch as pagerank/kcore — edge sets at or below
+    ``driver_threshold`` take the exact numpy twin; larger graphs run
+    the distributed rounds: per round ONE label attach onto the static
+    adjacency (coarse_attach — broadcast when the label table is small,
+    hash-partitioned cogroup otherwise) and ONE mode aggregation
+    (per-block (node, label) count combiners → coarse per-node argmax).
+    The label table is never collected to the driver."""
+    from semantic_search_system_ray.stages.util import (
+        _default_partitions,
+        coarse_attach,
+    )
+
+    und = undirected_simple_edges(
+        edges, src_col=src_col, dst_col=dst_col
+    ).materialize()
+    if und.count() <= driver_threshold:
+        import ray
+
+        tables = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows > 0]
+        if not tables:
+            return rd.from_arrow(LPA_SCHEMA.empty_table())
+        return _lpa_driver(pa.concat_tables(tables), rounds)
+
+    P = _default_partitions(und, und)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": pa.concat_arrays(
+                    [_str(t.column("a")), _str(t.column("b"))]
+                ),
+                "other": pa.concat_arrays(
+                    [_str(t.column("b")), _str(t.column("a"))]
+                ),
+            },
+            schema=_LPA_ADJ_SCHEMA,
+        )
+
+    adj = und.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def init_labels(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _LPA_LAB_SCHEMA.empty_table()
+        u = df["node"].drop_duplicates()
+        return pa.Table.from_pydict(
+            {"node": pa.array(u, pa.string()), "label": pa.array(u, pa.string())},
+            schema=_LPA_LAB_SCHEMA,
+        )
+
+    labels = coarse_partition_apply(
+        adj.select_columns(["node"]).map_batches(
+            lambda t: t.group_by(["node"]).aggregate([]),
+            batch_format="pyarrow",
+        ),
+        ["node"], init_labels, _LPA_LAB_SCHEMA, num_partitions=P,
+    ).materialize()
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["node", "label"]).aggregate([("label", "count")])
+        return pa.Table.from_pydict(
+            {
+                "node": g.column("node"),
+                "label": g.column("label"),
+                "c": pc.cast(g.column("label_count"), pa.int64()),
+            },
+            schema=_LPA_NLC_SCHEMA,
+        )
+
+    def mode_per_node(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _LPA_LAB_SCHEMA.empty_table()
+        g = (
+            df.groupby(["node", "label"], sort=False)["c"].sum().reset_index()
+        )
+        g = g.sort_values(
+            ["node", "c", "label"], ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates(subset="node")
+        return pa.Table.from_pandas(
+            g[["node", "label"]], schema=_LPA_LAB_SCHEMA, preserve_index=False
+        )
+
+    for _ in range(rounds):
+        attached = coarse_attach(
+            adj, labels,
+            left_key="other", right_key="node",
+            attach_cols=["label"],
+            out_schema=_LPA_LAB_SCHEMA,
+            num_partitions=P, how="inner",
+        )
+        labels = coarse_partition_apply(
+            attached.map_batches(partial_counts, batch_format="pyarrow"),
+            ["node"], mode_per_node, _LPA_LAB_SCHEMA, num_partitions=P,
+        ).materialize()
+
+    return labels.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node_id": t.column("node"), "community": t.column("label")},
+            schema=LPA_SCHEMA,
+        ),
+        batch_format="pyarrow",
+    )

@@ -210,3 +210,67 @@ def test_kcore_nonconverged_prefix_is_fixed_rounds(ray_session):
     )
     ref = _reference_kcore(path, 2, 1)
     assert list(zip(got["node_id"], got["deg"])) == ref
+
+
+def _reference_lpa(edges, rounds):
+    """Single-process synchronous LPA over the distinct undirected
+    simple edges: neighbor-mode labels, ties to the smallest label."""
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    adj = defaultdict(list)
+    for a, b in und:
+        adj[a].append(b)
+        adj[b].append(a)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = defaultdict(int)
+            for m in nbrs:
+                cnt[lab[m]] += 1
+            new[n] = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        lab = new
+    return sorted(lab.items())
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_label_propagation_regime_parity(ray_session, n_blocks, driver_threshold):
+    """Both regimes of the scale switch — threshold 0 forces the
+    distributed rounds (label attach + mode aggregation per round), 10k
+    the driver numpy twin — must match the single-process LPA. The e-e
+    self-loop drops, so e is absent from the output on both sides."""
+    from semantic_search_system_ray.stages.graph import label_propagation
+
+    got = (
+        label_propagation(_edges_ds(n_blocks), rounds=3,
+                          driver_threshold=driver_threshold)
+        .to_pandas()
+        .sort_values("node_id")
+        .reset_index(drop=True)
+    )
+    ref = _reference_lpa(EDGES, 3)
+    assert list(zip(got["node_id"], got["community"])) == ref
+    assert "e" not in set(got["node_id"])
+
+
+@pytest.mark.parametrize("rounds", [1, 2])
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_label_propagation_oscillation_is_fixed_rounds(
+    ray_session, rounds, driver_threshold
+):
+    """Synchronous LPA on a single edge oscillates (a<->b swap labels
+    every round) — the rounds-prefix contract makes the result exact
+    and rounds-dependent on both sides, pinning what the SQL twin
+    unrolls."""
+    from semantic_search_system_ray.stages.graph import label_propagation
+
+    t = pa.table({"src": ["a"], "dst": ["b"]})
+    got = (
+        label_propagation(rd.from_arrow(t), rounds=rounds,
+                          driver_threshold=driver_threshold)
+        .to_pandas().sort_values("node_id").reset_index(drop=True)
+    )
+    ref = _reference_lpa([("a", "b")], rounds)
+    assert list(zip(got["node_id"], got["community"])) == ref
+    exp = [("a", "b"), ("b", "a")] if rounds == 1 else [("a", "a"), ("b", "b")]
+    assert ref == exp
