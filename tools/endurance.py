@@ -7,7 +7,15 @@ sessions), while the parent polls system memory for the peak working set
 and the child reports Ray's object-store spill stats. Prints ONE JSON
 line; BASELINE.md records the numbers.
 
-Usage: python tools/endurance.py   (env: ENDURANCE_DOCS, RAY_GRAFT_CPUS)
+Spill-pressure mode (round-4): set ENDURANCE_OBJECT_STORE_GIB to cap
+ray.init(object_store_memory=...) far below the working set — the run
+must then stream through a small store, spilling instead of failing,
+and still produce the bit-identical checksum. The child polls the
+session's spill directory for PEAK bytes (end-of-run size undercounts:
+restored objects delete their spill files).
+
+Usage: python tools/endurance.py   (env: ENDURANCE_DOCS, RAY_GRAFT_CPUS,
+ENDURANCE_OBJECT_STORE_GIB)
 """
 
 from __future__ import annotations
@@ -21,15 +29,43 @@ import time
 
 DOCS = int(os.environ.get("ENDURANCE_DOCS", "4000000"))
 CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+OBJ_GIB = float(os.environ.get("ENDURANCE_OBJECT_STORE_GIB", "0"))
 SEED = 42
 CORPUS = f"/tmp/kg_endurance_{DOCS}_{SEED}"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = """
-import json, os, sys, time, re
+import json, os, sys, time, re, threading
 import ray
+kwargs = {}
+if %(objmem)d:
+    kwargs["object_store_memory"] = %(objmem)d
 ray.init(address="local", num_cpus=%(cpus)d, include_dashboard=False,
-         logging_level="ERROR")
+         logging_level="ERROR", **kwargs)
+
+# the session dir from the LIVE node — never guess the temp root
+# (RAY_TMPDIR=/tmp/ray puts sessions under /tmp/ray/ray/..., so the old
+# hardcoded /tmp/ray/session_latest walk silently measured nothing)
+SESS = ray._private.worker.global_worker.node.get_session_dir_path()
+
+def _spill_dir_bytes():
+    total = 0
+    for root, _dirs, files in os.walk(SESS):
+        if "spill" in os.path.basename(root).lower():
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+peak_spill = [0]
+stop_spill = threading.Event()
+def _poll_spill():
+    while not stop_spill.is_set():
+        peak_spill[0] = max(peak_spill[0], _spill_dir_bytes())
+        time.sleep(0.5)
+threading.Thread(target=_poll_spill, daemon=True).start()
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 import ray.data as rd
@@ -61,20 +97,14 @@ n = res.triples.count()
 checksum = _triples_checksum(res.triples)
 wall = round(time.time() - t0, 1)
 
-# object-store spill bytes: sum the session's spill files on disk
-# (grpc-based memory_summary is unavailable in this sandbox)
-spilled = 0
-sess = os.path.realpath("/tmp/ray/session_latest")
-for root, _dirs, files in os.walk(sess):
-    if "spill" in os.path.basename(root).lower():
-        for f in files:
-            try:
-                spilled += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
-spilled_mib = spilled >> 20
+# object-store spill bytes (grpc memory_summary is unavailable in this
+# sandbox): end-of-run dir size plus the polled PEAK — restored objects
+# delete their spill files, so the peak is the honest pressure number.
+stop_spill.set()
+spilled_mib = _spill_dir_bytes() >> 20
 print(json.dumps({"wall_sec": wall, "triples": n, "checksum": checksum,
                   "spilled_mib": spilled_mib,
+                  "peak_spill_mib": max(peak_spill[0], spilled_mib << 20) >> 20,
                   "triples_per_sec": round(n / wall, 1),
                   "docs_per_sec": round(%(docs)d / wall, 1)}))
 ray.shutdown()
@@ -100,7 +130,8 @@ def _run_child() -> tuple[dict, int]:
     env.pop("RAY_ADDRESS", None)
     out = subprocess.run(
         [sys.executable, "-c",
-         _CHILD % {"cpus": CPUS, "corpus": CORPUS, "docs": DOCS, "seed": SEED}],
+         _CHILD % {"cpus": CPUS, "corpus": CORPUS, "docs": DOCS, "seed": SEED,
+                   "objmem": int(OBJ_GIB * (1 << 30))}],
         env=env, capture_output=True, text=True, check=True,
     ).stdout
     stop.set()
@@ -117,14 +148,18 @@ def main() -> None:
         "metric": "endurance_kg_build (sf1.0-scale spans corpus, 2 fresh runs)",
         "docs": DOCS,
         "num_cpus": CPUS,
+        "object_store_gib": OBJ_GIB or None,
         "wall_sec_run1": r1["wall_sec"],
         "wall_sec_run2": r2["wall_sec"],
         "triples": r1["triples"],
+        "checksum": r1["checksum"],
         "checksum_match": True,
         "triples_per_sec": r1["triples_per_sec"],
         "docs_per_sec": r1["docs_per_sec"],
         "spilled_mib_run1": r1["spilled_mib"],
         "spilled_mib_run2": r2["spilled_mib"],
+        "peak_spill_mib_run1": r1.get("peak_spill_mib", 0),
+        "peak_spill_mib_run2": r2.get("peak_spill_mib", 0),
         "peak_used_gib_run1": round(peak1 / 1048576, 1),
         "peak_used_gib_run2": round(peak2 / 1048576, 1),
     }))
