@@ -181,7 +181,7 @@ def run_bench() -> dict:
         "rolling_distinct_users", "rfm_segments", "kg_weighted_paths",
         "bucketed_join", "events_interp_grid", "quantile_normalize",
         "key_skew_report", "purchase_attribution", "gopher_filter",
-        "domain_mix", "kg_kcore",
+        "domain_mix", "kg_kcore", "kg_communities", "quality_prune",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level

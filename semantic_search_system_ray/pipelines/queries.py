@@ -1337,6 +1337,154 @@ FROM rr LEFT JOIN k ON k.source = rr.source
 """
 
 
+DSIR_TARGET = "src0"
+DSIR_BUCKETS = 1024
+DSIR_SCALE = 1_000_000
+DSIR_TOP_K = 50
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style hashed-ngram importance weights for training-data
+    selection (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling", made integer-exact): hash word unigrams into
+    ``DSIR_BUCKETS`` buckets with the md5 token hash the engine shares
+    with DuckDB (functions/hashing.md5_hash64 == md5_number_lower), count
+    each bucket in the TARGET domain (source = ``DSIR_TARGET``) and in
+    the RAW pool (every other source), and score every raw doc by
+    Σ_tokens ⌊(t[b]+1)·10⁶ / (r[b]+1)⌋ — an add-one-smoothed integer
+    importance ratio, so the (score DESC, doc_id ASC) top-k is
+    bit-deterministic cross-system. Reference analogue: the reference
+    has no data-selection stage (its corpus is curated upstream); this
+    is a beyond-reference curation operator like gopher_filter.
+
+    Scale shape: pass 1 streams per-block (bucket, target?) count
+    combiners into a ≤2·1024-row groupby (bounded by the BUCKET domain,
+    never the corpus); the 1024-entry weight table broadcasts once via
+    ray.put; pass 2 streams per-doc scores and keeps only each block's
+    top-k, so the driver merges blocks × k candidate rows — no
+    corpus-sized collection, no row-scale shuffle, no sort. int64 score
+    bound: tokens/doc × max-weight ≈ 10³ × 10¹³ « 2⁶³ (holds to ~10¹²
+    target tokens per bucket; past that raise DSIR_BUCKETS)."""
+    from semantic_search_system_ray.functions.hashing import md5_hash64
+
+    docs = read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        import re as _re
+
+        tc: Counter = Counter()
+        rc: Counter = Counter()
+        memo: dict[str, int] = {}
+        for src, txt in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            c = tc if src == DSIR_TARGET else rc
+            for w in _re.findall(r"\w+", (txt or "").lower()):
+                b = memo.get(w)
+                if b is None:
+                    b = memo[w] = md5_hash64(w) % DSIR_BUCKETS
+                c[b] += 1
+        bkts = sorted(set(tc) | set(rc))
+        return pa.Table.from_pydict(
+            {"bkt": pa.array(bkts, pa.int64()),
+             "tc": pa.array([tc.get(b, 0) for b in bkts], pa.int64()),
+             "rc": pa.array([rc.get(b, 0) for b in bkts], pa.int64())}
+        )
+
+    counts = (
+        docs.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bkt").aggregate(Sum("tc", alias_name="t"),
+                                  Sum("rc", alias_name="r"))
+        .take_all()  # ≤ DSIR_BUCKETS rows — domain-bounded
+    )
+    weights = {
+        int(r["bkt"]): ((int(r["t"]) + 1) * DSIR_SCALE) // (int(r["r"]) + 1)
+        for r in counts
+    }
+    wref = ray.put(weights)
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        import re as _re
+
+        w = ray.get(wref)  # local object store, shipped once per node
+        memo: dict[str, int] = {}
+        out: list[tuple[int, int, int]] = []
+        for did, src, txt in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("source").to_pylist(),
+            t.column("text").to_pylist(),
+        ):
+            if src == DSIR_TARGET:
+                continue
+            toks = _re.findall(r"\w+", (txt or "").lower())
+            if not toks:
+                continue  # SQL twin: zero-token docs never unnest a row
+            s = 0
+            for tok in toks:
+                b = memo.get(tok)
+                if b is None:
+                    b = memo[tok] = md5_hash64(tok) % DSIR_BUCKETS
+                s += w[b]
+            out.append((did, s, len(toks)))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        out = out[:DSIR_TOP_K]  # block-local top-k combiner
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array([o[0] for o in out], pa.int64()),
+             "dsir_score": pa.array([o[1] for o in out], pa.int64()),
+             "n_tokens": pa.array([o[2] for o in out], pa.int64())}
+        )
+
+    cand = sorted(
+        (
+            (int(r["doc_id"]), int(r["dsir_score"]), int(r["n_tokens"]))
+            for r in docs.map_batches(
+                score_partial, batch_format="pyarrow"
+            ).take_all()  # blocks × k rows — bounded
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:DSIR_TOP_K]
+    return pa.table(
+        {"doc_id": pa.array([c[0] for c in cand], pa.int64()),
+         "dsir_score": pa.array([c[1] for c in cand], pa.int64()),
+         "n_tokens": pa.array([c[2] for c in cand], pa.int64())}
+    )
+
+
+SQL_DSIR_WEIGHTS = rf"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(lower(text), '\w+')) AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source,
+         CAST(md5_number_lower(w) % {DSIR_BUCKETS} AS BIGINT) AS bkt
+  FROM tok
+),
+cnt AS (
+  SELECT bkt,
+         sum(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS t,
+         sum(CASE WHEN source <> '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS r
+  FROM b GROUP BY bkt
+),
+wts AS (
+  SELECT bkt, (CAST(t + 1 AS HUGEINT) * {DSIR_SCALE}) // (r + 1) AS w
+  FROM cnt
+),
+scores AS (
+  SELECT b.doc_id, sum(w.w) AS score, count(*) AS n_tokens
+  FROM b JOIN wts w USING (bkt)
+  WHERE b.source <> '{DSIR_TARGET}'
+  GROUP BY b.doc_id
+)
+SELECT doc_id, CAST(score AS BIGINT) AS dsir_score,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM scores
+ORDER BY score DESC, doc_id
+LIMIT {DSIR_TOP_K}
+"""
+
+
 def q_redact_pii(sf_dir: str):
     """PII scrub over the documents table (emails/phones/SSNs → tokens) —
     byte-exact vs the oracle because BOTH sides run the same patterns
@@ -10534,6 +10682,7 @@ QUERIES = {
     "gopher_filter": q_gopher_filter,
     "domain_mix": q_domain_mix,
     "quality_prune": q_quality_prune,
+    "dsir_weights": q_dsir_weights,
     "word_topk": q_word_topk,
     "lang_stats": q_lang_stats,
     "ann_cosine": q_ann_cosine,
@@ -10681,6 +10830,7 @@ ORACLE_SQL = {
     "gopher_filter": SQL_GOPHER_FILTER,
     "domain_mix": SQL_DOMAIN_MIX,
     "quality_prune": SQL_QUALITY_PRUNE,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "word_topk": SQL_WORD_TOPK,
     "lang_stats": SQL_LANG_STATS,
     "ann_cosine": SQL_ANN_COSINE,

@@ -204,3 +204,74 @@ def test_domain_mix_deterministic_and_bounded(ray_session):
     for _, r in a.iterrows():
         assert r["w"] == _mix_weight(r["source"])
         assert r["target_docs"] == r["w"] * (total // 2) // sum_w
+
+
+def test_dsir_weights_bruteforce_parity(ray_session, tmp_path):
+    """q_dsir_weights vs a single-process brute-force DSIR on a crafted
+    corpus: target docs (src0) are rich in 'alpha beta', raw docs split
+    between alpha-heavy (should score high) and 'zzz'-only (low). Exact
+    integer parity, including the add-one smoothing and tie order, and a
+    second run is bit-identical (pure function of the corpus)."""
+    import re
+    from collections import Counter
+
+    from semantic_search_system_ray.functions.hashing import md5_hash64
+    from semantic_search_system_ray.pipelines.queries import (
+        DSIR_BUCKETS,
+        DSIR_SCALE,
+        DSIR_TARGET,
+        DSIR_TOP_K,
+        q_dsir_weights,
+    )
+
+    rows = []
+    for i in range(6):
+        rows.append((i, DSIR_TARGET, "alpha beta alpha gamma"))
+    for i in range(6, 30):
+        txt = "alpha beta delta" if i % 2 == 0 else "zzz zzz qqq"
+        rows.append((i, f"src{1 + i % 3}", txt))
+    rows.append((30, "src1", ""))  # zero-token doc: must not appear
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    })
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    # brute force
+    tc: Counter = Counter()
+    rc: Counter = Counter()
+    for _, src, txt in rows:
+        c = tc if src == DSIR_TARGET else rc
+        for w in re.findall(r"\w+", txt.lower()):
+            c[md5_hash64(w) % DSIR_BUCKETS] += 1
+    wts = {
+        b: ((tc.get(b, 0) + 1) * DSIR_SCALE) // (rc.get(b, 0) + 1)
+        for b in set(tc) | set(rc)
+    }
+    exp = []
+    for did, src, txt in rows:
+        if src == DSIR_TARGET:
+            continue
+        toks = re.findall(r"\w+", txt.lower())
+        if not toks:
+            continue
+        exp.append((did,
+                    sum(wts[md5_hash64(w) % DSIR_BUCKETS] for w in toks),
+                    len(toks)))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    exp = exp[:DSIR_TOP_K]
+
+    got = q_dsir_weights(str(tmp_path))
+    got_rows = list(zip(got.column("doc_id").to_pylist(),
+                        got.column("dsir_score").to_pylist(),
+                        got.column("n_tokens").to_pylist()))
+    assert got_rows == exp
+    assert 30 not in {r[0] for r in got_rows}
+    # alpha-heavy raw docs outrank the zzz docs
+    top_ids = [r[0] for r in got_rows[: len(exp) // 2]]
+    assert all(i % 2 == 0 for i in top_ids)
+    again = q_dsir_weights(str(tmp_path))
+    assert got.equals(again)
