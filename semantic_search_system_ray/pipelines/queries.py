@@ -1530,7 +1530,9 @@ def q_gopher_filter(sf_dir: str):
     return ds.map_batches(gopher_rules_batch, batch_format="pyarrow")
 
 
-def _sql_gopher_filter() -> str:
+def _sql_gopher_cte() -> str:
+    """The gopher f/r CTE bodies, shared by SQL_GOPHER_FILTER and
+    SQL_CURATION_E2E so the rule text has one source of truth."""
     from semantic_search_system_ray.stages.textstats import (
         GOPHER_MAX_WORDS,
         GOPHER_MIN_WORDS,
@@ -1541,8 +1543,7 @@ def _sql_gopher_filter() -> str:
         f"CAST(regexp_matches(text, '\\b{sw}\\b') AS BIGINT)"
         for sw in GOPHER_STOPWORDS
     )
-    return rf"""
-WITH f AS (
+    return rf"""f AS (
   SELECT doc_id,
     len(regexp_extract_all(text, '\S+')) AS n_tokens,
     len(regexp_extract_all(text, '\S')) AS n_nonspace,
@@ -1564,12 +1565,152 @@ WITH f AS (
       ELSE 'ok'
     END AS reason
   FROM f
-)
+)"""
+
+
+def _sql_gopher_filter() -> str:
+    return rf"""
+WITH {_sql_gopher_cte()}
 SELECT doc_id, n_tokens, (reason = 'ok') AS keep, reason FROM r
 """
 
 
 SQL_GOPHER_FILTER = _sql_gopher_filter()
+
+
+def q_curation_e2e(sf_dir: str):
+    """End-to-end training-data curation funnel, composed from the
+    engine's own curation operators in documented precedence: (1) Gopher
+    quality rules (first-failing reason), then among quality-kept docs
+    (2) exact dedup (min-doc_id winner per distinct text), then (3)
+    benchmark-trigram decontamination of the surviving winners — output
+    is one row per INPUT doc with the first stage that dropped it
+    ('gopher:<reason>' / 'exact_dup' / 'contaminated') or 'kept'.
+
+    Scale shape: ONE fused streaming map_batches pass computes the
+    Gopher reason (Arrow RE2 kernels), the contamination flag (benchmark
+    grams broadcast once via ray.put) and a 128-bit content hash; the
+    fused table (4 narrow columns, no text) is pinned with
+    ``materialize()`` because two consumers read it (the
+    heavy_hitters/build_bloom double-scan lesson). Gopher rejects never
+    enter the exchange — their verdict is block-local; only quality-kept
+    docs ship (doc_id, hash, contaminated) ≈ 50 bytes/doc through ONE
+    hash-grouped shuffle where each text-group decides
+    exact_dup / contaminated / kept. At 100 TB the exchange volume is
+    independent of document length and the text column never moves."""
+    from semantic_search_system_ray.functions.hashing import stable_hash128_hex
+    from semantic_search_system_ray.functions.text import tokenize
+    from semantic_search_system_ray.stages.util import coarse_grouped_apply
+
+    bench_ref = ray.put(frozenset(BENCHMARK_NGRAMS))
+    out_schema = pa.schema([("doc_id", pa.int64()), ("stage", pa.string())])
+
+    class _Fused:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            g = gopher_rules_batch(batch)
+            contam, hashes = [], []
+            for t in batch.column("text").to_pylist():
+                toks = [w.lower() for w in tokenize(t or "")]
+                grams = {
+                    " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+                }
+                contam.append(not grams.isdisjoint(self.bench))
+                hashes.append(stable_hash128_hex(t or ""))
+            return pa.Table.from_pydict(
+                {"doc_id": g.column("doc_id"),
+                 "reason": g.column("reason"),
+                 "contaminated": pa.array(contam, pa.bool_()),
+                 "content_hash": pa.array(hashes, pa.string())}
+            )
+
+    docs = read_docs(sf_dir, ["doc_id", "text"])
+    fused = docs.map_batches(
+        _Fused, batch_format="pyarrow", concurrency=(1, 8)
+    ).materialize()
+
+    def reject_stage(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.not_equal(t.column("reason"), "ok"))
+        stage = pc.binary_join_element_wise(
+            pa.array(["gopher"] * len(t2), pa.string()), t2.column("reason"),
+            ":",
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": t2.column("doc_id"), "stage": stage},
+            schema=out_schema,
+        )
+
+    rejects = fused.map_batches(reject_stage, batch_format="pyarrow")
+
+    ok = fused.map_batches(
+        lambda t: t.filter(pc.equal(t.column("reason"), "ok")).select(
+            ["doc_id", "contaminated", "content_hash"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def verdict(g) -> pa.Table:  # g: pandas.DataFrame per hash group
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        win = int(ids.min())
+        win_contam = bool(g["contaminated"].to_numpy()[ids.argmin()])
+        stage = np.where(
+            ids != win, "exact_dup",
+            "contaminated" if win_contam else "kept",
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": ids, "stage": stage.astype(object)},
+            schema=out_schema,
+        )
+
+    survivors = coarse_grouped_apply(ok, ["content_hash"], verdict, out_schema)
+    return rejects.union(survivors)
+
+
+def _sql_curation_e2e() -> str:
+    from semantic_search_system_ray.pipelines.text_oracles import _TOKEN_RE_SQL
+
+    bench_values = ", ".join(
+        "('" + g.replace("'", "''") + "')" for g in sorted(set(BENCHMARK_NGRAMS))
+    )
+    return rf"""
+WITH {_sql_gopher_cte()},
+okd AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN r ON d.doc_id = r.doc_id
+  WHERE r.reason = 'ok'
+),
+w AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS winner
+  FROM okd
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ws
+  FROM okd
+),
+contam AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, array_to_string(ws[i : i + 2], ' ') AS g
+    FROM (
+      SELECT doc_id, ws,
+             unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+      FROM toks WHERE len(ws) >= 3
+    )
+  ) JOIN (VALUES {bench_values}) AS b(g) USING (g)
+)
+SELECT r.doc_id,
+  CASE WHEN r.reason <> 'ok' THEN 'gopher:' || r.reason
+       WHEN r.doc_id <> w.winner THEN 'exact_dup'
+       WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+       ELSE 'kept' END AS stage
+FROM r
+LEFT JOIN w ON r.doc_id = w.doc_id
+LEFT JOIN contam c ON r.doc_id = c.doc_id
+"""
+
+
+SQL_CURATION_E2E = _sql_curation_e2e()
 
 
 def q_word_topk(sf_dir: str):
@@ -10680,6 +10821,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "token_count": q_token_count,
     "gopher_filter": q_gopher_filter,
+    "curation_e2e": q_curation_e2e,
     "domain_mix": q_domain_mix,
     "quality_prune": q_quality_prune,
     "dsir_weights": q_dsir_weights,
@@ -10828,6 +10970,7 @@ ORACLE_SQL = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "token_count": SQL_TOKEN_COUNT,
     "gopher_filter": SQL_GOPHER_FILTER,
+    "curation_e2e": SQL_CURATION_E2E,
     "domain_mix": SQL_DOMAIN_MIX,
     "quality_prune": SQL_QUALITY_PRUNE,
     "dsir_weights": SQL_DSIR_WEIGHTS,

@@ -275,3 +275,58 @@ def test_dsir_weights_bruteforce_parity(ray_session, tmp_path):
     assert all(i % 2 == 0 for i in top_ids)
     again = q_dsir_weights(str(tmp_path))
     assert got.equals(again)
+
+
+def test_curation_e2e_precedence_branches(ray_session, tmp_path):
+    """q_curation_e2e on a crafted corpus exercising every verdict
+    branch and the documented precedence: gopher reject wins over
+    dup/contamination; among quality-kept duplicates the min-doc_id
+    winner carries the contamination verdict while losers are
+    'exact_dup' regardless; unique clean docs are 'kept'. Checked
+    against the DuckDB twin per row, and a rerun is bit-identical."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from semantic_search_system_ray.pipelines.queries import (
+        SQL_CURATION_E2E,
+        q_curation_e2e,
+    )
+
+    ok = ("the quick brown foxes jump over lazy dogs and run fast near "
+          "rivers with great speed while birds sing songs today %s")
+    gram = "heldout benchmark gram"  # BENCHMARK_NGRAMS[-1], off-corpus
+    rows = [
+        (1, f"tiny doc {gram}"),        # gopher:word_count beats contam
+        (2, ok % "alpha"), (3, ok % "alpha"),   # kept / exact_dup
+        (4, ok % gram), (5, ok % gram),         # contaminated / exact_dup
+        (6, ok % "unique"),                     # kept
+        (7, ok % f"other {gram} tail"),         # contaminated (unique)
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r["stage"]
+        for r in q_curation_e2e(str(tmp_path)).take_all()
+    }
+    assert got == {
+        1: "gopher:word_count",
+        2: "kept", 3: "exact_dup",
+        4: "contaminated", 5: "exact_dup",
+        6: "kept",
+        7: "contaminated",
+    }
+
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    sql = dict(con.execute(SQL_CURATION_E2E).fetchall())
+    assert sql == got
+
+    again = {
+        r["doc_id"]: r["stage"]
+        for r in q_curation_e2e(str(tmp_path)).take_all()
+    }
+    assert again == got
