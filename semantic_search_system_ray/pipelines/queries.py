@@ -1599,10 +1599,10 @@ def q_curation_e2e(sf_dir: str):
     exact_dup / contaminated / kept. At 100 TB the exchange volume is
     independent of document length and the text column never moves."""
     from semantic_search_system_ray.functions.hashing import stable_hash128_hex
-    from semantic_search_system_ray.functions.text import tokenize
+    from semantic_search_system_ray.stages.curation import benchmark_gram_matches
     from semantic_search_system_ray.stages.util import coarse_grouped_apply
 
-    bench_ref = ray.put(frozenset(BENCHMARK_NGRAMS))
+    bench_ref = ray.put(sorted(set(BENCHMARK_NGRAMS)))
     out_schema = pa.schema([("doc_id", pa.int64()), ("stage", pa.string())])
 
     class _Fused:
@@ -1611,18 +1611,17 @@ def q_curation_e2e(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             g = gopher_rules_batch(batch)
-            contam, hashes = [], []
-            for t in batch.column("text").to_pylist():
-                toks = [w.lower() for w in tokenize(t or "")]
-                grams = {
-                    " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
-                }
-                contam.append(not grams.isdisjoint(self.bench))
-                hashes.append(stable_hash128_hex(t or ""))
+            contam = benchmark_gram_matches(
+                batch.column("text"), self.bench, n=3
+            ).any(axis=1)
+            hashes = [  # md5 is per-row by nature; grams/rules are RE2
+                stable_hash128_hex(t or "")
+                for t in batch.column("text").to_pylist()
+            ]
             return pa.Table.from_pydict(
                 {"doc_id": g.column("doc_id"),
                  "reason": g.column("reason"),
-                 "contaminated": pa.array(contam, pa.bool_()),
+                 "contaminated": pa.array(contam),
                  "content_hash": pa.array(hashes, pa.string())}
             )
 

@@ -64,6 +64,63 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+# Sentinel wrapped around every token by benchmark_gram_matches. \x01 can
+# never be part of a TOKEN (not \w, can't be glued by '), so replacing it
+# with ' ' first never changes the token sequence — it only guarantees the
+# canonical form has no ambient sentinels.
+_GRAM_SENTINEL = "\x01"
+# Must mirror functions/text._RE_TOKEN and text_oracles._TOKEN_RE_SQL —
+# evaluated by Arrow's RE2, the same engine as DuckDB's regexp functions,
+# so \w is ASCII on BOTH sides (Python re's unicode \w is NOT the twin).
+_TOKEN_RE_RAW = r"\w+(?:'\w+)?"
+
+
+def benchmark_gram_matches(
+    text: pa.ChunkedArray | pa.Array, grams: list[str], *, n: int = 3
+):
+    """→ bool ndarray (len(text), len(grams)): grams[j] occurs as n
+    CONSECUTIVE tokens of ``lower(text[i])`` under the oracle's RE2
+    token regex. Fully vectorized — one RE2 rewrite pass canonicalizes
+    the token stream (each token wrapped in \\x01 sentinels), then one
+    RE2 containment scan per benchmark gram; no per-doc Python.
+
+    Exactness argument: a gram w1..wn is in the doc's n-gram set iff the
+    canonical form contains \\x01w1\\x01 [no-sentinel run] \\x01w2\\x01 …
+    — the no-sentinel separator run is exactly "no other token between
+    them". Grams whose token count ≠ n are all-False (the SQL twin joins
+    n-token gram strings only, which can never equal a k≠n-token string)."""
+    import re as _re
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    clean = pc.replace_substring(
+        pc.utf8_lower(pc.fill_null(text, "")),
+        pattern=_GRAM_SENTINEL,
+        replacement=" ",
+    )
+    canon = pc.replace_substring_regex(
+        clean,
+        pattern=f"({_TOKEN_RE_RAW})",
+        replacement=_GRAM_SENTINEL + r"\1" + _GRAM_SENTINEL,
+    )
+    cols = []
+    for g in grams:
+        toks = g.split(" ")
+        if len(toks) != n:
+            cols.append(np.zeros(len(text), np.bool_))
+            continue
+        pat = "[^\x01]*".join(
+            "\x01" + _re.escape(t) + "\x01" for t in toks
+        )
+        cols.append(
+            pc.match_substring_regex(canon, pattern=pat)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+    return np.column_stack(cols) if cols else np.zeros((len(text), 0), np.bool_)
+
+
 def contamination_check(
     ds: rd.Dataset,
     benchmark_ngrams: list[str],
@@ -74,8 +131,10 @@ def contamination_check(
 ) -> rd.Dataset:
     """→ (doc_id, n_matched, contaminated): per doc, how many DISTINCT
     benchmark word n-grams occur in the doc's n-gram set; contaminated =
-    any match. The benchmark set broadcasts once via ray.put."""
-    bench = frozenset(benchmark_ngrams)
+    any match. The benchmark set broadcasts once via ray.put; matching is
+    the vectorized RE2 kernel (benchmark_gram_matches) — no per-doc
+    tokenize/set-build Python in the hot path."""
+    bench = sorted(set(benchmark_ngrams))
     ref = ray.put(bench)
 
     class _Check:
@@ -83,22 +142,15 @@ def contamination_check(
             self.bench = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, n_matched = [], []
-            for i, t in zip(
-                batch.column(id_col).to_pylist(),
-                batch.column(text_col).to_pylist(),
-            ):
-                toks = [w.lower() for w in tokenize(t or "")]
-                grams = {
-                    " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
-                }
-                ids.append(str(i))
-                n_matched.append(len(grams & self.bench))
+            import pyarrow.compute as pc
+
+            m = benchmark_gram_matches(batch.column(text_col), self.bench, n=n)
+            n_matched = m.sum(axis=1).astype("int64")
             return pa.Table.from_pydict(
                 {
-                    "doc_id": pa.array(ids, pa.string()),
+                    "doc_id": pc.cast(batch.column(id_col), pa.string()),
                     "n_matched": pa.array(n_matched, pa.int64()),
-                    "contaminated": pa.array([m > 0 for m in n_matched]),
+                    "contaminated": pa.array(n_matched > 0),
                 }
             )
 

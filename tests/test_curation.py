@@ -330,3 +330,36 @@ def test_curation_e2e_precedence_branches(ray_session, tmp_path):
         for r in q_curation_e2e(str(tmp_path)).take_all()
     }
     assert again == got
+
+
+def test_benchmark_gram_matches_directed_edges():
+    """Directed positives/negatives for the vectorized gram kernel: real
+    consecutive-token hits, apostrophe-glued tokens that must NOT count
+    as their bare words, token-prefix/suffix guards, punctuation
+    separators, case folding, and ambient sentinel bytes."""
+    import pyarrow as pa
+
+    from semantic_search_system_ray.stages.curation import (
+        benchmark_gram_matches,
+    )
+
+    grams = ["the cat sat", "don't stop now"]
+    cases = [
+        ("The CAT sat on a mat", [True, False]),       # case fold
+        ("well, the cat... sat!", [True, False]),      # punct separators
+        ("the cat sat", [True, False]),
+        ("xthe cat sat", [False, False]),              # token prefix guard
+        ("the cat sat'y here", [False, False]),        # suffix glue: sat'y
+        ("the cat's sat", [False, False]),             # cat's != cat
+        ("don't stop now", [False, True]),             # apostrophe token
+        ("don t stop now", [False, False]),            # split != don't
+        ("a\x01the cat\x01sat", [True, False]),        # ambient sentinels
+        ("the bad cat sat", [False, False]),           # not consecutive
+        ("", [False, False]),
+        (None, [False, False]),                        # null text
+    ]
+    m = benchmark_gram_matches(
+        pa.chunked_array([pa.array([c[0] for c in cases], pa.string())]),
+        grams, n=3,
+    )
+    assert m.tolist() == [c[1] for c in cases]

@@ -205,3 +205,55 @@ def test_gopher_rules_duckdb_parity_property(texts):
     for i in range(len(texts)):
         assert eng.loc[i, "reason"] == sql.loc[i, "reason"], texts[i]
         assert int(eng.loc[i, "n_tokens"]) == int(sql.loc[i, "n_tokens"])
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_benchmark_gram_matches_duckdb_parity_property(texts):
+    """The vectorized RE2 gram-containment kernel vs the DuckDB oracle's
+    regexp_extract_all + n-gram join, on arbitrary unicode (including
+    apostrophe glue and the \\x01 sentinel itself): n_matched must agree
+    per row — the exactness argument in benchmark_gram_matches, checked
+    off-corpus."""
+    import duckdb
+    import pyarrow as pa
+
+    from semantic_search_system_ray.pipelines.text_oracles import (
+        sql_contamination,
+    )
+    from semantic_search_system_ray.stages.curation import (
+        benchmark_gram_matches,
+    )
+
+    # grams chosen to hit apostrophe tokens, sentinel chars and unicode
+    grams = [
+        "the cat sat",
+        "don't stop now",
+        "a b c",
+        "x \x01 y",          # sentinel inside a "gram": never matches
+        "café au lait",  # non-ASCII is NOT \w under RE2
+        "one two",            # 2 tokens: all-False under n=3
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    m = benchmark_gram_matches(t.column("text"), grams, n=3)
+    eng = m.sum(axis=1).astype(int)
+
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    sql = {
+        int(r[0]): int(r[1])
+        for r in con.execute(sql_contamination(grams, 3)).fetchall()
+    }
+    for i, txt in enumerate(texts):
+        assert int(eng[i]) == sql[i], (txt, grams)
