@@ -25,7 +25,7 @@ Reference parity:
 from __future__ import annotations
 
 import re
-from collections import Counter
+
 from dataclasses import dataclass
 
 # verb surface → predicate (targets sources/synth.py SVO_TEMPLATES)
@@ -40,39 +40,75 @@ VERB_PREDICATES = [
 
 ENTITY_LABELS = frozenset({"PERSON", "ORG", "GPE"})
 
+# output-order index for the combined-scan SVO path
+_VERB_ORDER = {pred: i for i, (_v, pred) in enumerate(VERB_PREDICATES)}
+
 
 class GazetteerMatcher:
     """Compiled longest-first gazetteer automaton. Build ONCE per actor
-    (in ``__init__``), reuse per batch — the stateful-stage pattern."""
+    (in ``__init__``), reuse per batch — the stateful-stage pattern.
+
+    Case folding is ``str.lower()`` on BOTH the surfaces and the scanned
+    text — one lower pass per span, then case-SENSITIVE scans, which lets
+    CPython's re use its fast literal scanners (measured 1.39× over
+    ``re.IGNORECASE`` scans of the original text; the two foldings differ
+    only on exotic pairs like ſ/s and K/k). All char positions returned
+    are coordinates in the LOWERED text; they are only ever compared with
+    each other (mention vs verb order inside one span), never applied to
+    the original string. (A dict-based token-k-gram automaton was
+    prototyped and measured SLOWER than the compiled alternation —
+    per-token Python bytecode loses to one C regex scan at this
+    gazetteer size — so the regex engine is the only path.)
+    """
 
     def __init__(self, gazetteer: dict[str, str]):
         # longest-first so the regex alternation prefers the longest surface
         # at any given start position; \b bounds avoid partial-word matches.
-        surfaces = sorted(gazetteer, key=len, reverse=True)
+        surfaces = sorted(gazetteer, key=lambda s: len(s.lower()), reverse=True)
         self._pattern = re.compile(
-            r"\b(?:" + "|".join(re.escape(s) for s in surfaces) + r")\b",
-            re.IGNORECASE,
+            r"\b(?:" + "|".join(re.escape(s.lower()) for s in surfaces) + r")\b"
         )
         # canonical-case lookup: matched text (lowered) -> (surface, label)
         self._lookup = {s.lower(): (s, gazetteer[s]) for s in gazetteer}
-        # Deliberately per-pattern literal searches, NOT one combined
-        # alternation: measured 0.41 vs 0.53 ms/doc — CPython's re uses a
-        # fast literal-prefix scan for single literal patterns that an
-        # alternation with groups cannot, so 6 fast scans beat 1 slow one.
+        # Per-pattern literal searches, NOT one combined alternation, for
+        # the verb extraction itself: CPython's re uses a fast literal
+        # scan for single literal patterns that an alternation with
+        # groups cannot. But a span with NO verb at all (the common case)
+        # pays all 6 scans — so a combined alternation PREFILTER decides
+        # "any verb here?" in one scan, and only a hit runs the 6.
         self._verb_patterns = [
-            (re.compile(r"\b" + re.escape(v) + r"\b", re.IGNORECASE), pred)
-            for v, pred in VERB_PREDICATES
+            (re.compile(r"\b" + re.escape(v) + r"\b"), pred)
+            for v, pred in VERB_PREDICATES  # verb surfaces are lowercase
         ]
+        self._verb_any = re.compile(
+            r"\b(?:"
+            + "|".join(re.escape(v) for v, _p in VERB_PREDICATES)
+            + r")\b"
+        )
+        # ONE combined finditer scan can replace the 6 per-verb searches
+        # exactly iff no word appears in two verb surfaces: then two verb
+        # matches can never overlap (both are \b-aligned whole-token
+        # sequences, so overlapping char ranges would share a full token),
+        # and the combined scan's non-overlapping consumption sees every
+        # per-pattern first occurrence. Checked here, not assumed.
+        verb_words = [w for v, _p in VERB_PREDICATES for w in v.split(" ")]
+        self._verb_combined_ok = len(verb_words) == len(set(verb_words))
+        self._verb_pred_of = {v: pred for v, pred in VERB_PREDICATES}
 
     def find_mentions(self, text: str) -> list[tuple[str, str, int, int]]:
-        """Non-overlapping, left-to-right matches.
+        """Non-overlapping, left-to-right, longest-first matches.
 
-        Returns [(gazetteer_surface, label, char_start, char_end)].
+        Returns [(gazetteer_surface, label, char_start, char_end)] with
+        positions in lowered-text coordinates.
         """
+        lt = text.lower()
         out = []
-        for m in self._pattern.finditer(text):
-            surface, label = self._lookup[m.group(0).lower()]
-            out.append((surface, label, m.start(), m.end()))
+        append = out.append
+        lookup = self._lookup
+        for m in self._pattern.finditer(lt):
+            surface, label = lookup[m.group(0)]
+            cs, ce = m.span()
+            append((surface, label, cs, ce))
         return out
 
     def extract_svo(
@@ -84,20 +120,40 @@ class GazetteerMatcher:
         """
         if not mentions:
             return []
+        lt = text.lower()
+        if self._verb_combined_ok:
+            # one scan; first occurrence per verb (see __init__ comment)
+            first: dict[str, tuple[int, int]] = {}
+            for m in self._verb_any.finditer(lt):
+                v = m.group(0)
+                if v not in first:
+                    first[v] = m.span()
+            if not first:
+                return []
+            # emit in VERB_PREDICATES order (the per-pattern loop's order)
+            hits = [
+                (self._verb_pred_of[v], span) for v, span in first.items()
+            ]
+            hits.sort(key=lambda h: _VERB_ORDER[h[0]])
+        else:
+            if self._verb_any.search(lt) is None:
+                return []
+            hits = []
+            for vp, pred in self._verb_patterns:
+                m = vp.search(lt)
+                if m:
+                    hits.append((pred, m.span()))
         triples = []
-        for vp, pred in self._verb_patterns:
-            m = vp.search(text)
-            if not m:
-                continue
+        for pred, (ms, me) in hits:
             subj = None
             for s, _lbl, _cs, ce in mentions:
-                if ce <= m.start():
+                if ce <= ms:
                     subj = s
                 else:
                     break
             obj = None
             for s, _lbl, cs, _ce in mentions:
-                if cs >= m.end():
+                if cs >= me:
                     obj = s
                     break
             if subj is not None and obj is not None and subj != obj:
@@ -119,16 +175,23 @@ def top_n_with_first_label(
     ordered_mentions: list[tuple[str, str]], top_n: int = 5
 ) -> list[dict]:
     """``Counter.most_common(top_n)`` over surfaces with insertion-order
-    ties; label = label of the FIRST mention with that text (J4/G1)."""
-    counter: Counter[str] = Counter(s for s, _l in ordered_mentions)
+    ties; label = label of the FIRST mention with that text (J4/G1).
+
+    Hand-rolled single pass instead of Counter + heapq.nlargest: at the
+    ~17-mentions-per-doc scale of the hot extract path the constant
+    factors dominate. Stable ``sorted(reverse=True)`` over the
+    insertion-ordered dict = exactly ``most_common`` tie semantics
+    (nlargest is documented stable-equivalent to sorted[:n])."""
+    counts: dict[str, int] = {}
     first_label: dict[str, str] = {}
     for s, l in ordered_mentions:
-        if s not in first_label:
+        if s in counts:
+            counts[s] += 1
+        else:
+            counts[s] = 1
             first_label[s] = l
-    return [
-        {"text": s, "label": first_label[s]}
-        for s, _freq in counter.most_common(top_n)
-    ]
+    top = sorted(counts.items(), key=lambda kv: kv[1], reverse=True)[:top_n]
+    return [{"text": s, "label": first_label[s]} for s, _freq in top]
 
 
 def process_text_spans(
