@@ -95,13 +95,17 @@ class GazetteerMatcher:
         self._verb_combined_ok = len(verb_words) == len(set(verb_words))
         self._verb_pred_of = {v: pred for v, pred in VERB_PREDICATES}
 
-    def find_mentions(self, text: str) -> list[tuple[str, str, int, int]]:
+    def find_mentions(
+        self, text: str, lt: str | None = None
+    ) -> list[tuple[str, str, int, int]]:
         """Non-overlapping, left-to-right, longest-first matches.
 
         Returns [(gazetteer_surface, label, char_start, char_end)] with
-        positions in lowered-text coordinates.
+        positions in lowered-text coordinates. ``lt`` lets a caller that
+        also runs extract_svo lower the text ONCE for both scans.
         """
-        lt = text.lower()
+        if lt is None:
+            lt = text.lower()
         out = []
         append = out.append
         lookup = self._lookup
@@ -112,15 +116,18 @@ class GazetteerMatcher:
         return out
 
     def extract_svo(
-        self, text: str, mentions: list[tuple[str, str, int, int]]
+        self, text: str, mentions: list[tuple[str, str, int, int]],
+        lt: str | None = None,
     ) -> list[tuple[str, str, str]]:
         """For each verb pattern occurring in the sentence: subject = last
         mention ending at/before the verb start, object = first mention
         starting at/after the verb end. Skips patterns missing either side.
+        ``lt`` = the pre-lowered text, if the caller already has it.
         """
         if not mentions:
             return []
-        lt = text.lower()
+        if lt is None:
+            lt = text.lower()
         if self._verb_combined_ok:
             # one scan; first occurrence per verb (see __init__ comment)
             first: dict[str, tuple[int, int]] = {}
@@ -215,7 +222,8 @@ def process_text_spans(
     find = matcher.find_mentions
     extract = matcher.extract_svo
     for text in ordered_texts:
-        mentions = find(text)
+        lt = text.lower()  # lowered ONCE for both scans
+        mentions = find(text, lt)
         if mentions:
             for m in mentions:
                 s, l = m[0], m[1]
@@ -226,12 +234,15 @@ def process_text_spans(
                 if s not in seen_surface:
                     seen_surface.add(s)
                     surfaces.append(s)
-            svo.extend(extract(text, mentions))
+            svo.extend(extract(text, mentions, lt))
     return DocNLPResult(
         doc_id=doc_id,
         entities=top_n_with_first_label(ent_mentions, top_n),
         topics=top_n_with_first_label(top_mentions, top_n),
-        summary=" ".join(ordered_texts[:summary_sentences])[:300],
+        # summary_sentences=0 = skip entirely (the flat fast path never
+        # reads it; the join+slice per doc is measurable at corpus scale)
+        summary="" if not summary_sentences
+        else " ".join(ordered_texts[:summary_sentences])[:300],
         svo=svo,
         mention_surfaces=surfaces,
     )

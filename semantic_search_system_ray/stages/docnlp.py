@@ -204,7 +204,10 @@ def extract_flat(docs_ds, gazetteer: dict[str, str]):
             lo, hi = boundaries[d_idx], boundaries[d_idx + 1]
             idx = [i for i in range(lo, hi) if text_mask[i] and texts_all[i]]
             idx.sort(key=lambda i: offsets_all[i])  # span order = offset order
-            r = process_text_spans(doc_id, [texts_all[i] for i in idx], matcher)
+            r = process_text_spans(
+                doc_id, [texts_all[i] for i in idx], matcher,
+                summary_sentences=0,  # flat rows never carry the summary
+            )
             for e in r.entities:
                 kind.append("T"); subj.append(doc_id)
                 pred.append("MENTIONS"); obj.append(e["text"])
