@@ -605,6 +605,24 @@ def _q_kg_communities(sf_dir: str):
     return label_propagation(edges_from_triples(_kg_triples(sf_dir)), rounds=3)
 
 
+def _q_kg_hits(sf_dir: str):
+    """Deterministic integer HITS hubs & authorities
+    (stages/graph.hits, 3 synchronous rounds) over the DISTINCT
+    directed simple KG edge set: auth starts at SCALE everywhere; each
+    round is hub-sum → max-normalize → auth-sum → max-normalize, all
+    floor arithmetic on non-negative int64, so the iterative
+    distributed computation is bit-reproducible against the
+    unrolled-CTE SQL twin (text_oracles.sql_kg_hits). Scale-switched
+    like pagerank/kcore/communities: exact numpy twin below the edge
+    threshold, distributed half-rounds (one score attach + one per-node
+    sum + a scalar max each) above — regimes parity-pytested in
+    tests/test_graph.py."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import hits
+
+    return hits(edges_from_triples(_kg_triples(sf_dir)), rounds=3)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Deterministic integer PageRank (stages/graph.pagerank, 5 rounds)
     over the KG edge set → top-20 nodes by (pr desc, node_id). The
@@ -1208,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_components": _q_kg_components,
             "kg_kcore": _q_kg_kcore,
             "kg_communities": _q_kg_communities,
+            "kg_hits": _q_kg_hits,
             "kg_triangles": _q_kg_triangles,
             "kg_jaccard": _q_kg_jaccard,
             "fuzzy_name_pairs": _q_fuzzy_name_pairs,
@@ -1348,6 +1367,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_communities": tox.sql_kg_communities(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_hits": tox.sql_kg_hits(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_triangles": tox.sql_kg_triangles(

@@ -1489,3 +1489,69 @@ l{r + 1} AS MATERIALIZED (
         f"\nSELECT node AS node_id, label AS community FROM l{rounds}"
     )
     return "".join(parts)
+
+
+def sql_kg_hits(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    rounds: int = 3,
+    scale: int = 1_000_000,
+) -> str:
+    """Oracle for stages/graph.hits over the KG edge set: ``rounds``
+    unrolled synchronous hub/authority rounds, chained CTEs like
+    sql_kg_pagerank / sql_kg_kcore. e0 is the DISTINCT directed simple
+    edge set (parallel edges and self-loops dropped); a0 = ``scale`` for
+    every endpoint node; each round is hub-sum → max-normalize →
+    auth-sum → max-normalize, every step floor arithmetic on
+    non-negative BIGINTs (DuckDB ``//`` truncates; all operands
+    non-negative, so truncation == the engine's floor). The per-round
+    SUM is cast back to BIGINT before the ``· scale``, keeping both
+    sides in int64 range (bound documented on the engine). CTEs stay AS
+    MATERIALIZED — the kcore lesson: DuckDB otherwise inlines the
+    chained references and the plan grows exponentially in rounds.
+    Built over the kg_triples oracle subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    parts = [
+        f"WITH t AS MATERIALIZED ({triples}),\n",
+        "raw AS MATERIALIZED (SELECT CAST(subj AS VARCHAR) AS s, "
+        "CAST(obj AS VARCHAR) AS d FROM t),\n",
+        "e AS MATERIALIZED (SELECT DISTINCT s, d FROM raw WHERE s <> d),\n",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e)),\n",
+        f"a0 AS MATERIALIZED (SELECT node, CAST({scale} AS BIGINT) AS v "
+        "FROM nodes)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+hr{r} AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(x.sv, 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.s AS node, SUM(a.v) AS sv
+    FROM e JOIN a{r} a ON a.node = e.d GROUP BY e.s
+  ) x ON x.node = n.node
+),
+h{r + 1} AS MATERIALIZED (
+  SELECT node, CAST((v * {scale}) // (SELECT MAX(v) FROM hr{r}) AS BIGINT) AS v
+  FROM hr{r}
+),
+ar{r} AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(x.sv, 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS node, SUM(h.v) AS sv
+    FROM e JOIN h{r + 1} h ON h.node = e.s GROUP BY e.d
+  ) x ON x.node = n.node
+),
+a{r + 1} AS MATERIALIZED (
+  SELECT node, CAST((v * {scale}) // (SELECT MAX(v) FROM ar{r}) AS BIGINT) AS v
+  FROM ar{r}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT h.node AS node_id, h.v AS hub, a.v AS auth
+FROM h{rounds} h JOIN a{rounds} a ON a.node = h.node"""
+    )
+    return "".join(parts)

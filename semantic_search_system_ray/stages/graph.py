@@ -1526,3 +1526,213 @@ def label_propagation(
         ),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (deterministic integer recurrence)
+# --------------------------------------------------------------------------
+
+HITS_SCHEMA = pa.schema(
+    [("node_id", pa.string()), ("hub", pa.int64()), ("auth", pa.int64())]
+)
+_HITS_E_SCHEMA = pa.schema([("s", pa.string()), ("d", pa.string())])
+_HITS_SV_SCHEMA = pa.schema([("node", pa.string()), ("v", pa.int64())])
+HITS_DRIVER_EDGE_THRESHOLD = PAGERANK_DRIVER_EDGE_THRESHOLD
+
+
+def _hits_driver(e: pa.Table, rounds: int, scale: int) -> rd.Dataset:
+    """Exact numpy twin of the distributed HITS recurrence (factorized
+    endpoints + unordered integer scatter-adds — int64 addition is
+    associative, so block layout never changes the result); parity
+    pinned by tests/test_graph.py across both regimes."""
+    s = _str(e.column("s")).to_numpy(zero_copy_only=False)
+    d = _str(e.column("d")).to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([s, d]))
+    si = np.searchsorted(nodes, s)
+    di = np.searchsorted(nodes, d)
+    n = len(nodes)
+    a = np.full(n, scale, dtype=np.int64)
+    h = np.zeros(n, dtype=np.int64)
+    for _ in range(rounds):
+        hr = np.zeros(n, dtype=np.int64)
+        np.add.at(hr, si, a[di])
+        h = hr * scale // hr.max()
+        ar = np.zeros(n, dtype=np.int64)
+        np.add.at(ar, di, h[si])
+        a = ar * scale // ar.max()
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"node_id": nodes, "hub": h, "auth": a}, schema=HITS_SCHEMA
+        )
+    )
+
+
+def hits(
+    edges: rd.Dataset,
+    *,
+    rounds: int = 3,
+    scale: int = DEFAULT_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    driver_threshold: int = HITS_DRIVER_EDGE_THRESHOLD,
+) -> rd.Dataset:
+    """Deterministic integer HITS (Kleinberg 1999) over the DISTINCT
+    directed simple edge set of ``edges`` (parallel edges and self-loops
+    dropped): auth starts at ``scale`` for every node; each of the fixed
+    ``rounds`` rounds computes
+
+        hub_raw(u)  = Σ_{u→v} auth(v)        (0 when u has no out-edges)
+        hub(u)      = hub_raw(u)·scale // max_w hub_raw(w)
+        auth_raw(v) = Σ_{u→v} hub(u)         (0 when v has no in-edges)
+        auth(v)     = auth_raw(v)·scale // max_w auth_raw(w)
+
+    — all floor arithmetic on non-negative int64, so the result is
+    independent of summation order / block layout / parallelism and has
+    an exact unrolled-CTE DuckDB twin (text_oracles.sql_kg_hits). The
+    max-normalization keeps every score in [0, scale]; per-round sums
+    are ≤ max_degree·scale and the normalization product ≤
+    max_degree·scale², so int64 holds to ~9e6 max degree at the default
+    scale=1e6 (multiply_checked raises loudly beyond). The max is never
+    0 on a non-empty edge set: round 1's hub_raw hits scale·outdeg at
+    some node, and every later max-score node passes ≥ scale to a
+    neighbor. Output: (node_id, hub, auth) after the last round, every
+    endpoint node present.
+
+    Reference analogue: hub/authority-style queries run driver-side over
+    the graph store (/root/reference/knowledge_graph/knowledge_graph.py);
+    here scores and edges stay Datasets throughout.
+
+    Scale: same switch as pagerank/kcore/LPA — edge sets at or below
+    ``driver_threshold`` take the exact numpy twin; larger graphs run
+    the distributed recurrence, where each half-round is ONE score
+    attach onto the static edge set (coarse_attach) and ONE per-node sum
+    (per-block Arrow sum combiners → coarse partition sum, LEFT-union
+    with the zero row of every node), plus a tiny scalar ``max()``
+    aggregate for the normalization — scores never driver-collect."""
+    from semantic_search_system_ray.stages.util import (
+        _default_partitions,
+        coarse_attach,
+    )
+
+    def norm_e(t: pa.Table) -> pa.Table:
+        tt = pa.Table.from_pydict(
+            {"s": _str(t.column(src_col)), "d": _str(t.column(dst_col))}
+        )
+        tt = tt.filter(pc.not_equal(tt.column("s"), tt.column("d")))
+        return tt.group_by(["s", "d"]).aggregate([])
+
+    def part_distinct(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _HITS_E_SCHEMA.empty_table()
+        return pa.Table.from_pandas(
+            df.drop_duplicates(), schema=_HITS_E_SCHEMA, preserve_index=False
+        )
+
+    e = coarse_partition_apply(
+        edges.map_batches(norm_e, batch_format="pyarrow"),
+        ["s", "d"], part_distinct, _HITS_E_SCHEMA,
+    ).materialize()
+    n_edges = e.count()
+    if n_edges == 0:
+        return rd.from_arrow(HITS_SCHEMA.empty_table())
+    if n_edges <= driver_threshold:
+        import ray
+
+        tables = [t for t in ray.get(e.to_arrow_refs()) if t.num_rows > 0]
+        return _hits_driver(pa.concat_tables(tables), rounds, scale)
+
+    P = _default_partitions(e)
+    e = e.repartition(P).materialize()
+    nodes = _distinct_nodes(e, "s", "d", num_partitions=P).repartition(
+        P
+    ).materialize()
+
+    def init_scale(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"node": _str(t.column("node_id")),
+             "v": pa.nulls(t.num_rows, pa.int64()).fill_null(scale)},
+            schema=_HITS_SV_SCHEMA,
+        )
+
+    def zeros(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"node": _str(t.column("node_id")),
+             "v": pa.nulls(t.num_rows, pa.int64()).fill_null(0)},
+            schema=_HITS_SV_SCHEMA,
+        )
+
+    def sum_node(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _HITS_SV_SCHEMA.empty_table()
+        agg = df.groupby("node", sort=False)["v"].sum().reset_index()
+        return pa.Table.from_pydict(
+            # v rides the null-bearing cogroup union as float64 — exact
+            # < 2^53 (sums ≤ max_degree·scale; see overflow note above)
+            {"node": agg["node"].to_numpy(),
+             "v": agg["v"].to_numpy().astype(np.int64)},
+            schema=_HITS_SV_SCHEMA,
+        )
+
+    def half_round(scores: rd.Dataset, join_key: str, sum_key: str) -> rd.Dataset:
+        att_schema = pa.schema([(sum_key, pa.string()), ("v", pa.int64())])
+        attached = coarse_attach(
+            e, scores,
+            left_key=join_key, right_key="node",
+            attach_cols=["v"], out_schema=att_schema,
+            num_partitions=P, how="inner",
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by([sum_key]).aggregate([("v", "sum")])
+            return pa.Table.from_pydict(
+                {"node": _str(g.column(sum_key)),
+                 "v": pc.cast(g.column("v_sum"), pa.int64())},
+                schema=_HITS_SV_SCHEMA,
+            )
+
+        raw = coarse_partition_apply(
+            attached.map_batches(partial, batch_format="pyarrow").union(
+                nodes.map_batches(zeros, batch_format="pyarrow")
+            ),
+            ["node"], sum_node, _HITS_SV_SCHEMA, num_partitions=P,
+        ).repartition(P).materialize()
+        mx = raw.max("v")
+
+        def normalize(t: pa.Table) -> pa.Table:
+            v = pc.cast(t.column("v"), pa.int64()).combine_chunks()
+            scaled = pc.multiply_checked(v, pa.scalar(scale, pa.int64()))
+            # Arrow integer divide truncates; all values non-negative,
+            # so truncation == floor == the numpy twin's //
+            return pa.Table.from_pydict(
+                {"node": t.column("node"),
+                 "v": pc.divide(scaled, pa.scalar(int(mx), pa.int64()))},
+                schema=_HITS_SV_SCHEMA,
+            )
+
+        return raw.map_batches(normalize, batch_format="pyarrow")
+
+    a = nodes.map_batches(init_scale, batch_format="pyarrow").materialize()
+    h = a
+    for _ in range(rounds):
+        h = half_round(a, join_key="d", sum_key="s").materialize()
+        a = half_round(h, join_key="s", sum_key="d").materialize()
+
+    def as_hub(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"node": t.column("node"), "hub": t.column("v")},
+            schema=pa.schema([("node", pa.string()), ("hub", pa.int64())]),
+        )
+
+    out = coarse_attach(
+        h.map_batches(as_hub, batch_format="pyarrow"), a,
+        left_key="node", right_key="node",
+        attach_cols=["v"], attach_as=["auth"],
+        out_schema=pa.schema(
+            [("node", pa.string()), ("hub", pa.int64()), ("auth", pa.int64())]
+        ),
+        num_partitions=P, how="inner",
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["node_id", "hub", "auth"]),
+        batch_format="pyarrow",
+    )

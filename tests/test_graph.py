@@ -274,3 +274,64 @@ def test_label_propagation_oscillation_is_fixed_rounds(
     assert list(zip(got["node_id"], got["community"])) == ref
     exp = [("a", "b"), ("b", "a")] if rounds == 1 else [("a", "a"), ("b", "b")]
     assert ref == exp
+
+
+def _reference_hits(
+    edges: list[tuple[str, str]], rounds: int
+) -> list[tuple[str, int, int]]:
+    """Single-process integer HITS over the distinct directed simple
+    edge set — the exact recurrence stages/graph.hits implements."""
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({n for p in e for n in p})
+    a = {n: DEFAULT_SCALE for n in nodes}
+    h = {n: 0 for n in nodes}
+    for _ in range(rounds):
+        hr = {n: 0 for n in nodes}
+        for s, d in e:
+            hr[s] += a[d]
+        mx = max(hr.values())
+        h = {n: hr[n] * DEFAULT_SCALE // mx for n in nodes}
+        ar = {n: 0 for n in nodes}
+        for s, d in e:
+            ar[d] += h[s]
+        mx = max(ar.values())
+        a = {n: ar[n] * DEFAULT_SCALE // mx for n in nodes}
+    return [(n, h[n], a[n]) for n in nodes]
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_hits_regime_parity(ray_session, n_blocks, driver_threshold):
+    """Both regimes of the scale switch — threshold 0 forces the
+    distributed half-rounds (score attach + per-node sum + scalar max),
+    10k the driver numpy twin — must match the single-process integer
+    HITS. Parallel edges collapse (distinct edge set) and the e-e
+    self-loop drops, so e is absent on both sides."""
+    from semantic_search_system_ray.stages.graph import hits
+
+    got = (
+        hits(_edges_ds(n_blocks), rounds=3, driver_threshold=driver_threshold)
+        .to_pandas()
+        .sort_values("node_id")
+        .reset_index(drop=True)
+    )
+    ref = _reference_hits(EDGES, 3)
+    assert list(zip(got["node_id"], got["hub"], got["auth"])) == ref
+    assert "e" not in set(got["node_id"])
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_hits_hub_auth_asymmetry(ray_session, driver_threshold):
+    """On a pure star x->{y1,y2,y3}: x is the only hub (hub=scale,
+    auth=0) and the leaves are pure equal authorities — and the
+    max-normalization pins every score to an exact integer."""
+    from semantic_search_system_ray.stages.graph import hits
+
+    t = pa.table({"src": ["x", "x", "x"], "dst": ["y1", "y2", "y3"]})
+    got = (
+        hits(rd.from_arrow(t), rounds=2, driver_threshold=driver_threshold)
+        .to_pandas().sort_values("node_id").reset_index(drop=True)
+    )
+    rows = list(zip(got["node_id"], got["hub"], got["auth"]))
+    s = DEFAULT_SCALE
+    assert rows == [("x", s, 0), ("y1", 0, s), ("y2", 0, s), ("y3", 0, s)]
