@@ -4666,13 +4666,29 @@ def q_small_qty_revenue(sf_dir: str):
     # size lets coarse_attach pick its zero-shuffle broadcast plan (an
     # unexecuted groupby estimates None → needless shuffle; measured
     # 9.6 s → re-timed after this change in BASELINE.md)
-    stats = (
-        li.map_batches(stats_partial, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Sum("q_sum", alias_name="sum_q"),
-                   Sum("q_count", alias_name="cnt"))
-        .materialize()
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    stats_schema = pa.schema(
+        [("l_partkey", pa.int64()), ("sum_q", pa.int64()),
+         ("cnt", pa.int64())]
     )
+
+    def stats_sum(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return stats_schema.empty_table()
+        agg = (
+            df.groupby("l_partkey", sort=False)
+            .agg(sum_q=("q_sum", "sum"), cnt=("q_count", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            agg, schema=stats_schema, preserve_index=False
+        )
+
+    stats = coarse_partition_apply(
+        li.map_batches(stats_partial, batch_format="pyarrow"),
+        ["l_partkey"], stats_sum, stats_schema,
+    ).materialize()
 
     def proj(t: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
@@ -6146,13 +6162,17 @@ def q_rfm_segments(sf_dir: str):
     the threshold-ntile rule (#thresholds strictly below + 1 —
     deterministic under ties, unlike SQL ntile()).
 
-    Scale shape: one customer-keyed groupby with per-block combiners
-    builds the (R, F, M) profile; thresholds come from three
-    bounded-cardinality integer histograms over the profile (R = day
-    domain, F = small ints, M quantized to whole dollars to keep the
-    histogram domain-bounded); scoring is a stateless vectorized
-    searchsorted; the final groupby has ≤64 groups."""
-    from semantic_search_system_ray.stages.sketch import exact_quantiles_histogram
+    Scale shape: one customer-keyed coarse groupby with per-block
+    combiners builds the (R, F, M) profile; thresholds come from ONE
+    fused bounded-cardinality integer histogram pass over the profile
+    (exact_quantiles_histogram_multi — R = day domain, F = small ints,
+    M quantized to whole dollars to keep the histogram domain-bounded);
+    scoring is a stateless vectorized searchsorted; the final combine
+    has ≤64 groups (per-block ≤64-row partials → one coarse sum)."""
+    from semantic_search_system_ray.stages.sketch import (
+        exact_quantiles_histogram_multi,
+    )
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
 
     QS = [0.25, 0.5, 0.75]
 
@@ -6184,12 +6204,26 @@ def q_rfm_segments(sf_dir: str):
         )
         return out.rename_columns(["o_custkey", "r", "f", "m"])
 
-    cust = (
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Max("r", alias_name="r"), Sum("f", alias_name="f"),
-                   Sum("m", alias_name="m"))
-        .materialize()
+    cust_schema = pa.schema(
+        [("o_custkey", pa.int64()), ("r", pa.int64()), ("f", pa.int64()),
+         ("m", pa.int64())]
+    )
+
+    def cust_sum(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return cust_schema.empty_table()
+        agg = (
+            df.groupby("o_custkey", sort=False)
+            .agg(r=("r", "max"), f=("f", "sum"), m=("m", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            agg, schema=cust_schema, preserve_index=False
+        )
+
+    cust = coarse_partition_apply(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], cust_sum, cust_schema,
     )
 
     def with_md(t: pa.Table) -> pa.Table:
@@ -6199,11 +6233,11 @@ def q_rfm_segments(sf_dir: str):
         return t.append_column("md", pa.array(md, pa.int64()))
 
     cust_md = cust.map_batches(with_md, batch_format="pyarrow").materialize()
+    thr_multi = exact_quantiles_histogram_multi(
+        cust_md, ["r", "f", "md"], QS, scale=1
+    )
     thr = {
-        dim: np.array(
-            [v for _q, v in exact_quantiles_histogram(cust_md, dim, QS, scale=1)],
-            dtype=np.float64,
-        )
+        dim: np.array([v for _q, v in thr_multi[dim]], dtype=np.float64)
         for dim in ("r", "f", "md")
     }
 
@@ -6224,13 +6258,29 @@ def q_rfm_segments(sf_dir: str):
             [("m", "count"), ("m", "sum")]
         )
 
-    agg = (
-        cust_md.map_batches(score, batch_format="pyarrow")
-        .groupby(["r_score", "f_score", "m_score"])
-        .aggregate(Sum("m_count", alias_name="n_customers"),
-                   Sum("m_sum", alias_name="sum_cents"))
+    seg_schema = pa.schema(
+        [("r_score", pa.int64()), ("f_score", pa.int64()),
+         ("m_score", pa.int64()), ("n_customers", pa.int64()),
+         ("sum_cents", pa.int64())]
     )
-    t = pa.Table.from_pylist(agg.take_all())  # ≤64 rows
+
+    def seg_sum(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return seg_schema.empty_table()
+        agg = (
+            df.groupby(["r_score", "f_score", "m_score"], sort=False)
+            .agg(n_customers=("m_count", "sum"), sum_cents=("m_sum", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            agg, schema=seg_schema, preserve_index=False
+        )
+
+    agg = coarse_partition_apply(
+        cust_md.map_batches(score, batch_format="pyarrow"),
+        ["r_score", "f_score", "m_score"], seg_sum, seg_schema,
+    )
+    t = pa.Table.from_pylist(agg.take_all(), schema=seg_schema)  # ≤64 rows
     return pa.Table.from_pydict(
         {"r_score": t.column("r_score"), "f_score": t.column("f_score"),
          "m_score": t.column("m_score"),

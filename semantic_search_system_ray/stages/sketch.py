@@ -171,6 +171,88 @@ def exact_quantiles_histogram(
     return out
 
 
+def exact_quantiles_histogram_multi(
+    ds, cols: list[str], qs: list[float], *, scale: int = 100
+):
+    """Fused multi-column variant of ``exact_quantiles_histogram``:
+    per-block (dim, cell, n) histograms for ALL requested columns in ONE
+    streaming pass, ONE coarse combine (bounded by the SUM of the value
+    domains — still domain-bounded, never row-bounded), per-column
+    quantiles off the driver-side cumulative counts. Same
+    ``quantile_disc`` rank rule and the same single cell/scale float
+    division as the single-column helper, so results are bit-identical
+    to calling it per column — at one pass + one shuffle instead of
+    |cols| of each (rfm_segments' three threshold passes measured
+    ~3x the one fused pass). Returns {col: [(q, value), ...]}."""
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    hist_schema = pa.schema(
+        [("dim", pa.int64()), ("cell", pa.int64()), ("n", pa.int64())]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        parts = []
+        for i, col in enumerate(cols):
+            cents = pc.cast(
+                pc.round(pc.multiply(t.column(col), float(scale))), pa.int64()
+            )
+            g = pa.Table.from_pydict({"cell": cents}).group_by(
+                ["cell"]
+            ).aggregate([("cell", "count")])
+            parts.append(
+                pa.Table.from_pydict(
+                    {
+                        "dim": pa.nulls(g.num_rows, pa.int64()).fill_null(i),
+                        "cell": g.column("cell").combine_chunks(),
+                        "n": pc.cast(g.column("cell_count"), pa.int64()),
+                    },
+                    schema=hist_schema,
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def sum_cells(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return hist_schema.empty_table()
+        agg = df.groupby(["dim", "cell"], sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pandas(
+            agg, schema=hist_schema, preserve_index=False
+        )
+
+    merged = coarse_partition_apply(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        ["dim", "cell"], sum_cells, hist_schema,
+    )
+    rows = merged.take_all()  # bounded by the SUM of value domains
+    dims = np.array([r["dim"] for r in rows], dtype=np.int64)
+    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+    counts = np.array([r["n"] for r in rows], dtype=np.int64)
+    out: dict[str, list] = {}
+    for i, col in enumerate(cols):
+        m = dims == i
+        c, cnt = cells[m], counts[m]
+        order = np.argsort(c)
+        c, cnt = c[order], cnt[order]
+        cum = np.cumsum(cnt)
+        n = int(cum[-1]) if len(cum) else 0
+        res = []
+        for q in qs:
+            if n == 0:
+                res.append((q, None))
+                continue
+            target = _quantile_rank(q, n)
+            idx = int(np.searchsorted(cum, target, side="left"))
+            res.append((q, c[idx] / float(scale)))
+        out[col] = res
+    return out
+
+
 def exact_grouped_quantiles_histogram(
     ds, group_col: str, col: str, qs: list[float], *, scale: int = 100
 ):
