@@ -316,12 +316,21 @@ def _verify_pairs_with_sigs(pairs: rd.Dataset, sigs: rd.Dataset, threshold: floa
     ``VERIFY_BROADCAST_THRESHOLD`` docs use ``_verify_pairs_join``."""
     import pandas as pd
 
-    rows = sigs.take_all()
-    idx = {r["doc_id"]: i for i, r in enumerate(rows)}
-    mat = (
-        np.stack([np.asarray(r["sig"], dtype=np.uint32) for r in rows])
-        if rows else np.zeros((0, 1), np.uint32)
-    )
+    # Collect as ARROW blocks, not Python rows: the flat uint32 child of
+    # the fixed-size-list sig column reshapes zero-copy into the stacked
+    # matrix (row-of-dicts take_all + per-row np.stack measured ~2 s of
+    # pure Python at the 60k-doc skew bench vs ~0.1 s here)
+    tables = [t for t in ray.get(sigs.to_arrow_refs()) if t.num_rows > 0]
+    if tables:
+        tbl = pa.concat_tables(tables)
+        sig_col = tbl.column("sig").combine_chunks()
+        num_perm = sig_col.type.list_size
+        mat = sig_col.values.to_numpy(zero_copy_only=False).astype(
+            np.uint32, copy=False
+        ).reshape(-1, num_perm)
+        idx = {d: i for i, d in enumerate(tbl.column("doc_id").to_pylist())}
+    else:
+        idx, mat = {}, np.zeros((0, 1), np.uint32)
     ref = ray.put((idx, mat))
     _cache: dict[str, tuple] = {}
 
