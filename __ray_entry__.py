@@ -635,6 +635,32 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank_topk(pr, 20)
 
 
+def _q_kg_ppr(sf_dir: str):
+    """PERSONALIZED integer PageRank (stages/graph.pagerank with
+    seeds = the HAS_TOPIC objects — topic nodes, 5 rounds) over the KG
+    edge set → top-20 by (pr desc, node_id). The restart mass lands
+    only on seeds and pr0 = scale·[seed]; same all-integer floor
+    recurrence as kg_pagerank, so the seeded variant is
+    bit-reproducible against the unrolled-CTE SQL twin
+    (text_oracles.sql_kg_ppr). The seed flag rides one LEFT
+    coarse_attach in the distributed regime; driver regime collects
+    the seed set (a subset of the already-driver-resident nodes)."""
+    import pyarrow.compute as pc
+
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import pagerank, pagerank_topk
+
+    triples = _kg_triples(sf_dir).materialize()
+    seeds = triples.filter(expr="pred == 'HAS_TOPIC'").map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node_id": pc.cast(t.column("obj"), pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    pr = pagerank(edges_from_triples(triples), iterations=5, seeds=seeds)
+    return pagerank_topk(pr, 20)
+
+
 def _q_kg_bfs(sf_dir: str):
     """Multi-source BFS hop distance over the KG edge set
     (stages/graph.bfs_hops): seeds = every HAS_TOPIC object (the topic
@@ -1227,6 +1253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_kcore": _q_kg_kcore,
             "kg_communities": _q_kg_communities,
             "kg_hits": _q_kg_hits,
+            "kg_ppr": _q_kg_ppr,
             "kg_triangles": _q_kg_triangles,
             "kg_jaccard": _q_kg_jaccard,
             "fuzzy_name_pairs": _q_fuzzy_name_pairs,
@@ -1370,6 +1397,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_hits": tox.sql_kg_hits(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_ppr": tox.sql_kg_ppr(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_triangles": tox.sql_kg_triangles(

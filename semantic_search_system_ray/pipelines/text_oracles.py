@@ -1555,3 +1555,49 @@ SELECT h.node AS node_id, h.v AS hub, a.v AS auth
 FROM h{rounds} h JOIN a{rounds} a ON a.node = h.node"""
     )
     return "".join(parts)
+
+
+def sql_kg_ppr(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    iterations: int = 5,
+    scale: int = 1_000_000,
+    k: int = 20,
+) -> str:
+    """Oracle for PERSONALIZED stages/graph.pagerank (seeds = the
+    HAS_TOPIC objects, i.e. the topic nodes): the same unrolled integer
+    recurrence as sql_kg_pagerank but the restart mass (BASE) lands only
+    on seed nodes and pr0 is ``scale`` on seeds, 0 elsewhere. All floor
+    integer arithmetic — bit-identical to the engine's seeded variant."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    base_scaled = (100 - 85) * scale // 100
+    ctes = []
+    for i in range(1, iterations + 1):
+        ctes.append(f"""pr{i} AS (
+  SELECT n.node_id,
+         CAST(CASE WHEN n.node_id IN (SELECT node_id FROM seeds)
+                   THEN {base_scaled} ELSE 0 END
+              + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node_id, sum(p.pr // o.od) AS m
+    FROM e JOIN pr{i - 1} p ON p.node_id = e.src
+           JOIN od o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node_id = n.node_id)""")
+    chain = ",\n".join(ctes)
+    return f"""
+WITH t AS ({triples}),
+e AS (SELECT CAST(subj AS VARCHAR) AS src, CAST(obj AS VARCHAR) AS dst FROM t),
+od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+seeds AS (SELECT DISTINCT CAST(obj AS VARCHAR) AS node_id FROM t
+          WHERE pred = 'HAS_TOPIC'),
+pr0 AS (SELECT node_id,
+               CAST(CASE WHEN node_id IN (SELECT node_id FROM seeds)
+                         THEN {scale} ELSE 0 END AS BIGINT) AS pr
+        FROM nodes),
+{chain}
+SELECT node_id, pr FROM pr{iterations}
+ORDER BY pr DESC, node_id LIMIT {k}
+"""

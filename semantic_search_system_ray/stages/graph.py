@@ -136,7 +136,7 @@ def _distinct_nodes(
 
 def _pagerank_driver(
     edges: rd.Dataset, iterations: int, scale: int,
-    src_col: str, dst_col: str,
+    src_col: str, dst_col: str, seed_set: set[str] | None = None,
 ) -> rd.Dataset:
     """Exact driver-side twin of the distributed recurrence: factorized
     endpoint codes + one ``np.bincount`` per round. Bit-identical to the
@@ -171,11 +171,17 @@ def _pagerank_driver(
     n = len(nodes)
     od = np.bincount(s_idx, minlength=n)  # every src has od >= 1
     base_scaled = (DAMP_DEN - DAMP_NUM) * scale // DAMP_DEN
-    pr = np.full(n, scale, dtype=np.int64)
+    if seed_set is None:
+        base_vec: np.ndarray | int = base_scaled
+        pr = np.full(n, scale, dtype=np.int64)
+    else:  # personalized: restart mass and initial rank only on seeds
+        mask = np.isin(nodes, np.array(sorted(seed_set), dtype=object))
+        base_vec = np.where(mask, base_scaled, 0).astype(np.int64)
+        pr = np.where(mask, scale, 0).astype(np.int64)
     for _ in range(iterations):
         contrib = pr[s_idx] // od[s_idx]
         m = np.bincount(d_idx, weights=contrib, minlength=n).astype(np.int64)
-        pr = base_scaled + (DAMP_NUM * m) // DAMP_DEN
+        pr = base_vec + (DAMP_NUM * m) // DAMP_DEN
     return rd.from_arrow(
         pa.Table.from_pydict({"node_id": nodes, "pr": pr}, schema=PR_SCHEMA)
     )
@@ -189,6 +195,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     driver_threshold: int = PAGERANK_DRIVER_EDGE_THRESHOLD,
+    seeds: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """→ (node_id, pr) after ``iterations`` synchronous rounds of the
     integer recurrence above. Edge sets at or below ``driver_threshold``
@@ -210,7 +217,18 @@ def pagerank(
     union's input block count, the materialized pr grows by ~3P blocks
     per round, and iteration cost goes QUADRATIC in rounds (measured
     9 s → 21 s → 43 s → 70 s → 103 s per round at sf0.1 before the fix;
-    flat ~6 s after)."""
+    flat ~6 s after).
+
+    ``seeds`` (a Dataset with a ``node_id`` column) switches to
+    PERSONALIZED PageRank: the restart mass (BASE) lands only on seed
+    nodes and the initial rank is ``scale`` on seeds, 0 elsewhere —
+    same all-integer floor recurrence, so the personalized variant
+    stays bit-reproducible against its unrolled-CTE twin
+    (text_oracles.sql_kg_ppr). Seeds outside the edge set are ignored
+    (only endpoint nodes rank); duplicate seed rows are harmless. In
+    the distributed regime the seed flag rides ONE left coarse_attach
+    onto the node table; per-node base then travels the zero-row union
+    (the ``b`` column) — no extra shuffle per round."""
     base = DAMP_DEN - DAMP_NUM  # 15
     base_scaled = base * scale // DAMP_DEN
 
@@ -222,7 +240,14 @@ def pagerank(
     # anyway, and a constant P keeps iteration cost flat.
     edges = edges.materialize()
     if edges.count() <= driver_threshold:  # metadata count: free
-        return _pagerank_driver(edges, iterations, scale, src_col, dst_col)
+        seed_set = None
+        if seeds is not None:
+            # driver regime: the seed set is a subset of a node table
+            # that already fits driver-side by the regime's premise
+            seed_set = {str(r["node_id"]) for r in seeds.take_all()}
+        return _pagerank_driver(
+            edges, iterations, scale, src_col, dst_col, seed_set
+        )
     from semantic_search_system_ray.stages.util import _default_partitions
 
     P = _default_partitions(edges)
@@ -281,18 +306,57 @@ def pagerank(
         ["key"], attach_od, ed_schema, num_partitions=P,
     ).repartition(P).materialize()
 
-    pr = nodes.map_batches(
-        lambda t: t.append_column(
-            "pr", pa.nulls(t.num_rows, pa.int64()).fill_null(scale)
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    # per-node restart mass: constant BASE classically; seeds-only when
+    # personalized (the flag rides ONE left attach, then travels the
+    # zero-row union as the b column — no extra per-round shuffle)
+    nb_schema = pa.schema([("node_id", pa.string()), ("b", pa.int64())])
+    if seeds is None:
+        nodes_b = nodes.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"node_id": t.column("node_id"),
+                 "b": pa.nulls(t.num_rows, pa.int64()).fill_null(base_scaled)},
+                schema=nb_schema,
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        from semantic_search_system_ray.stages.util import coarse_attach
+
+        seeds_b = seeds.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"node_id": _str(t.column("node_id")),
+                 "b": pa.nulls(t.num_rows, pa.int64()).fill_null(base_scaled)},
+                schema=nb_schema,
+            ),
+            batch_format="pyarrow",
+        )
+        nodes_b = coarse_attach(
+            nodes, seeds_b, left_key="node_id", right_key="node_id",
+            attach_cols=["b"], out_schema=nb_schema,
+            num_partitions=P, how="left", fill={"b": 0},
+        ).repartition(P).materialize()
+
+    def init_pr(t: pa.Table) -> pa.Table:
+        if seeds is None:
+            pr0 = pa.nulls(t.num_rows, pa.int64()).fill_null(scale)
+        else:  # initial rank = scale on seeds, 0 elsewhere
+            pr0 = pc.if_else(
+                pc.greater(t.column("b"), pa.scalar(0, pa.int64())),
+                pa.scalar(scale, pa.int64()), pa.scalar(0, pa.int64()),
+            )
+        return pa.Table.from_pydict(
+            {"node_id": t.column("node_id"), "pr": pr0}, schema=PR_SCHEMA
+        )
+
+    pr = nodes_b.map_batches(init_pr, batch_format="pyarrow").materialize()
 
     union_pr = pa.schema(
         [("key", pa.string()), ("dst", pa.string()), ("od", pa.int64()),
          ("pr", pa.int64()), ("is_pr", pa.bool_())]
     )
-    msum = pa.schema([("node_id", pa.string()), ("m", pa.int64())])
+    msum = pa.schema(
+        [("node_id", pa.string()), ("m", pa.int64()), ("b", pa.int64())]
+    )
 
     def tag_e2(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -327,21 +391,26 @@ def pagerank(
             pd.DataFrame({"node_id": merged["dst"].to_numpy(), "m": c})
             .groupby("node_id", sort=False)["m"].sum().reset_index()
         )
+        part["b"] = np.int64(0)
         return pa.Table.from_pandas(part, schema=msum, preserve_index=False)
 
     def tag_zero(t: pa.Table) -> pa.Table:
+        # the zero row carries the node's restart mass b (exactly one
+        # such row per node, so the partition sum recovers it exactly)
         return pa.Table.from_arrays(
             [t.column("node_id").combine_chunks(),
-             pa.nulls(t.num_rows, pa.int64()).fill_null(0)],
+             pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+             pc.cast(t.column("b"), pa.int64()).combine_chunks()],
             schema=msum,
         )
 
     def apply_rank(df: pd.DataFrame) -> pa.Table:
         if df.empty:
             return PR_SCHEMA.empty_table()
-        agg = df.groupby("node_id", sort=False)["m"].sum().reset_index()
+        agg = df.groupby("node_id", sort=False)[["m", "b"]].sum().reset_index()
         m = agg["m"].to_numpy().astype(np.int64)
-        pr_new = base_scaled + (DAMP_NUM * m) // DAMP_DEN
+        b = agg["b"].to_numpy().astype(np.int64)
+        pr_new = b + (DAMP_NUM * m) // DAMP_DEN
         return pa.Table.from_pydict(
             {"node_id": agg["node_id"].to_numpy(), "pr": pr_new},
             schema=PR_SCHEMA,
@@ -355,7 +424,9 @@ def pagerank(
             ["key"], contribs, msum, num_partitions=P,
         )
         pr = coarse_partition_apply(
-            partials.union(nodes.map_batches(tag_zero, batch_format="pyarrow")),
+            partials.union(
+                nodes_b.map_batches(tag_zero, batch_format="pyarrow")
+            ),
             ["node_id"], apply_rank, PR_SCHEMA, num_partitions=P,
         ).repartition(P).materialize()
     return pr

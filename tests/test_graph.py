@@ -335,3 +335,47 @@ def test_hits_hub_auth_asymmetry(ray_session, driver_threshold):
     rows = list(zip(got["node_id"], got["hub"], got["auth"]))
     s = DEFAULT_SCALE
     assert rows == [("x", s, 0), ("y1", 0, s), ("y2", 0, s), ("y3", 0, s)]
+
+
+def _reference_ppr(iterations: int, seeds: set[str]) -> list[tuple[str, int]]:
+    """Single-process personalized variant: restart mass and pr0 only on
+    seed nodes — the exact seeded recurrence pagerank(seeds=...) runs."""
+    base = 15 * DEFAULT_SCALE // 100
+    nodes = sorted({n for e in EDGES for n in e})
+    od: dict[str, int] = defaultdict(int)
+    for s, _ in EDGES:
+        od[s] += 1
+    pr = {n: (DEFAULT_SCALE if n in seeds else 0) for n in nodes}
+    for _ in range(iterations):
+        m: dict[str, int] = defaultdict(int)
+        for s, d in EDGES:
+            m[d] += pr[s] // od[s]
+        pr = {
+            n: (base if n in seeds else 0) + (85 * m[n]) // 100
+            for n in nodes
+        }
+    return sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_personalized_pagerank_parity(ray_session, n_blocks, driver_threshold):
+    """Seeded pagerank, both regimes: restart mass only on seeds {a, d}
+    (d is a source-only node; its seed mass must survive the zero-row
+    union). Seeds outside the edge set ('zz') are ignored; a duplicate
+    seed row is harmless."""
+    seeds = rd.from_arrow(
+        pa.table({"node_id": ["a", "d", "d", "zz"]})
+    ).repartition(2)
+    ref = _reference_ppr(5, {"a", "d"})
+    got = pagerank_topk(
+        pagerank(_edges_ds(n_blocks), iterations=5,
+                 driver_threshold=driver_threshold, seeds=seeds),
+        20,
+    )
+    assert list(zip(got.column("node_id").to_pylist(),
+                    got.column("pr").to_pylist())) == ref
+    # non-seed sink-free nodes still accumulate walked-in mass only
+    prs = dict(zip(got.column("node_id").to_pylist(),
+                   got.column("pr").to_pylist()))
+    assert prs["d"] >= 15 * DEFAULT_SCALE // 100  # seed keeps its base
