@@ -208,6 +208,41 @@ def _q_minhash_clusters(sf_dir: str):
     return minhash_lsh_clusters(ds, threshold=0.6)
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental ingestion dedup (stages/dedup.minhash_incremental):
+    the documents table splits deterministically into INDEXED
+    (md5_hash64('inc-' + doc_id) % 10 < 7 — DuckDB md5_number_lower on
+    the same string) and INCOMING docs; every incoming doc probes the
+    indexed corpus through the LSH band buckets (star candidates to the
+    bucket-min indexed doc, ≤ bands candidates per doc), signature
+    verification, min verified match → (doc_id, status, dup_of). No
+    transitive closure — the incremental path is shuffle-bounded.
+    Oracle: text_oracles.sql_dedup_incremental over the shared
+    sig/band CTE prefix."""
+    from semantic_search_system_ray.functions.hashing import md5_hash64
+    from semantic_search_system_ray.pipelines.queries import read_docs
+    from semantic_search_system_ray.stages.dedup import minhash_incremental
+
+    ds = read_docs(sf_dir, ["doc_id", "text"])
+
+    def side(t, want_indexed):
+        import numpy as np
+
+        ids = [str(v) for v in t.column("doc_id").to_pylist()]
+        flags = np.array(
+            [md5_hash64("inc-" + d) % 10 < 7 for d in ids], dtype=bool
+        )
+        return t.filter(pa.array(flags if want_indexed else ~flags))
+
+    indexed = ds.map_batches(
+        lambda t: side(t, True), batch_format="pyarrow"
+    )
+    incoming = ds.map_batches(
+        lambda t: side(t, False), batch_format="pyarrow"
+    )
+    return minhash_incremental(indexed, incoming, threshold=0.5)
+
+
 def _q_simhash(sf_dir: str):
     from semantic_search_system_ray.stages.dedup import simhash_table
     from semantic_search_system_ray.pipelines.queries import read_docs
@@ -1265,6 +1300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "taxonomy_build": _q_taxonomy_build,
             "doc_topic_words": _q_doc_topic_words,
             "minhash_clusters": _q_minhash_clusters,
+            "dedup_incremental": _q_dedup_incremental,
             "corpus_near_clean": _q_corpus_near_clean,
             "kg_diff": _q_kg_diff,
             "centroid_distances": _q_centroid_distances,
@@ -1451,6 +1487,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             # full minhash pipeline in SQL (md5-based hashes since r3)
             "minhash_clusters": tox.sql_minhash_clusters(threshold=0.6),
+            "dedup_incremental": tox.sql_dedup_incremental(threshold=0.5),
             "corpus_near_clean": tox.sql_corpus_near_clean(threshold=0.6),
             "kg_diff": tox.sql_kg_diff(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, _kg_diff_taxonomy(),

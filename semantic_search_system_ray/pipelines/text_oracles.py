@@ -505,27 +505,13 @@ FROM sampled
 """
 
 
-def sql_minhash_clusters(
-    num_perm: int = 64,
-    bands: int = 16,
-    shingle_k: int = 3,
-    threshold: float = 0.6,
-    seed: int = 1,
+def _sql_minhash_sig_band(
+    num_perm: int, bands: int, shingle_k: int, seed: int
 ) -> str:
-    """DuckDB oracle for the FULL minhash_lsh_clusters pipeline
-    (stages/dedup): shingling → universal-hash MinHash signatures →
-    LSH banding → star candidate pairs → signature verification →
-    connected components, all in one SQL statement.
-
-    Expressible because (r3): the shingle hash is md5-based
-    (functions/hashing.md5_hash64 == ``md5_number_lower``), the band
-    bucket key is an md5 prefix (same hash ⇒ identical buckets,
-    collisions included), the (a, b) Mersenne universal-hash parameters
-    are deterministic seeded CONSTANTS inlined as VALUES, the mulmod is
-    exact in HUGEINT ((a·h + b) mod (2^61−1), products < 2^122), and the
-    min-label components of the (small) verified-edge graph are a
-    recursive transitive closure. Mask-after-min matches the engine
-    (min over 61-bit values, then low 32 bits)."""
+    """Shared CTE prefix for the MinHash oracles (sql_minhash_clusters,
+    sql_dedup_incremental): shingling, universal-hash signatures and
+    band-bucket rows over ``documents`` — ONE source of truth so the
+    incremental twin can never drift from the clustering twin."""
     from semantic_search_system_ray.functions.hashing import (
         _MERSENNE_P,
         _minhash_params,
@@ -536,8 +522,7 @@ def sql_minhash_clusters(
         f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
     )
     rows_per_band = num_perm // bands
-    return f"""
-WITH RECURSIVE doc AS (
+    return f"""doc AS (
   SELECT CAST(doc_id AS VARCHAR) AS d,
          regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS ws
   FROM documents
@@ -579,7 +564,33 @@ band AS (
            sl[{rows_per_band} * bb.b + 1 : {rows_per_band} * bb.b + {rows_per_band}],
            ',')), 1, 16) AS band_hash
   FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS b) bb
-),
+)"""
+
+
+def sql_minhash_clusters(
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+    seed: int = 1,
+) -> str:
+    """DuckDB oracle for the FULL minhash_lsh_clusters pipeline
+    (stages/dedup): shingling → universal-hash MinHash signatures →
+    LSH banding → star candidate pairs → signature verification →
+    connected components, all in one SQL statement.
+
+    Expressible because (r3): the shingle hash is md5-based
+    (functions/hashing.md5_hash64 == ``md5_number_lower``), the band
+    bucket key is an md5 prefix (same hash ⇒ identical buckets,
+    collisions included), the (a, b) Mersenne universal-hash parameters
+    are deterministic seeded CONSTANTS inlined as VALUES, the mulmod is
+    exact in HUGEINT ((a·h + b) mod (2^61−1), products < 2^122), and the
+    min-label components of the (small) verified-edge graph are a
+    recursive transitive closure. Mask-after-min matches the engine
+    (min over 61-bit values, then low 32 bits)."""
+    prefix = _sql_minhash_sig_band(num_perm, bands, shingle_k, seed)
+    return f"""
+WITH RECURSIVE {prefix},
 cand AS (
   SELECT DISTINCT b1.d AS src, m.mn AS dst
   FROM band b1
@@ -1600,4 +1611,56 @@ pr0 AS (SELECT node_id,
 {chain}
 SELECT node_id, pr FROM pr{iterations}
 ORDER BY pr DESC, node_id LIMIT {k}
+"""
+
+
+def sql_dedup_incremental(
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 1,
+) -> str:
+    """DuckDB oracle for stages/dedup.minhash_incremental over the
+    documents table, split deterministically into INDEXED
+    (md5_number_lower('inc-' || doc_id) % 10 < 7 — the engine's
+    functions.hashing.md5_hash64 on the same string) and INCOMING docs:
+    the shared sig/band prefix (_sql_minhash_sig_band — one source of
+    truth with sql_minhash_clusters), per-bucket (incoming →
+    bucket-min indexed) star candidates, the same signature-equality
+    verification, min verified match per incoming doc, LEFT join back
+    onto every incoming doc. No transitive closure — incremental
+    semantics reports a direct verified match or 'novel'."""
+    prefix = _sql_minhash_sig_band(num_perm, bands, shingle_k, seed)
+    return f"""
+WITH {prefix},
+side AS (
+  SELECT d, (md5_number_lower('inc-' || d) % 10) < 7 AS indexed FROM doc
+),
+bucket_old AS (
+  SELECT b.band, b.band_hash, min(b.d) AS old_min
+  FROM band b JOIN side s ON s.d = b.d AND s.indexed
+  GROUP BY b.band, b.band_hash
+),
+cand AS (
+  SELECT DISTINCT b.d AS src, o.old_min AS dst
+  FROM band b
+  JOIN side s ON s.d = b.d AND NOT s.indexed
+  JOIN bucket_old o ON o.band = b.band AND o.band_hash = b.band_hash
+),
+edge AS (
+  SELECT c.src, c.dst
+  FROM cand c
+  JOIN sig sa ON sa.d = c.src
+  JOIN sig sb ON sb.d = c.dst
+  WHERE CAST(len(list_filter(generate_series(1, {num_perm}),
+                             i -> sa.slv[i] = sb.slv[i])) AS DOUBLE)
+        / {num_perm} >= {threshold}
+),
+dup AS (SELECT src AS d, min(dst) AS dup_of FROM edge GROUP BY src)
+SELECT s.d AS doc_id,
+       CASE WHEN du.dup_of IS NULL THEN 'novel' ELSE 'dup' END AS status,
+       coalesce(du.dup_of, '') AS dup_of
+FROM side s LEFT JOIN dup du ON du.d = s.d
+WHERE NOT s.indexed
 """

@@ -423,6 +423,155 @@ def minhash_lsh_clusters(
 
 
 # --------------------------------------------------------------------------
+# Incremental near-dup dedup (probe NEW docs against an INDEXED corpus)
+# --------------------------------------------------------------------------
+
+INCR_SCHEMA = pa.schema(
+    [("doc_id", pa.string()), ("status", pa.string()),
+     ("dup_of", pa.string())]
+)
+
+
+def _bucket_incr_pairs(g: "pd.DataFrame") -> pa.Table:
+    """One LSH bucket with BOTH sides present → (incoming, bucket-min
+    INDEXED doc) candidate pairs. Deterministic star rule like
+    ``_bucket_pairs`` (each incoming doc gets at most ``bands``
+    candidates — never an all-pairs blowup on hot buckets); incremental
+    semantics never pairs incoming docs with each other."""
+    old = sorted(set(g.loc[~g["is_new"], "doc_id"]))
+    new = sorted(set(g.loc[g["is_new"], "doc_id"]))
+    if not old or not new:
+        return _PAIR_SCHEMA.empty_table()
+    return pa.Table.from_pydict(
+        {"src": pa.array(new, pa.string()),
+         "dst": pa.array([old[0]] * len(new), pa.string())},
+        schema=_PAIR_SCHEMA,
+    )
+
+
+def minhash_incremental(
+    indexed: rd.Dataset,
+    incoming: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    verify: str = "auto",
+) -> rd.Dataset:
+    """Incremental ingestion dedup: probe every INCOMING doc against the
+    already-INDEXED corpus → (doc_id, status ∈ {dup, novel}, dup_of) —
+    one row per incoming doc, ``dup_of`` = the minimum verified indexed
+    match ('' when novel). The reference processes new documents
+    against its stored corpus via the unprocessed work queue
+    (ingest/pr_meta_store.py get_unprocessed_*); here the probe is the
+    LSH path: one signature pass over BOTH sides (tagged union), band
+    rows, per-bucket (incoming → bucket-min indexed) candidate stars
+    (deterministic, ≤ ``bands`` candidates per incoming doc — the
+    documented contract: a near-dup of a non-min indexed doc in a
+    bucket whose min doesn't verify is reported novel, identically on
+    both sides), signature verification (broadcast ↔ join scale
+    switch), then a per-incoming-doc min and a LEFT attach onto the
+    full incoming id set. No connected components — incremental dedup
+    needs no transitive closure, so the whole probe is
+    shuffle-bounded: one bucket cogroup + one verify + two small
+    combines."""
+    import pandas as pd
+
+    from semantic_search_system_ray.pipelines.kg_build import distinct_rows
+    from semantic_search_system_ray.stages.util import (
+        coarse_attach,
+        coarse_grouped_apply,
+        coarse_partition_apply,
+    )
+
+    rows_per_band = num_perm // bands
+
+    def sided_sigs(ds: rd.Dataset, is_new: bool) -> rd.Dataset:
+        def fn(t: pa.Table) -> pa.Table:
+            s = _sig_rows(t, text_col=text_col, id_col=id_col,
+                          num_perm=num_perm, shingle_k=3)
+            return s.append_column(
+                "is_new", pa.nulls(s.num_rows, pa.bool_()).fill_null(is_new)
+            )
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    sigs = sided_sigs(indexed, False).union(
+        sided_sigs(incoming, True)
+    ).materialize()
+
+    def banded(t: pa.Table) -> pa.Table:
+        b = _band_rows(t, bands=bands, rows_per_band=rows_per_band)
+        flags = np.repeat(
+            t.column("is_new").to_numpy(zero_copy_only=False), bands
+        )
+        return b.append_column("is_new", pa.array(flags, pa.bool_()))
+
+    candidates = coarse_grouped_apply(
+        sigs.map_batches(banded, batch_format="pyarrow"),
+        ["band", "band_hash"], _bucket_incr_pairs, _PAIR_SCHEMA,
+        min_group_size=2,
+    )
+    # a (new, old_min) pair surfaces once per colliding band — collapse
+    # before paying verification
+    candidates = distinct_rows(
+        candidates, ["src", "dst"], strategy="tree", out_blocks=8
+    )
+    sig_tbl = sigs.select_columns(["doc_id", "sig"]).materialize()
+    if verify == "auto":
+        verify = (
+            "broadcast" if sig_tbl.count() <= VERIFY_BROADCAST_THRESHOLD
+            else "join"
+        )
+    if verify == "join":
+        edges = _verify_pairs_join(candidates, sig_tbl, threshold)
+    else:
+        edges = _verify_pairs_with_sigs(candidates, sig_tbl, threshold)
+
+    dup_schema = pa.schema([("doc_id", pa.string()), ("dup_of", pa.string())])
+
+    def min_dup(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return dup_schema.empty_table()
+        agg = df.groupby("src", sort=False)["dst"].min().reset_index()
+        return pa.Table.from_pydict(
+            {"doc_id": agg["src"].to_numpy(), "dup_of": agg["dst"].to_numpy()},
+            schema=dup_schema,
+        )
+
+    dups = coarse_partition_apply(edges, ["src"], min_dup, dup_schema)
+
+    ids = incoming.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": pa.array(
+                [str(v) for v in t.column(id_col).to_pylist()], pa.string()
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+    attached = coarse_attach(
+        ids, dups, left_key="doc_id", right_key="doc_id",
+        attach_cols=["dup_of"],
+        out_schema=dup_schema, how="left", fill={"dup_of": ""},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        dup_of = pc.cast(t.column("dup_of"), pa.string())
+        status = pc.if_else(
+            pc.equal(dup_of, pa.scalar("", pa.string())),
+            pa.scalar("novel", pa.string()), pa.scalar("dup", pa.string()),
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": t.column("doc_id"), "status": status,
+             "dup_of": dup_of},
+            schema=INCR_SCHEMA,
+        )
+
+    return attached.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
 # SimHash near-dup clustering
 # --------------------------------------------------------------------------
 

@@ -402,3 +402,52 @@ def test_ann_recall_certificate_flags(vec_ds):
         ex, empty, k=5, min_recall_ppm=1, mean_min_recall_ppm=1
     ).to_pylist()
     assert [r["recall_ok"] for r in cert2] == [False, False, False]
+
+
+def test_minhash_incremental_semantics(ray_session):
+    """Incremental probe: an incoming near-copy of an INDEXED doc is a
+    dup (dup_of = the indexed id); an incoming doc whose only near-copy
+    is another INCOMING doc stays novel (incremental semantics never
+    pairs new with new); unrelated docs are novel. Both verify regimes
+    agree."""
+    from semantic_search_system_ray.stages.dedup import minhash_incremental
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    other = (
+        "completely different text about distributed stream processing "
+        "engines shuffling arrow record batches with backpressure"
+    )
+    third = (
+        "yet another unrelated document describing knowledge graph "
+        "construction pipelines at terabyte scale with ray data"
+    )
+    indexed = rd.from_arrow(pa.table({
+        "doc_id": ["i1", "i2"],
+        "text": [base, other],
+    })).repartition(2)
+    incoming = rd.from_arrow(pa.table({
+        "doc_id": ["n1", "n2", "n3", "n4"],
+        "text": [
+            base + " extra",          # near-copy of indexed i1 -> dup
+            third,                    # near-copy only of n3 -> novel
+            third + " indeed",        # near-copy only of n2 -> novel
+            "totally novel content about nothing else whatsoever here",
+        ],
+    })).repartition(2)
+
+    for verify in ("broadcast", "join"):
+        got = (
+            minhash_incremental(indexed, incoming, threshold=0.5,
+                                verify=verify)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        rows = list(zip(got["doc_id"], got["status"], got["dup_of"]))
+        assert rows == [
+            ("n1", "dup", "i1"),
+            ("n2", "novel", ""),
+            ("n3", "novel", ""),
+            ("n4", "novel", ""),
+        ], rows
