@@ -243,6 +243,23 @@ def _q_dedup_incremental(sf_dir: str):
     return minhash_incremental(indexed, incoming, threshold=0.5)
 
 
+def _q_kcenter_coreset(sf_dir: str):
+    """Greedy k-center coreset selection (stages/kmeans.kcenter_greedy,
+    K=8) over the embeddings table: farthest-point sampling with
+    int64-quantized exact distances — k−1 broadcast-iterate streaming
+    passes, per-block argmax combiners, zero shuffles. Oracle:
+    unrolled-CTE DuckDB twin (stages/kmeans.kcenter_sql)."""
+    from semantic_search_system_ray.stages.kmeans import q_kcenter_coreset
+
+    return q_kcenter_coreset(sf_dir)
+
+
+def _sql_kcenter_coreset() -> str:
+    from semantic_search_system_ray.stages.kmeans import SQL_KCENTER_CORESET
+
+    return SQL_KCENTER_CORESET
+
+
 def _q_simhash(sf_dir: str):
     from semantic_search_system_ray.stages.dedup import simhash_table
     from semantic_search_system_ray.pipelines.queries import read_docs
@@ -1301,6 +1318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_topic_words": _q_doc_topic_words,
             "minhash_clusters": _q_minhash_clusters,
             "dedup_incremental": _q_dedup_incremental,
+            "kcenter_coreset": _q_kcenter_coreset,
             "corpus_near_clean": _q_corpus_near_clean,
             "kg_diff": _q_kg_diff,
             "centroid_distances": _q_centroid_distances,
@@ -1488,6 +1506,7 @@ def oracle_sql() -> dict[str, str]:
             # full minhash pipeline in SQL (md5-based hashes since r3)
             "minhash_clusters": tox.sql_minhash_clusters(threshold=0.6),
             "dedup_incremental": tox.sql_dedup_incremental(threshold=0.5),
+            "kcenter_coreset": _sql_kcenter_coreset(),
             "corpus_near_clean": tox.sql_corpus_near_clean(threshold=0.6),
             "kg_diff": tox.sql_kg_diff(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, _kg_diff_taxonomy(),

@@ -387,3 +387,179 @@ ORDER BY cc.cluster
 
 SQL_KMEANS_EMBEDDINGS = kmeans_sql(8, 3)
 SQL_SEMANTIC_DEDUP = semantic_dedup_sql(8, 3, tau_num=81, tau_den=400)
+
+
+# --------------------------------------------------------------------------
+# Greedy k-center coreset selection (farthest-point sampling)
+# --------------------------------------------------------------------------
+
+KCENTER_SCHEMA = pa.schema(
+    [("rank", pa.int64()), ("vec_id", pa.int64()), ("dist", pa.int64())]
+)
+
+_KC_CAND_SCHEMA = pa.schema(
+    [("vec_id", pa.int64()), ("dist", pa.int64()),
+     ("vec", pa.list_(pa.float64()))]
+)
+
+
+def kcenter_greedy(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+) -> pa.Table:
+    """Greedy k-center / farthest-point coreset selection (Gonzalez
+    1985) over an embedding column — the classic diverse-subset pick
+    for training-data selection (each new point maximizes its distance
+    to everything already chosen, so the k rows 2-approximate the
+    optimal k-center cover). EXACT on the hash gate by the kmeans
+    playbook: vectors quantize once to int64 milli-units
+    (``quantize_matrix``); distances are integer squared-L2 (≤ D·4e6 —
+    nowhere near int64); c0 = the row with the SMALLEST id; each round
+    selects the not-yet-chosen point with the MAXIMUM min-distance to
+    the selected set, ties to the smallest id. Output: (rank, vec_id,
+    dist) where dist = the winner's min squared distance to the
+    previously selected set (0 for rank 0) — hash-identical to the
+    unrolled-CTE DuckDB twin (``kcenter_sql``).
+
+    Scale shape: k−1 streaming passes; each pass broadcasts the ≤K×D
+    int64 center matrix BY VALUE into a per-block (argmax dist, tie
+    min id) combiner emitting ONE candidate row per block, and the
+    driver folds the blocks-bounded candidate set. Zero shuffles at
+    any corpus size (the same broadcast-iterate pattern as
+    kmeans_quantized)."""
+    ds = ds.materialize()  # consumed k times
+
+    def local_min_id(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([id_col, vec_col])
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:1]
+        return t.select([id_col, vec_col]).take(pa.array(take))
+
+    cand0 = ds.map_batches(
+        local_min_id, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    if not cand0:
+        raise ValueError("kcenter: empty input")
+    cand0.sort(key=lambda r: r[id_col])
+    first = cand0[0]
+    sel_ids = [int(first[id_col])]
+    dists = [0]
+    centers = quantize_matrix(
+        np.asarray([first[vec_col]], dtype=np.float64)
+    )
+
+    for _rank in range(1, k):
+        C = centers.copy()  # captured by value: per-pass broadcast
+        excl = np.array(sel_ids, dtype=np.int64)
+
+        def far_block(t: pa.Table, C=C, excl=excl) -> pa.Table:
+            if t.num_rows == 0:
+                return _KC_CAND_SCHEMA.empty_table()
+            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            X = quantize_matrix(list_column_to_matrix(t.column(vec_col)))
+            x2 = np.einsum("bd,bd->b", X, X)
+            c2 = np.einsum("kd,kd->k", C, C)
+            d = x2[:, None] + c2[None, :] - 2 * (X @ C.T)
+            md = d.min(axis=1)
+            mask = ~np.isin(ids, excl)
+            if not mask.any():
+                return _KC_CAND_SCHEMA.empty_table()
+            rows = np.flatnonzero(mask)
+            order = np.lexsort((ids[rows], -md[rows]))  # max dist, tie min id
+            ri = rows[order[0]]
+            return pa.Table.from_pydict(
+                {"vec_id": [int(ids[ri])], "dist": [int(md[ri])],
+                 "vec": [t.column(vec_col)[ri].as_py()]},
+                schema=_KC_CAND_SCHEMA,
+            )
+
+        cands = ds.map_batches(
+            far_block, batch_format="pyarrow", batch_size=None
+        ).take_all()  # ≤ one row per block
+        if not cands:
+            raise ValueError(f"kcenter: need ≥ {k} distinct rows")
+        cands.sort(key=lambda r: (-r["dist"], r["vec_id"]))
+        w = cands[0]
+        sel_ids.append(int(w["vec_id"]))
+        dists.append(int(w["dist"]))
+        centers = np.vstack([
+            centers,
+            quantize_matrix(np.asarray([w["vec"]], dtype=np.float64)),
+        ])
+
+    return pa.Table.from_pydict(
+        {"rank": np.arange(k, dtype=np.int64),
+         "vec_id": np.array(sel_ids, dtype=np.int64),
+         "dist": np.array(dists, dtype=np.int64)},
+        schema=KCENTER_SCHEMA,
+    )
+
+
+def q_kcenter_coreset(sf_dir: str) -> pa.Table:
+    """Gate query: greedy k-center, K=8, over the embeddings table."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kcenter_greedy(ds, k=8)
+
+
+def kcenter_sql(k: int = 8) -> str:
+    """The DuckDB twin: same quantization, integer squared-L2, the k−1
+    greedy rounds UNROLLED as chained MATERIALIZED CTEs (each round:
+    distance to the newest center, running min, argmax with
+    (dist DESC, vec_id) tie order, previously chosen ids excluded)."""
+    quant = (
+        "CAST(CASE WHEN x >= 0 THEN floor(CAST(x AS DOUBLE)*1000 + 0.5) "
+        "ELSE -floor(-CAST(x AS DOUBLE)*1000 + 0.5) END AS BIGINT)"
+    )
+    parts = [f"""
+q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> {quant}) AS qe
+  FROM embeddings
+),
+pts AS MATERIALIZED (
+  SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS d FROM q
+),
+s0 AS MATERIALIZED (SELECT min(vec_id) AS vid FROM q)"""]
+    prev_sel = ["s0"]
+    for i in range(1, k):
+        pc_ = i - 1  # center chosen at the previous round
+        not_in = " UNION ALL ".join(f"SELECT vid FROM {s}" for s in prev_sel)
+        parts.append(f""",
+d{pc_} AS MATERIALIZED (
+  SELECT p.vec_id, CAST(sum((p.v - c.v) * (p.v - c.v)) AS BIGINT) AS dist
+  FROM pts p JOIN (
+    SELECT d, v FROM pts WHERE vec_id = (SELECT vid FROM s{pc_})
+  ) c ON c.d = p.d
+  GROUP BY p.vec_id
+),
+m{pc_} AS MATERIALIZED (
+  {"SELECT vec_id, dist FROM d0" if pc_ == 0 else
+   f"SELECT m.vec_id, least(m.dist, d.dist) AS dist "
+   f"FROM m{pc_ - 1} m JOIN d{pc_} d ON d.vec_id = m.vec_id"}
+),
+s{i} AS MATERIALIZED (
+  SELECT vec_id AS vid FROM m{pc_}
+  WHERE vec_id NOT IN ({not_in})
+  ORDER BY dist DESC, vec_id LIMIT 1
+)""")
+        prev_sel.append(f"s{i}")
+    finals = ["SELECT CAST(0 AS BIGINT) AS rank, "
+              "(SELECT vid FROM s0) AS vec_id, CAST(0 AS BIGINT) AS dist"]
+    for i in range(1, k):
+        finals.append(
+            f"SELECT CAST({i} AS BIGINT), (SELECT vid FROM s{i}), "
+            f"(SELECT dist FROM m{i - 1} WHERE vec_id = "
+            f"(SELECT vid FROM s{i}))"
+        )
+    return "WITH " + "".join(parts) + "\n" + "\nUNION ALL ".join(finals)
+
+
+SQL_KCENTER_CORESET = kcenter_sql(8)

@@ -119,3 +119,53 @@ def test_quantize_half_away_from_zero():
     np.testing.assert_array_equal(
         quantize_matrix(m), np.array([[1, -1, 0, -1, 0]])
     )
+
+
+def _reference_kcenter(ids, vecs, k):
+    """Single-process greedy farthest-point twin (integer milli-units)."""
+    from semantic_search_system_ray.stages.kmeans import quantize_matrix
+
+    q = quantize_matrix(np.asarray(vecs, dtype=np.float64))
+    order = np.argsort(ids, kind="stable")
+    sel = [int(ids[order[0]])]
+    dists = [0]
+    idx_of = {int(i): n for n, i in enumerate(ids)}
+    for _ in range(1, k):
+        best = None
+        for i in ids:
+            i = int(i)
+            if i in sel:
+                continue
+            md = min(
+                int(((q[idx_of[i]] - q[idx_of[s]]) ** 2).sum()) for s in sel
+            )
+            key = (-md, i)
+            if best is None or key < best[0]:
+                best = (key, i, md)
+        sel.append(best[1])
+        dists.append(best[2])
+    return sel, dists
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_kcenter_greedy_matches_reference(ray_session, n_blocks):
+    """Greedy k-center matches the single-process twin regardless of
+    block layout; rank 0 = smallest id with dist 0; each later dist is
+    the winner's min distance to the already-selected set."""
+    from semantic_search_system_ray.stages.kmeans import kcenter_greedy
+
+    rng = np.random.default_rng(5)
+    ids = np.arange(20, dtype=np.int64) + 100
+    vecs = rng.normal(size=(20, 6)).astype(np.float32)
+    # plant an extreme outlier that must be picked at rank 1
+    vecs[7] = 9.0
+    ds = rd.from_arrow(pa.table({
+        "vec_id": ids, "embedding": [list(map(float, v)) for v in vecs]
+    })).repartition(n_blocks)
+    got = kcenter_greedy(ds, k=5)
+    ref_sel, ref_d = _reference_kcenter(ids, vecs, 5)
+    assert got.column("vec_id").to_pylist() == ref_sel
+    assert got.column("dist").to_pylist() == ref_d
+    assert got.column("rank").to_pylist() == [0, 1, 2, 3, 4]
+    assert got.column("vec_id").to_pylist()[0] == 100
+    assert got.column("vec_id").to_pylist()[1] == 107  # the outlier
