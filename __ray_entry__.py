@@ -572,6 +572,18 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_count(edges_from_triples(_kg_triples(sf_dir)))
 
 
+def _q_kg_clustering(sf_dir: str):
+    """Global clustering coefficient over the KG edge set
+    (stages/graph.clustering_coefficient): 3·triangles/wedges — the
+    degree-oriented triangle counter plus one Σ C(deg,2) combiner pass;
+    both operands exact int64, one mirrored double divide. Oracle:
+    text_oracles.sql_kg_clustering."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import clustering_coefficient
+
+    return clustering_coefficient(edges_from_triples(_kg_triples(sf_dir)))
+
+
 def _q_kg_jaccard(sf_dir: str):
     """Top-20 KG node pairs by neighborhood Jaccard similarity — the
     link-prediction feature (stages/graph.neighbor_jaccard_topk); oracle
@@ -1307,6 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_hits": _q_kg_hits,
             "kg_ppr": _q_kg_ppr,
             "kg_triangles": _q_kg_triangles,
+            "kg_clustering": _q_kg_clustering,
             "kg_jaccard": _q_kg_jaccard,
             "fuzzy_name_pairs": _q_fuzzy_name_pairs,
             "entity_link": _q_entity_link,
@@ -1457,6 +1470,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_triangles": tox.sql_kg_triangles(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_clustering": tox.sql_kg_clustering(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_jaccard": tox.sql_kg_jaccard(

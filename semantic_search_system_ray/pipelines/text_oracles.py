@@ -1664,3 +1664,37 @@ SELECT s.d AS doc_id,
 FROM side s LEFT JOIN dup du ON du.d = s.d
 WHERE NOT s.indexed
 """
+
+
+def sql_kg_clustering(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for stages/graph.clustering_coefficient over the KG edge
+    set: triangles via the 3-way self-join (same CTE shape as
+    sql_kg_triangles), wedges = Σ C(deg, 2) over the symmetrized simple
+    edges, global_cc = one mirrored CAST/CAST double divide of the two
+    exact BIGINTs. Built over the kg_triples oracle subquery."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples}),
+e0 AS (SELECT CAST(subj AS VARCHAR) AS s, CAST(obj AS VARCHAR) AS d
+       FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e0),
+tri AS (
+  SELECT count(*) AS tri
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+w AS (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT)
+        AS wedges FROM deg)
+SELECT CAST(tri.tri AS BIGINT) AS triangles, w.wedges,
+       CASE WHEN w.wedges = 0 THEN 0.0
+            ELSE CAST(3 * tri.tri AS DOUBLE) / CAST(w.wedges AS DOUBLE)
+       END AS global_cc
+FROM tri, w
+"""

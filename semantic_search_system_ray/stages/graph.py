@@ -1807,3 +1807,60 @@ def hits(
         lambda t: t.rename_columns(["node_id", "hub", "auth"]),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# global clustering coefficient (triangles over wedges)
+# --------------------------------------------------------------------------
+
+CLUSTERING_SCHEMA = pa.schema(
+    [("triangles", pa.int64()), ("wedges", pa.int64()),
+     ("global_cc", pa.float64())]
+)
+
+
+def clustering_coefficient(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> pa.Table:
+    """Global clustering coefficient of the undirected simple graph
+    underlying ``edges``: 3·triangles / wedges, wedges = Σ_v C(deg_v, 2).
+    Triangles reuse the degree-oriented distributed counter
+    (``triangle_count``); wedges are one per-block Σ C(deg,2) combiner
+    over the degree table (each node appears exactly once per coarse
+    partition) plus a scalar sum. Both operands stay EXACT int64; the
+    single float divide is mirrored verbatim in the SQL twin
+    (text_oracles.sql_kg_clustering). Returns one row
+    (triangles, wedges, global_cc)."""
+    und = undirected_simple_edges(
+        edges, src_col=src_col, dst_col=dst_col
+    ).materialize()
+    tri = int(
+        triangle_count(und, src_col="a", dst_col="b")
+        .column("triangles")[0].as_py()
+    )
+    deg = degree_table(und, src_col="a", dst_col="b")
+
+    def wpart(t: pa.Table) -> pa.Table:
+        d = pc.add(
+            pc.cast(t.column("out_degree"), pa.int64()),
+            pc.cast(t.column("in_degree"), pa.int64()),
+        ).to_numpy(zero_copy_only=False)
+        w = int((d * (d - 1) // 2).sum()) if len(d) else 0
+        return pa.Table.from_pydict({"w": pa.array([w], pa.int64())})
+
+    wedges = int(
+        deg.map_batches(wpart, batch_format="pyarrow").sum("w") or 0
+    )
+    cc = (
+        0.0 if wedges == 0
+        else np.float64(3 * tri) / np.float64(wedges)
+    )
+    return pa.Table.from_pydict(
+        {"triangles": pa.array([tri], pa.int64()),
+         "wedges": pa.array([wedges], pa.int64()),
+         "global_cc": pa.array([float(cc)], pa.float64())},
+        schema=CLUSTERING_SCHEMA,
+    )

@@ -379,3 +379,17 @@ def test_personalized_pagerank_parity(ray_session, n_blocks, driver_threshold):
     prs = dict(zip(got.column("node_id").to_pylist(),
                    got.column("pr").to_pylist()))
     assert prs["d"] >= 15 * DEFAULT_SCALE // 100  # seed keeps its base
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_clustering_coefficient(ray_session, n_blocks):
+    """Triangle a-b-c plus pendant d: triangles=1. The a-b parallel
+    edge collapses and the e-e self-loop drops, so the simple
+    undirected edges are a-b, a-c, b-c, c-d → degrees a:2 b:2 c:3 d:1
+    → wedges = 1+1+3+0 = 5; cc = 3/5 exactly."""
+    from semantic_search_system_ray.stages.graph import clustering_coefficient
+
+    got = clustering_coefficient(_edges_ds(n_blocks))
+    assert got.column("triangles").to_pylist() == [1]
+    assert got.column("wedges").to_pylist() == [5]
+    assert got.column("global_cc").to_pylist() == [3.0 / 5.0]
