@@ -182,7 +182,8 @@ def run_bench() -> dict:
         "bucketed_join", "events_interp_grid", "quantile_normalize",
         "key_skew_report", "purchase_attribution", "gopher_filter",
         "domain_mix", "kg_kcore", "kg_communities", "quality_prune",
-        "curation_e2e",
+        "curation_e2e", "kg_hits", "kg_ppr", "kg_clustering",
+        "dedup_incremental", "kcenter_coreset",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level
