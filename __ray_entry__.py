@@ -243,6 +243,23 @@ def _q_dedup_incremental(sf_dir: str):
     return minhash_incremental(indexed, incoming, threshold=0.5)
 
 
+def _q_ann_range(sf_dir: str):
+    """Cosine RANGE search (stages/ann.cosine_range_search): all
+    (query, vector) pairs with cosine ≥ 0.3, queries = the 10
+    smallest-id embeddings — the recall-everything dual of top-k.
+    Integer-exact threshold (semantic_dedup's cross-multiplied test)
+    over milli-unit quantized vectors; one broadcast streaming pass,
+    zero shuffles. Oracle: stages/ann.sql_cosine_range."""
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.ann import cosine_range_search
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return cosine_range_search(ds, n_queries=10, tau_num=9, tau_den=100)
+
+
 def _q_kcenter_coreset(sf_dir: str):
     """Greedy k-center coreset selection (stages/kmeans.kcenter_greedy,
     K=8) over the embeddings table: farthest-point sampling with
@@ -258,6 +275,12 @@ def _sql_kcenter_coreset() -> str:
     from semantic_search_system_ray.stages.kmeans import SQL_KCENTER_CORESET
 
     return SQL_KCENTER_CORESET
+
+
+def _sql_ann_range() -> str:
+    from semantic_search_system_ray.stages.ann import sql_cosine_range
+
+    return sql_cosine_range(n_queries=10, tau_num=9, tau_den=100)
 
 
 def _q_simhash(sf_dir: str):
@@ -1332,6 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "minhash_clusters": _q_minhash_clusters,
             "dedup_incremental": _q_dedup_incremental,
             "kcenter_coreset": _q_kcenter_coreset,
+            "ann_range": _q_ann_range,
             "corpus_near_clean": _q_corpus_near_clean,
             "kg_diff": _q_kg_diff,
             "centroid_distances": _q_centroid_distances,
@@ -1523,6 +1547,7 @@ def oracle_sql() -> dict[str, str]:
             "minhash_clusters": tox.sql_minhash_clusters(threshold=0.6),
             "dedup_incremental": tox.sql_dedup_incremental(threshold=0.5),
             "kcenter_coreset": _sql_kcenter_coreset(),
+            "ann_range": _sql_ann_range(),
             "corpus_near_clean": tox.sql_corpus_near_clean(threshold=0.6),
             "kg_diff": tox.sql_kg_diff(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, _kg_diff_taxonomy(),

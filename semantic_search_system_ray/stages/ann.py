@@ -520,3 +520,141 @@ def ann_recall_counts(exact: rd.Dataset, approx: rd.Dataset) -> dict[int, int]:
         if q in ex and int(r["vec_id"]) in ex[q]:
             hits[q] += 1
     return hits
+
+
+# --------------------------------------------------------------------------
+# cosine range search (all matches above a similarity threshold)
+# --------------------------------------------------------------------------
+
+RANGE_SCHEMA = pa.schema(
+    [("qid", pa.int64()), ("vec_id", pa.int64()), ("dot", pa.int64())]
+)
+
+
+def cosine_range_search(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_queries: int = 10,
+    tau_num: int = 1,
+    tau_den: int = 4,
+) -> rd.Dataset:
+    """RANGE similarity search — every (query, vector) pair with cosine
+    ≥ √(tau_num/tau_den) (default 1/4 → cosine ≥ 0.5), the dual of
+    top-k: retrieval recalls ALL matches above a floor rather than a
+    fixed count. Queries = the ``n_queries`` rows with the SMALLEST ids
+    (two-level top-k combiner — the driver fold is reduce-parts
+    bounded); self-pairs excluded; zero-norm vectors never match.
+
+    EXACT on the hash gate by the semantic_dedup playbook: vectors
+    quantize once to int64 milli-units and the threshold test is pure
+    integer — cos ≥ τ ⟺ dot ≥ 0 ∧ tau_den·dot² ≥ tau_num·|a|²·|b|² —
+    with a LOUD dynamic overflow guard (tau_den·(D·hi²)² must fit
+    int64). Output (qid, vec_id, dot) where dot is the exact integer
+    gram — hash-identical to the SQL twin (sql_cosine_range).
+
+    Scale shape: the Q×D query matrix broadcasts BY VALUE into ONE
+    streaming pass; each batch computes its integer gram block against
+    the queries and keeps passing pairs. Zero shuffles; output is
+    match-bounded, never corpus × corpus."""
+    from semantic_search_system_ray.stages.kmeans import quantize_matrix
+
+    ds = ds.materialize()  # consumed twice: query pick + scan
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([id_col, vec_col])
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:n_queries]
+        return t.select([id_col, vec_col]).take(pa.array(take))
+
+    cand = (
+        ds.map_batches(local_topk, batch_format="pyarrow", batch_size=None)
+        .repartition(8)
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    if len(cand) < n_queries:
+        raise ValueError(
+            f"cosine_range_search: need ≥ {n_queries} rows, got {len(cand)}"
+        )
+    cand.sort(key=lambda r: r[id_col])
+    qids = np.array([r[id_col] for r in cand[:n_queries]], dtype=np.int64)
+    Q = quantize_matrix(
+        np.asarray([r[vec_col] for r in cand[:n_queries]], dtype=np.float64)
+    )
+    qn2 = np.einsum("qd,qd->q", Q, Q)
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return RANGE_SCHEMA.empty_table()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        X = quantize_matrix(list_column_to_matrix(t.column(vec_col)))
+        xn2 = np.einsum("bd,bd->b", X, X)
+        # Cauchy–Schwarz: dot² ≤ xn2·qn2 exactly on integers, so every
+        # product below is bounded by tau · max(xn2) · max(qn2) —
+        # refuse loudly rather than overflow silently
+        bound = (
+            max(tau_num, tau_den)
+            * int(xn2.max(initial=0)) * int(qn2.max(initial=0))
+        )
+        if bound >= 2 ** 63:
+            raise ValueError(
+                "cosine_range_search: quantized norms would overflow "
+                f"the int64-exact cosine test (bound {bound})"
+            )
+        dot = X @ Q.T
+        keep = (
+            (dot >= 0)
+            & (xn2[:, None] > 0) & (qn2[None, :] > 0)
+            & (tau_den * dot * dot >= tau_num * xn2[:, None] * qn2[None, :])
+            & (ids[:, None] != qids[None, :])
+        )
+        r, c = np.nonzero(keep)
+        return pa.Table.from_pydict(
+            {"qid": qids[c], "vec_id": ids[r], "dot": dot[r, c]},
+            schema=RANGE_SCHEMA,
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def sql_cosine_range(
+    n_queries: int = 10, tau_num: int = 1, tau_den: int = 4
+) -> str:
+    """DuckDB twin of ``cosine_range_search`` over the embeddings table:
+    same milli-unit quantization, the same integer threshold test (the
+    BIGINT sums are exact; products stay within the engine's guarded
+    bound)."""
+    quant = (
+        "CAST(CASE WHEN x >= 0 THEN floor(CAST(x AS DOUBLE)*1000 + 0.5) "
+        "ELSE -floor(-CAST(x AS DOUBLE)*1000 + 0.5) END AS BIGINT)"
+    )
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> {quant}) AS qe
+  FROM embeddings
+),
+pts AS MATERIALIZED (
+  SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS d FROM q
+),
+qq AS MATERIALIZED (SELECT vec_id FROM q ORDER BY vec_id LIMIT {n_queries}),
+nrm AS MATERIALIZED (
+  SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM pts GROUP BY vec_id
+),
+gram AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM pts a
+  JOIN qq ON qq.vec_id = a.vec_id
+  JOIN pts b ON b.d = a.d AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2
+)
+SELECT g.qid, g.vec_id, g.dot
+FROM gram g
+JOIN nrm na ON na.vec_id = g.qid
+JOIN nrm nb ON nb.vec_id = g.vec_id
+WHERE g.dot >= 0 AND na.n2 > 0 AND nb.n2 > 0
+  AND {tau_den} * g.dot * g.dot >= {tau_num} * na.n2 * nb.n2
+"""

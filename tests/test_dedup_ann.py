@@ -451,3 +451,35 @@ def test_minhash_incremental_semantics(ray_session):
             ("n3", "novel", ""),
             ("n4", "novel", ""),
         ], rows
+
+
+def test_cosine_range_search_matches_numpy(ray_session, vec_ds):
+    """Range search returns EXACTLY the set above the threshold, with
+    the exact integer grams, regardless of block layout."""
+    from semantic_search_system_ray.stages.ann import cosine_range_search
+    from semantic_search_system_ray.stages.kmeans import quantize_matrix
+
+    ds, _mat = vec_ds
+    got = (
+        cosine_range_search(ds, n_queries=3, tau_num=9, tau_den=100)
+        .to_pandas().sort_values(["qid", "vec_id"]).reset_index(drop=True)
+    )
+    rows = ds.take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], np.int64)
+    Q = quantize_matrix(np.array([r["embedding"] for r in rows[:3]], np.float64))
+    X = quantize_matrix(np.array([r["embedding"] for r in rows], np.float64))
+    dot = X @ Q.T
+    xn2 = np.einsum("bd,bd->b", X, X)
+    qn2 = np.einsum("qd,qd->q", Q, Q)
+    keep = (
+        (dot >= 0) & (xn2[:, None] > 0) & (qn2[None, :] > 0)
+        & (100 * dot * dot >= 9 * xn2[:, None] * qn2[None, :])
+        & (ids[:, None] != ids[None, :3])
+    )
+    exp = sorted(
+        (int(ids[c]), int(ids[r]), int(dot[r, c]))
+        for r, c in zip(*np.nonzero(keep))
+    )
+    assert list(zip(got["qid"], got["vec_id"], got["dot"])) == exp
+    assert len(exp) > 0  # the fixture corpus must exercise matches
