@@ -2302,6 +2302,82 @@ def q_user_running_sum(sf_dir: str):
     return coarse_partition_apply(ds, ["user_id"], running, out_schema)
 
 
+def q_events_cusum(sf_dir: str):
+    """Per-user CUSUM drift detection — the classic sequential
+    change-point statistic data pipelines run to catch upward value
+    drift: s_t = max(0, s_{t-1} + (x_t − K_REF)), alarm when the peak
+    exceeds H. The recursion is ELIMINATED by the prefix-sum identity
+    s_t = P_t − min(0, min_{i≤t} P_i) with P = running sum of
+    (cents − K_REF), so both sides are two window scans + a max — no
+    recursive CTE, no per-row Python. All arithmetic is int64 cents;
+    order is (ts, event_id) like the other per-user window ops.
+
+    Scale shape: ONE user-keyed coarse cogroup; inside the partition
+    the whole computation is vectorized pandas (sort + groupby
+    cumsum/cummin/max). Output: one row per user
+    (user_id, cusum_stat, alarm)."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    K_REF, H = 6000, 50000  # 60.00 drift allowance, 500.00 alarm level
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("cusum_stat", pa.int64()),
+         ("alarm", pa.bool_())]
+    )
+
+    def cusum(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        dev = (
+            np.round(df["value"].to_numpy() * 100.0).astype(np.int64) - K_REF
+        )
+        g = df["user_id"].to_numpy()
+        p = pd.Series(dev).groupby(g, sort=False).cumsum()
+        cm = p.groupby(g, sort=False).cummin()
+        s = p - np.minimum(cm, 0)
+        stat = s.groupby(g, sort=False).max()
+        users = stat.index.to_numpy().astype(np.int64)
+        vals = stat.to_numpy().astype(np.int64)
+        return pa.Table.from_pydict(
+            {"user_id": users, "cusum_stat": vals, "alarm": vals > H},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(ds, ["user_id"], cusum, out_schema)
+
+
+SQL_EVENTS_CUSUM = """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) - 6000 AS dev
+  FROM events
+),
+p AS (
+  SELECT user_id, ts, event_id,
+         sum(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS pp
+  FROM d
+),
+s AS (
+  SELECT user_id,
+         pp - least(min(pp) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS sv
+  FROM p
+)
+SELECT user_id, CAST(max(sv) AS BIGINT) AS cusum_stat,
+       max(sv) > 50000 AS alarm
+FROM s GROUP BY user_id
+"""
+
+
 SQL_USER_RUNNING_SUM = """
 SELECT event_id, user_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
@@ -10833,6 +10909,7 @@ QUERIES = {
     "events_quantiles": q_events_quantiles,
     "events_quantiles_by_type": q_events_quantiles_by_type,
     "user_running_sum": q_user_running_sum,
+    "events_cusum": q_events_cusum,
     "value_deciles": q_value_deciles,
     "orders_topk_per_priority": q_orders_topk_per_priority,
     "search_like": q_search_like,
@@ -10981,6 +11058,7 @@ ORACLE_SQL = {
     "events_quantiles": SQL_EVENTS_QUANTILES,
     "events_quantiles_by_type": SQL_EVENTS_QUANTILES_BY_TYPE,
     "user_running_sum": SQL_USER_RUNNING_SUM,
+    "events_cusum": SQL_EVENTS_CUSUM,
     "value_deciles": SQL_VALUE_DECILES,
     "customer_order_stats": SQL_CUSTOMER_ORDER_STATS,
     "daily_new_users": SQL_DAILY_NEW_USERS,

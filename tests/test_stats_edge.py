@@ -79,3 +79,46 @@ def test_weighted_median_lower_pick(ray_session, tmp_path):
     row = q_weighted_median_price(str(tmp_path)).to_pandas().iloc[0]
     assert row["total_qty"] == 6
     assert abs(row["wmedian_price"] - 10.0) < 1e-9
+
+
+def test_events_cusum_matches_recursion(ray_session, tmp_path):
+    """The prefix-sum/running-min identity must equal the textbook
+    recursion s_t = max(0, s_{t-1} + (x_t - K)) per user, with the peak
+    as the statistic; ts ties break by event_id on both sides."""
+    rows = [
+        # user 1: drifts up then down; user 2: flat below K (stat 0)
+        (1, 1, "2024-01-01 00:00:00", 100.00),
+        (2, 1, "2024-01-01 00:00:01", 200.00),
+        (3, 1, "2024-01-01 00:00:01", 10.00),   # ts tie -> event_id order
+        (4, 1, "2024-01-01 00:00:02", 500.00),
+        (5, 2, "2024-01-01 00:00:00", 5.00),
+        (6, 2, "2024-01-01 00:00:01", 1.00),
+    ]
+    pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[2] for r in rows]),
+        "user_id": [r[1] for r in rows],
+        "event_type": ["t"] * len(rows),
+        "value": [r[3] for r in rows],
+        "props": ["{}"] * len(rows),
+    }).to_parquet(tmp_path / "events.parquet")
+    from semantic_search_system_ray.pipelines.queries import q_events_cusum
+
+    got = (
+        q_events_cusum(str(tmp_path)).to_pandas()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+
+    K = 6000
+    def ref(vals):
+        s = peak = 0
+        for v in vals:
+            s = max(0, s + int(round(v * 100)) - K)
+            peak = max(peak, s)
+        return peak
+
+    exp1 = ref([100.00, 200.00, 10.00, 500.00])
+    exp2 = ref([5.00, 1.00])
+    assert got["cusum_stat"].tolist() == [exp1, exp2]
+    assert exp1 > 0 and exp2 == 0
+    assert got["alarm"].tolist() == [exp1 > 50000, False]
