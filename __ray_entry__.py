@@ -1224,6 +1224,18 @@ def _q_search_bm25(sf_dir: str):
     return search_bm25(docs, "stream table hash window", k=10)
 
 
+def _q_search_rrf(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 and
+    lexical-overlap rankings (pipelines/search.search_rrf) — integer
+    floor contributions scale//(60+rank), exact int64 fused scores.
+    Oracle: text_oracles.sql_search_rrf over the two ranking twins."""
+    from semantic_search_system_ray.pipelines.queries import read_docs
+    from semantic_search_system_ray.pipelines.search import search_rrf
+
+    docs = read_docs(sf_dir, ["doc_id", "text"])
+    return search_rrf(docs, "stream table hash window", k=20)
+
+
 def _q_rag_answer(sf_dir: str):
     """Grounded RAG QA (reference A10, app.py:20-66) with the LLM
     composer replaced by a deterministic extractive surrogate — same
@@ -1350,6 +1362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "search_rerank": _q_search_rerank,
             "rag_answer": _q_rag_answer,
             "search_bm25": _q_search_bm25,
+            "search_rrf": _q_search_rrf,
             "taxonomy_build": _q_taxonomy_build,
             "doc_topic_words": _q_doc_topic_words,
             "minhash_clusters": _q_minhash_clusters,
@@ -1512,6 +1525,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             "search_bm25": tox.sql_bm25(
                 ["stream", "table", "hash", "window"], k=10
+            ),
+            "search_rrf": tox.sql_search_rrf(
+                ["stream", "table", "hash", "window"], k=20
             ),
             "rag_answer": tox.sql_rag_answer(
                 ["stream", "table", "hash", "window"], k=5

@@ -422,3 +422,43 @@ def search_bm25(
     return top.repartition(1).map_batches(
         add_rank, batch_format="pyarrow", batch_size=None
     )
+
+
+def search_rrf(
+    docs: rd.Dataset,
+    query: str,
+    *,
+    k: int = 20,
+    k_rrf: int = 60,
+    scale: int = 10 ** 12,
+) -> "pa.Table":
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the BM25 and
+    lexical-overlap rankings for the same query — the standard hybrid
+    retrieval combiner. Each ranking contributes ``scale // (k_rrf +
+    rank)`` per doc: INTEGER floor contributions make the fused score an
+    exact int64 sum — associative, order-independent, hash-stable — so
+    RRF sits on the hard gate without any FP-summation pinning (the
+    float 1/(60+r) formulation would be order-dependent). Final order:
+    (rrf_score DESC, doc_id).
+
+    Scale shape: all distributed work happens inside the two ranking
+    pipelines (each one streaming aggregate + top-k); the fusion folds
+    two k-bounded rankings driver-side — ≤2k rows by construction."""
+    import pyarrow as pa
+
+    bm = search_bm25(docs, query, k=k).take_all()
+    lex = search_lexical(docs, query, k).take_all()
+    # re-sort driver-side: deterministic rank regardless of block order
+    bm.sort(key=lambda r: (-r["score"], r["doc_id"]))
+    lex.sort(key=lambda r: (-r["score"], r["doc_id"]))
+    scores: dict[str, int] = {}
+    for rows in (bm, lex):
+        for i, r in enumerate(rows, start=1):
+            d = str(r["doc_id"])
+            scores[d] = scores.get(d, 0) + scale // (k_rrf + i)
+    fused = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.Table.from_pydict(
+        {"rank": pa.array(range(1, len(fused) + 1), pa.int64()),
+         "doc_id": pa.array([d for d, _ in fused], pa.string()),
+         "rrf_score": pa.array([s for _, s in fused], pa.int64())},
+    )

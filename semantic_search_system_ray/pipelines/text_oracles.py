@@ -1698,3 +1698,45 @@ SELECT CAST(tri.tri AS BIGINT) AS triangles, w.wedges,
        END AS global_cc
 FROM tri, w
 """
+
+
+def sql_search_rrf(
+    query_tokens: list[str],
+    *,
+    k: int = 20,
+    k_rrf: int = 60,
+    scale: int = 10 ** 12,
+) -> str:
+    """Oracle for pipelines/search.search_rrf: the two ranking oracles
+    (sql_bm25, sql_search_lexical — same query, same k) wrapped as
+    derived tables, ranks re-derived by the shared (score DESC, doc_id)
+    order, integer floor contributions scale // (k_rrf + rank) summed
+    per doc, top-k by (rrf_score DESC, doc_id)."""
+    bm = sql_bm25(query_tokens, k)
+    lex = sql_search_lexical(query_tokens, k)
+    return f"""
+WITH bm AS (SELECT * FROM ({bm})),
+lex AS (SELECT * FROM ({lex})),
+bmr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bm
+),
+lexr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM lex
+),
+contrib AS (
+  SELECT doc_id, CAST({scale} // ({k_rrf} + r) AS BIGINT) AS c FROM bmr
+  UNION ALL
+  SELECT doc_id, CAST({scale} // ({k_rrf} + r) AS BIGINT) AS c FROM lexr
+),
+fused AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score
+  FROM contrib GROUP BY doc_id
+)
+SELECT ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS "rank",
+       doc_id, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {k}
+"""

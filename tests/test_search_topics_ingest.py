@@ -261,3 +261,28 @@ def test_search_bm25_ranking_properties(ray_session):
     # length normalization: same tf, longer doc scores lower
     assert out["padded"][1] < out["rare"][1]
     assert [d for d, (r, _s) in sorted(out.items(), key=lambda kv: kv[1][0])][-1] == "common"
+
+
+def test_search_rrf_fuses_rankings(ray_session):
+    """RRF: a doc ranked #1 in both rankings must outrank a doc present
+    in only one; contributions are exact integer floors."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from semantic_search_system_ray.pipelines.search import search_rrf
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": [
+            "stream table hash window stream table",  # strong both ways
+            "stream table",                            # partial overlap
+            "hash",                                    # weak
+            "nothing relevant here",                   # no overlap
+        ],
+    }))
+    got = search_rrf(docs, "stream table hash window", k=4).to_pandas()
+    assert got["doc_id"].tolist()[0] == "a"
+    assert got["rank"].tolist() == [1, 2, 3, 4]
+    s = 10 ** 12
+    # 'a' tops both k=4 rankings -> exactly 2 * floor(s/61)
+    assert got["rrf_score"].tolist()[0] == 2 * (s // 61)
