@@ -2302,6 +2302,195 @@ def q_user_running_sum(sf_dir: str):
     return coarse_partition_apply(ds, ["user_id"], running, out_schema)
 
 
+def q_conversion_survival(sf_dir: str):
+    """Kaplan-Meier SURVIVAL TABLE for signup→purchase conversion — the
+    censoring-aware view of time-to-convert (q_conversion_lag drops
+    non-converters; survival analysis keeps them as right-censored at
+    the corpus horizon): per conversion day t, at_risk = users whose
+    conversion-or-censor day ≥ t and deaths = conversions exactly at t.
+    Emitting the EXACT integer (day, at_risk, deaths) triples instead
+    of the Ŝ(t) product keeps the op on the hash gate (the KM product
+    is an ordered float Π — consumers derive it in one pass).
+
+    Scale shape: one tiny max(ts) aggregate (the censor horizon,
+    broadcast by value), ONE user-keyed cogroup emitting per-user
+    (day, converted) rows, then per-block (day, converted) count
+    combiners → a day-domain-bounded driver fold (reverse cumsum =
+    at_risk). Never row-scale on the driver."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    DAY_US = 86_400_000_000
+
+    ev_all = rd.read_parquet(_p(sf_dir, "events"), columns=["ts"])
+    mx_us = int(
+        pc.cast(pa.scalar(ev_all.max("ts")), pa.timestamp("us")).cast(
+            pa.int64()
+        ).as_py()
+    )
+
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["user_id", "ts", "event_type"],
+        filter=(pc.field("event_type").isin(["signup", "purchase"])),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"user_id": t.column("user_id"),
+             "ts_us": pc.cast(
+                 pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+             ),
+             "is_signup": pc.equal(t.column("event_type"), "signup")}
+        )
+
+    per_user = pa.schema(
+        [("day", pa.int64()), ("converted", pa.bool_()), ("n", pa.int64())]
+    )
+
+    def fold_user(df: pd.DataFrame) -> pa.Table:
+        s = df[df["is_signup"]].groupby("user_id")["ts_us"].min()
+        if s.empty:
+            return per_user.empty_table()
+        p = df[~df["is_signup"]].merge(
+            s.rename("s_us"), left_on="user_id", right_index=True
+        )
+        p = p[p["ts_us"] >= p["s_us"]].reset_index(drop=True)
+        fp = p.groupby("user_id")["ts_us"].min()
+        conv = fp.reindex(s.index)
+        day = np.where(
+            conv.notna(),
+            (conv.to_numpy() - s.to_numpy()) // DAY_US,
+            (mx_us - s.to_numpy()) // DAY_US,
+        ).astype(np.int64)
+        out = (
+            pd.DataFrame({"day": day, "converted": conv.notna().to_numpy()})
+            .groupby(["day", "converted"], sort=False).size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(
+            out, schema=per_user, preserve_index=False
+        )
+
+    parts = coarse_partition_apply(
+        ev.map_batches(proj, batch_format="pyarrow"),
+        ["user_id"], fold_user, per_user,
+    ).take_all()  # day-domain-bounded (≤ 2·horizon rows per partition)
+
+    agg: dict[tuple[int, bool], int] = {}
+    for r in parts:
+        key = (int(r["day"]), bool(r["converted"]))
+        agg[key] = agg.get(key, 0) + int(r["n"])
+    days = sorted({d for d, _c in agg})
+    totals = np.array(
+        [agg.get((d, True), 0) + agg.get((d, False), 0) for d in days],
+        dtype=np.int64,
+    )
+    at_risk = totals[::-1].cumsum()[::-1]  # users with day >= t
+    out_schema = pa.schema(
+        [("day", pa.int64()), ("at_risk", pa.int64()), ("deaths", pa.int64())]
+    )
+    rows = [
+        (d, int(at_risk[i]), agg.get((d, True), 0))
+        for i, d in enumerate(days)
+        if agg.get((d, True), 0) > 0
+    ]
+    return pa.Table.from_pydict(
+        {"day": [r[0] for r in rows], "at_risk": [r[1] for r in rows],
+         "deaths": [r[2] for r in rows]},
+        schema=out_schema,
+    )
+
+
+SQL_CONVERSION_SURVIVAL = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+s AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+  GROUP BY e.user_id
+),
+u AS (
+  SELECT s.user_id,
+         CASE WHEN p.p_ts IS NULL
+              THEN (epoch_us((SELECT m FROM mx)) - epoch_us(s.s_ts))
+                   // 86400000000
+              ELSE (epoch_us(p.p_ts) - epoch_us(s.s_ts)) // 86400000000
+         END AS day,
+         p.p_ts IS NOT NULL AS converted
+  FROM s LEFT JOIN p USING (user_id)
+),
+d AS (
+  SELECT day,
+         count(*) FILTER (WHERE converted) AS deaths,
+         count(*) AS total
+  FROM u GROUP BY day
+),
+w AS (
+  SELECT day,
+         CAST(sum(total) OVER (
+           ORDER BY day DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS at_risk,
+         CAST(deaths AS BIGINT) AS deaths
+  FROM d
+)
+SELECT day, at_risk, deaths FROM w WHERE deaths > 0
+"""
+
+
+def q_rare_label_collapse(sf_dir: str):
+    """Tail-category bucketing — the standard feature-engineering
+    transform before one-hot/embedding layers: labels whose corpus
+    count is below MIN_COUNT collapse to 'OTHER', everything else
+    passes through. A per-ROW transform (one output row per part), not
+    a rollup, so downstream joins keep working.
+
+    Scale shape: label counts are vocabulary-bounded → one per-block
+    count combiner pass + a tiny groupby collects the keep-set to the
+    driver (|labels| rows, documented bound), which broadcasts into a
+    stateless vectorized relabel map — zero row-scale shuffles."""
+    MIN_COUNT = 70
+
+    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+
+    def cpart(t: pa.Table) -> pa.Table:
+        g = t.group_by(["p_brand"]).aggregate([("p_brand", "count")])
+        return g.rename_columns(["p_brand", "n"])
+
+    counts = (
+        ds.map_batches(cpart, batch_format="pyarrow")
+        .groupby("p_brand").sum("n").take_all()
+    )  # vocabulary-bounded (25 brands)
+    keep = {r["p_brand"] for r in counts if r["sum(n)"] >= MIN_COUNT}
+    keep_arr = pa.array(sorted(keep), pa.string())
+
+    def relabel(t: pa.Table) -> pa.Table:
+        b = pc.cast(t.column("p_brand"), pa.string())
+        lbl = pc.if_else(
+            pc.is_in(b, value_set=keep_arr),
+            b, pa.scalar("OTHER", pa.string()),
+        )
+        return pa.Table.from_pydict(
+            {"p_partkey": t.column("p_partkey"), "p_brand": b, "label": lbl}
+        )
+
+    return ds.map_batches(relabel, batch_format="pyarrow")
+
+
+SQL_RARE_LABEL_COLLAPSE = """
+WITH c AS (SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand)
+SELECT p.p_partkey, p.p_brand,
+       CASE WHEN c.n >= 70 THEN p.p_brand ELSE 'OTHER' END AS label
+FROM part p JOIN c ON c.p_brand = p.p_brand
+"""
+
+
 def q_events_cusum(sf_dir: str):
     """Per-user CUSUM drift detection — the classic sequential
     change-point statistic data pipelines run to catch upward value
@@ -10910,6 +11099,8 @@ QUERIES = {
     "events_quantiles_by_type": q_events_quantiles_by_type,
     "user_running_sum": q_user_running_sum,
     "events_cusum": q_events_cusum,
+    "rare_label_collapse": q_rare_label_collapse,
+    "conversion_survival": q_conversion_survival,
     "value_deciles": q_value_deciles,
     "orders_topk_per_priority": q_orders_topk_per_priority,
     "search_like": q_search_like,
@@ -11059,6 +11250,8 @@ ORACLE_SQL = {
     "events_quantiles_by_type": SQL_EVENTS_QUANTILES_BY_TYPE,
     "user_running_sum": SQL_USER_RUNNING_SUM,
     "events_cusum": SQL_EVENTS_CUSUM,
+    "rare_label_collapse": SQL_RARE_LABEL_COLLAPSE,
+    "conversion_survival": SQL_CONVERSION_SURVIVAL,
     "value_deciles": SQL_VALUE_DECILES,
     "customer_order_stats": SQL_CUSTOMER_ORDER_STATS,
     "daily_new_users": SQL_DAILY_NEW_USERS,

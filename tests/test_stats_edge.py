@@ -122,3 +122,39 @@ def test_events_cusum_matches_recursion(ray_session, tmp_path):
     assert got["cusum_stat"].tolist() == [exp1, exp2]
     assert exp1 > 0 and exp2 == 0
     assert got["alarm"].tolist() == [exp1 > 50000, False]
+
+
+def test_conversion_survival_censoring(ray_session, tmp_path):
+    """Users without a qualifying purchase are right-CENSORED at the
+    corpus horizon (they stay in at_risk for every earlier day), not
+    dropped; deaths land on the exact whole-day lag."""
+    rows = [
+        # u1 signs up day 0, converts day 2
+        (1, 1, "2024-01-01 00:00:00", "signup"),
+        (2, 1, "2024-01-03 00:00:00", "purchase"),
+        # u2 signs up day 0, never converts (censored at horizon day 9)
+        (3, 2, "2024-01-01 00:00:00", "signup"),
+        # u3 signs up day 0, converts same day
+        (4, 3, "2024-01-01 00:00:00", "signup"),
+        (5, 3, "2024-01-01 12:00:00", "purchase"),
+        # horizon-setting unrelated event
+        (6, 4, "2024-01-10 00:00:00", "click"),
+    ]
+    pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[2] for r in rows]),
+        "user_id": [r[1] for r in rows],
+        "event_type": [r[3] for r in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(tmp_path / "events.parquet")
+    from semantic_search_system_ray.pipelines.queries import (
+        q_conversion_survival,
+    )
+
+    got = q_conversion_survival(str(tmp_path)).to_pandas()
+    # deaths at day 0 (u3) and day 2 (u1); u2 censored at day 9 keeps
+    # at_risk = 3 at day 0 and 2 at day 2
+    assert got[["day", "at_risk", "deaths"]].values.tolist() == [
+        [0, 3, 1], [2, 2, 1]
+    ]
