@@ -2302,6 +2302,107 @@ def q_user_running_sum(sf_dir: str):
     return coarse_partition_apply(ds, ["user_id"], running, out_schema)
 
 
+def q_entropy_by_source(sf_dir: str):
+    """Token Shannon entropy per source — the corpus-diversity signal
+    curation pipelines use to catch template/boilerplate-dominated
+    sources (low entropy = few distinct tokens dominate): H = ln N −
+    (Σ_w n_w·ln n_w)/N in nats, over each source's token multiset.
+
+    FP determinism: the Σ over words is accumulated in SORTED word
+    order on BOTH sides (np.cumsum left fold == DuckDB list_sum over a
+    word-ORDERED list — the bm25 pinning idiom; a hash-aggregate sum's
+    order is unspecified and FP addition is non-associative), ln is the
+    one shared libm, and the final round is the repo's floor(x·1e6+0.5)
+    half-away idiom, never np.round-vs-SQL-round drift.
+
+    Scale shape: per-block (source, word, n) Arrow count combiners →
+    ONE coarse shuffle keyed by source (each source's vocabulary lands
+    in one partition — vocabulary-bounded, not token-bounded); the
+    per-partition fold is vectorized pandas + one cumsum per source."""
+    import pandas as pd
+
+    from semantic_search_system_ray.functions.text import tokenize
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+
+    part_schema = pa.schema(
+        [("source", pa.string()), ("w", pa.string()), ("n", pa.int64())]
+    )
+
+    def wc(t: pa.Table) -> pa.Table:
+        srcs, words = [], []
+        for s, txt in zip(t.column("source").to_pylist(),
+                          t.column("text").to_pylist()):
+            for w in tokenize((txt or "").lower()):
+                srcs.append(s)
+                words.append(w)
+        if not srcs:
+            return part_schema.empty_table()
+        g = pa.Table.from_pydict(
+            {"source": pa.array(srcs, pa.string()),
+             "w": pa.array(words, pa.string())}
+        ).group_by(["source", "w"]).aggregate([("w", "count")])
+        return pa.Table.from_pydict(
+            {"source": g.column("source"), "w": g.column("w"),
+             "n": pc.cast(g.column("w_count"), pa.int64())},
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("source", pa.string()), ("n_tokens", pa.int64()),
+         ("entropy", pa.float64())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby(["source", "w"], sort=False)["n"].sum().reset_index()
+        rows = []
+        for src, g in agg.groupby("source", sort=False):
+            g = g.sort_values("w", kind="mergesort")
+            n = g["n"].to_numpy().astype(np.float64)
+            s = np.cumsum(n * np.log(n))[-1]  # left fold in word order
+            total = int(g["n"].sum())
+            h = np.log(np.float64(total)) - s / np.float64(total)
+            rows.append(
+                (src, total, np.floor(h * 1e6 + 0.5) / 1e6)
+            )
+        rows.sort()
+        return pa.Table.from_pydict(
+            {"source": [r[0] for r in rows],
+             "n_tokens": [r[1] for r in rows],
+             "entropy": [r[2] for r in rows]},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        ds.map_batches(wc, batch_format="pyarrow"), ["source"], fold,
+        out_schema,
+    )
+
+
+SQL_ENTROPY_BY_SOURCE = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '\w+(?:''\w+)?')) AS w
+  FROM documents
+),
+wc AS (SELECT source, w, count(*) AS n FROM toks GROUP BY source, w),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nn FROM wc GROUP BY source),
+s AS (
+  SELECT source,
+         list_sum(list(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                       ORDER BY w)) AS sw
+  FROM wc GROUP BY source
+)
+SELECT t.source, t.nn AS n_tokens,
+       floor((ln(CAST(t.nn AS DOUBLE)) - s.sw / CAST(t.nn AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS entropy
+FROM tot t JOIN s ON s.source = t.source
+"""
+
+
 def q_conversion_survival(sf_dir: str):
     """Kaplan-Meier SURVIVAL TABLE for signup→purchase conversion — the
     censoring-aware view of time-to-convert (q_conversion_lag drops
@@ -11101,6 +11202,7 @@ QUERIES = {
     "events_cusum": q_events_cusum,
     "rare_label_collapse": q_rare_label_collapse,
     "conversion_survival": q_conversion_survival,
+    "entropy_by_source": q_entropy_by_source,
     "value_deciles": q_value_deciles,
     "orders_topk_per_priority": q_orders_topk_per_priority,
     "search_like": q_search_like,
@@ -11252,6 +11354,7 @@ ORACLE_SQL = {
     "events_cusum": SQL_EVENTS_CUSUM,
     "rare_label_collapse": SQL_RARE_LABEL_COLLAPSE,
     "conversion_survival": SQL_CONVERSION_SURVIVAL,
+    "entropy_by_source": SQL_ENTROPY_BY_SOURCE,
     "value_deciles": SQL_VALUE_DECILES,
     "customer_order_stats": SQL_CUSTOMER_ORDER_STATS,
     "daily_new_users": SQL_DAILY_NEW_USERS,
