@@ -2302,6 +2302,152 @@ def q_user_running_sum(sf_dir: str):
     return coarse_partition_apply(ds, ["user_id"], running, out_schema)
 
 
+def q_doc_novelty(sf_dir: str):
+    """Per-document NOVELTY score — the curation signal dual to
+    repetition/near-dup checks: the fraction of a doc's distinct
+    3-word shingles that appear in NO other document (df = 1 across
+    the corpus). Boilerplate-heavy docs score near 0, genuinely novel
+    text near 1. Shingling is byte-identical to the MinHash family
+    (functions/hashing.word_shingles == the shared shing CTE text in
+    text_oracles._sql_minhash_sig_band, so this op and the dedup twins
+    can never disagree about what a shingle is).
+
+    Scale shape: per-doc DISTINCT shingles stream out of one pass; ONE
+    shingle-keyed coarse cogroup computes df and immediately folds to
+    per-doc (uniq, total) PARTIALS inside the partition (gram-scale
+    rows never leave twice); ONE doc-keyed coarse sum finishes. The
+    single float divide is floor-half-away 6dp on both sides."""
+    import pandas as pd
+
+    from semantic_search_system_ray.functions.hashing import word_shingles
+    from semantic_search_system_ray.functions.text import tokenize
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    K = 3
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    gram_schema = pa.schema([("s", pa.string()), ("d", pa.string())])
+
+    def grams(t: pa.Table) -> pa.Table:
+        ss, dd = [], []
+        for i, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            toks = [w.lower() for w in tokenize(txt or "")]
+            for s in set(word_shingles(toks, K)):
+                ss.append(s)
+                dd.append(str(i))
+        return pa.Table.from_pydict(
+            {"s": pa.array(ss, pa.string()), "d": pa.array(dd, pa.string())},
+            schema=gram_schema,
+        )
+
+    part_schema = pa.schema(
+        [("d", pa.string()), ("uniq", pa.int64()), ("total", pa.int64())]
+    )
+
+    def df_fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        dfc = df.groupby("s", sort=False)["d"].transform("size")
+        out = (
+            pd.DataFrame({"d": df["d"], "u": (dfc == 1).astype(np.int64)})
+            .groupby("d", sort=False)
+            .agg(uniq=("u", "sum"), total=("u", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            out, schema=part_schema, preserve_index=False
+        )
+
+    partials = coarse_partition_apply(
+        ds.map_batches(grams, batch_format="pyarrow"),
+        ["s"], df_fold, part_schema,
+    )
+
+    def doc_sum(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        agg = (
+            df.groupby("d", sort=False)[["uniq", "total"]].sum().reset_index()
+        )
+        return pa.Table.from_pandas(
+            agg, schema=part_schema, preserve_index=False
+        )
+
+    per_doc = coarse_partition_apply(partials, ["d"], doc_sum, part_schema)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.string()), ("n_shingles", pa.int64()),
+         ("n_unique", pa.int64()), ("novelty", pa.float64())]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        total = t.column("total").to_numpy(zero_copy_only=False)
+        uniq = t.column("uniq").to_numpy(zero_copy_only=False)
+        nv = np.where(
+            total > 0,
+            np.floor(uniq.astype(np.float64) / total.astype(np.float64)
+                     * 1e6 + 0.5) / 1e6,
+            0.0,
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": t.column("d"), "n_shingles": total, "n_unique": uniq,
+             "novelty": nv},
+            schema=out_schema,
+        )
+
+    # LEFT-complete over every doc (zero-shingle docs emit 0/0/0.0):
+    # union zero rows for all ids, dedup-preferring the real row via max
+    ids = ds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"d": pa.array([str(v) for v in t.column("doc_id").to_pylist()],
+                           pa.string()),
+             "uniq": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+             "total": pa.nulls(t.num_rows, pa.int64()).fill_null(0)},
+            schema=part_schema,
+        ),
+        batch_format="pyarrow",
+    )
+    complete = coarse_partition_apply(
+        per_doc.union(ids), ["d"], doc_sum, part_schema
+    )
+    return complete.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOC_NOVELTY = r"""
+WITH doc AS (
+  SELECT CAST(doc_id AS VARCHAR) AS d,
+         regexp_extract_all(lower(text), '\w+(?:''\w+)?') AS ws
+  FROM documents
+),
+pos AS (
+  SELECT d, ws,
+         unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+  FROM doc WHERE len(ws) >= 1
+),
+shing AS (
+  SELECT DISTINCT d,
+         CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+              ELSE array_to_string(ws[i : i + 2], ' ') END AS s
+  FROM pos
+),
+dfc AS (SELECT s, count(*) AS df FROM shing GROUP BY s),
+per AS (
+  SELECT sh.d, count(*) AS total,
+         count(*) FILTER (WHERE dfc.df = 1) AS uniq
+  FROM shing sh JOIN dfc ON dfc.s = sh.s GROUP BY sh.d
+)
+SELECT dd.d AS doc_id,
+       CAST(coalesce(p.total, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(p.uniq, 0) AS BIGINT) AS n_unique,
+       CASE WHEN coalesce(p.total, 0) = 0 THEN 0.0
+            ELSE floor(CAST(p.uniq AS DOUBLE) / CAST(p.total AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000
+       END AS novelty
+FROM doc dd LEFT JOIN per p ON p.d = dd.d
+"""
+
+
 def q_entropy_by_source(sf_dir: str):
     """Token Shannon entropy per source — the corpus-diversity signal
     curation pipelines use to catch template/boilerplate-dominated
@@ -11203,6 +11349,7 @@ QUERIES = {
     "rare_label_collapse": q_rare_label_collapse,
     "conversion_survival": q_conversion_survival,
     "entropy_by_source": q_entropy_by_source,
+    "doc_novelty": q_doc_novelty,
     "value_deciles": q_value_deciles,
     "orders_topk_per_priority": q_orders_topk_per_priority,
     "search_like": q_search_like,
@@ -11355,6 +11502,7 @@ ORACLE_SQL = {
     "rare_label_collapse": SQL_RARE_LABEL_COLLAPSE,
     "conversion_survival": SQL_CONVERSION_SURVIVAL,
     "entropy_by_source": SQL_ENTROPY_BY_SOURCE,
+    "doc_novelty": SQL_DOC_NOVELTY,
     "value_deciles": SQL_VALUE_DECILES,
     "customer_order_stats": SQL_CUSTOMER_ORDER_STATS,
     "daily_new_users": SQL_DAILY_NEW_USERS,
