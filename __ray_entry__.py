@@ -677,6 +677,22 @@ def _q_kg_kcore(sf_dir: str):
     return kcore(edges_from_triples(_kg_triples(sf_dir)), k=2, rounds=4)
 
 
+def _q_kg_scc(sf_dir: str):
+    """EXACT strongly connected components of the DIRECTED KG edge set
+    (stages/graph.scc_labels) → (node_id, scc = lexicographic min
+    member). Unlike the fixed-round peel/LPA ops this is a pure graph
+    property: the driver regime is iterative Tarjan, the distributed
+    regime is the coloring algorithm with VERIFIED fixpoints (raises
+    rather than truncating), and both emit identical labels (regime
+    parity pytested: tests/test_graph.py). Oracle: mutual-reachability
+    recursive CTE over the kg_triples SQL subquery
+    (text_oracles.sql_kg_scc)."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import scc_labels
+
+    return scc_labels(edges_from_triples(_kg_triples(sf_dir)))
+
+
 def _q_kg_communities(sf_dir: str):
     """Label-propagation communities over the KG edge set
     (stages/graph.label_propagation, 3 synchronous rounds): every node
@@ -1350,6 +1366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_assortativity": _q_kg_assortativity,
             "kg_components": _q_kg_components,
             "kg_kcore": _q_kg_kcore,
+            "kg_scc": _q_kg_scc,
             "kg_communities": _q_kg_communities,
             "kg_hits": _q_kg_hits,
             "kg_ppr": _q_kg_ppr,
@@ -1495,6 +1512,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_kcore": tox.sql_kg_kcore(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_scc": tox.sql_kg_scc(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_communities": tox.sql_kg_communities(

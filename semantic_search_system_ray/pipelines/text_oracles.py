@@ -853,6 +853,40 @@ SELECT node_id, min(label) AS component FROM reach GROUP BY node_id
 """
 
 
+def sql_kg_scc(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for stages/graph.scc_labels: STRONGLY connected components
+    of the DIRECTED distinct simple edge set (self-loops dropped — they
+    never change membership), labeled by the lexicographically smallest
+    member. ``reach`` enumerates directed reachability (UNION dedups and
+    the pair domain is finite, so it terminates); two reach rows joined
+    both ways give mutual reachability, and the MIN over a node's mutual
+    partners (every node is mutually reachable with itself via the base
+    rows) is exactly the component's smallest member — the same label
+    both engine regimes emit. Built over the kg_triples oracle subquery
+    (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH RECURSIVE t AS ({triples}),
+e AS (
+  SELECT DISTINCT CAST(subj AS VARCHAR) AS src, CAST(obj AS VARCHAR) AS dst
+  FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)
+),
+nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+reach(a, b) AS (
+  SELECT node_id, node_id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+)
+SELECT r1.a AS node_id, min(r1.b) AS scc
+FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+GROUP BY r1.a
+"""
+
+
 def sql_kg_bfs(
     gazetteer: dict[str, str],
     taxonomy: dict[str, list[str]],

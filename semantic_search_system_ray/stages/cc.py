@@ -132,6 +132,65 @@ def _min_label_part(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_pandas(g, schema=_MSG_SCHEMA, preserve_index=False)
 
 
+def min_label_fixpoint(
+    labels: rd.Dataset,
+    edges: rd.Dataset,
+    *,
+    max_rounds: int = 10,
+    num_partitions: int | None = None,
+    require_convergence: bool = False,
+) -> rd.Dataset:
+    """DIRECTED min-label propagation to fixpoint: each round, for every
+    edge row (src, dst), ``label(src) ← min(label(src), label(dst))`` —
+    labels PULL along edges from dst into src (callers wanting the
+    src→dst flow pass swapped edge columns). ``labels`` must carry one
+    row per node of interest; edge endpoints absent from ``labels``
+    contribute their own id as an implicit label (see
+    ``_emit_messages_part``). Checksum early exit at fixpoint; the
+    shared loop under ``min_label_components`` (WCC via symmetrized
+    edges) and graph.scc_labels' coloring/marking passes.
+    ``require_convergence=True`` raises loudly when the round budget is
+    exhausted before a no-change round — callers whose SEMANTICS are the
+    true fixpoint (SCC) must not silently accept a prefix."""
+    edges = edges.materialize()
+    labels = labels.materialize()
+    P = (
+        num_partitions
+        if num_partitions is not None
+        else _default_partitions(labels, edges)
+    )
+
+    prev = label_checksum(labels)
+    converged = False
+    for _ in range(max_rounds):
+        combined = labels.map_batches(_labels_as_cg, batch_format="pyarrow").union(
+            edges.map_batches(_edges_as_cg, batch_format="pyarrow")
+        )
+        messages = coarse_partition_apply(
+            combined, ["key"], _emit_messages_part, _MSG_SCHEMA,
+            num_partitions=P,
+        )
+        labels = (
+            coarse_partition_apply(
+                messages, ["node"], _min_label_part, _MSG_SCHEMA,
+                num_partitions=P,
+            )
+            .repartition(P)
+            .materialize()
+        )
+        cur = label_checksum(labels)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if require_convergence and not converged:
+        raise RuntimeError(
+            f"min_label_fixpoint: no fixpoint within max_rounds={max_rounds} "
+            "(label checksum still changing); raise the round budget"
+        )
+    return labels
+
+
 def min_label_components(
     nodes: rd.Dataset,
     edges: rd.Dataset,
@@ -160,29 +219,9 @@ def min_label_components(
     # one partition count for every round (in-loop unions are un-executed
     # plans with unknown size; a constant P keeps iteration cost flat)
     P = _default_partitions(labels, edges_sym)
-
-    prev = label_checksum(labels)
-    for _ in range(max_rounds):
-        combined = labels.map_batches(_labels_as_cg, batch_format="pyarrow").union(
-            edges_sym.map_batches(_edges_as_cg, batch_format="pyarrow")
-        )
-        messages = coarse_partition_apply(
-            combined, ["key"], _emit_messages_part, _MSG_SCHEMA,
-            num_partitions=P,
-        )
-        labels = (
-            coarse_partition_apply(
-                messages, ["node"], _min_label_part, _MSG_SCHEMA,
-                num_partitions=P,
-            )
-            .repartition(P)
-            .materialize()
-        )
-        cur = label_checksum(labels)
-        if cur == prev:
-            break
-        prev = cur
-    return labels
+    return min_label_fixpoint(
+        labels, edges_sym, max_rounds=max_rounds, num_partitions=P
+    )
 
 
 def connected_components(

@@ -1864,3 +1864,321 @@ def clustering_coefficient(
          "global_cc": pa.array([float(cc)], pa.float64())},
         schema=CLUSTERING_SCHEMA,
     )
+
+
+# --------------------------------------------------------------------------
+# strongly connected components (directed; EXACT, scale-switched)
+# --------------------------------------------------------------------------
+
+SCC_DRIVER_EDGE_THRESHOLD = 2_000_000
+
+SCC_SCHEMA = pa.schema([("node_id", pa.string()), ("scc", pa.string())])
+
+_SCC_E_SCHEMA = pa.schema([("s", pa.string()), ("d", pa.string())])
+
+
+def _distinct_directed_edges(
+    edges: rd.Dataset, src_col: str, dst_col: str
+) -> rd.Dataset:
+    """DISTINCT directed simple edge set (parallel edges and self-loops
+    dropped — a self-loop never changes SCC membership): per-block Arrow
+    distinct combiners, then one coarse-partition dedup (the hits() edge
+    prep, shared)."""
+
+    def norm_e(t: pa.Table) -> pa.Table:
+        tt = pa.Table.from_pydict(
+            {"s": _str(t.column(src_col)), "d": _str(t.column(dst_col))}
+        )
+        tt = tt.filter(pc.not_equal(tt.column("s"), tt.column("d")))
+        return tt.group_by(["s", "d"]).aggregate([])
+
+    def part_distinct(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _SCC_E_SCHEMA.empty_table()
+        return pa.Table.from_pandas(
+            df.drop_duplicates(), schema=_SCC_E_SCHEMA, preserve_index=False
+        )
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    return coarse_partition_apply(
+        edges.map_batches(norm_e, batch_format="pyarrow"),
+        ["s", "d"], part_distinct, _SCC_E_SCHEMA,
+    )
+
+
+def _scc_driver(e: pa.Table) -> rd.Dataset:
+    """Exact driver twin: iterative Tarjan over factorized endpoint
+    indices (CSR adjacency; explicit work stack — no recursion, so deep
+    chains can't blow the interpreter stack). Component label = the
+    lexicographically smallest member, matching the distributed
+    coloring algorithm's root labels bit-for-bit (parity pytested)."""
+    s = _str(e.column("s")).to_numpy(zero_copy_only=False)
+    d = _str(e.column("d")).to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([s, d]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, s)
+    di = np.searchsorted(nodes, d)
+    order = np.argsort(si, kind="stable")
+    si, di = si[order], di[order]
+    indptr = np.searchsorted(si, np.arange(n + 1))
+
+    UNSET = -1
+    index = np.full(n, UNSET, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    on_stack = np.zeros(n, dtype=bool)
+    stack: list[int] = []
+    scc_of = np.full(n, UNSET, dtype=np.int64)
+    counter = 0
+    for root in range(n):
+        if index[root] != UNSET:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, ei = work[-1]
+            if ei == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            advanced = False
+            for i in range(indptr[v] + ei, indptr[v + 1]):
+                w = int(di[i])
+                if index[w] == UNSET:
+                    work[-1] = (v, i - indptr[v] + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if on_stack[w] and index[w] < low[v]:
+                    low[v] = index[w]
+            if advanced:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    comp.append(w)
+                    if w == v:
+                        break
+                # nodes[] is sorted, so min index == lexicographic min
+                label = min(comp)
+                for w in comp:
+                    scc_of[w] = label
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                if low[v] < low[u]:
+                    low[u] = low[v]
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"node_id": nodes, "scc": nodes[scc_of]}, schema=SCC_SCHEMA
+        )
+    )
+
+
+def _scc_distributed(
+    nodes: rd.Dataset,
+    e: rd.Dataset,
+    *,
+    max_outer: int,
+    max_rounds: int,
+    P: int,
+) -> rd.Dataset:
+    """Distributed coloring SCC (Orzan 2004 / FW-coloring): each outer
+    round (1) forward min-propagates ``color(v) = min node that reaches
+    v`` to a VERIFIED fixpoint, (2) backward-marks, within same-color
+    edges only, every node that can reach its color root (lossless: any
+    v→…→root path in the full graph stays inside color(v)'s class — a
+    smaller-colored node on the path would force color(v) below its
+    root), (3) assigns ``scc = color`` to marked nodes and removes them.
+    Every pass is cc.min_label_fixpoint cogroups + coarse attaches —
+    node/label sets never drive-collect. Worst case (a chain sorted
+    against edge direction) needs O(n) outer rounds — the classic bound
+    for coloring SCC — so the budget raises loudly rather than
+    truncating; real KGs drain in a handful of rounds."""
+    from semantic_search_system_ray.stages.cc import min_label_fixpoint
+    from semantic_search_system_ray.stages.util import (
+        coarse_anti_join,
+        coarse_attach,
+    )
+
+    _NODE_SCHEMA = pa.schema([("node", pa.string())])
+    _ATT1 = pa.schema(
+        [("s", pa.string()), ("d", pa.string()), ("cs", pa.string())]
+    )
+    _ATT2 = pa.schema(
+        [("s", pa.string()), ("d", pa.string()),
+         ("cs", pa.string()), ("cd", pa.string())]
+    )
+    _JOIN = pa.schema(
+        [("node", pa.string()), ("label", pa.string()), ("m", pa.string())]
+    )
+
+    def ident_labels(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"node": t.column("node"), "label": t.column("node")}
+        )
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"src": t.column("d"), "dst": t.column("s")}
+        )
+
+    def fwd(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"src": t.column("s"), "dst": t.column("d")}
+        )
+
+    def mark_init(t: pa.Table) -> pa.Table:
+        node = pc.cast(t.column("node"), pa.string()).combine_chunks()
+        lab = pc.cast(t.column("label"), pa.string()).combine_chunks()
+        is_root = pc.equal(node, lab)
+        return pa.Table.from_pydict(
+            {"node": node,
+             "label": pc.if_else(is_root, pa.scalar("", pa.string()), node)}
+        )
+
+    actives = nodes.materialize()
+    e = e.materialize()
+    done: list[rd.Dataset] = []
+    for _ in range(max_outer):
+        if actives.count() == 0:
+            break
+        # (1) forward coloring: v pulls min from in-neighbors → swapped
+        # edge rows under the fixpoint's pull-from-dst convention
+        colors = min_label_fixpoint(
+            actives.map_batches(ident_labels, batch_format="pyarrow"),
+            e.map_batches(swap, batch_format="pyarrow"),
+            max_rounds=max_rounds, num_partitions=P,
+            require_convergence=True,
+        )
+        # (2) same-color edge subgraph
+        att = coarse_attach(
+            e, colors, left_key="s", right_key="node",
+            attach_cols=["label"], attach_as=["cs"],
+            out_schema=_ATT1, num_partitions=P, how="inner",
+        )
+        att = coarse_attach(
+            att, colors, left_key="d", right_key="node",
+            attach_cols=["label"], attach_as=["cd"],
+            out_schema=_ATT2, num_partitions=P, how="inner",
+        )
+        same = att.map_batches(
+            lambda t: t.filter(
+                pc.equal(t.column("cs"), t.column("cd"))
+            ).select(["s", "d"]),
+            batch_format="pyarrow",
+        )
+        # backward marking: v pulls along v→w (natural orientation);
+        # roots' "" sentinel (minimal string) flows to everything that
+        # reaches a root within its class
+        marked = min_label_fixpoint(
+            colors.map_batches(mark_init, batch_format="pyarrow"),
+            same.map_batches(fwd, batch_format="pyarrow"),
+            max_rounds=max_rounds, num_partitions=P,
+            require_convergence=True,
+        )
+        # (3) assign + shrink
+        joined = coarse_attach(
+            colors, marked, left_key="node", right_key="node",
+            attach_cols=["label"], attach_as=["m"],
+            out_schema=_JOIN, num_partitions=P, how="inner",
+        ).map_batches(
+            lambda t: t.filter(pc.equal(t.column("m"), pa.scalar(""))),
+            batch_format="pyarrow",
+        ).materialize()
+        done.append(
+            joined.map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"node_id": t.column("node"), "scc": t.column("label")},
+                    schema=SCC_SCHEMA,
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+        )
+        assigned = joined.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"node": t.column("node")}, schema=_NODE_SCHEMA
+            ),
+            batch_format="pyarrow",
+        )
+        actives = coarse_anti_join(
+            actives, assigned, left_key="node", right_key="node",
+            out_schema=_NODE_SCHEMA, num_partitions=P,
+        ).materialize()
+        e_ab = e.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"a": t.column("s"), "b": t.column("d")}
+            ),
+            batch_format="pyarrow",
+        )
+        e_ab = _semi_on(e_ab, actives, "a", P)
+        e_ab = _semi_on(e_ab, actives, "b", P)
+        e = e_ab.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"s": t.column("a"), "d": t.column("b")},
+                schema=_SCC_E_SCHEMA,
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        if actives.count() > 0:
+            raise RuntimeError(
+                f"scc_labels: active nodes remain after max_outer={max_outer} "
+                "coloring rounds (pathological chain ordering?); raise the "
+                "outer budget"
+            )
+    if not done:
+        return rd.from_arrow(SCC_SCHEMA.empty_table())
+    out = done[0]
+    for part in done[1:]:
+        out = out.union(part)
+    return out
+
+
+def scc_labels(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    driver_threshold: int = SCC_DRIVER_EDGE_THRESHOLD,
+    max_outer: int = 50,
+    max_rounds: int = 64,
+) -> rd.Dataset:
+    """EXACT strongly connected components of the directed graph under
+    ``edges`` → (node_id, scc) where ``scc`` is the lexicographically
+    smallest member of the component — a pure graph property (no
+    fixed-round prefix semantics: both regimes compute true SCC, and the
+    distributed fixpoints verify convergence or raise). Oracle:
+    mutual-reachability recursive CTE over the same edge set
+    (text_oracles.sql_kg_scc). Reference analogue: component-style
+    queries run driver-side over the NetworkX store
+    (/root/reference/knowledge_graph/knowledge_graph.py); here the node
+    and label sets stay Datasets on the distributed path.
+
+    Scale: same switch as pagerank/kcore/LPA/HITS — edge sets at or
+    below ``driver_threshold`` take the exact iterative-Tarjan driver
+    twin (one pass, no shuffles); larger graphs run the distributed
+    coloring algorithm (see ``_scc_distributed``). Regime parity is
+    pytested on cyclic/dag/interlocking graphs with a forced
+    threshold."""
+    from semantic_search_system_ray.stages.util import _default_partitions
+
+    e = _distinct_directed_edges(edges, src_col, dst_col).materialize()
+    n_edges = e.count()
+    if n_edges == 0:
+        return rd.from_arrow(SCC_SCHEMA.empty_table())
+    if n_edges <= driver_threshold:
+        import ray
+
+        tables = [t for t in ray.get(e.to_arrow_refs()) if t.num_rows > 0]
+        return _scc_driver(pa.concat_tables(tables))
+    P = _default_partitions(e)
+    e = e.repartition(P).materialize()
+    nodes = _distinct_nodes(e, "s", "d", num_partitions=P).map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+    )
+    return _scc_distributed(
+        nodes, e, max_outer=max_outer, max_rounds=max_rounds, P=P
+    )

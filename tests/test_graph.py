@@ -393,3 +393,111 @@ def test_clustering_coefficient(ray_session, n_blocks):
     assert got.column("triangles").to_pylist() == [1]
     assert got.column("wedges").to_pylist() == [5]
     assert got.column("global_cc").to_pylist() == [3.0 / 5.0]
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components (EXACT, scale-switched)
+# ---------------------------------------------------------------------------
+
+# 3-cycle {a,b,c} feeding a second 3-cycle {d,e,f}, a DAG source g, a
+# pure-self-loop node h (drops out entirely: self-loops never change
+# membership and h has no other edges), and a parallel a->b edge.
+SCC_EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "a"),
+    ("c", "d"), ("d", "e"), ("e", "f"), ("f", "d"),
+    ("g", "a"),
+    ("h", "h"),
+    ("a", "b"),
+]
+
+
+def _scc_edges_ds(edge_list, n_blocks: int) -> rd.Dataset:
+    t = pa.table(
+        {"src": [e[0] for e in edge_list], "dst": [e[1] for e in edge_list]}
+    )
+    return rd.from_arrow(t).repartition(n_blocks)
+
+
+def _brute_scc(edge_list) -> list[tuple[str, str]]:
+    """Mutual reachability by saturation: scc(v) = min {u : u<->v}."""
+    e = {(s, d) for s, d in edge_list if s != d}
+    nodes = sorted({n for pair in e for n in pair})
+    reach = {n: {n} for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for s, d in e:
+            new = reach[d] - reach[s]
+            if new:
+                reach[s] |= new
+                changed = True
+    return sorted(
+        (n, min(m for m in nodes if m in reach[n] and n in reach[m]))
+        for n in nodes
+    )
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_scc_regime_parity(ray_session, n_blocks, driver_threshold):
+    """Both regimes — threshold 0 forces the distributed coloring
+    algorithm (verified fixpoints), 10k the iterative-Tarjan driver twin
+    — must match brute-force mutual reachability exactly: SCC is a pure
+    graph property, not a fixed-round prefix. Interlocking cycles,
+    a DAG source, parallel edges, and a dropped self-loop node."""
+    from semantic_search_system_ray.stages.graph import scc_labels
+
+    got = (
+        scc_labels(_scc_edges_ds(SCC_EDGES, n_blocks),
+                   driver_threshold=driver_threshold)
+        .to_pandas().sort_values("node_id").reset_index(drop=True)
+    )
+    ref = _brute_scc(SCC_EDGES)
+    assert list(zip(got["node_id"], got["scc"])) == ref
+    assert "h" not in set(got["node_id"])
+    # spot-check the expected components directly
+    m = dict(zip(got["node_id"], got["scc"]))
+    assert m["a"] == m["b"] == m["c"] == "a"
+    assert m["d"] == m["e"] == m["f"] == "d"
+    assert m["g"] == "g"
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_scc_singleton_chain(ray_session, driver_threshold):
+    """Adversarial all-singleton chain a->b->c->d: the coloring regime
+    peels exactly one color root per outer round (the classic worst
+    case), so this exercises the multi-round outer loop; every node is
+    its own component in both regimes."""
+    from semantic_search_system_ray.stages.graph import scc_labels
+
+    chain = [("a", "b"), ("b", "c"), ("c", "d")]
+    got = (
+        scc_labels(_scc_edges_ds(chain, 2),
+                   driver_threshold=driver_threshold)
+        .to_pandas().sort_values("node_id").reset_index(drop=True)
+    )
+    assert list(zip(got["node_id"], got["scc"])) == _brute_scc(chain)
+
+
+def test_scc_exhausted_round_budget_raises(ray_session):
+    """SCC semantics are the true fixpoint: the distributed regime must
+    raise loudly when the inner round budget is exhausted before a
+    verified no-change round — never silently return a prefix."""
+    from semantic_search_system_ray.stages.graph import scc_labels
+
+    chain = [("a", "b"), ("b", "c"), ("c", "d")]
+    with pytest.raises(RuntimeError, match="fixpoint|budget"):
+        scc_labels(_scc_edges_ds(chain, 1), driver_threshold=0,
+                   max_rounds=1)
+
+
+def test_scc_self_loops_only_is_empty(ray_session):
+    """A graph whose every edge is a self-loop has no simple edges left
+    after normalization: the result is the empty (node_id, scc) table
+    with the pinned schema."""
+    from semantic_search_system_ray.stages.graph import SCC_SCHEMA, scc_labels
+
+    t = pa.table({"src": ["x", "y"], "dst": ["x", "y"]})
+    got = scc_labels(rd.from_arrow(t))
+    assert got.count() == 0
+    assert got.schema().base_schema.equals(SCC_SCHEMA)
