@@ -693,6 +693,35 @@ def _q_kg_scc(sf_dir: str):
     return scc_labels(edges_from_triples(_kg_triples(sf_dir)))
 
 
+def _q_kg_condensation(sf_dir: str):
+    """Condensation DAG of the directed KG edge set
+    (stages/graph.condensation): every strongly connected component
+    contracts to its lexicographically smallest member and the DISTINCT
+    inter-component edges survive → (src_scc, dst_scc). Acyclic by
+    construction. Oracle: scc CTE prefix shared verbatim with
+    sql_kg_scc + a two-way label join (text_oracles.sql_kg_condensation)."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import condensation
+
+    return condensation(edges_from_triples(_kg_triples(sf_dir)))
+
+
+def _q_kg_topo_levels(sf_dir: str):
+    """Longest-path topological layering of the KG's condensation DAG
+    (stages/graph.condensation_levels): level(v) = longest directed path
+    ending at component v, sources at 0 — the stage number a scheduler
+    would assign. Pure graph property: the distributed regime's
+    max-propagation verifies its fixpoint via the monotone level-sum
+    certificate and raises on an exhausted budget (cycles are impossible
+    here — the condensation is acyclic — so the guard is defensive).
+    Oracle: path-length enumeration CTE over the shared scc prefix
+    (text_oracles.sql_kg_topo_levels)."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import condensation_levels
+
+    return condensation_levels(edges_from_triples(_kg_triples(sf_dir)))
+
+
 def _q_kg_communities(sf_dir: str):
     """Label-propagation communities over the KG edge set
     (stages/graph.label_propagation, 3 synchronous rounds): every node
@@ -1367,6 +1396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_components": _q_kg_components,
             "kg_kcore": _q_kg_kcore,
             "kg_scc": _q_kg_scc,
+            "kg_condensation": _q_kg_condensation,
+            "kg_topo_levels": _q_kg_topo_levels,
             "kg_communities": _q_kg_communities,
             "kg_hits": _q_kg_hits,
             "kg_ppr": _q_kg_ppr,
@@ -1515,6 +1546,12 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_scc": tox.sql_kg_scc(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_condensation": tox.sql_kg_condensation(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_topo_levels": tox.sql_kg_topo_levels(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_communities": tox.sql_kg_communities(

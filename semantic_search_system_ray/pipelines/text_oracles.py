@@ -870,7 +870,17 @@ def sql_kg_scc(
     (one source of truth)."""
     triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
     return f"""
-WITH RECURSIVE t AS ({triples}),
+WITH RECURSIVE {_kg_scc_ctes(triples)}
+SELECT node_id, scc FROM scc
+"""
+
+
+def _kg_scc_ctes(triples: str) -> str:
+    """Shared CTE prefix ending in ``scc(node_id, scc)`` — ONE source of
+    truth for the SCC twin, reused verbatim by the condensation and
+    topo-level oracles so the three can never drift. Must sit inside a
+    ``WITH RECURSIVE`` clause (``reach`` recurses)."""
+    return f"""t AS ({triples}),
 e AS (
   SELECT DISTINCT CAST(subj AS VARCHAR) AS src, CAST(obj AS VARCHAR) AS dst
   FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)
@@ -880,10 +890,61 @@ reach(a, b) AS (
   SELECT node_id, node_id FROM nodes
   UNION
   SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+scc AS (
+  SELECT r1.a AS node_id, min(r1.b) AS scc
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+  GROUP BY r1.a
+)"""
+
+
+def sql_kg_condensation(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for stages/graph.condensation over the KG edge set:
+    contract each SCC to its smallest-member label and keep the DISTINCT
+    inter-component edges. Shares the SCC CTE prefix with sql_kg_scc."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH RECURSIVE {_kg_scc_ctes(triples)}
+SELECT DISTINCT s1.scc AS src_scc, s2.scc AS dst_scc
+FROM e
+JOIN scc s1 ON s1.node_id = e.src
+JOIN scc s2 ON s2.node_id = e.dst
+WHERE s1.scc <> s2.scc
+"""
+
+
+def sql_kg_topo_levels(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for stages/graph.condensation_levels: longest directed
+    path ending at each condensation node (sources at 0). ``p``
+    enumerates (node, path length) pairs — UNION-deduped and bounded by
+    |nodes| x depth on the acyclic condensation, so it terminates; the
+    per-node MAX is exactly the longest-path level both engine regimes
+    emit. Shares the SCC CTE prefix with sql_kg_scc."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH RECURSIVE {_kg_scc_ctes(triples)},
+ce AS (
+  SELECT DISTINCT s1.scc AS src_scc, s2.scc AS dst_scc
+  FROM e
+  JOIN scc s1 ON s1.node_id = e.src
+  JOIN scc s2 ON s2.node_id = e.dst
+  WHERE s1.scc <> s2.scc
+),
+cn AS (SELECT src_scc AS v FROM ce UNION SELECT dst_scc FROM ce),
+p(v, l) AS (
+  SELECT v, CAST(0 AS BIGINT) FROM cn
+  UNION
+  SELECT ce.dst_scc, p.l + 1 FROM p JOIN ce ON ce.src_scc = p.v
 )
-SELECT r1.a AS node_id, min(r1.b) AS scc
-FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
-GROUP BY r1.a
+SELECT v AS node_id, max(l) AS level FROM p GROUP BY v
 """
 
 

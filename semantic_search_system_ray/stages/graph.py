@@ -2182,3 +2182,256 @@ def scc_labels(
     return _scc_distributed(
         nodes, e, max_outer=max_outer, max_rounds=max_rounds, P=P
     )
+
+
+# --------------------------------------------------------------------------
+# condensation DAG + longest-path topological levels
+# --------------------------------------------------------------------------
+
+CONDENSATION_SCHEMA = pa.schema(
+    [("src_scc", pa.string()), ("dst_scc", pa.string())]
+)
+
+_COND_ATT1 = pa.schema(
+    [("s", pa.string()), ("d", pa.string()), ("cs", pa.string())]
+)
+_COND_ATT2 = pa.schema(
+    [("s", pa.string()), ("d", pa.string()),
+     ("cs", pa.string()), ("cd", pa.string())]
+)
+
+
+def condensation(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    driver_threshold: int = SCC_DRIVER_EDGE_THRESHOLD,
+) -> rd.Dataset:
+    """Condensation of the directed graph: contract every strongly
+    connected component (scc_labels — exact, scale-switched) to one node
+    labeled by its lexicographically smallest member, and emit the
+    DISTINCT inter-component edge set (src_scc, dst_scc). Acyclic by
+    construction — the classic reduction that turns cyclic reachability
+    problems into DAG problems. Reference analogue: component-level
+    views are driver-side NetworkX walks
+    (/root/reference/knowledge_graph/knowledge_graph.py); here the
+    contraction is two coarse attaches over the label Dataset.
+
+    Scale: inherits scc_labels' regime switch; the contraction itself is
+    two hash-partitioned attaches plus a distinct — no driver
+    materialization on the distributed path."""
+    from semantic_search_system_ray.stages.util import (
+        _default_partitions,
+        coarse_attach,
+    )
+
+    e = _distinct_directed_edges(edges, src_col, dst_col).materialize()
+    if e.count() == 0:
+        return rd.from_arrow(CONDENSATION_SCHEMA.empty_table())
+    labels = scc_labels(
+        e, src_col="s", dst_col="d", driver_threshold=driver_threshold
+    ).materialize()
+    P = _default_partitions(e)
+    att = coarse_attach(
+        e, labels, left_key="s", right_key="node_id",
+        attach_cols=["scc"], attach_as=["cs"],
+        out_schema=_COND_ATT1, num_partitions=P, how="inner",
+    )
+    att = coarse_attach(
+        att, labels, left_key="d", right_key="node_id",
+        attach_cols=["scc"], attach_as=["cd"],
+        out_schema=_COND_ATT2, num_partitions=P, how="inner",
+    )
+
+    def contract(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.not_equal(t.column("cs"), t.column("cd")))
+        tt = pa.Table.from_pydict(
+            {"src_scc": keep.column("cs"), "dst_scc": keep.column("cd")}
+        )
+        return tt.group_by(["src_scc", "dst_scc"]).aggregate([])
+
+    def part_distinct(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return CONDENSATION_SCHEMA.empty_table()
+        return pa.Table.from_pandas(
+            df.drop_duplicates(), schema=CONDENSATION_SCHEMA,
+            preserve_index=False,
+        )
+
+    return coarse_partition_apply(
+        att.map_batches(contract, batch_format="pyarrow"),
+        ["src_scc", "dst_scc"], part_distinct, CONDENSATION_SCHEMA,
+        num_partitions=P,
+    )
+
+
+TOPO_SCHEMA = pa.schema([("node_id", pa.string()), ("level", pa.int64())])
+
+DAG_LEVELS_DRIVER_EDGE_THRESHOLD = 2_000_000
+
+_LEV_SCHEMA = pa.schema([("node", pa.string()), ("level", pa.int64())])
+_LEV_ATT = pa.schema(
+    [("s", pa.string()), ("d", pa.string()), ("lev", pa.int64())]
+)
+
+
+def _dag_levels_driver(e: pa.Table) -> rd.Dataset:
+    """Exact driver twin: Kahn topological order with longest-path DP
+    over factorized endpoints; raises on a cycle (some node never
+    reaches in-degree 0)."""
+    s = _str(e.column("s")).to_numpy(zero_copy_only=False)
+    d = _str(e.column("d")).to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([s, d]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, s)
+    di = np.searchsorted(nodes, d)
+    order = np.argsort(si, kind="stable")
+    si_s, di_s = si[order], di[order]
+    indptr = np.searchsorted(si_s, np.arange(n + 1))
+    indeg = np.bincount(di, minlength=n)
+    level = np.zeros(n, dtype=np.int64)
+    frontier = list(np.flatnonzero(indeg == 0))
+    seen = 0
+    while frontier:
+        v = frontier.pop()
+        seen += 1
+        for i in range(indptr[v], indptr[v + 1]):
+            w = int(di_s[i])
+            if level[v] + 1 > level[w]:
+                level[w] = level[v] + 1
+            indeg[w] -= 1
+            if indeg[w] == 0:
+                frontier.append(w)
+    if seen != n:
+        raise RuntimeError(
+            "dag_levels: input graph contains a cycle (longest-path "
+            "levels are undefined); condense SCCs first"
+        )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"node_id": nodes, "level": level}, schema=TOPO_SCHEMA
+        )
+    )
+
+
+def dag_levels(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    driver_threshold: int = DAG_LEVELS_DRIVER_EDGE_THRESHOLD,
+    max_rounds: int = 64,
+) -> rd.Dataset:
+    """Longest-path topological layering of a DAG → (node_id, level)
+    where level(v) = the longest directed path ending at v (sources sit
+    at level 0) — the canonical "stage number" for scheduling a
+    dependency DAG. A pure graph property: both regimes compute the true
+    fixpoint, and a cycle RAISES (driver: Kahn leaves nodes unseen;
+    distributed: levels keep rising past the round budget) — never a
+    silently-truncated prefix. Node domain = endpoints of the distinct
+    simple edge set (isolated nodes carry no edge and are absent, same
+    convention as the other edge-derived ops).
+
+    Distributed regime: iterative max-propagation — each round attaches
+    level(src) to every edge, folds (dst, level+1) messages with a
+    coarse per-node max, and stops at the verified fixpoint. Levels are
+    MONOTONE nondecreasing under this update, so the global level-sum is
+    an exact convergence certificate (unchanged sum ⇔ no label moved);
+    rounds needed = DAG depth."""
+    from semantic_search_system_ray.stages.util import (
+        _default_partitions,
+        coarse_attach,
+    )
+
+    e = _distinct_directed_edges(edges, src_col, dst_col).materialize()
+    n_edges = e.count()
+    if n_edges == 0:
+        return rd.from_arrow(TOPO_SCHEMA.empty_table())
+    if n_edges <= driver_threshold:
+        import ray
+
+        tables = [t for t in ray.get(e.to_arrow_refs()) if t.num_rows > 0]
+        return _dag_levels_driver(pa.concat_tables(tables))
+    P = _default_partitions(e)
+    e = e.repartition(P).materialize()
+
+    def init_levels(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"node": t.column("node_id"),
+             "level": pa.array(np.zeros(t.num_rows, np.int64), pa.int64())},
+            schema=_LEV_SCHEMA,
+        )
+
+    def max_part(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("node", as_index=False, sort=False)["level"].max()
+        return pa.Table.from_pandas(
+            g, schema=_LEV_SCHEMA, preserve_index=False
+        )
+
+    nodes = _distinct_nodes(e, "s", "d", num_partitions=P).map_batches(
+        lambda t: t.rename_columns(["node_id"]), batch_format="pyarrow"
+    )
+    levels = nodes.map_batches(init_levels, batch_format="pyarrow").materialize()
+    prev_sum = levels.sum("level", ignore_nulls=True) or 0
+    converged = False
+    for _ in range(max_rounds):
+        msgs = coarse_attach(
+            e, levels, left_key="s", right_key="node",
+            attach_cols=["level"], attach_as=["lev"],
+            out_schema=_LEV_ATT, num_partitions=P, how="inner",
+        ).map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"node": t.column("d"),
+                 "level": pc.add_checked(
+                     pc.cast(t.column("lev"), pa.int64()),
+                     pa.scalar(1, pa.int64()))},
+                schema=_LEV_SCHEMA,
+            ),
+            batch_format="pyarrow",
+        )
+        levels = coarse_partition_apply(
+            levels.union(msgs), ["node"], max_part, _LEV_SCHEMA,
+            num_partitions=P,
+        ).repartition(P).materialize()
+        cur_sum = levels.sum("level", ignore_nulls=True) or 0
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"dag_levels: levels still rising after max_rounds={max_rounds} "
+            "- the input graph contains a cycle (condense SCCs first) or "
+            "the DAG is deeper than the round budget"
+        )
+    return levels.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node_id": t.column("node"), "level": t.column("level")},
+            schema=TOPO_SCHEMA,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def condensation_levels(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    driver_threshold: int = SCC_DRIVER_EDGE_THRESHOLD,
+    max_rounds: int = 64,
+) -> rd.Dataset:
+    """Topological longest-path levels of the CONDENSATION: contract
+    SCCs (exact), then layer the resulting DAG → (node_id=scc label,
+    level). The composition is total on any directed graph — the
+    condensation is acyclic by construction, so dag_levels' cycle guard
+    is purely defensive here."""
+    return dag_levels(
+        condensation(
+            edges, src_col=src_col, dst_col=dst_col,
+            driver_threshold=driver_threshold,
+        ),
+        src_col="src_scc", dst_col="dst_scc",
+        driver_threshold=driver_threshold, max_rounds=max_rounds,
+    )

@@ -501,3 +501,103 @@ def test_scc_self_loops_only_is_empty(ray_session):
     got = scc_labels(rd.from_arrow(t))
     assert got.count() == 0
     assert got.schema().base_schema.equals(SCC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# condensation DAG + longest-path topological levels
+# ---------------------------------------------------------------------------
+
+def _brute_condensation(edge_list) -> list[tuple[str, str]]:
+    scc = dict(_brute_scc(edge_list))
+    return sorted({
+        (scc[s], scc[d]) for s, d in edge_list
+        if s != d and scc[s] != scc[d]
+    })
+
+
+def _brute_dag_levels(edge_list) -> list[tuple[str, int]]:
+    e = sorted({(s, d) for s, d in edge_list if s != d})
+    nodes = sorted({n for pair in e for n in pair})
+    lev = {n: 0 for n in nodes}
+    for _ in nodes:  # Bellman-Ford max; |V| rounds saturate any DAG
+        for s, d in e:
+            lev[d] = max(lev[d], lev[s] + 1)
+    return sorted(lev.items())
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_condensation_regime_parity(ray_session, n_blocks, driver_threshold):
+    """Contracting SCC_EDGES: {a,b,c} and {d,e,f} collapse, the c->d and
+    g->a bridges survive as (a,d) and (g,a), intra-component edges and
+    the h self-loop vanish — in both regimes."""
+    from semantic_search_system_ray.stages.graph import condensation
+
+    got = (
+        condensation(_scc_edges_ds(SCC_EDGES, n_blocks),
+                     driver_threshold=driver_threshold)
+        .to_pandas().sort_values(["src_scc", "dst_scc"])
+        .reset_index(drop=True)
+    )
+    assert (list(zip(got["src_scc"], got["dst_scc"]))
+            == _brute_condensation(SCC_EDGES) == [("a", "d"), ("g", "a")])
+
+
+DAG_EDGES = [
+    ("a", "b"), ("b", "c"), ("a", "c"),  # diamond: long path wins
+    ("c", "d"), ("x", "d"),              # second source at level 0
+    ("a", "b"),                          # parallel edge
+]
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_dag_levels_parity(ray_session, n_blocks, driver_threshold):
+    """level(v) = LONGEST path ending at v (not shortest): c sits at 2
+    via a->b->c even though a->c exists; both sources at 0."""
+    from semantic_search_system_ray.stages.graph import dag_levels
+
+    got = (
+        dag_levels(_scc_edges_ds(DAG_EDGES, n_blocks),
+                   driver_threshold=driver_threshold)
+        .to_pandas().sort_values("node_id").reset_index(drop=True)
+    )
+    assert (list(zip(got["node_id"], got["level"]))
+            == _brute_dag_levels(DAG_EDGES)
+            == [("a", 0), ("b", 1), ("c", 2), ("d", 3), ("x", 0)])
+
+
+def test_dag_levels_cycle_raises_driver(ray_session):
+    """Longest-path levels are undefined on a cycle: the Kahn driver
+    twin must raise, never emit a truncated layering."""
+    from semantic_search_system_ray.stages.graph import dag_levels
+
+    cyc = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    with pytest.raises(RuntimeError, match="cycle"):
+        dag_levels(_scc_edges_ds(cyc, 1), driver_threshold=10_000)
+
+
+def test_dag_levels_cycle_raises_distributed(ray_session):
+    """The distributed max-propagation regime detects the same cycle as
+    a never-settling level sum and raises at the round budget."""
+    from semantic_search_system_ray.stages.graph import dag_levels
+
+    cyc = [("a", "b"), ("b", "a")]
+    with pytest.raises(RuntimeError, match="cycle|budget"):
+        dag_levels(_scc_edges_ds(cyc, 1), driver_threshold=0, max_rounds=4)
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_condensation_levels_end_to_end(ray_session, driver_threshold):
+    """SCC contraction then layering on SCC_EDGES: g (pure source) at 0,
+    the {a,b,c} component at 1, the {d,e,f} component at 2."""
+    from semantic_search_system_ray.stages.graph import condensation_levels
+
+    got = (
+        condensation_levels(_scc_edges_ds(SCC_EDGES, 2),
+                            driver_threshold=driver_threshold)
+        .to_pandas().sort_values("node_id").reset_index(drop=True)
+    )
+    assert list(zip(got["node_id"], got["level"])) == [
+        ("a", 1), ("d", 2), ("g", 0)
+    ]
