@@ -722,6 +722,20 @@ def _q_kg_topo_levels(sf_dir: str):
     return condensation_levels(edges_from_triples(_kg_triples(sf_dir)))
 
 
+def _q_kg_linkpred(sf_dir: str):
+    """Link prediction over the KG: top-50 NON-edges sharing >=1
+    neighbor, scored by common neighbors, preferential attachment, and
+    the integer resource-allocation index sum(SCALE // deg(z))
+    (stages/graph.linkpred_topk — wedge partials carry the apex's floor
+    share, per-pair sums are exact associative int64, existing edges
+    drop via a composite-key anti join). Oracle: the same wedge
+    self-join + NOT EXISTS in SQL (text_oracles.sql_kg_linkpred)."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import linkpred_topk
+
+    return linkpred_topk(edges_from_triples(_kg_triples(sf_dir)), k=50)
+
+
 def _q_kg_communities(sf_dir: str):
     """Label-propagation communities over the KG edge set
     (stages/graph.label_propagation, 3 synchronous rounds): every node
@@ -1397,6 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_kcore": _q_kg_kcore,
             "kg_scc": _q_kg_scc,
             "kg_condensation": _q_kg_condensation,
+            "kg_linkpred": _q_kg_linkpred,
             "kg_topo_levels": _q_kg_topo_levels,
             "kg_communities": _q_kg_communities,
             "kg_hits": _q_kg_hits,
@@ -1549,6 +1564,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_condensation": tox.sql_kg_condensation(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_linkpred": tox.sql_kg_linkpred(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_topo_levels": tox.sql_kg_topo_levels(

@@ -1376,6 +1376,51 @@ ORDER BY jaccard DESC, node_a, node_b LIMIT {k}
 """
 
 
+def sql_kg_linkpred(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    k: int = 50,
+    scale: int = 1_000_000,
+) -> str:
+    """Oracle for stages/graph.linkpred_topk over the KG edge set:
+    non-edge pairs sharing >=1 neighbor scored by common-neighbor count,
+    preferential attachment deg(a)*deg(b), and the INTEGER
+    resource-allocation index sum(scale // deg(z)) over shared neighbors
+    z — every operand exact int64 (DuckDB ``//`` == numpy int64 floor
+    division on non-negative operands; the per-apex shares sum
+    associatively so no FP pinning is needed). Existing edges are
+    excluded via NOT EXISTS, mirroring the engine's composite-key anti
+    join. Top-k by (ra DESC, node_a, node_b). Built over the kg_triples
+    oracle subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples}),
+e0 AS (SELECT CAST(subj AS VARCHAR) AS s, CAST(obj AS VARCHAR) AS d
+       FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e0),
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+wedge AS (
+  SELECT s1.v AS x, s2.v AS y,
+         CAST(count(*) AS BIGINT) AS common,
+         CAST(sum(CAST({scale} AS BIGINT) // d.deg) AS BIGINT) AS ra
+  FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+  JOIN deg d ON d.u = s1.u
+  GROUP BY 1, 2
+),
+ne AS (
+  SELECT w.* FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.x AND e.b = w.y)
+)
+SELECT x AS node_a, y AS node_b, common,
+       dx.deg * dy.deg AS pref_attach, ra
+FROM ne JOIN deg dx ON dx.u = x JOIN deg dy ON dy.u = y
+ORDER BY ra DESC, node_a, node_b LIMIT {k}
+"""
+
+
 def sql_media_dedup() -> str:
     """Oracle for the media_dedup query (media_near_dups, LSH path,
     pair ids only). The stub feature vector is a pure injective function

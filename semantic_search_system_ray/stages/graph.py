@@ -2435,3 +2435,206 @@ def condensation_levels(
         src_col="src_scc", dst_col="dst_scc",
         driver_threshold=driver_threshold, max_rounds=max_rounds,
     )
+
+
+# --------------------------------------------------------------------------
+# link prediction: common-neighbors / preferential-attachment /
+# resource-allocation over non-edges
+# --------------------------------------------------------------------------
+
+LINKPRED_SCHEMA = pa.schema(
+    [("node_a", pa.string()), ("node_b", pa.string()),
+     ("common", pa.int64()), ("pref_attach", pa.int64()),
+     ("ra", pa.int64())]
+)
+
+_LP_WEDGE_SCHEMA = pa.schema(
+    [("x", pa.string()), ("y", pa.string()),
+     ("cnt", pa.int64()), ("ra", pa.int64())]
+)
+
+
+def _lp_wedge_partials(df: pd.DataFrame) -> pa.Table:
+    """Per-apex co-neighbor pairs carrying the apex's resource-allocation
+    contribution SCALE // deg(apex) — numpy triu pair enumeration per
+    apex group, count/ra-combined within the partition into lean
+    (x, y, cnt, ra) rows."""
+    if df.empty:
+        return _LP_WEDGE_SCHEMA.empty_table()
+    xs, ys, ras = [], [], []
+    for (_u, degu), g in df.groupby(["u", "degu"], sort=False):
+        ns = np.sort(g["v"].to_numpy())
+        m = len(ns)
+        if m < 2:
+            continue
+        ii, jj = np.triu_indices(m, 1)
+        xs.append(ns[ii])
+        ys.append(ns[jj])
+        ras.append(np.full(len(ii), DEFAULT_SCALE // int(degu), np.int64))
+    if not xs:
+        return _LP_WEDGE_SCHEMA.empty_table()
+    part = (
+        pd.DataFrame({"x": np.concatenate(xs), "y": np.concatenate(ys),
+                      "ra": np.concatenate(ras)})
+        .groupby(["x", "y"], sort=False)
+        .agg(cnt=("ra", "size"), ra=("ra", "sum"))
+        .reset_index()
+    )
+    return pa.Table.from_pandas(
+        part[["x", "y", "cnt", "ra"]], schema=_LP_WEDGE_SCHEMA,
+        preserve_index=False,
+    )
+
+
+def linkpred_topk(
+    edges: rd.Dataset,
+    *,
+    k: int = 50,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Top-k NON-edges by link-prediction score over the undirected
+    simple graph: for every pair (a < b) sharing >=1 neighbor and NOT
+    already connected, emit the three classic indices —
+    ``common`` = |N(a) ∩ N(b)|, ``pref_attach`` = deg(a)·deg(b), and
+    ``ra`` = Σ_{z ∈ N(a)∩N(b)} SCALE // deg(z) (Zhou et al.'s
+    resource-allocation index, INTEGER-exact: per-apex floor shares sum
+    associatively, so the score is independent of block layout). Order:
+    (ra DESC, node_a, node_b). Reference analogue: link suggestions run
+    driver-side over the NetworkX store
+    (/root/reference/knowledge_graph/knowledge_graph.py); here each
+    stage is a bounded cogroup.
+
+    Shape: symmetrized edges + one degree attach → per-apex wedge
+    partials carrying SCALE // deg(apex) → per-pair global sums →
+    composite-key anti join against the existing edge set → two degree
+    attaches → per-block top-k combiner + tiny global sort. Cost note:
+    inherits the wedge family's Σ C(deg, 2) bound — cap hub degrees
+    upstream at web scale (same caveat as neighbor_jaccard_topk)."""
+    from semantic_search_system_ray.stages.util import (
+        _default_partitions,
+        coarse_anti_join,
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    if num_partitions is None:
+        num_partitions = _default_partitions(edges)
+    P = num_partitions
+    und = undirected_simple_edges(
+        edges, src_col=src_col, dst_col=dst_col, num_partitions=P
+    ).materialize()
+    deg = _simple_degrees(und, P).materialize()
+
+    sym_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([a, b]), pa.concat_arrays([b, a])],
+            schema=sym_schema,
+        )
+
+    symd_schema = pa.schema(
+        [("u", pa.string()), ("v", pa.string()), ("degu", pa.int64())]
+    )
+    symd = coarse_attach(
+        und.map_batches(sym, batch_format="pyarrow"), deg,
+        left_key="u", right_key="node_id", attach_cols=["deg"],
+        attach_as=["degu"], out_schema=symd_schema, num_partitions=P,
+    )
+
+    partials = coarse_partition_apply(
+        symd, ["u"], _lp_wedge_partials, _LP_WEDGE_SCHEMA,
+        num_partitions=P,
+    )
+
+    def pair_sum(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _LP_WEDGE_SCHEMA.empty_table()
+        agg = (
+            df.groupby(["x", "y"], sort=False)
+            .agg(cnt=("cnt", "sum"), ra=("ra", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            agg[["x", "y", "cnt", "ra"]], schema=_LP_WEDGE_SCHEMA,
+            preserve_index=False,
+        )
+
+    pairs = coarse_partition_apply(
+        partials, ["x", "y"], pair_sum, _LP_WEDGE_SCHEMA, num_partitions=P
+    )
+
+    # drop pairs that are ALREADY edges (link prediction scores NEW links)
+    SEP = "\x1f"
+    keyed_schema = pa.schema(
+        [(f.name, f.type) for f in _LP_WEDGE_SCHEMA] + [("pk", pa.string())]
+    )
+
+    def key_pairs(t: pa.Table) -> pa.Table:
+        pk = pc.binary_join_element_wise(
+            pc.cast(t.column("x"), pa.string()),
+            pc.cast(t.column("y"), pa.string()), SEP,
+        )
+        return t.append_column("pk", pk)
+
+    def key_edges(t: pa.Table) -> pa.Table:
+        pk = pc.binary_join_element_wise(
+            pc.cast(t.column("a"), pa.string()),
+            pc.cast(t.column("b"), pa.string()), SEP,
+        )
+        return pa.Table.from_pydict({"pk": pk})
+
+    non_edges = coarse_anti_join(
+        pairs.map_batches(key_pairs, batch_format="pyarrow"),
+        und.map_batches(key_edges, batch_format="pyarrow"),
+        left_key="pk", right_key="pk",
+        out_schema=keyed_schema, num_partitions=P,
+    )
+
+    ca = pa.schema([("x", pa.string()), ("y", pa.string()),
+                    ("cnt", pa.int64()), ("ra", pa.int64()),
+                    ("deg_a", pa.int64())])
+    cab = pa.schema([("x", pa.string()), ("y", pa.string()),
+                     ("cnt", pa.int64()), ("ra", pa.int64()),
+                     ("deg_a", pa.int64()), ("deg_b", pa.int64())])
+    j1 = coarse_attach(
+        non_edges, deg, left_key="x", right_key="node_id",
+        attach_cols=["deg"], attach_as=["deg_a"], out_schema=ca,
+        num_partitions=P,
+    )
+    j2 = coarse_attach(
+        j1, deg, left_key="y", right_key="node_id",
+        attach_cols=["deg"], attach_as=["deg_b"], out_schema=cab,
+        num_partitions=P,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        da = t.column("deg_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t.column("deg_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"node_a": t.column("x"), "node_b": t.column("y"),
+             "common": pc.cast(t.column("cnt"), pa.int64()),
+             "pref_attach": pa.array(da * db, pa.int64()),
+             "ra": pc.cast(t.column("ra"), pa.int64())},
+            schema=LINKPRED_SCHEMA,
+        )
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k, [("ra", "descending"), ("node_a", "ascending"),
+                   ("node_b", "ascending")]
+        )
+        return t.take(idx)
+
+    out = (
+        scored.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["ra", "node_a", "node_b"], descending=[True, False, False])
+        .limit(k)
+    )
+    return pa.Table.from_pylist(out.take_all(), schema=LINKPRED_SCHEMA)

@@ -601,3 +601,46 @@ def test_condensation_levels_end_to_end(ray_session, driver_threshold):
     assert list(zip(got["node_id"], got["level"])) == [
         ("a", 1), ("d", 2), ("g", 0)
     ]
+
+
+# ---------------------------------------------------------------------------
+# link prediction (common / pref_attach / resource allocation)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_linkpred_excludes_edges_and_is_integer_exact(ray_session, n_blocks):
+    """On the EDGES multigraph (simple undirected form: a-b, a-c, b-c,
+    c-d; e's self-loop drops): every wedge pair except (a,d) and (b,d)
+    is already an edge and must be anti-joined away. Both survivors
+    share exactly neighbor c (deg 3), so ra = SCALE // 3 for each, and
+    pref_attach = deg*deg. Tie order: (ra DESC, node_a, node_b).
+    Block-layout invariant."""
+    from semantic_search_system_ray.stages.graph import linkpred_topk
+
+    got = linkpred_topk(_edges_ds(n_blocks), k=10)
+    rows = list(zip(
+        got.column("node_a").to_pylist(), got.column("node_b").to_pylist(),
+        got.column("common").to_pylist(),
+        got.column("pref_attach").to_pylist(), got.column("ra").to_pylist(),
+    ))
+    share = DEFAULT_SCALE // 3
+    assert rows == [
+        ("a", "d", 1, 2 * 1, share),
+        ("b", "d", 1, 2 * 1, share),
+    ]
+
+
+def test_linkpred_ra_sums_over_all_common_neighbors(ray_session):
+    """Butterfly x-z1-y, x-z2-y with deg(z1)=deg(z2)=2 and an extra
+    pendant on x: (x,y) is a non-edge with two common neighbors, so
+    ra = 2 * (SCALE // 2) and common = 2 — per-apex shares really
+    accumulate across apexes (and across blocks)."""
+    from semantic_search_system_ray.stages.graph import linkpred_topk
+
+    ed = [("x", "z1"), ("z1", "y"), ("x", "z2"), ("z2", "y"), ("x", "p")]
+    got = linkpred_topk(_scc_edges_ds(ed, 3), k=1)
+    assert got.column("node_a").to_pylist() == ["x"]
+    assert got.column("node_b").to_pylist() == ["y"]
+    assert got.column("common").to_pylist() == [2]
+    assert got.column("pref_attach").to_pylist() == [3 * 2]
+    assert got.column("ra").to_pylist() == [2 * (DEFAULT_SCALE // 2)]
