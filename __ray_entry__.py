@@ -736,6 +736,32 @@ def _q_kg_linkpred(sf_dir: str):
     return linkpred_topk(edges_from_triples(_kg_triples(sf_dir)), k=50)
 
 
+def _q_kg_local_clustering(sf_dir: str):
+    """Per-node local clustering coefficient over the KG's undirected
+    simple graph (stages/graph.local_clustering): degree-oriented apex
+    wedges closed against the edge set credit all three triangle
+    vertices, one coarse sum folds the credits, a LEFT degree attach
+    fills triangle-free nodes, lcc = 2*tri/(deg*(deg-1)) with 0.0 below
+    deg 2. Oracle: wedge self-join + closure in SQL with the identical
+    double expression (text_oracles.sql_kg_local_clustering)."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import local_clustering
+
+    return local_clustering(edges_from_triples(_kg_triples(sf_dir)))
+
+
+def _q_kg_reciprocity(sf_dir: str):
+    """Directed reciprocity of the KG edge set
+    (stages/graph.reciprocity): the share of distinct simple directed
+    edges whose reverse also exists — forward keys anti-joined against
+    reversed keys, two scalars to the driver, one double divide.
+    Oracle: distinct self LEFT join (text_oracles.sql_kg_reciprocity)."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import reciprocity
+
+    return reciprocity(edges_from_triples(_kg_triples(sf_dir)))
+
+
 def _q_kg_communities(sf_dir: str):
     """Label-propagation communities over the KG edge set
     (stages/graph.label_propagation, 3 synchronous rounds): every node
@@ -1412,6 +1438,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_scc": _q_kg_scc,
             "kg_condensation": _q_kg_condensation,
             "kg_linkpred": _q_kg_linkpred,
+            "kg_local_clustering": _q_kg_local_clustering,
+            "kg_reciprocity": _q_kg_reciprocity,
             "kg_topo_levels": _q_kg_topo_levels,
             "kg_communities": _q_kg_communities,
             "kg_hits": _q_kg_hits,
@@ -1567,6 +1595,12 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_linkpred": tox.sql_kg_linkpred(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_local_clustering": tox.sql_kg_local_clustering(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_reciprocity": tox.sql_kg_reciprocity(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_topo_levels": tox.sql_kg_topo_levels(

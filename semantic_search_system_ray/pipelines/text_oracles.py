@@ -1421,6 +1421,68 @@ ORDER BY ra DESC, node_a, node_b LIMIT {k}
 """
 
 
+def sql_kg_local_clustering(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for stages/graph.local_clustering over the KG edge set:
+    per-node triangle counts via the symmetrized wedge self-join closed
+    against the simple edge set, lcc = 2*tri / (deg*(deg-1)) with ONE
+    double cast per exact-int operand and 0.0 for deg < 2 — bit-equal to
+    the engine's numpy expression. Built over the kg_triples oracle
+    subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples}),
+e0 AS (SELECT CAST(subj AS VARCHAR) AS s, CAST(obj AS VARCHAR) AS d
+       FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e0),
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+tri AS (
+  SELECT s1.u AS v, CAST(count(*) AS BIGINT) AS tr
+  FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+  JOIN e ON e.a = s1.v AND e.b = s2.v
+  GROUP BY 1
+)
+SELECT d.u AS node_id,
+       CAST(COALESCE(tri.tr, 0) AS BIGINT) AS triangles,
+       d.deg AS deg,
+       CASE WHEN d.deg < 2 THEN 0.0
+            ELSE CAST(2 * COALESCE(tri.tr, 0) AS DOUBLE)
+                   / CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS lcc
+FROM deg d LEFT JOIN tri ON tri.v = d.u
+"""
+
+
+def sql_kg_reciprocity(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for stages/graph.reciprocity over the KG edge set:
+    fraction of distinct simple directed edges whose reverse also exists
+    — the LEFT self-join has multiplicity <= 1 (edges are distinct), so
+    the conditional sum counts exactly the reciprocated edges; one
+    double divide, 0.0 on empty. Built over the kg_triples oracle
+    subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples}),
+e0 AS (SELECT DISTINCT CAST(subj AS VARCHAR) AS s, CAST(obj AS VARCHAR) AS d
+       FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR))
+SELECT CAST(count(*) AS BIGINT) AS total_edges,
+       CAST(COALESCE(sum(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS reciprocated,
+       CASE WHEN count(*) = 0 THEN 0.0
+            ELSE CAST(COALESCE(sum(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0
+                                   END), 0) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) END AS reciprocity
+FROM e0 LEFT JOIN e0 r ON r.s = e0.d AND r.d = e0.s
+"""
+
+
 def sql_media_dedup() -> str:
     """Oracle for the media_dedup query (media_near_dups, LSH path,
     pair ids only). The stub feature vector is a pure injective function

@@ -2638,3 +2638,257 @@ def linkpred_topk(
         .limit(k)
     )
     return pa.Table.from_pylist(out.take_all(), schema=LINKPRED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# per-node local clustering coefficient + directed reciprocity
+# --------------------------------------------------------------------------
+
+LCC_SCHEMA = pa.schema(
+    [("node_id", pa.string()), ("triangles", pa.int64()),
+     ("deg", pa.int64()), ("lcc", pa.float64())]
+)
+
+_LCC_WEDGE_SCHEMA = pa.schema(
+    [("x", pa.string()), ("y", pa.string()), ("apex", pa.string())]
+)
+_LCC_CREDIT_SCHEMA = pa.schema([("node", pa.string()), ("cnt", pa.int64())])
+
+
+def local_clustering(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Per-node local clustering coefficient over the undirected simple
+    graph: (node_id, triangles, deg, lcc) where ``triangles`` counts the
+    triangles THROUGH each node and ``lcc`` = 2*triangles / (deg*(deg-1))
+    — ONE double cast per exact-int operand, 0.0 for deg < 2 (standard
+    convention; mirrored by the SQL oracle). The complement of
+    clustering_coefficient's single global ratio.
+
+    Shape: same degree-oriented wedge generation as triangle_count
+    (sum C(outdeg, 2) <= O(m^1.5), hot-key immune), but wedges KEEP
+    their apex so a closed wedge credits all three vertices: the closure
+    cogroup emits per-partition (node, cnt) partials, one more coarse
+    sum folds them, and a LEFT degree attach fills triangle-free nodes
+    with 0."""
+    from semantic_search_system_ray.stages.util import (
+        _default_partitions,
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    if num_partitions is None:
+        num_partitions = _default_partitions(edges)
+    P = num_partitions
+    und = undirected_simple_edges(
+        edges, src_col=src_col, dst_col=dst_col, num_partitions=P
+    ).materialize()
+    deg = _simple_degrees(und, P).materialize()
+
+    wa = pa.schema([("a", pa.string()), ("b", pa.string()),
+                    ("deg_a", pa.int64())])
+    wab = pa.schema([("a", pa.string()), ("b", pa.string()),
+                     ("deg_a", pa.int64()), ("deg_b", pa.int64())])
+    e2 = coarse_attach(
+        und, deg, left_key="a", right_key="node_id", attach_cols=["deg"],
+        attach_as=["deg_a"], out_schema=wa, num_partitions=P,
+    )
+    e3 = coarse_attach(
+        e2, deg, left_key="b", right_key="node_id", attach_cols=["deg"],
+        attach_as=["deg_b"], out_schema=wab, num_partitions=P,
+    )
+
+    ori_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        da = t.column("deg_a").to_numpy(zero_copy_only=False)
+        db = t.column("deg_b").to_numpy(zero_copy_only=False)
+        a_first = da <= db
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        return pa.Table.from_pydict(
+            {"u": pa.array(u, pa.string()), "v": pa.array(v, pa.string())},
+            schema=ori_schema,
+        )
+
+    def apex_wedges(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _LCC_WEDGE_SCHEMA.empty_table()
+        xs, ys, us = [], [], []
+        for u, g in df.groupby("u", sort=False):
+            ns = np.sort(g["v"].to_numpy())
+            m = len(ns)
+            if m < 2:
+                continue
+            ii, jj = np.triu_indices(m, 1)
+            xs.append(ns[ii])
+            ys.append(ns[jj])
+            us.append(np.full(len(ii), u, dtype=object))
+        if not xs:
+            return _LCC_WEDGE_SCHEMA.empty_table()
+        return pa.Table.from_pydict(
+            {"x": pa.array(np.concatenate(xs), pa.string()),
+             "y": pa.array(np.concatenate(ys), pa.string()),
+             "apex": pa.array(np.concatenate(us), pa.string())},
+            schema=_LCC_WEDGE_SCHEMA,
+        )
+
+    wedges = coarse_partition_apply(
+        e3.map_batches(orient, batch_format="pyarrow"),
+        ["u"], apex_wedges, _LCC_WEDGE_SCHEMA, num_partitions=P,
+    )
+
+    union_schema = pa.schema(
+        [("x", pa.string()), ("y", pa.string()), ("apex", pa.string()),
+         ("is_edge", pa.bool_())]
+    )
+
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("x").combine_chunks(), t.column("y").combine_chunks(),
+             t.column("apex").combine_chunks(),
+             pa.nulls(t.num_rows, pa.bool_()).fill_null(False)],
+            schema=union_schema,
+        )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("a").combine_chunks(), t.column("b").combine_chunks(),
+             pa.nulls(t.num_rows, pa.string()).fill_null(""),
+             pa.nulls(t.num_rows, pa.bool_()).fill_null(True)],
+            schema=union_schema,
+        )
+
+    def close_credit(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _LCC_CREDIT_SCHEMA.empty_table()
+        w = df[~df["is_edge"]]
+        e = df[df["is_edge"]][["x", "y"]].drop_duplicates()
+        if w.empty or e.empty:
+            return _LCC_CREDIT_SCHEMA.empty_table()
+        closed = w.merge(e, on=["x", "y"], how="inner")
+        if closed.empty:
+            return _LCC_CREDIT_SCHEMA.empty_table()
+        credit = pd.concat(
+            [closed["x"], closed["y"], closed["apex"]], ignore_index=True
+        ).to_frame("node")
+        agg = credit.groupby("node", sort=False).size().reset_index(name="cnt")
+        return pa.Table.from_pandas(
+            agg, schema=_LCC_CREDIT_SCHEMA, preserve_index=False
+        )
+
+    credits = coarse_partition_apply(
+        wedges.map_batches(tag_wedge, batch_format="pyarrow").union(
+            und.map_batches(tag_edge, batch_format="pyarrow")
+        ),
+        ["x", "y"], close_credit, _LCC_CREDIT_SCHEMA, num_partitions=P,
+    )
+
+    def credit_sum(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _LCC_CREDIT_SCHEMA.empty_table()
+        agg = df.groupby("node", sort=False)["cnt"].sum().reset_index()
+        return pa.Table.from_pandas(
+            agg, schema=_LCC_CREDIT_SCHEMA, preserve_index=False
+        )
+
+    tri = coarse_partition_apply(
+        credits, ["node"], credit_sum, _LCC_CREDIT_SCHEMA, num_partitions=P
+    )
+
+    att_schema = pa.schema(
+        [("node_id", pa.string()), ("deg", pa.int64()), ("tri", pa.int64())]
+    )
+    att = coarse_attach(
+        deg, tri, left_key="node_id", right_key="node",
+        attach_cols=["cnt"], attach_as=["tri"], out_schema=att_schema,
+        num_partitions=P, how="left", fill={"tri": 0},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        tr = t.column("tri").to_numpy(zero_copy_only=False).astype(np.int64)
+        dg = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        den = dg * (dg - 1)
+        lcc = np.where(
+            den > 0,
+            (2 * tr).astype(np.float64) / np.maximum(den, 1).astype(np.float64),
+            0.0,
+        )
+        return pa.Table.from_pydict(
+            {"node_id": t.column("node_id"),
+             "triangles": pa.array(tr, pa.int64()),
+             "deg": pa.array(dg, pa.int64()),
+             "lcc": pa.array(lcc, pa.float64())},
+            schema=LCC_SCHEMA,
+        )
+
+    return att.map_batches(finish, batch_format="pyarrow")
+
+
+RECIPROCITY_SCHEMA = pa.schema(
+    [("total_edges", pa.int64()), ("reciprocated", pa.int64()),
+     ("reciprocity", pa.float64())]
+)
+
+
+def reciprocity(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> pa.Table:
+    """Directed reciprocity: over the DISTINCT simple directed edge set
+    (self-loops dropped), the fraction of edges (s, d) whose reverse
+    (d, s) also exists — one row (total_edges, reciprocated,
+    reciprocity) with ONE double divide (0.0 on an empty edge set).
+    Shape: the edge set keys itself forward and reversed, one
+    composite-key anti join bounds the non-reciprocated count, and only
+    two scalars reach the driver."""
+    from semantic_search_system_ray.stages.util import (
+        _default_partitions,
+        coarse_anti_join,
+    )
+
+    e = _distinct_directed_edges(edges, src_col, dst_col).materialize()
+    total = e.count()
+    if total == 0:
+        return pa.Table.from_pydict(
+            {"total_edges": [0], "reciprocated": [0], "reciprocity": [0.0]},
+            schema=RECIPROCITY_SCHEMA,
+        )
+    P = _default_partitions(e)
+    SEP = "\x1f"
+    key_schema = pa.schema([("pk", pa.string())])
+
+    def fwd_key(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"pk": pc.binary_join_element_wise(
+                t.column("s"), t.column("d"), SEP)},
+            schema=key_schema,
+        )
+
+    def rev_key(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"pk": pc.binary_join_element_wise(
+                t.column("d"), t.column("s"), SEP)},
+            schema=key_schema,
+        )
+
+    unmatched = coarse_anti_join(
+        e.map_batches(fwd_key, batch_format="pyarrow"),
+        e.map_batches(rev_key, batch_format="pyarrow"),
+        left_key="pk", right_key="pk",
+        out_schema=key_schema, num_partitions=P,
+    ).count()
+    recip = total - unmatched
+    return pa.Table.from_pydict(
+        {"total_edges": [int(total)], "reciprocated": [int(recip)],
+         "reciprocity": [float(recip) / float(total)]},
+        schema=RECIPROCITY_SCHEMA,
+    )

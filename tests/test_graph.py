@@ -644,3 +644,67 @@ def test_linkpred_ra_sums_over_all_common_neighbors(ray_session):
     assert got.column("common").to_pylist() == [2]
     assert got.column("pref_attach").to_pylist() == [3 * 2]
     assert got.column("ra").to_pylist() == [2 * (DEFAULT_SCALE // 2)]
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient + reciprocity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_local_clustering_per_node(ray_session, n_blocks):
+    """Simple form of EDGES: a-b, a-c, b-c, c-d with one triangle
+    {a,b,c}. Each member gets tri=1; a and b (deg 2) sit at lcc=1.0,
+    c (deg 3) at 1/3, the pendant d at 0.0 via the deg<2 convention,
+    and e (self-loop only) is absent."""
+    from semantic_search_system_ray.stages.graph import local_clustering
+
+    got = (
+        local_clustering(_edges_ds(n_blocks))
+        .to_pandas().sort_values("node_id").reset_index(drop=True)
+    )
+    rows = list(zip(got["node_id"], got["triangles"], got["deg"], got["lcc"]))
+    assert rows == [
+        ("a", 1, 2, 1.0), ("b", 1, 2, 1.0),
+        ("c", 1, 3, 2.0 / 6.0), ("d", 0, 1, 0.0),
+    ]
+
+
+def test_local_clustering_apex_gets_credit(ray_session):
+    """K4 minus one edge (x-y missing): z1 and z2 each apex two wedges
+    but close only one triangle each — per-node counts must credit
+    apexes, not just wedge endpoints."""
+    from semantic_search_system_ray.stages.graph import local_clustering
+
+    ed = [("x", "z1"), ("x", "z2"), ("y", "z1"), ("y", "z2"), ("z1", "z2")]
+    got = (
+        local_clustering(_scc_edges_ds(ed, 2))
+        .to_pandas().sort_values("node_id").reset_index(drop=True)
+    )
+    rows = list(zip(got["node_id"], got["triangles"], got["deg"], got["lcc"]))
+    assert rows == [
+        ("x", 1, 2, 1.0), ("y", 1, 2, 1.0),
+        ("z1", 2, 3, 4.0 / 6.0), ("z2", 2, 3, 4.0 / 6.0),
+    ]
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_reciprocity(ray_session, n_blocks):
+    """Distinct simple directed EDGES: a->b/b->a and a->c/c->a are the
+    two mutual pairs (4 reciprocated of 6 edges); the parallel a->b
+    collapses and e's self-loop drops before the ratio."""
+    from semantic_search_system_ray.stages.graph import reciprocity
+
+    got = reciprocity(_edges_ds(n_blocks))
+    assert got.column("total_edges").to_pylist() == [6]
+    assert got.column("reciprocated").to_pylist() == [4]
+    assert got.column("reciprocity").to_pylist() == [4.0 / 6.0]
+
+
+def test_reciprocity_empty_after_selfloop_drop(ray_session):
+    """Self-loop-only input: zero simple edges, ratio pinned to 0.0."""
+    from semantic_search_system_ray.stages.graph import reciprocity
+
+    t = pa.table({"src": ["x"], "dst": ["x"]})
+    got = reciprocity(rd.from_arrow(t))
+    assert got.column("total_edges").to_pylist() == [0]
+    assert got.column("reciprocity").to_pylist() == [0.0]
