@@ -208,6 +208,38 @@ def _q_minhash_clusters(sf_dir: str):
     return minhash_lsh_clusters(ds, threshold=0.6)
 
 
+def _q_split_leakage_free(sf_dir: str):
+    """Leakage-free train/val split
+    (stages/curation.leakage_free_split): MinHash-LSH clusters first,
+    split decision = md5_hash64('lfsplit-' + CLUSTER) % 10 — an entire
+    near-dup family lands on one side, closing the eval-contamination
+    hole a doc_id-hash split (train_split) leaves open. Oracle: the
+    shared sql_minhash_clusters subquery + the same md5 CASE
+    (text_oracles.sql_leakage_free_split)."""
+    from semantic_search_system_ray.pipelines.queries import read_docs
+    from semantic_search_system_ray.stages.curation import leakage_free_split
+
+    ds = read_docs(sf_dir, ["doc_id", "text"])
+    return leakage_free_split(ds, threshold=0.6)
+
+
+def _q_cluster_best_rep(sf_dir: str):
+    """Quality-aware near-dup collapse
+    (stages/curation.cluster_best_representative): per MinHash cluster
+    keep the highest-QualityScore member (tie → smallest doc_id) — the
+    'of these mirrors keep the cleanest' curation policy, vs
+    corpus_near_clean's arbitrary min-id pick. Oracle: minhash + quality
+    subqueries joined, row_number argmax
+    (text_oracles.sql_cluster_best_rep)."""
+    from semantic_search_system_ray.pipelines.queries import read_docs
+    from semantic_search_system_ray.stages.curation import (
+        cluster_best_representative,
+    )
+
+    ds = read_docs(sf_dir, ["doc_id", "text"])
+    return cluster_best_representative(ds, threshold=0.6)
+
+
 def _q_dedup_incremental(sf_dir: str):
     """Incremental ingestion dedup (stages/dedup.minhash_incremental):
     the documents table splits deterministically into INDEXED
@@ -1458,6 +1490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_topic_words": _q_doc_topic_words,
             "minhash_clusters": _q_minhash_clusters,
             "dedup_incremental": _q_dedup_incremental,
+            "split_leakage_free": _q_split_leakage_free,
+            "cluster_best_rep": _q_cluster_best_rep,
             "kcenter_coreset": _q_kcenter_coreset,
             "ann_range": _q_ann_range,
             "corpus_near_clean": _q_corpus_near_clean,
@@ -1671,6 +1705,8 @@ def oracle_sql() -> dict[str, str]:
             # full minhash pipeline in SQL (md5-based hashes since r3)
             "minhash_clusters": tox.sql_minhash_clusters(threshold=0.6),
             "dedup_incremental": tox.sql_dedup_incremental(threshold=0.5),
+            "split_leakage_free": tox.sql_leakage_free_split(threshold=0.6),
+            "cluster_best_rep": tox.sql_cluster_best_rep(threshold=0.6),
             "kcenter_coreset": _sql_kcenter_coreset(),
             "ann_range": _sql_ann_range(),
             "corpus_near_clean": tox.sql_corpus_near_clean(threshold=0.6),

@@ -660,6 +660,47 @@ WHERE cl.doc_id = cl.cluster
 """
 
 
+def sql_leakage_free_split(
+    threshold: float = 0.6, train_pct: int = 8, salt: str = "lfsplit"
+) -> str:
+    """Oracle for stages/curation.leakage_free_split: the full
+    sql_minhash_clusters subquery (one source of truth) + the identical
+    md5 split decision on the CLUSTER label (md5_number_lower ==
+    functions/hashing.md5_hash64), so whole near-dup families land on
+    one side on both engines."""
+    inner = sql_minhash_clusters(threshold=threshold)
+    return f"""
+WITH cl AS ({inner})
+SELECT doc_id, cluster,
+       CASE WHEN md5_number_lower('{salt}-' || cluster) % 10 < {train_pct}
+            THEN 'train' ELSE 'val' END AS split
+FROM cl
+"""
+
+
+def sql_cluster_best_rep(threshold: float = 0.6) -> str:
+    """Oracle for stages/curation.cluster_best_representative: minhash
+    clusters joined to the quality_score subquery (both already gated
+    individually — one source of truth each), per-cluster argmax by
+    (quality DESC, doc_id) via row_number. Quality is rounded to 6dp on
+    both sides before the comparison, so the argmax ordering is
+    identical."""
+    inner = sql_minhash_clusters(threshold=threshold)
+    quality = sql_quality_score()
+    return f"""
+WITH cl AS ({inner}), q AS ({quality}),
+j AS (
+  SELECT cl.cluster, cl.doc_id, q.quality
+  FROM cl JOIN q ON CAST(q.doc_id AS VARCHAR) = cl.doc_id
+)
+SELECT cluster, doc_id AS kept_doc, quality
+FROM (SELECT j.*, row_number() OVER (
+        PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn
+      FROM j)
+WHERE rn = 1
+"""
+
+
 def sql_stratified_sample(
     key_col: str, thresholds: dict[str, int], default_threshold: int
 ) -> str:

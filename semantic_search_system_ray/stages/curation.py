@@ -498,3 +498,131 @@ def remove_duplicated_spans(
         combined, ["doc_id"], per_doc, out_schema,
         num_partitions=num_partitions,
     )
+
+
+# --------------------------------------------------------------------------
+# near-dup-cluster-aware curation: leakage-free splits + best-quality
+# representative selection
+# --------------------------------------------------------------------------
+
+LF_SPLIT_SCHEMA = pa.schema(
+    [("doc_id", pa.string()), ("cluster", pa.string()),
+     ("split", pa.string())]
+)
+
+
+def leakage_free_split(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    train_pct: int = 8,
+    salt: str = "lfsplit",
+) -> rd.Dataset:
+    """Train/val split that can NEVER leak a near-duplicate across the
+    boundary: MinHash-LSH clusters first (stages/dedup), then the split
+    decision hashes the CLUSTER label — md5_hash64(salt-cluster) % 10 —
+    so an entire near-dup family lands on one side (hashing doc_id, as
+    plain train_split does, puts paraphrases of one document in both
+    train and val: the classic eval-contamination bug). Deterministic,
+    resumable, and a pure function of content → the same corpus always
+    splits the same way. Output: (doc_id, cluster, split)."""
+    from semantic_search_system_ray.stages.dedup import minhash_lsh_clusters
+
+    clusters = minhash_lsh_clusters(
+        ds, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        cl = t.column("cluster").to_pylist()
+        memo: dict[str, str] = {}
+        split = []
+        for c in cl:
+            s = memo.get(c)
+            if s is None:
+                s = memo[c] = (
+                    "train"
+                    if md5_hash64(f"{salt}-{c}") % 10 < train_pct else "val"
+                )
+            split.append(s)
+        return pa.Table.from_pydict(
+            {"doc_id": t.column("doc_id"), "cluster": t.column("cluster"),
+             "split": pa.array(split, pa.string())},
+            schema=LF_SPLIT_SCHEMA,
+        )
+
+    return clusters.map_batches(assign, batch_format="pyarrow")
+
+
+BEST_REP_SCHEMA = pa.schema(
+    [("cluster", pa.string()), ("kept_doc", pa.string()),
+     ("quality", pa.float64())]
+)
+
+
+def cluster_best_representative(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Quality-aware near-dup collapse: per MinHash-LSH cluster keep the
+    HIGHEST-quality member (stages/textstats.QualityScore composite; tie
+    → lexicographically smallest doc_id), not the arbitrary min-id
+    representative corpus_near_clean keeps — the curation policy real
+    training pipelines want ("of these 9 mirrors, keep the cleanest").
+    Output: (cluster, kept_doc, quality), one row per cluster, singletons
+    included.
+
+    Shape: the cluster pass and ONE quality pass over the corpus, a
+    coarse attach of quality onto (doc_id, cluster), then a per-cluster
+    argmax cogroup — no driver materialization anywhere."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.dedup import minhash_lsh_clusters
+    from semantic_search_system_ray.stages.textstats import QualityScore
+    from semantic_search_system_ray.stages.util import (
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    clusters = minhash_lsh_clusters(
+        ds, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+    quality = ds.map_batches(
+        QualityScore, concurrency=(1, 4), batch_size=4096,
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "quality"])
+
+    joined_schema = pa.schema(
+        [("doc_id", pa.string()), ("cluster", pa.string()),
+         ("quality", pa.float64())]
+    )
+    joined = coarse_attach(
+        clusters, quality, left_key="doc_id", right_key="doc_id",
+        attach_cols=["quality"], out_schema=joined_schema,
+        num_partitions=num_partitions, how="inner",
+    )
+
+    def argmax_part(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return BEST_REP_SCHEMA.empty_table()
+        best = (
+            df.sort_values(["cluster", "quality", "doc_id"],
+                           ascending=[True, False, True], kind="mergesort")
+            .groupby("cluster", sort=False)
+            .head(1)
+        )
+        return pa.Table.from_pydict(
+            {"cluster": best["cluster"], "kept_doc": best["doc_id"],
+             "quality": best["quality"]},
+            schema=BEST_REP_SCHEMA,
+        )
+
+    return coarse_partition_apply(
+        joined, ["cluster"], argmax_part, BEST_REP_SCHEMA,
+        num_partitions=num_partitions,
+    )

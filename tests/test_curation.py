@@ -363,3 +363,61 @@ def test_benchmark_gram_matches_directed_edges():
         grams, n=3,
     )
     assert m.tolist() == [c[1] for c in cases]
+
+
+# ---------------------------------------------------------------------------
+# leakage-free split + best-quality cluster representative
+# ---------------------------------------------------------------------------
+
+_BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+         "away home tonight while the moon rises over the quiet river")
+
+
+def _dup_corpus() -> rd.Dataset:
+    # docs 1 and 2 are near-dups (identical token stream; 2 differs only
+    # in punctuation, which shingling ignores but quality punishes);
+    # 3 and 4 are distinct singletons
+    t = pa.table({
+        "doc_id": ["1", "2", "3", "4"],
+        "text": [
+            _BASE + " !!!! ???? !!!! ???? !!!!",   # worse punct_ratio
+            _BASE,                                  # cleanest copy
+            "completely different content about distributed arrow "
+            "pipelines and shuffle economics at terabyte scale",
+            "yet another unrelated document concerning taxonomy "
+            "curation policies for web corpora and quality filters",
+        ],
+    })
+    return rd.from_arrow(t).repartition(2)
+
+
+def test_leakage_free_split_keeps_clusters_together(ray_session):
+    """Near-dup docs 1 and 2 share a cluster, so they MUST share a split
+    (the whole point vs id-hash splitting); the decision replays the
+    documented md5 formula on the cluster label."""
+    from semantic_search_system_ray.functions.hashing import md5_hash64
+    from semantic_search_system_ray.stages.curation import leakage_free_split
+
+    out = {r["doc_id"]: r for r in leakage_free_split(_dup_corpus()).take_all()}
+    assert out["1"]["cluster"] == out["2"]["cluster"] == "1"
+    assert out["1"]["split"] == out["2"]["split"]
+    for r in out.values():
+        want = "train" if md5_hash64(f"lfsplit-{r['cluster']}") % 10 < 8 else "val"
+        assert r["split"] == want
+    assert len(out) == 4
+
+
+def test_cluster_best_rep_prefers_quality_over_min_id(ray_session):
+    """Doc 2 (clean) outscores doc 1 (punctuation-ridden near-dup), so
+    the cluster labeled '1' keeps doc 2 — argmax by quality, NOT the
+    min-id pick; singletons keep themselves."""
+    from semantic_search_system_ray.stages.curation import (
+        cluster_best_representative,
+    )
+
+    rows = {r["cluster"]: r
+            for r in cluster_best_representative(_dup_corpus()).take_all()}
+    assert set(rows) == {"1", "3", "4"}
+    assert rows["1"]["kept_doc"] == "2"
+    assert rows["3"]["kept_doc"] == "3"
+    assert rows["4"]["kept_doc"] == "4"
