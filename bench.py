@@ -184,6 +184,8 @@ def run_bench() -> dict:
         "domain_mix", "kg_kcore", "kg_communities", "quality_prune",
         "curation_e2e", "kg_hits", "kg_ppr", "kg_clustering",
         "dedup_incremental", "kcenter_coreset",
+        "kg_scc", "kg_topo_levels", "kg_linkpred", "kg_local_clustering",
+        "split_leakage_free", "cluster_best_rep",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level

@@ -2486,6 +2486,97 @@ def _lp_wedge_partials(df: pd.DataFrame) -> pa.Table:
     )
 
 
+LINKPRED_DRIVER_NODE_THRESHOLD = 8192
+
+
+def _dense_adjacency(und: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted node labels, boolean float64 adjacency) from an (a, b)
+    simple-edge table — shared by the dense twins."""
+    a = _str(und.column("a")).to_numpy(zero_copy_only=False)
+    b = _str(und.column("b")).to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([a, b]))
+    n = len(nodes)
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    A = np.zeros((n, n), dtype=np.float64)
+    A[ai, bi] = 1.0
+    A[bi, ai] = 1.0
+    return nodes, A
+
+
+def _row_blocks(n: int, n_tasks: int) -> list[tuple[int, int]]:
+    bounds = np.linspace(0, n, n_tasks + 1).astype(np.int64)
+    return [(int(bounds[i]), int(bounds[i + 1]))
+            for i in range(n_tasks) if bounds[i] < bounds[i + 1]]
+
+
+def _n_matmul_tasks() -> int:
+    import ray
+
+    return max(1, int(ray.cluster_resources().get("CPU", 8)))
+
+
+def _lp_block_kernel(A, share, lo, hi, k):
+    """Per-row-block link-prediction candidates: two (hi-lo) x n BLAS
+    products against the broadcast adjacency, masked to strictly-upper
+    non-edge pairs with >=1 common neighbor, block-local top-k by
+    (ra DESC, i, j). Every value integer-exact in float64."""
+    blk = A[lo:hi]
+    common = blk @ A
+    ra = (blk * share[None, :]) @ A  # ra[x,y] = sum_z A[x,z]*share[z]*A[z,y]
+    cols = np.arange(A.shape[1])[None, :]
+    rows = np.arange(lo, hi)[:, None]
+    keep = (cols > rows) & (blk == 0) & (common > 0)
+    ii, jj = np.nonzero(keep)
+    ras = ra[ii, jj].astype(np.int64)
+    order = np.lexsort((jj, ii + lo, -ras))[:k]
+    ii, jj = ii[order], jj[order]
+    return (ii + lo, jj, common[ii, jj].astype(np.int64), ras[order])
+
+
+def _linkpred_driver(und: pa.Table, k: int) -> pa.Table:
+    """Exact dense twin for small DENSE graphs: boolean adjacency +
+    float64 BLAS matmuls (every value integer-exact — common <= n,
+    ra <= n * SCALE, both far under 2^53). The wedge path's
+    sum C(deg,2) enumeration loses badly exactly when the graph is
+    small and dense (the KG entity graph at sf0.1: ~5k nodes, ~48k
+    edges -> tens of millions of wedge rows through two shuffles vs
+    one n^3 matmul). The matmul itself fans out as ROW-BLOCK Ray tasks
+    against the ray.put adjacency (zero-copy plasma reads): the sandbox
+    pins OMP_NUM_THREADS=1, so a single-process BLAS call would run
+    one-core (measured 18.6 s at n=5020 — parallel blocks cut it to
+    ~1 s); each task returns only its block-local top-k, so at most
+    tasks x k candidate rows return to the driver. Regime parity is
+    pytested with forced thresholds."""
+    import ray
+
+    nodes, A = _dense_adjacency(und)
+    n = len(nodes)
+    deg = A.sum(axis=1)  # exact small ints
+    share = (DEFAULT_SCALE // deg.astype(np.int64)).astype(np.float64)
+    A_ref = ray.put(A)
+    kern = ray.remote(num_cpus=1)(_lp_block_kernel)
+    parts = ray.get([
+        kern.remote(A_ref, share, lo, hi, k)
+        for lo, hi in _row_blocks(n, _n_matmul_tasks())
+    ])
+    ii = np.concatenate([p[0] for p in parts])
+    jj = np.concatenate([p[1] for p in parts])
+    com = np.concatenate([p[2] for p in parts])
+    ras = np.concatenate([p[3] for p in parts])
+    order = np.lexsort((jj, ii, -ras))[:k]
+    iu, ju = ii[order], jj[order]
+    return pa.Table.from_pydict(
+        {"node_a": pa.array(nodes[iu], pa.string()),
+         "node_b": pa.array(nodes[ju], pa.string()),
+         "common": pa.array(com[order], pa.int64()),
+         "pref_attach": pa.array(
+             (deg[iu] * deg[ju]).astype(np.int64), pa.int64()),
+         "ra": pa.array(ras[order], pa.int64())},
+        schema=LINKPRED_SCHEMA,
+    )
+
+
 def linkpred_topk(
     edges: rd.Dataset,
     *,
@@ -2493,6 +2584,7 @@ def linkpred_topk(
     src_col: str = "src",
     dst_col: str = "dst",
     num_partitions: int | None = None,
+    driver_node_threshold: int = LINKPRED_DRIVER_NODE_THRESHOLD,
 ) -> pa.Table:
     """Top-k NON-edges by link-prediction score over the undirected
     simple graph: for every pair (a < b) sharing >=1 neighbor and NOT
@@ -2511,7 +2603,12 @@ def linkpred_topk(
     composite-key anti join against the existing edge set → two degree
     attaches → per-block top-k combiner + tiny global sort. Cost note:
     inherits the wedge family's Σ C(deg, 2) bound — cap hub degrees
-    upstream at web scale (same caveat as neighbor_jaccard_topk)."""
+    upstream at web scale (same caveat as neighbor_jaccard_topk).
+
+    Scale switch: graphs whose NODE count fits ``driver_node_threshold``
+    take the dense-adjacency BLAS driver twin (``_linkpred_driver``) —
+    small dense graphs (the KG entity graph) are the wedge path's worst
+    case and the matmul's best; big sparse graphs run distributed."""
     from semantic_search_system_ray.stages.util import (
         _default_partitions,
         coarse_anti_join,
@@ -2526,6 +2623,14 @@ def linkpred_topk(
         edges, src_col=src_col, dst_col=dst_col, num_partitions=P
     ).materialize()
     deg = _simple_degrees(und, P).materialize()
+
+    if deg.count() <= driver_node_threshold:
+        import ray
+
+        tables = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows > 0]
+        if not tables:
+            return LINKPRED_SCHEMA.empty_table()
+        return _linkpred_driver(pa.concat_tables(tables), k)
 
     sym_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
 
@@ -2655,12 +2760,60 @@ _LCC_WEDGE_SCHEMA = pa.schema(
 _LCC_CREDIT_SCHEMA = pa.schema([("node", pa.string()), ("cnt", pa.int64())])
 
 
+LCC_DRIVER_NODE_THRESHOLD = 8192
+
+
+def _lcc_block_kernel(A, lo, hi):
+    """Per-row-block triangle counts: ((blk @ A) * blk) row-sum — each
+    entry counts 2-paths between adjacent pairs, so the row sum is
+    2 x triangles through the row node. Integer-exact in float64."""
+    blk = A[lo:hi]
+    return ((blk @ A) * blk).sum(axis=1)
+
+
+def _local_clustering_driver(und: pa.Table) -> rd.Dataset:
+    """Exact dense twin for small dense graphs: per-node triangle
+    counts via one boolean-adjacency BLAS matmul, tri(v) =
+    ((A @ A) * A) row-sum / 2 — every value integer-exact in float64
+    (<= n^2 << 2^53). Same rationale as _linkpred_driver, including the
+    row-block Ray-task fan-out around the sandbox's OMP_NUM_THREADS=1
+    single-core BLAS; regime parity pytested."""
+    import ray
+
+    nodes, A = _dense_adjacency(und)
+    n = len(nodes)
+    deg = A.sum(axis=1).astype(np.int64)
+    A_ref = ray.put(A)
+    kern = ray.remote(num_cpus=1)(_lcc_block_kernel)
+    twice_tri = np.concatenate(ray.get([
+        kern.remote(A_ref, lo, hi)
+        for lo, hi in _row_blocks(n, _n_matmul_tasks())
+    ]))
+    tri = (twice_tri / 2).astype(np.int64)
+    den = deg * (deg - 1)
+    lcc = np.where(
+        den > 0,
+        (2 * tri).astype(np.float64) / np.maximum(den, 1).astype(np.float64),
+        0.0,
+    )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"node_id": pa.array(nodes, pa.string()),
+             "triangles": pa.array(tri, pa.int64()),
+             "deg": pa.array(deg, pa.int64()),
+             "lcc": pa.array(lcc, pa.float64())},
+            schema=LCC_SCHEMA,
+        )
+    )
+
+
 def local_clustering(
     edges: rd.Dataset,
     *,
     src_col: str = "src",
     dst_col: str = "dst",
     num_partitions: int | None = None,
+    driver_node_threshold: int = LCC_DRIVER_NODE_THRESHOLD,
 ) -> rd.Dataset:
     """Per-node local clustering coefficient over the undirected simple
     graph: (node_id, triangles, deg, lcc) where ``triangles`` counts the
@@ -2674,7 +2827,10 @@ def local_clustering(
     their apex so a closed wedge credits all three vertices: the closure
     cogroup emits per-partition (node, cnt) partials, one more coarse
     sum folds them, and a LEFT degree attach fills triangle-free nodes
-    with 0."""
+    with 0. Scale switch: node counts at or under
+    ``driver_node_threshold`` take the dense-adjacency BLAS driver twin
+    (``_local_clustering_driver``) — dense small graphs are the wedge
+    path's worst case; big sparse graphs run distributed."""
     from semantic_search_system_ray.stages.util import (
         _default_partitions,
         coarse_attach,
@@ -2688,6 +2844,14 @@ def local_clustering(
         edges, src_col=src_col, dst_col=dst_col, num_partitions=P
     ).materialize()
     deg = _simple_degrees(und, P).materialize()
+
+    if deg.count() <= driver_node_threshold:
+        import ray
+
+        tables = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows > 0]
+        if not tables:
+            return rd.from_arrow(LCC_SCHEMA.empty_table())
+        return _local_clustering_driver(pa.concat_tables(tables))
 
     wa = pa.schema([("a", pa.string()), ("b", pa.string()),
                     ("deg_a", pa.int64())])

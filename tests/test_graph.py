@@ -608,16 +608,21 @@ def test_condensation_levels_end_to_end(ray_session, driver_threshold):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.parametrize("n_blocks", [1, 3])
-def test_linkpred_excludes_edges_and_is_integer_exact(ray_session, n_blocks):
+@pytest.mark.parametrize("driver_node_threshold", [0, 10_000])
+def test_linkpred_excludes_edges_and_is_integer_exact(
+    ray_session, n_blocks, driver_node_threshold
+):
     """On the EDGES multigraph (simple undirected form: a-b, a-c, b-c,
     c-d; e's self-loop drops): every wedge pair except (a,d) and (b,d)
     is already an edge and must be anti-joined away. Both survivors
     share exactly neighbor c (deg 3), so ra = SCALE // 3 for each, and
     pref_attach = deg*deg. Tie order: (ra DESC, node_a, node_b).
-    Block-layout invariant."""
+    Block-layout invariant; threshold 0 forces the distributed wedge
+    path, 10k the dense BLAS driver twin — identical output."""
     from semantic_search_system_ray.stages.graph import linkpred_topk
 
-    got = linkpred_topk(_edges_ds(n_blocks), k=10)
+    got = linkpred_topk(_edges_ds(n_blocks), k=10,
+                        driver_node_threshold=driver_node_threshold)
     rows = list(zip(
         got.column("node_a").to_pylist(), got.column("node_b").to_pylist(),
         got.column("common").to_pylist(),
@@ -630,15 +635,19 @@ def test_linkpred_excludes_edges_and_is_integer_exact(ray_session, n_blocks):
     ]
 
 
-def test_linkpred_ra_sums_over_all_common_neighbors(ray_session):
+@pytest.mark.parametrize("driver_node_threshold", [0, 10_000])
+def test_linkpred_ra_sums_over_all_common_neighbors(
+    ray_session, driver_node_threshold
+):
     """Butterfly x-z1-y, x-z2-y with deg(z1)=deg(z2)=2 and an extra
     pendant on x: (x,y) is a non-edge with two common neighbors, so
     ra = 2 * (SCALE // 2) and common = 2 — per-apex shares really
-    accumulate across apexes (and across blocks)."""
+    accumulate across apexes (and across blocks), in both regimes."""
     from semantic_search_system_ray.stages.graph import linkpred_topk
 
     ed = [("x", "z1"), ("z1", "y"), ("x", "z2"), ("z2", "y"), ("x", "p")]
-    got = linkpred_topk(_scc_edges_ds(ed, 3), k=1)
+    got = linkpred_topk(_scc_edges_ds(ed, 3), k=1,
+                        driver_node_threshold=driver_node_threshold)
     assert got.column("node_a").to_pylist() == ["x"]
     assert got.column("node_b").to_pylist() == ["y"]
     assert got.column("common").to_pylist() == [2]
@@ -651,15 +660,19 @@ def test_linkpred_ra_sums_over_all_common_neighbors(ray_session):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.parametrize("n_blocks", [1, 3])
-def test_local_clustering_per_node(ray_session, n_blocks):
+@pytest.mark.parametrize("driver_node_threshold", [0, 10_000])
+def test_local_clustering_per_node(ray_session, n_blocks,
+                                   driver_node_threshold):
     """Simple form of EDGES: a-b, a-c, b-c, c-d with one triangle
     {a,b,c}. Each member gets tri=1; a and b (deg 2) sit at lcc=1.0,
     c (deg 3) at 1/3, the pendant d at 0.0 via the deg<2 convention,
-    and e (self-loop only) is absent."""
+    and e (self-loop only) is absent. Threshold 0 forces the
+    distributed apex-wedge path, 10k the BLAS driver twin."""
     from semantic_search_system_ray.stages.graph import local_clustering
 
     got = (
-        local_clustering(_edges_ds(n_blocks))
+        local_clustering(_edges_ds(n_blocks),
+                         driver_node_threshold=driver_node_threshold)
         .to_pandas().sort_values("node_id").reset_index(drop=True)
     )
     rows = list(zip(got["node_id"], got["triangles"], got["deg"], got["lcc"]))
@@ -669,15 +682,18 @@ def test_local_clustering_per_node(ray_session, n_blocks):
     ]
 
 
-def test_local_clustering_apex_gets_credit(ray_session):
+@pytest.mark.parametrize("driver_node_threshold", [0, 10_000])
+def test_local_clustering_apex_gets_credit(ray_session,
+                                           driver_node_threshold):
     """K4 minus one edge (x-y missing): z1 and z2 each apex two wedges
     but close only one triangle each — per-node counts must credit
-    apexes, not just wedge endpoints."""
+    apexes, not just wedge endpoints. Both regimes."""
     from semantic_search_system_ray.stages.graph import local_clustering
 
     ed = [("x", "z1"), ("x", "z2"), ("y", "z1"), ("y", "z2"), ("z1", "z2")]
     got = (
-        local_clustering(_scc_edges_ds(ed, 2))
+        local_clustering(_scc_edges_ds(ed, 2),
+                         driver_node_threshold=driver_node_threshold)
         .to_pandas().sort_values("node_id").reset_index(drop=True)
     )
     rows = list(zip(got["node_id"], got["triangles"], got["deg"], got["lcc"]))
