@@ -678,6 +678,59 @@ JACCARD_SCHEMA = pa.schema(
 )
 
 
+JACCARD_DRIVER_NODE_THRESHOLD = 8192
+
+
+def _jaccard_block_kernel(A, deg, lo, hi, k):
+    """Per-row-block jaccard candidates against the broadcast adjacency:
+    one BLAS product, strictly-upper pairs with >=1 common neighbor,
+    jac = common/(da+db-common) (exact-int operands, one double divide
+    — the same expression as the distributed path and the SQL oracle),
+    block-local top-k by (jac DESC, i, j)."""
+    blk = A[lo:hi]
+    common = blk @ A
+    cols = np.arange(A.shape[1])[None, :]
+    rows = np.arange(lo, hi)[:, None]
+    keep = (cols > rows) & (common > 0)
+    ii, jj = np.nonzero(keep)
+    c = common[ii, jj]
+    jac = c / (deg[ii + lo] + deg[jj] - c)
+    order = np.lexsort((jj, ii + lo, -jac))[:k]
+    ii, jj = ii[order], jj[order]
+    return (ii + lo, jj, c[order].astype(np.int64), jac[order])
+
+
+def _jaccard_driver(und: pa.Table, k: int) -> pa.Table:
+    """Exact dense twin (same rationale and fan-out as _linkpred_driver:
+    small dense graphs are the wedge path's worst case, and the
+    sandbox's OMP_NUM_THREADS=1 forces the matmul out as row-block Ray
+    tasks over a ray.put adjacency). Regime parity pytested."""
+    import ray
+
+    nodes, A = _dense_adjacency(und)
+    n = len(nodes)
+    deg = A.sum(axis=1)
+    A_ref = ray.put(A)
+    kern = ray.remote(num_cpus=1)(_jaccard_block_kernel)
+    parts = ray.get([
+        kern.remote(A_ref, deg, lo, hi, k)
+        for lo, hi in _row_blocks(n, _n_matmul_tasks())
+    ])
+    ii = np.concatenate([p[0] for p in parts])
+    jj = np.concatenate([p[1] for p in parts])
+    com = np.concatenate([p[2] for p in parts])
+    jac = np.concatenate([p[3] for p in parts])
+    order = np.lexsort((jj, ii, -jac))[:k]
+    iu, ju = ii[order], jj[order]
+    return pa.Table.from_pydict(
+        {"node_a": pa.array(nodes[iu], pa.string()),
+         "node_b": pa.array(nodes[ju], pa.string()),
+         "common": pa.array(com[order], pa.int64()),
+         "jaccard": pa.array(jac[order], pa.float64())},
+        schema=JACCARD_SCHEMA,
+    )
+
+
 def neighbor_jaccard_topk(
     edges: rd.Dataset,
     *,
@@ -685,6 +738,7 @@ def neighbor_jaccard_topk(
     src_col: str = "src",
     dst_col: str = "dst",
     num_partitions: int | None = None,
+    driver_node_threshold: int = JACCARD_DRIVER_NODE_THRESHOLD,
 ) -> pa.Table:
     """Top-k node pairs by neighborhood Jaccard similarity
     |N(a)∩N(b)| / |N(a)∪N(b)| over the undirected simple graph — the
@@ -701,7 +755,12 @@ def neighbor_jaccard_topk(
     Cost note: exact co-neighbor counting is inherently Σ C(deg, 2)
     wedges — unlike triangle_count, degree orientation cannot apply
     (the apex must range over ALL shared neighbors). At web scale, cap
-    hub degrees upstream or restrict to a candidate pair set."""
+    hub degrees upstream or restrict to a candidate pair set.
+
+    Scale switch: node counts at or under ``driver_node_threshold``
+    take the dense-adjacency row-block BLAS twin (``_jaccard_driver``)
+    — small dense graphs are the wedge path's worst case (measured
+    30.8 s → 11.3 s at sf0.1); big sparse graphs run distributed."""
     from semantic_search_system_ray.stages.util import (
         _default_partitions,
         coarse_attach,
@@ -717,6 +776,14 @@ def neighbor_jaccard_topk(
     # deg feeds TWO coarse_attach plans; without the pin each would
     # re-execute the degree aggregation over the full edge set
     deg = _simple_degrees(und, P).materialize()
+
+    if deg.count() <= driver_node_threshold:
+        import ray
+
+        tables = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows > 0]
+        if not tables:
+            return JACCARD_SCHEMA.empty_table()
+        return _jaccard_driver(pa.concat_tables(tables), k)
 
     sym_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
 

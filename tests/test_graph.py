@@ -724,3 +724,30 @@ def test_reciprocity_empty_after_selfloop_drop(ray_session):
     got = reciprocity(rd.from_arrow(t))
     assert got.column("total_edges").to_pylist() == [0]
     assert got.column("reciprocity").to_pylist() == [0.0]
+
+
+# ---------------------------------------------------------------------------
+# neighbor jaccard (regime parity for the dense twin)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+@pytest.mark.parametrize("driver_node_threshold", [0, 10_000])
+def test_neighbor_jaccard_regime_parity(ray_session, n_blocks,
+                                        driver_node_threshold):
+    """Simple form of EDGES (a-b, a-c, b-c, c-d): all five sharing
+    pairs with their exact ratios, ordered (jaccard DESC, node_a,
+    node_b) — identical from the distributed wedge path (threshold 0)
+    and the dense row-block BLAS twin (10k)."""
+    from semantic_search_system_ray.stages.graph import neighbor_jaccard_topk
+
+    got = neighbor_jaccard_topk(_edges_ds(n_blocks), k=10,
+                                driver_node_threshold=driver_node_threshold)
+    rows = list(zip(
+        got.column("node_a").to_pylist(), got.column("node_b").to_pylist(),
+        got.column("common").to_pylist(), got.column("jaccard").to_pylist(),
+    ))
+    assert rows == [
+        ("a", "d", 1, 0.5), ("b", "d", 1, 0.5),
+        ("a", "b", 1, 1.0 / 3.0),
+        ("a", "c", 1, 0.25), ("b", "c", 1, 0.25),
+    ]
