@@ -768,6 +768,24 @@ def _q_kg_linkpred(sf_dir: str):
     return linkpred_topk(edges_from_triples(_kg_triples(sf_dir)), k=50)
 
 
+def _q_kg_linkpred_negs(sf_dir: str):
+    """Deterministic negative sampling for link-prediction training
+    (stages/graph.linkpred_negative_samples): per positive KG edge,
+    up to 3 corrupted pairs via md5-ranked lookup into the sorted node
+    vocabulary — a pure function of the edge (reshuffle/retry/resume
+    identical), endpoint and existing-edge hits filtered via the
+    composite-key anti join, never resampled. Oracle: row_number-ranked
+    vocabulary + the same md5 in SQL (text_oracles.sql_kg_linkpred_negs)."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import (
+        linkpred_negative_samples,
+    )
+
+    return linkpred_negative_samples(
+        edges_from_triples(_kg_triples(sf_dir)), k=3
+    )
+
+
 def _q_kg_local_clustering(sf_dir: str):
     """Per-node local clustering coefficient over the KG's undirected
     simple graph (stages/graph.local_clustering): degree-oriented apex
@@ -1471,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_condensation": _q_kg_condensation,
             "kg_linkpred": _q_kg_linkpred,
             "kg_local_clustering": _q_kg_local_clustering,
+            "kg_linkpred_negs": _q_kg_linkpred_negs,
             "kg_reciprocity": _q_kg_reciprocity,
             "kg_topo_levels": _q_kg_topo_levels,
             "kg_communities": _q_kg_communities,
@@ -1632,6 +1651,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_local_clustering": tox.sql_kg_local_clustering(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_linkpred_negs": tox.sql_kg_linkpred_negs(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_reciprocity": tox.sql_kg_reciprocity(

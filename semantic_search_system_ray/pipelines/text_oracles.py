@@ -1462,6 +1462,48 @@ ORDER BY ra DESC, node_a, node_b LIMIT {k}
 """
 
 
+def sql_kg_linkpred_negs(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    k: int = 3,
+    salt: str = "neg",
+) -> str:
+    """Oracle for stages/graph.linkpred_negative_samples over the KG
+    edge set: per positive edge, k md5-ranked corruption candidates
+    (md5_number_lower == functions/hashing.md5_hash64; rank =
+    row_number over the binary-collated sorted node vocabulary ==
+    numpy's sort for this ASCII alphabet), endpoint and existing-edge
+    collisions filtered, never resampled. Built over the kg_triples
+    oracle subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples}),
+e0 AS (SELECT CAST(subj AS VARCHAR) AS s, CAST(obj AS VARCHAR) AS d
+       FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e0),
+nd AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+rk AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS r FROM nd),
+cnt AS (SELECT count(*) AS c FROM nd),
+cand AS (
+  SELECT e.a, e.b, i.i,
+         md5_number_lower('{salt}:' || e.a || '|' || e.b || '|'
+                          || CAST(i.i AS VARCHAR))
+           % (SELECT c FROM cnt) AS r
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS i) i
+)
+SELECT w.a AS node_a, w.b AS node_b, CAST(w.i AS BIGINT) AS neg_idx,
+       w.neg AS neg_node
+FROM (SELECT c.a, c.b, c.i, rk.node AS neg
+      FROM cand c JOIN rk ON rk.r = c.r) w
+WHERE w.neg <> w.a AND w.neg <> w.b
+  AND NOT EXISTS (SELECT 1 FROM e
+                  WHERE e.a = least(w.a, w.neg)
+                    AND e.b = greatest(w.a, w.neg))
+"""
+
+
 def sql_kg_local_clustering(
     gazetteer: dict[str, str],
     taxonomy: dict[str, list[str]],

@@ -3123,3 +3123,120 @@ def reciprocity(
          "reciprocity": [float(recip) / float(total)]},
         schema=RECIPROCITY_SCHEMA,
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic negative sampling for link-prediction training
+# --------------------------------------------------------------------------
+
+NEGSAMPLE_SCHEMA = pa.schema(
+    [("node_a", pa.string()), ("node_b", pa.string()),
+     ("neg_idx", pa.int64()), ("neg_node", pa.string())]
+)
+
+
+def linkpred_negative_samples(
+    edges: rd.Dataset,
+    *,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    salt: str = "neg",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Deterministic NEGATIVE sampling for link-prediction training:
+    for every undirected positive edge (a < b) emit up to ``k``
+    corrupted pairs (a, neg) where ``neg`` is the node at rank
+    md5_hash64('salt:a|b|i') % n_nodes in the SORTED node vocabulary —
+    a pure function of the edge, so the training set is identical under
+    reshuffles, retries, and resumes (the same property the sampling
+    and split operators pin; random.choice would break all three).
+    Candidates hitting either endpoint or an EXISTING edge are filtered,
+    not resampled — the per-edge negative count is k minus collisions
+    (documented contract; resampling loops are not SQL-expressible and
+    the loss is a hash-uniform few percent).
+
+    Shape: one broadcast of the sorted node vocabulary (ray.put — the
+    entity vocabulary is domain-bounded, the same assumption the other
+    KG ops document), a stateless vectorized expand over edge blocks,
+    then a composite-key anti join against the edge set for the
+    is-edge filter — no shuffle except the anti join."""
+    from semantic_search_system_ray.functions.hashing import md5_hash64
+    from semantic_search_system_ray.stages.util import (
+        _default_partitions,
+        coarse_anti_join,
+    )
+
+    if num_partitions is None:
+        num_partitions = _default_partitions(edges)
+    P = num_partitions
+    und = undirected_simple_edges(
+        edges, src_col=src_col, dst_col=dst_col, num_partitions=P
+    ).materialize()
+    # node vocabulary: domain-bounded (entity set), one driver collect +
+    # ray.put — the documented broadcast assumption
+    nodes_tbl = _distinct_nodes(und, "a", "b", num_partitions=P)
+    import ray
+
+    node_arr = np.sort(np.concatenate([
+        t.column(0).to_numpy(zero_copy_only=False)
+        for t in ray.get(nodes_tbl.to_arrow_refs()) if t.num_rows > 0
+    ] or [np.array([], dtype=object)]))
+    n_nodes = len(node_arr)
+    if n_nodes == 0:
+        return rd.from_arrow(NEGSAMPLE_SCHEMA.empty_table())
+    nodes_ref = ray.put(node_arr)
+
+    def expand(t: pa.Table) -> pa.Table:
+        nv = ray.get(nodes_ref)
+        a = _str(t.column("a")).to_pylist()
+        b = _str(t.column("b")).to_pylist()
+        oa, ob, oi, on = [], [], [], []
+        for x, y in zip(a, b):
+            for i in range(k):
+                c = nv[md5_hash64(f"{salt}:{x}|{y}|{i}") % n_nodes]
+                if c == x or c == y:
+                    continue
+                oa.append(x)
+                ob.append(y)
+                oi.append(i)
+                on.append(c)
+        return pa.Table.from_pydict(
+            {"node_a": pa.array(oa, pa.string()),
+             "node_b": pa.array(ob, pa.string()),
+             "neg_idx": pa.array(oi, pa.int64()),
+             "neg_node": pa.array(on, pa.string())},
+            schema=NEGSAMPLE_SCHEMA,
+        )
+
+    cands = und.map_batches(expand, batch_format="pyarrow")
+
+    # drop candidates where the corrupted pair (a, neg) IS an edge
+    SEP = "\x1f"
+    keyed = pa.schema(
+        [(f.name, f.type) for f in NEGSAMPLE_SCHEMA] + [("pk", pa.string())]
+    )
+
+    def key_cand(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t.column("node_a"), t.column("neg_node"))
+        hi = pc.max_element_wise(t.column("node_a"), t.column("neg_node"))
+        return t.append_column(
+            "pk", pc.binary_join_element_wise(lo, hi, SEP)
+        )
+
+    def key_edge(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"pk": pc.binary_join_element_wise(
+                t.column("a"), t.column("b"), SEP)},
+        )
+
+    out = coarse_anti_join(
+        cands.map_batches(key_cand, batch_format="pyarrow"),
+        und.map_batches(key_edge, batch_format="pyarrow"),
+        left_key="pk", right_key="pk",
+        out_schema=keyed, num_partitions=P,
+    )
+    return out.map_batches(
+        lambda t: t.select([f.name for f in NEGSAMPLE_SCHEMA]),
+        batch_format="pyarrow",
+    )

@@ -751,3 +751,41 @@ def test_neighbor_jaccard_regime_parity(ray_session, n_blocks,
         ("a", "b", 1, 1.0 / 3.0),
         ("a", "c", 1, 0.25), ("b", "c", 1, 0.25),
     ]
+
+
+# ---------------------------------------------------------------------------
+# deterministic negative sampling
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_linkpred_negative_samples(ray_session, n_blocks):
+    """md5 replay, filters, and layout invariance: every emitted
+    candidate is exactly the md5-ranked vocabulary pick for its
+    (edge, i), never an endpoint, and never an existing edge — and the
+    emitted SET is identical however the edges are blocked."""
+    from semantic_search_system_ray.functions.hashing import md5_hash64
+    from semantic_search_system_ray.stages.graph import (
+        linkpred_negative_samples,
+    )
+
+    rows = sorted(
+        (r["node_a"], r["node_b"], r["neg_idx"], r["neg_node"])
+        for r in linkpred_negative_samples(_edges_ds(n_blocks), k=3)
+        .take_all()
+    )
+    und = {("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")}
+    vocab = sorted({n for e in und for n in e})
+    expected = []
+    for a, b in sorted(und):
+        for i in range(3):
+            c = vocab[md5_hash64(f"neg:{a}|{b}|{i}") % len(vocab)]
+            if c in (a, b):
+                continue
+            if (min(a, c), max(a, c)) in und:
+                continue
+            expected.append((a, b, i, c))
+    assert rows == sorted(expected)
+    assert len(rows) > 0
+    for a, b, _i, c in rows:
+        assert c not in (a, b)
+        assert (min(a, c), max(a, c)) not in und
