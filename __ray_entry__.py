@@ -768,6 +768,49 @@ def _q_kg_linkpred(sf_dir: str):
     return linkpred_topk(edges_from_triples(_kg_triples(sf_dir)), k=50)
 
 
+def _q_kg_ego(sf_dir: str):
+    """Radius-2 ego network around the lexicographically smallest
+    HAS_TOPIC object (stages/graph.ego_edges): one scale-switched BFS,
+    two cogroup semi-joins — the 'neighborhood of X' subgraph the
+    reference serves from driver-side NetworkX. The seed pick is a
+    domain-bounded distinct-collect (topic vocabulary). Oracle: bounded
+    reachability CTE + double semi-join (text_oracles.sql_kg_ego)."""
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data as rd
+
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import ego_edges
+
+    triples = _kg_triples(sf_dir).materialize()
+    topic_objs = triples.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"obj": pc.cast(
+                t.filter(pc.equal(t.column("pred"), "HAS_TOPIC"))
+                .column("obj"), pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    # topic vocabulary is domain-bounded: tiny distinct-collect for the
+    # single-seed pick
+    objs = sorted({
+        v for tbl in ray.get(
+            topic_objs.map_batches(
+                lambda t: t.group_by(["obj"]).aggregate([]),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+        # zero-row blocks can surface with an empty schema — skip them
+        if tbl.num_rows > 0 and "obj" in tbl.schema.names
+        for v in tbl.column("obj").to_pylist()
+    })
+    seeds = rd.from_arrow(
+        pa.Table.from_pydict({"node_id": pa.array(objs[:1], pa.string())})
+    )
+    return ego_edges(seeds, edges_from_triples(triples), radius=2)
+
+
 def _q_kg_linkpred_negs(sf_dir: str):
     """Deterministic negative sampling for link-prediction training
     (stages/graph.linkpred_negative_samples): per positive KG edge,
@@ -1490,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_linkpred": _q_kg_linkpred,
             "kg_local_clustering": _q_kg_local_clustering,
             "kg_linkpred_negs": _q_kg_linkpred_negs,
+            "kg_ego": _q_kg_ego,
             "kg_reciprocity": _q_kg_reciprocity,
             "kg_topo_levels": _q_kg_topo_levels,
             "kg_communities": _q_kg_communities,
@@ -1654,6 +1698,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_linkpred_negs": tox.sql_kg_linkpred_negs(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_ego": tox.sql_kg_ego(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_reciprocity": tox.sql_kg_reciprocity(

@@ -11551,3 +11551,131 @@ ORACLE_SQL = {
     "cosine_dups": SQL_COSINE_DUPS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Winsorization at exact distributed quantiles
+# ---------------------------------------------------------------------------
+
+def q_events_winsorize(sf_dir: str):
+    """Winsorize event values at the exact P05/P95 — the standard
+    outlier clamp before averaging a heavy-tailed metric. Thresholds
+    come from the bounded-cardinality histogram quantiles
+    (stages/sketch.exact_quantiles_histogram == DuckDB quantile_disc,
+    already gated), so the clamp bounds are bit-identical to the SQL
+    twin; the clamp itself is two vectorized element-wise min/max — a
+    stateless single pass, no sort, no shuffle."""
+    from semantic_search_system_ray.stages.sketch import (
+        exact_quantiles_histogram,
+    )
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "value"])
+    (_, lo), (_, hi) = exact_quantiles_histogram(ev, "value", [0.05, 0.95])
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        w = pc.min_element_wise(
+            pc.max_element_wise(v, pa.scalar(lo, pa.float64())),
+            pa.scalar(hi, pa.float64()),
+        )
+        return pa.Table.from_pydict(
+            {"event_id": pc.cast(t.column("event_id"), pa.int64()),
+             "value": v, "value_wins": w}
+        )
+
+    return ev.map_batches(clamp, batch_format="pyarrow")
+
+
+SQL_EVENTS_WINSORIZE = """
+WITH th AS (
+  SELECT quantile_disc(value, 0.05) AS lo, quantile_disc(value, 0.95) AS hi
+  FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id, value,
+       least(greatest(value, (SELECT lo FROM th)), (SELECT hi FROM th))
+         AS value_wins
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-language near-dup rate (curation analytics)
+# ---------------------------------------------------------------------------
+
+def q_dedup_rate_by_lang(sf_dir: str):
+    """Per-language near-duplication report: of each language's docs,
+    how many are non-representative members of a MinHash-LSH cluster
+    (doc_id != cluster) — the dashboard number a curation run watches
+    to catch a crawl source gone degenerate. One cluster pass, one
+    coarse attach of lang, per-block (lang, n, dups) combiners, and a
+    language-DOMAIN-bounded driver fold."""
+    from semantic_search_system_ray.stages.dedup import minhash_lsh_clusters
+    from semantic_search_system_ray.stages.util import coarse_attach
+
+    docs = read_docs(sf_dir, ["doc_id", "text", "lang"])
+    clusters = minhash_lsh_clusters(
+        docs.select_columns(["doc_id", "text"]), threshold=0.6
+    )
+    joined_schema = pa.schema(
+        [("doc_id", pa.string()), ("cluster", pa.string()),
+         ("lang", pa.string())]
+    )
+    joined = coarse_attach(
+        clusters, docs.select_columns(["doc_id", "lang"]),
+        left_key="doc_id", right_key="doc_id",
+        attach_cols=["lang"], out_schema=joined_schema, how="inner",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        dup = pc.not_equal(t.column("doc_id"), t.column("cluster"))
+        tt = pa.Table.from_pydict(
+            {"lang": t.column("lang"),
+             "dup": pc.cast(dup, pa.int64()),
+             "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64())}
+        )
+        return tt.group_by(["lang"]).aggregate(
+            [("one", "sum"), ("dup", "sum")]
+        ).rename_columns(["lang", "n", "dups"])
+
+    # language domain is tiny and bounded — the driver fold is over
+    # (n_blocks x n_langs) partial rows, annotated like lang_stats
+    parts = joined.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        acc = agg.setdefault(r["lang"], [0, 0])
+        acc[0] += int(r["n"])
+        acc[1] += int(r["dups"])
+    langs = sorted(agg)
+    return pa.Table.from_pydict(
+        {"lang": pa.array(langs, pa.string()),
+         "n_docs": pa.array([agg[la][0] for la in langs], pa.int64()),
+         "n_dups": pa.array([agg[la][1] for la in langs], pa.int64()),
+         "dup_rate": pa.array(
+             [float(agg[la][1]) / float(agg[la][0]) for la in langs],
+             pa.float64())},
+    )
+
+
+def _sql_dedup_rate_by_lang() -> str:
+    from semantic_search_system_ray.pipelines.text_oracles import (
+        sql_minhash_clusters,
+    )
+
+    inner = sql_minhash_clusters(threshold=0.6)
+    return f"""
+WITH cl AS ({inner})
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cl.doc_id <> cl.cluster THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dups,
+       CAST(sum(CASE WHEN cl.doc_id <> cl.cluster THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+FROM cl JOIN documents d ON CAST(d.doc_id AS VARCHAR) = cl.doc_id
+GROUP BY d.lang
+"""
+
+
+QUERIES["events_winsorize"] = q_events_winsorize
+ORACLE_SQL["events_winsorize"] = SQL_EVENTS_WINSORIZE
+QUERIES["dedup_rate_by_lang"] = q_dedup_rate_by_lang
+ORACLE_SQL["dedup_rate_by_lang"] = _sql_dedup_rate_by_lang()

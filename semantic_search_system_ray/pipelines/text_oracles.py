@@ -1462,6 +1462,45 @@ ORDER BY ra DESC, node_a, node_b LIMIT {k}
 """
 
 
+def sql_kg_ego(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    radius: int = 2,
+) -> str:
+    """Oracle for stages/graph.ego_edges around the lexicographically
+    smallest HAS_TOPIC object: bounded undirected reachability CTE
+    (same shape as sql_kg_bfs), then the distinct simple directed edges
+    with BOTH endpoints inside the radius. Built over the kg_triples
+    oracle subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH RECURSIVE t AS ({triples}),
+e AS (
+  SELECT DISTINCT CAST(subj AS VARCHAR) AS src, CAST(obj AS VARCHAR) AS dst
+  FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)
+),
+es AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+seed AS (
+  SELECT min(CAST(obj AS VARCHAR)) AS node_id FROM t
+  WHERE pred = 'HAS_TOPIC'
+),
+reach(node_id, dist) AS (
+  SELECT node_id, 0 FROM seed
+  UNION
+  SELECT es.dst, r.dist + 1
+  FROM reach r JOIN es ON es.src = r.node_id
+  WHERE r.dist < {radius}
+),
+inside AS (SELECT DISTINCT node_id FROM reach)
+SELECT e.src, e.dst
+FROM e
+JOIN inside a ON a.node_id = e.src
+JOIN inside b ON b.node_id = e.dst
+"""
+
+
 def sql_kg_linkpred_negs(
     gazetteer: dict[str, str],
     taxonomy: dict[str, list[str]],

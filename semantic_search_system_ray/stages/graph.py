@@ -3240,3 +3240,56 @@ def linkpred_negative_samples(
         lambda t: t.select([f.name for f in NEGSAMPLE_SCHEMA]),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# ego-network extraction (radius-bounded subgraph around seeds)
+# --------------------------------------------------------------------------
+
+EGO_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+
+def ego_edges(
+    seeds: rd.Dataset,
+    edges: rd.Dataset,
+    *,
+    radius: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> rd.Dataset:
+    """Radius-bounded EGO network: the distinct simple directed edges
+    whose BOTH endpoints lie within ``radius`` undirected hops of any
+    seed (bfs_hops distances; seeds at 0) — the subgraph-extraction
+    primitive behind 'show me the neighborhood of X' graph exploration
+    (the reference answers these driver-side over its NetworkX store,
+    /root/reference/knowledge_graph/knowledge_graph.py). Shape: one BFS
+    (scale-switched), then two cogroup semi-joins of the edge set
+    against the in-radius node set — the node set never lands on the
+    driver in the distributed regime."""
+    from semantic_search_system_ray.stages.util import _default_partitions
+
+    e = _distinct_directed_edges(edges, src_col, dst_col).materialize()
+    if e.count() == 0:
+        return rd.from_arrow(EGO_SCHEMA.empty_table())
+    P = _default_partitions(e)
+    dist = bfs_hops(
+        seeds, e, max_hops=radius, src_col="s", dst_col="d"
+    ).materialize()
+    inside = dist.map_batches(
+        lambda t: pa.Table.from_pydict({"node": _str(t.column("node_id"))}),
+        batch_format="pyarrow",
+    ).materialize()
+    ab = e.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"a": t.column("s"), "b": t.column("d")}
+        ),
+        batch_format="pyarrow",
+    )
+    ab = _semi_on(ab, inside, "a", P)
+    ab = _semi_on(ab, inside, "b", P)
+    return ab.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"src": t.column("a"), "dst": t.column("b")}, schema=EGO_SCHEMA
+        ),
+        batch_format="pyarrow",
+    )

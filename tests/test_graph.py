@@ -789,3 +789,31 @@ def test_linkpred_negative_samples(ray_session, n_blocks):
     for a, b, _i, c in rows:
         assert c not in (a, b)
         assert (min(a, c), max(a, c)) not in und
+
+
+# ---------------------------------------------------------------------------
+# ego-network extraction
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("radius,expected", [
+    (1, [("s", "a")]),
+    (2, [("a", "b"), ("s", "a")]),
+    (3, [("a", "b"), ("b", "c"), ("s", "a")]),
+])
+def test_ego_edges_radius(ray_session, radius, expected):
+    """Path s->a->b->c plus a disconnected x->y: the ego edge set keeps
+    exactly the edges with BOTH endpoints within the radius (an edge to
+    a node one hop past the boundary must drop), and never the
+    disconnected component."""
+    from semantic_search_system_ray.stages.graph import ego_edges
+
+    ed = [("s", "a"), ("a", "b"), ("b", "c"), ("x", "y"), ("s", "a")]
+    seeds = rd.from_arrow(
+        pa.table({"node_id": pa.array(["s"], pa.string())})
+    )
+    got = sorted(
+        (r["src"], r["dst"])
+        for r in ego_edges(seeds, _scc_edges_ds(ed, 2), radius=radius)
+        .take_all()
+    )
+    assert got == expected
