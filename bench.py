@@ -185,7 +185,9 @@ def run_bench() -> dict:
         "curation_e2e", "kg_hits", "kg_ppr", "kg_clustering",
         "dedup_incremental", "kcenter_coreset",
         "kg_scc", "kg_topo_levels", "kg_linkpred", "kg_local_clustering",
-        "split_leakage_free", "cluster_best_rep",
+        "split_leakage_free", "cluster_best_rep", "kg_condensation",
+        "kg_reciprocity", "kg_jaccard", "kg_ego", "kg_linkpred_negs",
+        "events_winsorize", "dedup_rate_by_lang",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level
