@@ -888,6 +888,23 @@ def _q_kg_hits(sf_dir: str):
     return hits(edges_from_triples(_kg_triples(sf_dir)), rounds=3)
 
 
+def _q_kg_katz(sf_dir: str):
+    """Deterministic integer Katz centrality (stages/graph.katz, 4
+    synchronous rounds) over the DISTINCT directed simple KG edge set:
+    x0 = SCALE everywhere; each round is in-neighbor sum →
+    max-normalized attenuation (α = 1/4) plus the β = SCALE restart,
+    all floor arithmetic on non-negative int64, so the iterative
+    distributed computation is bit-reproducible against the
+    unrolled-CTE SQL twin (text_oracles.sql_kg_katz). Scale-switched
+    like pagerank/hits: exact numpy twin below the edge threshold,
+    distributed rounds (one score attach + one per-node sum + a scalar
+    max each) above — regimes parity-pytested in tests/test_graph.py."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import katz
+
+    return katz(edges_from_triples(_kg_triples(sf_dir)), rounds=4)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Deterministic integer PageRank (stages/graph.pagerank, 5 rounds)
     over the KG edge set → top-20 nodes by (pr desc, node_id). The
@@ -1538,6 +1555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_topo_levels": _q_kg_topo_levels,
             "kg_communities": _q_kg_communities,
             "kg_hits": _q_kg_hits,
+            "kg_katz": _q_kg_katz,
             "kg_ppr": _q_kg_ppr,
             "kg_triangles": _q_kg_triangles,
             "kg_clustering": _q_kg_clustering,
@@ -1713,6 +1731,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_hits": tox.sql_kg_hits(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_katz": tox.sql_kg_katz(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_ppr": tox.sql_kg_ppr(

@@ -1892,6 +1892,59 @@ FROM h{rounds} h JOIN a{rounds} a ON a.node = h.node"""
     return "".join(parts)
 
 
+def sql_kg_katz(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    rounds: int = 4,
+    scale: int = 1_000_000,
+    alpha_inv: int = 4,
+) -> str:
+    """Oracle for stages/graph.katz over the KG edge set: ``rounds``
+    unrolled synchronous Katz rounds, chained CTEs like sql_kg_hits.
+    e is the DISTINCT directed simple edge set; x0 = ``scale`` for
+    every endpoint node; each round is in-neighbor sum → max-normalized
+    attenuation + restart, every step floor arithmetic on non-negative
+    BIGINTs (DuckDB ``//`` truncates; operands non-negative, so
+    truncation == the engine's floor). CTEs stay AS MATERIALIZED — the
+    kcore lesson: DuckDB otherwise inlines chained references and the
+    plan grows exponentially in rounds. Built over the kg_triples
+    oracle subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    parts = [
+        f"WITH t AS MATERIALIZED ({triples}),\n",
+        "raw AS MATERIALIZED (SELECT CAST(subj AS VARCHAR) AS s, "
+        "CAST(obj AS VARCHAR) AS d FROM t),\n",
+        "e AS MATERIALIZED (SELECT DISTINCT s, d FROM raw WHERE s <> d),\n",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e)),\n",
+        f"x0 AS MATERIALIZED (SELECT node, CAST({scale} AS BIGINT) AS v "
+        "FROM nodes)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+xr{r} AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(m.sv, 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS node, SUM(x.v) AS sv
+    FROM e JOIN x{r} x ON x.node = e.s GROUP BY e.d
+  ) m ON m.node = n.node
+),
+x{r + 1} AS MATERIALIZED (
+  SELECT node, CAST({scale} + (v * {scale})
+         // ({alpha_inv} * (SELECT MAX(v) FROM xr{r})) AS BIGINT) AS v
+  FROM xr{r}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS node_id, v AS katz FROM x{rounds}"""
+    )
+    return "".join(parts)
+
+
 def sql_kg_ppr(
     gazetteer: dict[str, str],
     taxonomy: dict[str, list[str]],

@@ -3293,3 +3293,184 @@ def ego_edges(
         ),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# Katz centrality (deterministic integer recurrence, restart + attenuation)
+# --------------------------------------------------------------------------
+
+KATZ_SCHEMA = pa.schema([("node_id", pa.string()), ("katz", pa.int64())])
+KATZ_ALPHA_INV = 4  # attenuation 1/4 as an exact integer divisor
+KATZ_DRIVER_EDGE_THRESHOLD = PAGERANK_DRIVER_EDGE_THRESHOLD
+
+
+def _katz_driver(e: pa.Table, rounds: int, scale: int, alpha_inv: int) -> rd.Dataset:
+    """Exact numpy twin of the distributed Katz recurrence (factorized
+    endpoints + unordered int64 scatter-adds — addition is associative,
+    so block layout never changes the result); regime parity pinned by
+    tests/test_graph.py."""
+    s = _str(e.column("s")).to_numpy(zero_copy_only=False)
+    d = _str(e.column("d")).to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([s, d]))
+    si = np.searchsorted(nodes, s)
+    di = np.searchsorted(nodes, d)
+    n = len(nodes)
+    x = np.full(n, scale, dtype=np.int64)
+    for _ in range(rounds):
+        raw = np.zeros(n, dtype=np.int64)
+        np.add.at(raw, di, x[si])
+        mx = int(raw.max())
+        x = scale + raw * scale // (alpha_inv * mx)
+    return rd.from_arrow(
+        pa.Table.from_pydict({"node_id": nodes, "katz": x}, schema=KATZ_SCHEMA)
+    )
+
+
+def katz(
+    edges: rd.Dataset,
+    *,
+    rounds: int = 4,
+    scale: int = DEFAULT_SCALE,
+    alpha_inv: int = KATZ_ALPHA_INV,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    driver_threshold: int = KATZ_DRIVER_EDGE_THRESHOLD,
+) -> rd.Dataset:
+    """Deterministic integer KATZ centrality (Katz 1953) over the
+    DISTINCT directed simple edge set of ``edges`` (parallel edges and
+    self-loops dropped): x_0 = ``scale`` for every endpoint node; each
+    of the fixed ``rounds`` rounds computes
+
+        raw(v) = Σ_{u→v} x(u)                       (0 with no in-edges)
+        x'(v)  = scale + raw(v)·scale // (alpha_inv · max_w raw(w))
+
+    — the classic β + α·(in-neighbor mass) shape with β = ``scale`` and
+    the attenuation α = 1/``alpha_inv`` applied against the round's
+    max-normalized mass, all floor arithmetic on non-negative int64, so
+    the result is independent of summation order / block layout /
+    parallelism and has an exact unrolled-CTE DuckDB twin
+    (text_oracles.sql_kg_katz). Scores live in
+    [scale, scale + scale//alpha_inv]; a per-node in-sum is ≤
+    max_indegree·(scale + scale//alpha_inv) and the normalization
+    product ≤ that · scale, so int64 holds to ~7e6 max in-degree at the
+    default scale=1e6 (multiply_checked raises loudly beyond). The max
+    is never 0 on a non-empty edge set: every x ≥ scale and some node
+    has an in-edge.
+
+    Reference analogue: centrality-style 'most connected entities'
+    queries answered driver-side over the graph store
+    (/root/reference/knowledge_graph/knowledge_graph.py); here scores
+    and edges stay Datasets throughout.
+
+    Scale: same switch as pagerank/hits — edge sets at or below
+    ``driver_threshold`` take the exact numpy twin; larger graphs run
+    the distributed recurrence, one score attach onto the static edge
+    set (coarse_attach) + one per-node sum per round, plus a tiny scalar
+    ``max()`` aggregate — scores never driver-collect."""
+    from semantic_search_system_ray.stages.util import (
+        _default_partitions,
+        coarse_attach,
+    )
+
+    def norm_e(t: pa.Table) -> pa.Table:
+        tt = pa.Table.from_pydict(
+            {"s": _str(t.column(src_col)), "d": _str(t.column(dst_col))}
+        )
+        tt = tt.filter(pc.not_equal(tt.column("s"), tt.column("d")))
+        return tt.group_by(["s", "d"]).aggregate([])
+
+    def part_distinct(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _HITS_E_SCHEMA.empty_table()
+        return pa.Table.from_pandas(
+            df.drop_duplicates(), schema=_HITS_E_SCHEMA, preserve_index=False
+        )
+
+    e = coarse_partition_apply(
+        edges.map_batches(norm_e, batch_format="pyarrow"),
+        ["s", "d"], part_distinct, _HITS_E_SCHEMA,
+    ).materialize()
+    n_edges = e.count()
+    if n_edges == 0:
+        return rd.from_arrow(KATZ_SCHEMA.empty_table())
+    if n_edges <= driver_threshold:
+        import ray
+
+        tables = [t for t in ray.get(e.to_arrow_refs()) if t.num_rows > 0]
+        return _katz_driver(pa.concat_tables(tables), rounds, scale, alpha_inv)
+
+    P = _default_partitions(e)
+    e = e.repartition(P).materialize()
+    nodes = _distinct_nodes(e, "s", "d", num_partitions=P).repartition(
+        P
+    ).materialize()
+
+    def init_scale(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"node": _str(t.column("node_id")),
+             "v": pa.nulls(t.num_rows, pa.int64()).fill_null(scale)},
+            schema=_HITS_SV_SCHEMA,
+        )
+
+    def zeros(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"node": _str(t.column("node_id")),
+             "v": pa.nulls(t.num_rows, pa.int64()).fill_null(0)},
+            schema=_HITS_SV_SCHEMA,
+        )
+
+    def sum_node(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _HITS_SV_SCHEMA.empty_table()
+        agg = df.groupby("node", sort=False)["v"].sum().reset_index()
+        return pa.Table.from_pydict(
+            # v rides the null-bearing cogroup union as float64 — exact
+            # < 2^53 (sums ≤ max_indegree·1.25·scale; bound above)
+            {"node": agg["node"].to_numpy(),
+             "v": agg["v"].to_numpy().astype(np.int64)},
+            schema=_HITS_SV_SCHEMA,
+        )
+
+    x = nodes.map_batches(init_scale, batch_format="pyarrow").materialize()
+    att_schema = pa.schema([("d", pa.string()), ("v", pa.int64())])
+    for _ in range(rounds):
+        attached = coarse_attach(
+            e, x, left_key="s", right_key="node",
+            attach_cols=["v"], out_schema=att_schema,
+            num_partitions=P, how="inner",
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by(["d"]).aggregate([("v", "sum")])
+            return pa.Table.from_pydict(
+                {"node": _str(g.column("d")),
+                 "v": pc.cast(g.column("v_sum"), pa.int64())},
+                schema=_HITS_SV_SCHEMA,
+            )
+
+        raw = coarse_partition_apply(
+            attached.map_batches(partial, batch_format="pyarrow").union(
+                nodes.map_batches(zeros, batch_format="pyarrow")
+            ),
+            ["node"], sum_node, _HITS_SV_SCHEMA, num_partitions=P,
+        ).repartition(P).materialize()
+        mx = raw.max("v")
+
+        def restart(t: pa.Table, _mx=int(mx)) -> pa.Table:
+            v = pc.cast(t.column("v"), pa.int64()).combine_chunks()
+            scaled = pc.multiply_checked(v, pa.scalar(scale, pa.int64()))
+            # Arrow integer divide truncates; operands non-negative, so
+            # truncation == floor == the numpy twin's //
+            att = pc.divide(scaled, pa.scalar(alpha_inv * _mx, pa.int64()))
+            return pa.Table.from_pydict(
+                {"node": t.column("node"),
+                 "v": pc.add(att, pa.scalar(scale, pa.int64()))},
+                schema=_HITS_SV_SCHEMA,
+            )
+
+        x = raw.map_batches(restart, batch_format="pyarrow").materialize()
+
+    return x.map_batches(
+        lambda t: t.rename_columns(["node_id", "katz"]),
+        batch_format="pyarrow",
+    )

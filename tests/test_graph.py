@@ -817,3 +817,60 @@ def test_ego_edges_radius(ray_session, radius, expected):
         .take_all()
     )
     assert got == expected
+
+
+def _reference_katz(
+    edges: list[tuple[str, str]], rounds: int, alpha_inv: int = 4
+) -> list[tuple[str, int]]:
+    """Single-process integer Katz over the distinct directed simple
+    edge set — the exact recurrence stages/graph.katz implements."""
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({n for p in e for n in p})
+    x = {n: DEFAULT_SCALE for n in nodes}
+    for _ in range(rounds):
+        raw = {n: 0 for n in nodes}
+        for s, d in e:
+            raw[d] += x[s]
+        mx = max(raw.values())
+        x = {n: DEFAULT_SCALE + raw[n] * DEFAULT_SCALE // (alpha_inv * mx)
+             for n in nodes}
+    return [(n, x[n]) for n in nodes]
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_katz_regime_parity(ray_session, n_blocks, driver_threshold):
+    """Both regimes of the scale switch — threshold 0 forces the
+    distributed rounds (score attach + per-node sum + scalar max), 10k
+    the driver numpy twin — must match the single-process integer Katz.
+    Parallel edges collapse (distinct edge set) and the e-e self-loop
+    drops, so e is absent on both sides."""
+    from semantic_search_system_ray.stages.graph import katz
+
+    got = (
+        katz(_edges_ds(n_blocks), rounds=4, driver_threshold=driver_threshold)
+        .to_pandas()
+        .sort_values("node_id")
+        .reset_index(drop=True)
+    )
+    ref = _reference_katz(EDGES, 4)
+    assert list(zip(got["node_id"], got["katz"])) == ref
+    assert "e" not in set(got["node_id"])
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_katz_restart_floor_and_source_zero(ray_session, driver_threshold):
+    """On a chain x->y->z every node keeps the β=scale restart mass; the
+    pure source x gets EXACTLY scale (no in-edges), and the round's max
+    in-sum node lands on exactly scale + scale//alpha_inv."""
+    from semantic_search_system_ray.stages.graph import katz
+
+    t = pa.table({"src": ["x", "y"], "dst": ["y", "z"]})
+    got = (
+        katz(rd.from_arrow(t), rounds=1, driver_threshold=driver_threshold)
+        .to_pandas().sort_values("node_id").reset_index(drop=True)
+    )
+    rows = list(zip(got["node_id"], got["katz"]))
+    s = DEFAULT_SCALE
+    # after 1 round: raw = {x:0, y:s, z:s}, mx = s
+    assert rows == [("x", s), ("y", s + s // 4), ("z", s + s // 4)]
