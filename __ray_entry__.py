@@ -905,6 +905,22 @@ def _q_kg_katz(sf_dir: str):
     return katz(edges_from_triples(_kg_triples(sf_dir)), rounds=4)
 
 
+def _q_kg_edge_support(sf_dir: str):
+    """Per-EDGE triangle support over the KG's undirected simple graph
+    (stages/graph.edge_support) — the k-truss primitive and the
+    relation-corroboration score (an edge backed by many triangles is a
+    well-corroborated relation). Same degree-oriented apex-wedge
+    machinery as local_clustering, but closed wedges credit their three
+    EDGES (normalized lo<hi); LEFT attach fills triangle-free edges
+    with 0. Scale-switched below 8192 nodes to the dense row-block BLAS
+    twin. Oracle: symmetrized neighbor self-join LEFT-joined onto the
+    edge set (text_oracles.sql_kg_edge_support)."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import edge_support
+
+    return edge_support(edges_from_triples(_kg_triples(sf_dir)))
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Deterministic integer PageRank (stages/graph.pagerank, 5 rounds)
     over the KG edge set → top-20 nodes by (pr desc, node_id). The
@@ -1556,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_communities": _q_kg_communities,
             "kg_hits": _q_kg_hits,
             "kg_katz": _q_kg_katz,
+            "kg_edge_support": _q_kg_edge_support,
             "kg_ppr": _q_kg_ppr,
             "kg_triangles": _q_kg_triangles,
             "kg_clustering": _q_kg_clustering,
@@ -1734,6 +1751,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_katz": tox.sql_kg_katz(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_edge_support": tox.sql_kg_edge_support(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_ppr": tox.sql_kg_ppr(

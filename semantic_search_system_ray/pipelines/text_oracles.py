@@ -1578,6 +1578,35 @@ FROM deg d LEFT JOIN tri ON tri.v = d.u
 """
 
 
+def sql_kg_edge_support(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for stages/graph.edge_support over the KG edge set:
+    per-edge triangle support (common-neighbor count of the edge's
+    endpoints) via the symmetrized neighbor self-join, LEFT-joined back
+    onto the distinct simple undirected edge set so triangle-free edges
+    report 0. Built over the kg_triples oracle subquery (one source of
+    truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples}),
+e0 AS (SELECT CAST(subj AS VARCHAR) AS s, CAST(obj AS VARCHAR) AS d
+       FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e0),
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+sup AS (
+  SELECT s1.u AS a, s2.u AS b, CAST(count(*) AS BIGINT) AS c
+  FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+  GROUP BY 1, 2
+)
+SELECT e.a AS node_a, e.b AS node_b,
+       CAST(COALESCE(sup.c, 0) AS BIGINT) AS support
+FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b
+"""
+
+
 def sql_kg_reciprocity(
     gazetteer: dict[str, str],
     taxonomy: dict[str, list[str]],

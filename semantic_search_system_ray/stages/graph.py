@@ -3474,3 +3474,262 @@ def katz(
         lambda t: t.rename_columns(["node_id", "katz"]),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# per-edge triangle support (the k-truss primitive)
+# --------------------------------------------------------------------------
+
+SUPPORT_SCHEMA = pa.schema(
+    [("node_a", pa.string()), ("node_b", pa.string()),
+     ("support", pa.int64())]
+)
+_SUP_CREDIT_SCHEMA = pa.schema(
+    [("a", pa.string()), ("b", pa.string()), ("cnt", pa.int64())]
+)
+SUPPORT_DRIVER_NODE_THRESHOLD = LCC_DRIVER_NODE_THRESHOLD
+
+
+def _support_block_kernel(A, lo, hi):
+    """Per-row-block edge supports: ((blk @ A) * blk)[i, j] counts the
+    common neighbors of adjacent (i, j) — exactly the edge's triangle
+    support. Restricted to strictly-upper adjacent pairs so each
+    undirected edge reports once. Integer-exact in float64."""
+    blk = A[lo:hi]
+    sup = (blk @ A) * blk
+    cols = np.arange(A.shape[1])[None, :]
+    rows = np.arange(lo, hi)[:, None]
+    keep = (cols > rows) & (blk == 1.0)
+    ii, jj = np.nonzero(keep)
+    return (ii + lo, jj, sup[ii, jj].astype(np.int64))
+
+
+def _edge_support_driver(und: pa.Table) -> rd.Dataset:
+    """Exact dense twin for small dense graphs (same rationale and
+    row-block Ray-task fan-out as _local_clustering_driver — the
+    sandbox pins OMP_NUM_THREADS=1, so one big matmul is split across
+    zero-copy plasma readers); regime parity pytested."""
+    import ray
+
+    nodes, A = _dense_adjacency(und)
+    n = len(nodes)
+    A_ref = ray.put(A)
+    kern = ray.remote(num_cpus=1)(_support_block_kernel)
+    parts = ray.get([
+        kern.remote(A_ref, lo, hi)
+        for lo, hi in _row_blocks(n, _n_matmul_tasks())
+    ])
+    ii = np.concatenate([p[0] for p in parts])
+    jj = np.concatenate([p[1] for p in parts])
+    ss = np.concatenate([p[2] for p in parts])
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"node_a": pa.array(nodes[ii], pa.string()),
+             "node_b": pa.array(nodes[jj], pa.string()),
+             "support": pa.array(ss, pa.int64())},
+            schema=SUPPORT_SCHEMA,
+        )
+    )
+
+
+def edge_support(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+    driver_node_threshold: int = SUPPORT_DRIVER_NODE_THRESHOLD,
+) -> rd.Dataset:
+    """Per-EDGE triangle support over the undirected simple graph:
+    (node_a < node_b, support) where ``support`` counts the triangles
+    containing the edge (|N(a) ∩ N(b)|) — the k-truss primitive (an
+    edge is in the k-truss iff support ≥ k-2 after peeling) and the
+    cohesion score KG curation uses to keep corroborated relations.
+
+    Shape: the degree-oriented apex wedge generation of
+    triangle_count/local_clustering (Σ C(outdeg, 2) ≤ O(m^1.5),
+    hot-entity immune), but a CLOSED wedge (x, y, apex) credits its
+    three EDGES {x,y}, {x,apex}, {y,apex} (normalized lo<hi) instead of
+    its vertices; one coarse sum folds the credits and a LEFT attach
+    fills triangle-free edges with 0 — every edge present exactly once.
+    Scale switch: node counts at or under ``driver_node_threshold``
+    take the dense-adjacency BLAS twin (dense small graphs are the
+    wedge path's worst case); big sparse graphs run distributed.
+
+    Reference analogue: relation-corroboration queries answered
+    driver-side over the NetworkX store
+    (/root/reference/knowledge_graph/knowledge_graph.py)."""
+    from semantic_search_system_ray.stages.util import (
+        _default_partitions,
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    if num_partitions is None:
+        num_partitions = _default_partitions(edges)
+    P = num_partitions
+    und = undirected_simple_edges(
+        edges, src_col=src_col, dst_col=dst_col, num_partitions=P
+    ).materialize()
+    deg = _simple_degrees(und, P).materialize()
+
+    if deg.count() <= driver_node_threshold:
+        import ray
+
+        tables = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows > 0]
+        if not tables:
+            return rd.from_arrow(SUPPORT_SCHEMA.empty_table())
+        return _edge_support_driver(pa.concat_tables(tables))
+
+    wa = pa.schema([("a", pa.string()), ("b", pa.string()),
+                    ("deg_a", pa.int64())])
+    wab = pa.schema([("a", pa.string()), ("b", pa.string()),
+                     ("deg_a", pa.int64()), ("deg_b", pa.int64())])
+    e2 = coarse_attach(
+        und, deg, left_key="a", right_key="node_id", attach_cols=["deg"],
+        attach_as=["deg_a"], out_schema=wa, num_partitions=P,
+    )
+    e3 = coarse_attach(
+        e2, deg, left_key="b", right_key="node_id", attach_cols=["deg"],
+        attach_as=["deg_b"], out_schema=wab, num_partitions=P,
+    )
+
+    ori_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        da = t.column("deg_a").to_numpy(zero_copy_only=False)
+        db = t.column("deg_b").to_numpy(zero_copy_only=False)
+        a_first = da <= db
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        return pa.Table.from_pydict(
+            {"u": pa.array(u, pa.string()), "v": pa.array(v, pa.string())},
+            schema=ori_schema,
+        )
+
+    def apex_wedges(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _LCC_WEDGE_SCHEMA.empty_table()
+        xs, ys, us = [], [], []
+        for u, g in df.groupby("u", sort=False):
+            ns = np.sort(g["v"].to_numpy())
+            m = len(ns)
+            if m < 2:
+                continue
+            ii, jj = np.triu_indices(m, 1)
+            xs.append(ns[ii])
+            ys.append(ns[jj])
+            us.append(np.full(len(ii), u, dtype=object))
+        if not xs:
+            return _LCC_WEDGE_SCHEMA.empty_table()
+        return pa.Table.from_pydict(
+            {"x": pa.array(np.concatenate(xs), pa.string()),
+             "y": pa.array(np.concatenate(ys), pa.string()),
+             "apex": pa.array(np.concatenate(us), pa.string())},
+            schema=_LCC_WEDGE_SCHEMA,
+        )
+
+    wedges = coarse_partition_apply(
+        e3.map_batches(orient, batch_format="pyarrow"),
+        ["u"], apex_wedges, _LCC_WEDGE_SCHEMA, num_partitions=P,
+    )
+
+    union_schema = pa.schema(
+        [("x", pa.string()), ("y", pa.string()), ("apex", pa.string()),
+         ("is_edge", pa.bool_())]
+    )
+
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("x").combine_chunks(), t.column("y").combine_chunks(),
+             t.column("apex").combine_chunks(),
+             pa.nulls(t.num_rows, pa.bool_()).fill_null(False)],
+            schema=union_schema,
+        )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("a").combine_chunks(), t.column("b").combine_chunks(),
+             pa.nulls(t.num_rows, pa.string()).fill_null(""),
+             pa.nulls(t.num_rows, pa.bool_()).fill_null(True)],
+            schema=union_schema,
+        )
+
+    def close_credit_edges(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _SUP_CREDIT_SCHEMA.empty_table()
+        w = df[~df["is_edge"]]
+        e = df[df["is_edge"]][["x", "y"]].drop_duplicates()
+        if w.empty or e.empty:
+            return _SUP_CREDIT_SCHEMA.empty_table()
+        closed = w.merge(e, on=["x", "y"], how="inner")
+        if closed.empty:
+            return _SUP_CREDIT_SCHEMA.empty_table()
+        x = closed["x"].to_numpy()
+        y = closed["y"].to_numpy()
+        ap = closed["apex"].to_numpy()
+        # the 3 edges of each closed triangle, each normalized lo<hi
+        ea = np.concatenate([x, np.minimum(x, ap), np.minimum(y, ap)])
+        eb = np.concatenate([y, np.maximum(x, ap), np.maximum(y, ap)])
+        agg = (
+            pd.DataFrame({"a": ea, "b": eb})
+            .groupby(["a", "b"], sort=False).size().reset_index(name="cnt")
+        )
+        return pa.Table.from_pandas(
+            agg, schema=_SUP_CREDIT_SCHEMA, preserve_index=False
+        )
+
+    credits = coarse_partition_apply(
+        wedges.map_batches(tag_wedge, batch_format="pyarrow").union(
+            und.map_batches(tag_edge, batch_format="pyarrow")
+        ),
+        ["x", "y"], close_credit_edges, _SUP_CREDIT_SCHEMA, num_partitions=P,
+    )
+
+    def credit_sum(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _SUP_CREDIT_SCHEMA.empty_table()
+        agg = df.groupby(["a", "b"], sort=False)["cnt"].sum().reset_index()
+        return pa.Table.from_pandas(
+            agg, schema=_SUP_CREDIT_SCHEMA, preserve_index=False
+        )
+
+    sup = coarse_partition_apply(
+        credits, ["a", "b"], credit_sum, _SUP_CREDIT_SCHEMA, num_partitions=P
+    )
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"k": pc.binary_join_element_wise(
+                _str(t.column("a")), _str(t.column("b")), "\x1f"),
+             "a": t.column("a"), "b": t.column("b")},
+        )
+
+    def sup_key(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"k": pc.binary_join_element_wise(
+                _str(t.column("a")), _str(t.column("b")), "\x1f"),
+             "cnt": t.column("cnt")},
+        )
+
+    att_schema = pa.schema(
+        [("k", pa.string()), ("a", pa.string()), ("b", pa.string()),
+         ("support", pa.int64())]
+    )
+    att = coarse_attach(
+        und.map_batches(edge_key, batch_format="pyarrow"),
+        sup.map_batches(sup_key, batch_format="pyarrow"),
+        left_key="k", right_key="k",
+        attach_cols=["cnt"], attach_as=["support"], out_schema=att_schema,
+        num_partitions=P, how="left", fill={"support": 0},
+    )
+    return att.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node_a": t.column("a"), "node_b": t.column("b"),
+             "support": t.column("support")},
+            schema=SUPPORT_SCHEMA,
+        ),
+        batch_format="pyarrow",
+    )

@@ -874,3 +874,43 @@ def test_katz_restart_floor_and_source_zero(ray_session, driver_threshold):
     s = DEFAULT_SCALE
     # after 1 round: raw = {x:0, y:s, z:s}, mx = s
     assert rows == [("x", s), ("y", s + s // 4), ("z", s + s // 4)]
+
+
+def _reference_edge_support(
+    edges: list[tuple[str, str]]
+) -> list[tuple[str, str, int]]:
+    """Single-process per-edge triangle support over the undirected
+    simple graph — the exact semantics stages/graph.edge_support has."""
+    und = sorted({(min(s, d), max(s, d)) for s, d in edges if s != d})
+    nbr: dict[str, set[str]] = {}
+    for a, b in und:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    return [(a, b, len(nbr[a] & nbr[b])) for a, b in und]
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+@pytest.mark.parametrize("driver_node_threshold", [0, 10_000])
+def test_edge_support_regime_parity(
+    ray_session, n_blocks, driver_node_threshold
+):
+    """Both regimes — threshold 0 forces the distributed apex-wedge
+    edge-crediting path, 10k the dense BLAS twin — must match the
+    single-process common-neighbor counts; the self-loop e-e drops and
+    parallel a-b edges collapse, and the triangle-free d-c edge still
+    reports (support 0, via the LEFT attach / zero mask)."""
+    from semantic_search_system_ray.stages.graph import edge_support
+
+    got = (
+        edge_support(
+            _edges_ds(n_blocks), driver_node_threshold=driver_node_threshold
+        )
+        .to_pandas()
+        .sort_values(["node_a", "node_b"])
+        .reset_index(drop=True)
+    )
+    ref = _reference_edge_support(EDGES)
+    assert list(zip(got["node_a"], got["node_b"], got["support"])) == ref
+    # a-b-c is a triangle; the pendant c-d edge must be present with 0
+    asdict = {(r[0], r[1]): r[2] for r in ref}
+    assert asdict[("a", "b")] == 1 and asdict[("c", "d")] == 0
