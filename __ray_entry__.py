@@ -921,6 +921,18 @@ def _q_kg_edge_support(sf_dir: str):
     return edge_support(edges_from_triples(_kg_triples(sf_dir)))
 
 
+def _q_kg_comention(sf_dir: str):
+    """Entity co-mention projection of the doc→entity bipartite graph
+    (pipelines/kg_build.comention_pairs): per unordered entity pair,
+    the number of documents mentioning BOTH — per-doc C(m,2) pair
+    generation (m gazetteer-bounded) with in-partition count combiners,
+    then one coarse pair sum. Oracle: DISTINCT (doc, ent) self-join
+    (text_oracles.sql_kg_comention)."""
+    from semantic_search_system_ray.pipelines.kg_build import comention_pairs
+
+    return comention_pairs(_kg_triples(sf_dir))
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Deterministic integer PageRank (stages/graph.pagerank, 5 rounds)
     over the KG edge set → top-20 nodes by (pr desc, node_id). The
@@ -1573,6 +1585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_hits": _q_kg_hits,
             "kg_katz": _q_kg_katz,
             "kg_edge_support": _q_kg_edge_support,
+            "kg_comention": _q_kg_comention,
             "kg_ppr": _q_kg_ppr,
             "kg_triangles": _q_kg_triangles,
             "kg_clustering": _q_kg_clustering,
@@ -1754,6 +1767,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_edge_support": tox.sql_kg_edge_support(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_comention": tox.sql_kg_comention(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_ppr": tox.sql_kg_ppr(

@@ -624,3 +624,79 @@ def adjacency_from_edges(edges: rd.Dataset) -> rd.Dataset:
         )
 
     return coarse_partition_apply(edges, ["src"], build, out_schema)
+
+
+COMENTION_SCHEMA = pa.schema(
+    [("ent_a", pa.string()), ("ent_b", pa.string()), ("docs", pa.int64())]
+)
+
+
+def comention_pairs(triples: rd.Dataset) -> rd.Dataset:
+    """Bipartite doc→entity projection: for every unordered pair of
+    entities MENTIONED by the same document, the number of shared docs
+    — the co-occurrence graph entity-relatedness models train on (the
+    reference computes relatedness per query driver-side over its graph
+    store, /root/reference/knowledge_graph/knowledge_graph.py).
+
+    Shape: filter pred=MENTIONS → (doc, ent); ONE coarse cogroup by doc
+    generates per-doc sorted pairs (C(m,2) with m bounded by the
+    per-doc gazetteer match count — never corpus-sized) AND
+    pre-aggregates (ent_a, ent_b) counts inside the partition
+    (combiner), then one more coarse sum folds the partials — two
+    shuffles of lean pair rows, no driver collection. (doc, ent) rows
+    are de-duplicated per partition first, mirroring the oracle's
+    DISTINCT (finalize_triples already emits doc-keyed triples
+    distinct)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    def mentions(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t.column("pred"), "MENTIONS"))
+        return pa.Table.from_pydict(
+            {"doc": pc.cast(m.column("subj"), pa.string()),
+             "ent": pc.cast(m.column("obj"), pa.string())}
+        )
+
+    def doc_pairs(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return COMENTION_SCHEMA.empty_table()
+        df = df.drop_duplicates()
+        aa, bb = [], []
+        for _, g in df.groupby("doc", sort=False):
+            ents = np.sort(g["ent"].to_numpy())
+            m = len(ents)
+            if m < 2:
+                continue
+            ii, jj = np.triu_indices(m, 1)
+            aa.append(ents[ii])
+            bb.append(ents[jj])
+        if not aa:
+            return COMENTION_SCHEMA.empty_table()
+        agg = (
+            pd.DataFrame({"ent_a": np.concatenate(aa),
+                          "ent_b": np.concatenate(bb)})
+            .groupby(["ent_a", "ent_b"], sort=False)
+            .size().reset_index(name="docs")
+        )
+        return pa.Table.from_pandas(
+            agg, schema=COMENTION_SCHEMA, preserve_index=False
+        )
+
+    def pair_sum(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return COMENTION_SCHEMA.empty_table()
+        agg = df.groupby(["ent_a", "ent_b"], sort=False)["docs"].sum().reset_index()
+        return pa.Table.from_pandas(
+            agg, schema=COMENTION_SCHEMA, preserve_index=False
+        )
+
+    pairs = coarse_partition_apply(
+        triples.map_batches(mentions, batch_format="pyarrow"),
+        ["doc"], doc_pairs, COMENTION_SCHEMA,
+    )
+    return coarse_partition_apply(
+        pairs, ["ent_a", "ent_b"], pair_sum, COMENTION_SCHEMA
+    )

@@ -1607,6 +1607,28 @@ FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b
 """
 
 
+def sql_kg_comention(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for pipelines/kg_build.comention_pairs: the bipartite
+    doc→entity projection — for each unordered entity pair the number
+    of docs whose MENTIONS sets contain both, via the DISTINCT
+    (doc, ent) self-join on doc with ent_a < ent_b. Built over the
+    kg_triples oracle subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples}),
+m AS (SELECT DISTINCT CAST(subj AS VARCHAR) AS doc,
+                      CAST(obj AS VARCHAR) AS ent
+      FROM t WHERE pred = 'MENTIONS')
+SELECT m1.ent AS ent_a, m2.ent AS ent_b, CAST(count(*) AS BIGINT) AS docs
+FROM m m1 JOIN m m2 ON m1.doc = m2.doc AND m1.ent < m2.ent
+GROUP BY 1, 2
+"""
+
+
 def sql_kg_reciprocity(
     gazetteer: dict[str, str],
     taxonomy: dict[str, list[str]],

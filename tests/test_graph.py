@@ -914,3 +914,26 @@ def test_edge_support_regime_parity(
     # a-b-c is a triangle; the pendant c-d edge must be present with 0
     asdict = {(r[0], r[1]): r[2] for r in ref}
     assert asdict[("a", "b")] == 1 and asdict[("c", "d")] == 0
+
+
+def test_comention_pairs(ray_session):
+    """Bipartite projection semantics: duplicate (doc, ent) rows count
+    once (DISTINCT), non-MENTIONS preds are ignored, pairs are
+    unordered lo<hi, and the doc count is exact across docs and
+    blocks."""
+    from semantic_search_system_ray.pipelines.kg_build import comention_pairs
+
+    t = pa.table({
+        "subj": ["d1", "d1", "d1", "d1", "d2", "d2", "d3", "d3"],
+        "pred": ["MENTIONS"] * 6 + ["HAS_TOPIC", "MENTIONS"],
+        "obj":  ["x", "y", "z", "y",          # d1: x,y,z (y dup)
+                 "y", "x",                    # d2: x,y
+                 "x",                         # d3 topic — ignored
+                 "x"],                        # d3: x alone — no pair
+    })
+    got = (
+        comention_pairs(rd.from_arrow(t).repartition(3))
+        .to_pandas().sort_values(["ent_a", "ent_b"]).reset_index(drop=True)
+    )
+    rows = list(zip(got["ent_a"], got["ent_b"], got["docs"]))
+    assert rows == [("x", "y", 2), ("x", "z", 1), ("y", "z", 1)]
