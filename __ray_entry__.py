@@ -933,6 +933,21 @@ def _q_kg_comention(sf_dir: str):
     return comention_pairs(_kg_triples(sf_dir))
 
 
+def _q_kg_walks(sf_dir: str):
+    """Deterministic random walks over the KG's undirected simple graph
+    (stages/graph.random_walks, 3 steps, one walk per node) — the
+    node2vec/DeepWalk corpus-generation primitive with NO RNG state:
+    every move is the neighbor minimizing (md5_hash64('walk:w|r|v'),
+    v), so the walk corpus is reshuffle/retry/resume-identical and
+    SQL-recomputable. Per step: one frontier×edge cogroup + one
+    per-walk argmin. Oracle: unrolled chained-CTE rounds with the same
+    md5_number_lower and two-stage min (text_oracles.sql_kg_walks)."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import random_walks
+
+    return random_walks(edges_from_triples(_kg_triples(sf_dir)), steps=3)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Deterministic integer PageRank (stages/graph.pagerank, 5 rounds)
     over the KG edge set → top-20 nodes by (pr desc, node_id). The
@@ -1586,6 +1601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_katz": _q_kg_katz,
             "kg_edge_support": _q_kg_edge_support,
             "kg_comention": _q_kg_comention,
+            "kg_walks": _q_kg_walks,
             "kg_ppr": _q_kg_ppr,
             "kg_triangles": _q_kg_triangles,
             "kg_clustering": _q_kg_clustering,
@@ -1770,6 +1786,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_comention": tox.sql_kg_comention(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_walks": tox.sql_kg_walks(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_ppr": tox.sql_kg_ppr(

@@ -1629,6 +1629,62 @@ GROUP BY 1, 2
 """
 
 
+def sql_kg_walks(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    steps: int = 3,
+    salt: str = "walk",
+) -> str:
+    """Oracle for stages/graph.random_walks over the KG edge set:
+    ``steps`` unrolled walk rounds, chained CTEs. One walk per node of
+    the undirected simple edge set; the step-r move of walk w at u is
+    the symmetric neighbor v minimizing (md5_number_lower(
+    'salt:w|r|v'), v) — md5_number_lower == functions/hashing.
+    md5_hash64, and the two-stage min (min h per walk, then min v among
+    h-ties) is the engine's exact tie rule. Built over the kg_triples
+    oracle subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    parts = [
+        f"WITH t AS MATERIALIZED ({triples}),\n",
+        "e0 AS MATERIALIZED (SELECT CAST(subj AS VARCHAR) AS s, "
+        "CAST(obj AS VARCHAR) AS d FROM t "
+        "WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)),\n",
+        "e AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, "
+        "greatest(s, d) AS b FROM e0),\n",
+        "sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e "
+        "UNION ALL SELECT b, a FROM e),\n",
+        "f0 AS MATERIALIZED (SELECT DISTINCT u AS walk, u FROM sym)",
+    ]
+    for r in range(1, steps + 1):
+        parts.append(
+            f""",
+cand{r} AS MATERIALIZED (
+  SELECT f.walk, s.v,
+         md5_number_lower('{salt}:' || f.walk || '|{r}|' || s.v) AS h
+  FROM f{r - 1} f JOIN sym s ON s.u = f.u
+),
+mn{r} AS MATERIALIZED (
+  SELECT walk, min(h) AS mh FROM cand{r} GROUP BY walk
+),
+f{r} AS MATERIALIZED (
+  SELECT c.walk, min(c.v) AS u
+  FROM cand{r} c JOIN mn{r} m ON m.walk = c.walk AND c.h = m.mh
+  GROUP BY c.walk
+)"""
+        )
+    selects = ["SELECT walk AS walk_id, CAST(0 AS BIGINT) AS step, "
+               "u AS node FROM f0"]
+    for r in range(1, steps + 1):
+        selects.append(
+            f"SELECT walk AS walk_id, CAST({r} AS BIGINT) AS step, "
+            f"u AS node FROM f{r}"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
 def sql_kg_reciprocity(
     gazetteer: dict[str, str],
     taxonomy: dict[str, list[str]],

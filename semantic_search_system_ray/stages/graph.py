@@ -3733,3 +3733,230 @@ def edge_support(
         ),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic random walks (node2vec-style corpus generation)
+# --------------------------------------------------------------------------
+
+WALKS_SCHEMA = pa.schema(
+    [("walk_id", pa.string()), ("step", pa.int64()), ("node", pa.string())]
+)
+_WALK_FRONTIER_SCHEMA = pa.schema(
+    [("walk", pa.string()), ("u", pa.string())]
+)
+_WALK_CAND_SCHEMA = pa.schema(
+    [("walk", pa.string()), ("v", pa.string()), ("h", pa.uint64())]
+)
+WALKS_DRIVER_EDGE_THRESHOLD = PAGERANK_DRIVER_EDGE_THRESHOLD
+
+
+def _walk_hash_batch(walks: np.ndarray, step: int, vs: np.ndarray,
+                     salt: str) -> np.ndarray:
+    """md5_hash64 per (walk, step, candidate) — the same digest slice
+    DuckDB's md5_number_lower returns, so the SQL twin recomputes it."""
+    from semantic_search_system_ray.functions.hashing import md5_hash64
+
+    return np.fromiter(
+        (md5_hash64(f"{salt}:{w}|{step}|{v}") for w, v in zip(walks, vs)),
+        dtype=np.uint64, count=len(walks),
+    )
+
+
+def _walks_driver(und: pa.Table, steps: int, salt: str) -> rd.Dataset:
+    """Exact single-process twin of the distributed walk recurrence
+    (same md5 choice rule, tie → min candidate id); regime parity
+    pinned by tests/test_graph.py."""
+    a = _str(und.column("a")).to_numpy(zero_copy_only=False)
+    b = _str(und.column("b")).to_numpy(zero_copy_only=False)
+    nbr: dict[str, list[str]] = {}
+    for x, y in zip(a, b):
+        nbr.setdefault(x, []).append(y)
+        nbr.setdefault(y, []).append(x)
+    from semantic_search_system_ray.functions.hashing import md5_hash64
+
+    walks = sorted(nbr)
+    cur = {w: w for w in walks}
+    out_w, out_s, out_n = list(walks), [0] * len(walks), list(walks)
+    for r in range(1, steps + 1):
+        for w in walks:
+            u = cur[w]
+            nxt = min(
+                nbr[u],
+                key=lambda v: (md5_hash64(f"{salt}:{w}|{r}|{v}"), v),
+            )
+            cur[w] = nxt
+            out_w.append(w)
+            out_s.append(r)
+            out_n.append(nxt)
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"walk_id": pa.array(out_w, pa.string()),
+             "step": pa.array(out_s, pa.int64()),
+             "node": pa.array(out_n, pa.string())},
+            schema=WALKS_SCHEMA,
+        )
+    )
+
+
+def random_walks(
+    edges: rd.Dataset,
+    *,
+    steps: int = 3,
+    salt: str = "walk",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+    driver_threshold: int = WALKS_DRIVER_EDGE_THRESHOLD,
+) -> rd.Dataset:
+    """DETERMINISTIC random walks over the undirected simple graph —
+    the corpus-generation primitive node2vec/DeepWalk embeddings train
+    on (Grover & Leskovec 2016), made reshuffle/retry/resume-identical
+    the same way linkpred_negative_samples is: the step-r move of walk
+    ``w`` standing at ``u`` is the neighbor ``v`` minimizing
+    (md5_hash64('salt:w|r|v'), v) — a pure function of the walk id and
+    step, so no RNG state anywhere, and the tie rule (min candidate id;
+    md5 collisions are 2^-64 but the rule is total anyway) makes the
+    choice SQL-recomputable (md5_number_lower + two-stage min,
+    text_oracles.sql_kg_walks). One walk starts at EVERY node of the
+    edge set (walk_id = seed node); undirected neighbor sets mean no
+    dead ends. Output: (walk_id, step, node), steps 0..``steps``.
+
+    Shape per step: ONE cogroup of the (walk, u) frontier with the
+    symmetric edge set on u (candidate rows = Σ_w deg(u_w), never
+    corpus²) and ONE per-walk argmin fold — the md5 evaluations run
+    vectorized-per-block inside the cogroup tasks, in parallel across
+    partitions. Scale switch: edge sets at or under
+    ``driver_threshold`` take the exact single-process twin (per-step
+    shuffle overhead dominates at small scale — the pagerank lesson);
+    larger graphs run the distributed recurrence."""
+    from semantic_search_system_ray.stages.util import (
+        _default_partitions,
+        coarse_partition_apply,
+    )
+
+    if num_partitions is None:
+        num_partitions = _default_partitions(edges)
+    P = num_partitions
+    und = undirected_simple_edges(
+        edges, src_col=src_col, dst_col=dst_col, num_partitions=P
+    ).materialize()
+    n_edges = und.count()
+    if n_edges == 0:
+        return rd.from_arrow(WALKS_SCHEMA.empty_table())
+    if n_edges <= driver_threshold:
+        import ray
+
+        tables = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows > 0]
+        return _walks_driver(pa.concat_tables(tables), steps, salt)
+
+    sym_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"u": pa.chunked_array([_str(t.column("a")), _str(t.column("b"))]),
+             "v": pa.chunked_array([_str(t.column("b")), _str(t.column("a"))])},
+            schema=sym_schema,
+        )
+
+    sym = und.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    nodes = _distinct_nodes(und, "a", "b", num_partitions=P).materialize()
+
+    frontier = nodes.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"walk": _str(t.column("node_id")),
+             "u": _str(t.column("node_id"))},
+            schema=_WALK_FRONTIER_SCHEMA,
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    out = nodes.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"walk_id": _str(t.column("node_id")),
+             "step": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+             "node": _str(t.column("node_id"))},
+            schema=WALKS_SCHEMA,
+        ),
+        batch_format="pyarrow",
+    )
+
+    union_schema = pa.schema(
+        [("u", pa.string()), ("other", pa.string()), ("is_edge", pa.bool_())]
+    )
+
+    def tag_frontier(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("u").combine_chunks(),
+             t.column("walk").combine_chunks(),
+             pa.nulls(t.num_rows, pa.bool_()).fill_null(False)],
+            schema=union_schema,
+        )
+
+    def tag_sym(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("u").combine_chunks(), t.column("v").combine_chunks(),
+             pa.nulls(t.num_rows, pa.bool_()).fill_null(True)],
+            schema=union_schema,
+        )
+
+    sym_tagged = sym.map_batches(tag_sym, batch_format="pyarrow").materialize()
+
+    for r in range(1, steps + 1):
+        def expand(df: pd.DataFrame, _r=r) -> pa.Table:
+            if df.empty:
+                return _WALK_CAND_SCHEMA.empty_table()
+            w = df[~df["is_edge"]]
+            e = df[df["is_edge"]]
+            if w.empty or e.empty:
+                return _WALK_CAND_SCHEMA.empty_table()
+            m = w.merge(e, on="u", suffixes=("_w", "_e"))
+            if m.empty:
+                return _WALK_CAND_SCHEMA.empty_table()
+            walks = m["other_w"].to_numpy()
+            vs = m["other_e"].to_numpy()
+            h = _walk_hash_batch(walks, _r, vs, salt)
+            # in-partition pre-argmin: one (h, v)-min row per walk
+            part = (
+                pd.DataFrame({"walk": walks, "v": vs, "h": h})
+                .sort_values(["walk", "h", "v"], kind="mergesort")
+                .drop_duplicates("walk", keep="first")
+            )
+            return pa.Table.from_pandas(
+                part, schema=_WALK_CAND_SCHEMA, preserve_index=False
+            )
+
+        cands = coarse_partition_apply(
+            frontier.map_batches(tag_frontier, batch_format="pyarrow").union(
+                sym_tagged
+            ),
+            ["u"], expand, _WALK_CAND_SCHEMA, num_partitions=P,
+        )
+
+        def pick(df: pd.DataFrame) -> pa.Table:
+            if df.empty:
+                return _WALK_FRONTIER_SCHEMA.empty_table()
+            best = (
+                df.sort_values(["walk", "h", "v"], kind="mergesort")
+                .drop_duplicates("walk", keep="first")
+            )
+            return pa.Table.from_pydict(
+                {"walk": best["walk"].to_numpy(),
+                 "u": best["v"].to_numpy()},
+                schema=_WALK_FRONTIER_SCHEMA,
+            )
+
+        frontier = coarse_partition_apply(
+            cands, ["walk"], pick, _WALK_FRONTIER_SCHEMA, num_partitions=P
+        ).materialize()
+
+        out = out.union(frontier.map_batches(
+            lambda t, _r=r: pa.Table.from_pydict(
+                {"walk_id": t.column("walk"),
+                 "step": pa.nulls(t.num_rows, pa.int64()).fill_null(_r),
+                 "node": t.column("u")},
+                schema=WALKS_SCHEMA,
+            ),
+            batch_format="pyarrow",
+        ))
+
+    return out

@@ -937,3 +937,73 @@ def test_comention_pairs(ray_session):
     )
     rows = list(zip(got["ent_a"], got["ent_b"], got["docs"]))
     assert rows == [("x", "y", 2), ("x", "z", 1), ("y", "z", 1)]
+
+
+def _reference_walks(
+    edges: list[tuple[str, str]], steps: int, salt: str = "walk"
+) -> list[tuple[str, int, str]]:
+    """Single-process walk twin: one walk per node of the undirected
+    simple graph; move = neighbor minimizing (md5_hash64, id)."""
+    from semantic_search_system_ray.functions.hashing import md5_hash64
+
+    und = sorted({(min(s, d), max(s, d)) for s, d in edges if s != d})
+    nbr: dict[str, list[str]] = {}
+    for a, b in und:
+        nbr.setdefault(a, []).append(b)
+        nbr.setdefault(b, []).append(a)
+    rows = []
+    for w in sorted(nbr):
+        u = w
+        rows.append((w, 0, u))
+        for r in range(1, steps + 1):
+            u = min(nbr[u], key=lambda v: (md5_hash64(f"{salt}:{w}|{r}|{v}"), v))
+            rows.append((w, r, u))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_random_walks_regime_parity(ray_session, n_blocks, driver_threshold):
+    """Both regimes — threshold 0 forces the distributed per-step
+    cogroup+argmin rounds, 10k the single-process twin — must produce
+    the identical walk corpus (the whole point: determinism under any
+    layout). Every node starts a walk; every walk has steps 0..3; the
+    self-loop-only node e is absent."""
+    from semantic_search_system_ray.stages.graph import random_walks
+
+    got = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(
+            _edges_ds(n_blocks), steps=3, driver_threshold=driver_threshold
+        ).take_all()
+    )
+    assert got == _reference_walks(EDGES, 3)
+    walks = {w for w, _, _ in got}
+    assert walks == {"a", "b", "c", "d"}
+    assert len(got) == 4 * 4  # 4 walks x steps 0..3
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_random_walks_pendant_bounce(ray_session, driver_threshold):
+    """A pendant node's walk must bounce back through its only
+    neighbor: on x-y (plus y-z), walk x step1 = y regardless of
+    hashes — and determinism means re-running gives the identical
+    corpus."""
+    from semantic_search_system_ray.stages.graph import random_walks
+
+    t = pa.table({"src": ["x", "y"], "dst": ["y", "z"]})
+    got1 = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(
+            rd.from_arrow(t), steps=2, driver_threshold=driver_threshold
+        ).take_all()
+    )
+    got2 = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(
+            rd.from_arrow(t), steps=2, driver_threshold=driver_threshold
+        ).take_all()
+    )
+    assert got1 == got2
+    byws = {(w, s): n for w, s, n in got1}
+    assert byws[("x", 0)] == "x" and byws[("x", 1)] == "y"
