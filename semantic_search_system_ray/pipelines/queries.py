@@ -11679,3 +11679,83 @@ QUERIES["events_winsorize"] = q_events_winsorize
 ORACLE_SQL["events_winsorize"] = SQL_EVENTS_WINSORIZE
 QUERIES["dedup_rate_by_lang"] = q_dedup_rate_by_lang
 ORACLE_SQL["dedup_rate_by_lang"] = _sql_dedup_rate_by_lang()
+
+
+def q_events_ewma(sf_dir: str):
+    """Per-user EWMA smoothing of event values — the exponential decay
+    feature online anomaly/trend models consume — with the DYADIC
+    INTEGER recurrence s_1 = c_1, s_t = (c_t + s_{t-1}) // 2 over
+    scaled int64 cents in (ts, event_id) order: α = 1/2 with floor
+    arithmetic, so the sequential chain is bit-exact on both engines
+    (float EWMA would drift engine-vs-SQL on rounding; the repo pins FP
+    order everywhere else for the same reason).
+
+    Scale shape: ONE coarse cogroup routes each user's rows together;
+    inside the partition the chain runs as a JAGGED LOCKSTEP scan —
+    sort once, then iterate over the within-user POSITION k (bounded by
+    the max events-per-user, 86 at sf0.01, never the row count), each
+    iteration one vectorized numpy step across ALL users at position k.
+    No per-user Python, no per-row Python. Oracle: recursive CTE
+    stepping rn → rn+1 with the identical floor expression."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.string()), ("ewma", pa.float64())]
+    )
+
+    def ewma(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        c = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        # within-user position: arange minus each group's start offset
+        starts = np.flatnonzero(new_user)
+        pos = np.arange(len(uid)) - np.repeat(starts, np.diff(np.r_[starts, len(uid)]))
+        s = c.copy()
+        maxpos = int(pos.max()) if len(pos) else 0
+        for k in range(1, maxpos + 1):
+            idx = np.flatnonzero(pos == k)
+            if len(idx) == 0:
+                break
+            s[idx] = (c[idx] + s[idx - 1]) // 2
+        return pa.Table.from_pydict(
+            {"event_id": df["event_id"].to_numpy(),
+             "user_id": uid,
+             "ts": df["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+             "ewma": s / 100.0},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(ds, ["user_id"], ewma, out_schema)
+
+
+SQL_EVENTS_EWMA = """
+WITH RECURSIVE seq AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+ew AS (
+  SELECT event_id, user_id, ts, rn, c AS s FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT q.event_id, q.user_id, q.ts, q.rn, (q.c + e.s) // 2 AS s
+  FROM ew e JOIN seq q ON q.user_id = e.user_id AND q.rn = e.rn + 1
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       s / 100.0 AS ewma
+FROM ew
+"""
+
+QUERIES["events_ewma"] = q_events_ewma
+ORACLE_SQL["events_ewma"] = SQL_EVENTS_EWMA

@@ -158,3 +158,47 @@ def test_conversion_survival_censoring(ray_session, tmp_path):
     assert got[["day", "at_risk", "deaths"]].values.tolist() == [
         [0, 3, 1], [2, 2, 1]
     ]
+
+
+def test_events_ewma_lockstep_matches_sequential(ray_session, tmp_path):
+    """The jagged lockstep scan must equal the naive per-user
+    sequential recurrence s_1=c_1, s_t=(c_t+s_{t-1})//2 — including
+    interleaved users across blocks and the (ts, event_id) tie rule."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_search_system_ray.pipelines.queries import q_events_ewma
+
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:00:00",
+            "2024-01-02 00:00:00", "2024-01-01 12:00:00",
+            "2024-01-03 00:00:00", "2024-01-01 00:00:00",
+        ]),
+        "user_id": [7, 7, 7, 7, 9, 9],
+        "event_type": ["a"] * 6,
+        "value": [10.00, 3.33, 7.77, 0.01, 5.55, 2.22],
+        "props": ["{}"] * 6,
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = (
+        q_events_ewma(str(tmp_path))
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+
+    def naive(vals):
+        s, out = None, []
+        for v in vals:
+            c = int(round(v * 100))
+            s = c if s is None else (c + s) // 2
+            out.append(s / 100.0)
+        return out
+
+    # user 7 order by (ts, event_id): e1, e2 (tie -> id), e4, e3
+    u7 = naive([10.00, 3.33, 0.01, 7.77])
+    u9 = naive([2.22, 5.55])
+    exp = {1: u7[0], 2: u7[1], 4: u7[2], 3: u7[3], 6: u9[0], 5: u9[1]}
+    assert {int(r.event_id): r.ewma for r in got.itertuples()} == exp
