@@ -948,6 +948,25 @@ def _q_kg_walks(sf_dir: str):
     return random_walks(edges_from_triples(_kg_triples(sf_dir)), steps=3)
 
 
+def _q_kg_modularity(sf_dir: str):
+    """Newman modularity Q of the 3-round LPA communities over the KG's
+    undirected simple graph (stages/graph.modularity): computed exactly
+    from three integers (m, intra-community edges, Σ_c deg_c²) so the
+    two trailing double divides are the ONLY FP ops — block-layout
+    independent with no per-community float accumulation. Oracle: the
+    sql_kg_communities + kg_triples subqueries with the identical
+    one-expression double (text_oracles.sql_kg_modularity)."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    edges = edges_from_triples(_kg_triples(sf_dir)).materialize()
+    labels = label_propagation(edges, rounds=3)
+    return modularity(edges, labels)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Deterministic integer PageRank (stages/graph.pagerank, 5 rounds)
     over the KG edge set → top-20 nodes by (pr desc, node_id). The
@@ -1602,6 +1621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_edge_support": _q_kg_edge_support,
             "kg_comention": _q_kg_comention,
             "kg_walks": _q_kg_walks,
+            "kg_modularity": _q_kg_modularity,
             "kg_ppr": _q_kg_ppr,
             "kg_triangles": _q_kg_triangles,
             "kg_clustering": _q_kg_clustering,
@@ -1789,6 +1809,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_walks": tox.sql_kg_walks(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_modularity": tox.sql_kg_modularity(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_ppr": tox.sql_kg_ppr(

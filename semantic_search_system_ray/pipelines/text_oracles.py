@@ -1685,6 +1685,48 @@ f{r} AS MATERIALIZED (
     return "".join(parts)
 
 
+def sql_kg_modularity(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for stages/graph.modularity over the LPA communities of
+    the KG edge set: Q = intra/m − Σ_c deg_c²/(4m²) with all three
+    operands exact BIGINTs and the identical one-expression double at
+    the end. Communities come from the sql_kg_communities subquery and
+    edges from the kg_triples subquery (one source of truth each)."""
+    comm = sql_kg_communities(gazetteer, taxonomy, phrase_list)
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH comm AS MATERIALIZED ({comm}),
+t AS MATERIALIZED ({triples}),
+e0 AS (SELECT CAST(subj AS VARCHAR) AS s, CAST(obj AS VARCHAR) AS d
+       FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)),
+e AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                   FROM e0),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+intra AS (
+  SELECT CAST(count(*) AS BIGINT) AS c
+  FROM e JOIN comm ca ON ca.node_id = e.a
+         JOIN comm cb ON cb.node_id = e.b
+  WHERE ca.community = cb.community
+),
+sym AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+dc AS (
+  SELECT c.community, CAST(sum(d.deg) AS BIGINT) AS dc
+  FROM deg d JOIN comm c ON c.node_id = d.u GROUP BY 1
+),
+sq AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS s FROM dc)
+SELECT mm.m AS m_edges, intra.c AS intra_edges, sq.s AS sum_deg_sq,
+       CAST(intra.c AS DOUBLE) / CAST(mm.m AS DOUBLE)
+         - CAST(sq.s AS DOUBLE)
+           / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE))
+         AS modularity
+FROM mm, intra, sq
+"""
+
+
 def sql_kg_reciprocity(
     gazetteer: dict[str, str],
     taxonomy: dict[str, list[str]],

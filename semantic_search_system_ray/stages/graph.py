@@ -3960,3 +3960,131 @@ def random_walks(
         ))
 
     return out
+
+
+# --------------------------------------------------------------------------
+# modularity of a node partition (community quality, exact from integers)
+# --------------------------------------------------------------------------
+
+MODULARITY_SCHEMA = pa.schema(
+    [("m_edges", pa.int64()), ("intra_edges", pa.int64()),
+     ("sum_deg_sq", pa.int64()), ("modularity", pa.float64())]
+)
+
+
+def modularity(
+    edges: rd.Dataset,
+    labels: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Newman MODULARITY Q of a node partition over the undirected
+    simple graph — the community-quality scalar (Newman & Girvan 2004):
+
+        Q = intra_edges/m − Σ_c deg_c² / (4m²)
+
+    computed EXACTLY from three integers (m, intra-community edge
+    count, Σ_c (Σ_{v∈c} deg v)²), so the two double divides at the end
+    are the only FP ops and the result is independent of block layout /
+    summation order — no per-community float accumulation anywhere.
+    ``labels`` is any (node_id, community) partition (here: LPA).
+
+    Shape: two label attaches onto the edge set (same-community edges
+    counted per block → tiny driver sum), one community cogroup folding
+    per-community degree sums, then per-block Σ deg_c² partials — every
+    driver collection is P-bounded scalars. int64 bound: deg_c ≤ 2m, so
+    deg_c² needs m ≤ ~1.5e9 edges (multiply_checked raises loudly
+    beyond).
+
+    Reference analogue: community-quality checks run driver-side in
+    NetworkX (/root/reference/knowledge_graph/knowledge_graph.py)."""
+    from semantic_search_system_ray.stages.util import (
+        _default_partitions,
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    if num_partitions is None:
+        num_partitions = _default_partitions(edges)
+    P = num_partitions
+    und = undirected_simple_edges(
+        edges, src_col=src_col, dst_col=dst_col, num_partitions=P
+    ).materialize()
+    m = und.count()
+    if m == 0:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {"m_edges": [0], "intra_edges": [0], "sum_deg_sq": [0],
+                 "modularity": [0.0]},
+                schema=MODULARITY_SCHEMA,
+            )
+        )
+    lab = labels.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node": _str(t.column("node_id")),
+             "comm": _str(t.column("community"))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    ea_schema = pa.schema([("b", pa.string()), ("ca", pa.string())])
+    eab_schema = pa.schema([("ca", pa.string()), ("cb", pa.string())])
+    e1 = coarse_attach(
+        und, lab, left_key="a", right_key="node",
+        attach_cols=["comm"], attach_as=["ca"], out_schema=ea_schema,
+        num_partitions=P, how="inner",
+    )
+    e2 = coarse_attach(
+        e1, lab, left_key="b", right_key="node",
+        attach_cols=["comm"], attach_as=["cb"], out_schema=eab_schema,
+        num_partitions=P, how="inner",
+    )
+    intra_parts = e2.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"n": [int(pc.sum(
+                pc.cast(pc.equal(t.column("ca"), t.column("cb")),
+                        pa.int64())).as_py() or 0)]},
+        ),
+        batch_format="pyarrow",
+    )
+    intra = sum(r["n"] for r in intra_parts.take_all())
+
+    deg = _simple_degrees(und, P)
+    dl_schema = pa.schema([("deg", pa.int64()), ("comm", pa.string())])
+    dl = coarse_attach(
+        deg, lab, left_key="node_id", right_key="node",
+        attach_cols=["comm"], out_schema=dl_schema,
+        num_partitions=P, how="inner",
+    )
+    dc_schema = pa.schema([("comm", pa.string()), ("dc", pa.int64())])
+
+    def comm_deg(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return dc_schema.empty_table()
+        agg = df.groupby("comm", sort=False)["deg"].sum().reset_index(name="dc")
+        return pa.Table.from_pandas(
+            agg, schema=dc_schema, preserve_index=False
+        )
+
+    dc = coarse_partition_apply(dl, ["comm"], comm_deg, dc_schema,
+                                num_partitions=P)
+    sq_parts = dc.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"n": [int(pc.sum(pc.multiply_checked(
+                pc.cast(t.column("dc"), pa.int64()),
+                pc.cast(t.column("dc"), pa.int64()))).as_py() or 0)]},
+        ),
+        batch_format="pyarrow",
+    )
+    sum_deg_sq = sum(r["n"] for r in sq_parts.take_all())
+
+    q = float(intra) / float(m) - float(sum_deg_sq) / (4.0 * float(m) * float(m))
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"m_edges": [m], "intra_edges": [intra],
+             "sum_deg_sq": [sum_deg_sq], "modularity": [q]},
+            schema=MODULARITY_SCHEMA,
+        )
+    )

@@ -1007,3 +1007,32 @@ def test_random_walks_pendant_bounce(ray_session, driver_threshold):
     assert got1 == got2
     byws = {(w, s): n for w, s, n in got1}
     assert byws[("x", 0)] == "x" and byws[("x", 1)] == "y"
+
+
+def test_modularity_exact_integers(ray_session):
+    """Two triangles joined by one bridge, labeled as their two
+    natural communities: m=7, intra=6, deg sums 7²+7² — Q computed
+    from those integers must equal the closed form; and the perfect
+    one-community partition scores Q=0 minus the degree term."""
+    from semantic_search_system_ray.stages.graph import modularity
+
+    e = pa.table({
+        "src": ["a", "a", "b", "x", "x", "y", "c"],
+        "dst": ["b", "c", "c", "y", "z", "z", "x"],
+    })
+    lab = pa.table({
+        "node_id": ["a", "b", "c", "x", "y", "z"],
+        "community": ["1", "1", "1", "2", "2", "2"],
+    })
+    got = modularity(rd.from_arrow(e), rd.from_arrow(lab)).take_all()[0]
+    assert got["m_edges"] == 7 and got["intra_edges"] == 6
+    assert got["sum_deg_sq"] == 49 + 49
+    assert got["modularity"] == 6.0 / 7.0 - 98.0 / (4.0 * 7.0 * 7.0)
+
+    one = pa.table({
+        "node_id": ["a", "b", "c", "x", "y", "z"],
+        "community": ["1"] * 6,
+    })
+    got1 = modularity(rd.from_arrow(e), rd.from_arrow(one)).take_all()[0]
+    assert got1["intra_edges"] == 7
+    assert got1["modularity"] == 1.0 - (14 * 14) / (4.0 * 7.0 * 7.0)
