@@ -948,6 +948,46 @@ def _q_kg_walks(sf_dir: str):
     return random_walks(edges_from_triples(_kg_triples(sf_dir)), steps=3)
 
 
+def _q_kg_closeness(sf_dir: str):
+    """Radius-4 truncated closeness centrality from the five
+    lexicographically smallest HAS_TOPIC objects
+    (stages/graph.closeness_from_seeds): one scale-switched BFS per
+    seed, per-block (reached, Σ dist) partials, closeness =
+    reached/sum_dist as the single FP op. The seed pick is the same
+    domain-bounded distinct-collect as kg_ego (topic vocabulary).
+    Oracle: bounded seed-carrying reachability CTE
+    (text_oracles.sql_kg_closeness)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import closeness_from_seeds
+
+    triples = _kg_triples(sf_dir).materialize()
+    topic_objs = triples.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"obj": pc.cast(
+                t.filter(pc.equal(t.column("pred"), "HAS_TOPIC"))
+                .column("obj"), pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    objs = sorted({
+        v for tbl in ray.get(
+            topic_objs.map_batches(
+                lambda t: t.group_by(["obj"]).aggregate([]),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+        if tbl.num_rows > 0 and "obj" in tbl.schema.names
+        for v in tbl.column("obj").to_pylist()
+    })
+    return closeness_from_seeds(
+        objs[:5], edges_from_triples(triples), radius=4
+    )
+
+
 def _q_kg_modularity(sf_dir: str):
     """Newman modularity Q of the 3-round LPA communities over the KG's
     undirected simple graph (stages/graph.modularity): computed exactly
@@ -1622,6 +1662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_comention": _q_kg_comention,
             "kg_walks": _q_kg_walks,
             "kg_modularity": _q_kg_modularity,
+            "kg_closeness": _q_kg_closeness,
             "kg_ppr": _q_kg_ppr,
             "kg_triangles": _q_kg_triangles,
             "kg_clustering": _q_kg_clustering,
@@ -1812,6 +1853,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_modularity": tox.sql_kg_modularity(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_closeness": tox.sql_kg_closeness(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_ppr": tox.sql_kg_ppr(

@@ -1501,6 +1501,56 @@ JOIN inside b ON b.node_id = e.dst
 """
 
 
+def sql_kg_closeness(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    radius: int = 4,
+    n_seeds: int = 5,
+) -> str:
+    """Oracle for stages/graph.closeness_from_seeds over the KG edge
+    set, seeded at the ``n_seeds`` lexicographically smallest HAS_TOPIC
+    objects: bounded undirected reachability CTE carrying the seed
+    (same shape as sql_kg_ego), per-(seed, node) min dist, then the
+    reached/sum aggregates and the single closeness divide. Built over
+    the kg_triples oracle subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH RECURSIVE t AS ({triples}),
+e AS (
+  SELECT DISTINCT CAST(subj AS VARCHAR) AS src, CAST(obj AS VARCHAR) AS dst
+  FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)
+),
+es AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+seeds AS (
+  SELECT DISTINCT CAST(obj AS VARCHAR) AS node_id FROM t
+  WHERE pred = 'HAS_TOPIC' ORDER BY 1 LIMIT {n_seeds}
+),
+reach(seed, node_id, dist) AS (
+  SELECT node_id, node_id, 0 FROM seeds
+  UNION
+  SELECT r.seed, es.dst, r.dist + 1
+  FROM reach r JOIN es ON es.src = r.node_id
+  WHERE r.dist < {radius}
+),
+mind AS (
+  SELECT seed, node_id, min(dist) AS d FROM reach GROUP BY 1, 2
+)
+SELECT seed,
+       CAST(COALESCE(sum(CASE WHEN d >= 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS reached,
+       CAST(COALESCE(sum(CASE WHEN d >= 1 THEN d ELSE 0 END), 0)
+            AS BIGINT) AS sum_dist,
+       CASE WHEN COALESCE(sum(CASE WHEN d >= 1 THEN d ELSE 0 END), 0) = 0
+            THEN 0.0
+            ELSE CAST(sum(CASE WHEN d >= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CASE WHEN d >= 1 THEN d ELSE 0 END) AS DOUBLE)
+       END AS closeness
+FROM mind GROUP BY seed
+"""
+
+
 def sql_kg_linkpred_negs(
     gazetteer: dict[str, str],
     taxonomy: dict[str, list[str]],

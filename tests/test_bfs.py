@@ -91,3 +91,22 @@ def test_bfs_block_layout_invariance(ray_session, n_blocks):
     edges = [("a", "b"), ("b", "c"), ("a", "d"), ("d", "c"), ("e", "f")]
     got = _run(["a", "e"], edges, 4, 0, n_blocks=n_blocks)
     assert got == {"a": 0, "e": 0, "b": 1, "d": 1, "f": 1, "c": 2}
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_closeness_from_seeds(ray_session, driver_threshold):
+    """Path a-b-c-d with radius 2 from a: reached {b,c}, sum 1+2=3,
+    closeness 2/3; an isolated seed (absent from the edge set) reports
+    (0, 0, 0.0). Both BFS regimes exercised via the threshold (0
+    forces the distributed min-propagation rounds)."""
+    import semantic_search_system_ray.stages.graph as graph
+
+    e = pa.table({"src": ["a", "b", "c"], "dst": ["b", "c", "d"]})
+    got = (
+        graph.closeness_from_seeds(["a", "zzz"], rd.from_arrow(e), radius=2,
+                                   driver_threshold=driver_threshold)
+        .to_pandas().sort_values("seed").reset_index(drop=True)
+    )
+    rows = list(zip(got["seed"], got["reached"], got["sum_dist"],
+                    got["closeness"]))
+    assert rows == [("a", 2, 3, 2.0 / 3.0), ("zzz", 0, 0, 0.0)]
