@@ -11759,3 +11759,109 @@ FROM ew
 
 QUERIES["events_ewma"] = q_events_ewma
 ORACLE_SQL["events_ewma"] = SQL_EVENTS_EWMA
+
+
+def q_price_band_join(sf_dir: str):
+    """BAND (range) self-join: per brand, the number of part pairs
+    whose retail prices lie within one dollar of each other — the
+    interval/band-join shape (|x−y| ≤ δ) that equality-keyed shuffles
+    can't express directly. Distributed plan: bucket prices into
+    δ-wide bands (cents // δ); a qualifying pair can only straddle
+    adjacent bands, so each row is emitted to bands b and b+1 and ONE
+    coarse cogroup on (brand, band) sees every candidate pair exactly
+    twice-bounded — the max(b_i, b_j) == band rule counts each pair in
+    exactly ONE group (proof in comments). Per-group pair enumeration
+    is bounded by band occupancy (output-size-inherent, same as the
+    SQL join), prices compare as exact scaled int64 cents.
+
+    Oracle: the direct non-equi self-join with abs(c1−c2) <= 100."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    DELTA = 100  # cents (one dollar)
+    ds = rd.read_parquet(
+        _p(sf_dir, "part"),
+        columns=["p_partkey", "p_brand", "p_retailprice"],
+    )
+    emit_schema = pa.schema(
+        [("b", pa.string()), ("grp", pa.int64()), ("k", pa.int64()),
+         ("c", pa.int64()), ("band", pa.int64())]
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        c = np.round(
+            t.column("p_retailprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        band = c // DELTA
+        k = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        b = t.column("p_brand").to_numpy(zero_copy_only=False)
+        # each row lands in its own band and the next one up: a pair
+        # with |diff| <= DELTA differs by at most one band, so the
+        # group at max(b_i, b_j) contains both rows exactly once
+        return pa.Table.from_pydict(
+            {"b": pa.array(np.concatenate([b, b]), pa.string()),
+             "grp": pa.array(np.concatenate([band, band + 1]), pa.int64()),
+             "k": pa.array(np.concatenate([k, k]), pa.int64()),
+             "c": pa.array(np.concatenate([c, c]), pa.int64()),
+             "band": pa.array(np.concatenate([band, band]), pa.int64())},
+            schema=emit_schema,
+        )
+
+    cnt_schema = pa.schema([("brand", pa.string()), ("n_pairs", pa.int64())])
+
+    def pair_count(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return cnt_schema.empty_table()
+        out: dict[str, int] = {}
+        for (brand, grp), g in df.groupby(["b", "grp"], sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            cs = g["c"].to_numpy()
+            bd = g["band"].to_numpy()
+            ii, jj = np.triu_indices(m, 1)
+            ok = (
+                (np.abs(cs[ii] - cs[jj]) <= DELTA)
+                & (np.maximum(bd[ii], bd[jj]) == grp)
+            )
+            n = int(ok.sum())
+            if n:
+                out[brand] = out.get(brand, 0) + n
+        if not out:
+            return cnt_schema.empty_table()
+        return pa.Table.from_pydict(
+            {"brand": list(out), "n_pairs": list(out.values())},
+            schema=cnt_schema,
+        )
+
+    partials = coarse_partition_apply(
+        ds.map_batches(emit, batch_format="pyarrow"),
+        ["b", "grp"], pair_count, cnt_schema,
+    )
+
+    def brand_sum(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return cnt_schema.empty_table()
+        agg = df.groupby("brand", sort=False)["n_pairs"].sum().reset_index()
+        return pa.Table.from_pandas(
+            agg, schema=cnt_schema, preserve_index=False
+        )
+
+    return coarse_partition_apply(partials, ["brand"], brand_sum, cnt_schema)
+
+
+SQL_PRICE_BAND_JOIN = """
+WITH p AS (
+  SELECT p_partkey AS k, p_brand AS b,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS c
+  FROM part
+)
+SELECT p1.b AS brand, CAST(count(*) AS BIGINT) AS n_pairs
+FROM p p1 JOIN p p2
+  ON p1.b = p2.b AND p1.k < p2.k AND abs(p1.c - p2.c) <= 100
+GROUP BY 1
+"""
+
+QUERIES["price_band_join"] = q_price_band_join
+ORACLE_SQL["price_band_join"] = SQL_PRICE_BAND_JOIN

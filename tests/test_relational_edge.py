@@ -203,3 +203,32 @@ def test_orders_rank_ties_gap_rank(ray_session, tmp_path):
                      .itertuples(index=False)))
     assert got == [("A", 1, 1), ("A", 2, 1), ("A", 3, 1),
                    ("B", 5, 1), ("B", 6, 1), ("B", 7, 3)]
+
+
+def test_price_band_join_band_straddle(ray_session, tmp_path):
+    """Pairs within δ must count EXACTLY once whether they share a band
+    or straddle adjacent bands; pairs past δ and cross-brand pairs must
+    not count. Prices chosen to land on both sides of the c//100 band
+    boundary: 99 vs 101 straddles (diff 2), 150 vs 249 shares band 1
+    (diff 99), 150 vs 251 is out (diff 101)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_search_system_ray.pipelines.queries import q_price_band_join
+
+    df = pd.DataFrame({
+        "p_partkey": [1, 2, 3, 4, 5, 6],
+        "p_name": ["x"] * 6,
+        "p_brand": ["B1", "B1", "B1", "B1", "B1", "B2"],
+        "p_type": ["t"] * 6,
+        "p_size": [1] * 6,
+        "p_retailprice": [0.99, 1.01, 1.50, 2.49, 2.51, 0.99],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "part.parquet"))
+    got = q_price_band_join(str(tmp_path)).to_pandas()
+    # qualifying B1 pairs: (1,2) diff 2, (3,4) diff 99, (4,5) diff 2,
+    # (2,3) diff 49... check: 101 vs 150 = 49 <= 100 ✓, (1,3) 51 ✓,
+    # (2,4) 148 ✗, (1,4) 150 ✗, (3,5) 101 ✗
+    assert dict(zip(got["brand"], got["n_pairs"])) == {"B1": 5}
