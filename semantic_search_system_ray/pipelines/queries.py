@@ -11865,3 +11865,302 @@ GROUP BY 1
 
 QUERIES["price_band_join"] = q_price_band_join
 ORACLE_SQL["price_band_join"] = SQL_PRICE_BAND_JOIN
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape (large-volume orders): orders whose total line
+    quantity exceeds 250, with their date and price — the
+    aggregate-then-semi-join pattern where the fact table filters
+    ITSELF through a grouped threshold before touching the dimension.
+
+    Scale shape: per-block (orderkey, qty) partial sums BEFORE the one
+    orderkey shuffle (combiner — hot orders fold early); the surviving
+    key set is threshold-bounded and attaches to orders via ONE more
+    cogroup, never a driver collect. Quantities are integer-valued
+    doubles → exact int64 sums."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import (
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    THRESH = 250
+    li = rd.read_parquet(_p(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_quantity"])
+    part_schema = pa.schema([("k", pa.int64()), ("q", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey"]).aggregate([("l_quantity", "sum")])
+        return pa.Table.from_pydict(
+            {"k": pc.cast(g.column("l_orderkey"), pa.int64()),
+             "q": pc.cast(pc.round(g.column("l_quantity_sum")), pa.int64())},
+            schema=part_schema,
+        )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        agg = df.groupby("k", sort=False)["q"].sum().reset_index()
+        agg = agg[agg["q"] > THRESH]
+        return pa.Table.from_pandas(agg, schema=part_schema,
+                                    preserve_index=False)
+
+    big = coarse_partition_apply(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["k"], fold, part_schema,
+    )
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    out_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_orderdate", pa.string()),
+         ("o_totalprice", pa.float64()), ("total_qty", pa.int64())]
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+             "o_orderdate": pc.strftime(t.column("o_orderdate"), "%Y-%m-%d"),
+             "o_totalprice": t.column("o_totalprice")},
+        )
+
+    return coarse_attach(
+        orders.map_batches(fmt, batch_format="pyarrow"), big,
+        left_key="o_orderkey", right_key="k",
+        attach_cols=["q"], attach_as=["total_qty"], out_schema=out_schema,
+        how="inner",
+    )
+
+
+SQL_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey AS k,
+         CAST(round(sum(l_quantity)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1
+  HAVING CAST(round(sum(l_quantity)) AS BIGINT) > 250
+)
+SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_totalprice, big.q AS total_qty
+FROM orders o JOIN big ON big.k = o.o_orderkey
+"""
+
+
+def q_waiting_customers(sf_dir: str):
+    """TPC-H Q22 shape (waiting customers): per market segment, the
+    count and total balance of customers whose account balance exceeds
+    the mean POSITIVE balance of the segment family AND who have placed
+    no order since 2001-06-01 (the "lapsed but well-funded" cohort) —
+    the global-scalar-broadcast + anti-join composition.
+
+    Scale shape: the mean threshold folds from per-block (Σ cents, n)
+    integer partials (two driver scalars, exact); the filtered
+    customers anti-join orders via the distributed coarse_anti_join
+    (probe keys per-block distinct-ed, never driver-resident); money
+    rides as int64 cents with one trailing /100.0."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import (
+        coarse_anti_join,
+        coarse_partition_apply,
+    )
+
+    SEGS = ("AUTOMOBILE", "BUILDING")
+    cust = rd.read_parquet(
+        _p(sf_dir, "customer"),
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(
+            t.column("c_mktsegment"), value_set=pa.array(list(SEGS)))),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def bal_parts(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t.column("c_acctbal"), 0.0))
+        cents = np.round(
+            pos.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"s": [int(cents.sum())], "n": [len(cents)]},
+        )
+
+    parts = cust.map_batches(bal_parts, batch_format="pyarrow").take_all()
+    tot = sum(r["s"] for r in parts)
+    n = sum(r["n"] for r in parts)
+    avg_cents = float(tot) / float(n) if n else 0.0
+
+    rich_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("seg", pa.string()),
+         ("cents", pa.int64())]
+    )
+
+    def rich(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        keep = cents.astype(np.float64) > avg_cents
+        return pa.Table.from_pydict(
+            {"c_custkey": pc.cast(t.column("c_custkey"), pa.int64())
+                .to_numpy(zero_copy_only=False)[keep],
+             "seg": t.column("c_mktsegment")
+                .to_numpy(zero_copy_only=False)[keep],
+             "cents": cents[keep]},
+            schema=rich_schema,
+        )
+
+    import datetime as dt
+
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey"],
+        filter=(pc.field("o_orderdate")
+                >= pa.scalar(dt.datetime(2001, 6, 1))),
+    )
+    waiting = coarse_anti_join(
+        cust.map_batches(rich, batch_format="pyarrow"), orders,
+        left_key="c_custkey", right_key="o_custkey",
+        out_schema=rich_schema,
+    )
+    out_schema = pa.schema(
+        [("mktsegment", pa.string()), ("n_waiting", pa.int64()),
+         ("total_bal", pa.float64())]
+    )
+
+    def seg_agg(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby("seg", sort=False)["cents"].agg(["count", "sum"])
+        agg = agg.reset_index()
+        return pa.Table.from_pydict(
+            {"mktsegment": agg["seg"].to_numpy(),
+             "n_waiting": agg["count"].to_numpy().astype(np.int64),
+             "total_bal": agg["sum"].to_numpy().astype(np.int64) / 100.0},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(waiting, ["seg"], seg_agg, out_schema)
+
+
+SQL_WAITING_CUSTOMERS = """
+WITH fam AS (
+  SELECT c_custkey, c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+),
+avgc AS (
+  SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS a
+  FROM fam WHERE cents > 0
+),
+w AS (
+  SELECT * FROM fam
+  WHERE CAST(cents AS DOUBLE) > (SELECT a FROM avgc)
+    AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                          WHERE o_orderdate >= TIMESTAMP '2001-06-01')
+)
+SELECT seg AS mktsegment, CAST(count(*) AS BIGINT) AS n_waiting,
+       CAST(sum(cents) AS BIGINT) / 100.0 AS total_bal
+FROM w GROUP BY 1
+"""
+
+QUERIES["large_orders"] = q_large_orders
+ORACLE_SQL["large_orders"] = SQL_LARGE_ORDERS
+QUERIES["waiting_customers"] = q_waiting_customers
+ORACLE_SQL["waiting_customers"] = SQL_WAITING_CUSTOMERS
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-DIMENSION moment statistics of the embedding column — the
+    feature-scaling pass (mean/variance per dim) embedding pipelines
+    run before quantization or whitening. Determinism: components are
+    quantized to int64 micro-units with the repo's floor(x·1e6 + 0.5)
+    idiom (identical floor on both engines, valid for negatives), so
+    Σ and Σ² fold as EXACT integers in any order; mean and variance
+    are two trailing double expressions from those integers.
+
+    Scale shape: one stateless pass emitting per-BLOCK (dim, n, Σ, Σ²)
+    partial vectors (64 rows per block, never row-count-sized), then
+    one dim-keyed fold — the dimension axis is schema-bounded. int64
+    bound: |x| ≤ ~1 → Σ² ≤ 1e12·rows, safe to ~9e6 rows per... the
+    FULL corpus Σ² is what matters: safe to ~9·10⁶ billion-row
+    corpora at unit scale (documented; multiply in float would lose
+    exactness first)."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["embedding"])
+    part_schema = pa.schema(
+        [("dim", pa.int64()), ("n", pa.int64()), ("s", pa.int64()),
+         ("ss", pa.int64())]
+    )
+
+    def parts(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        d = len(flat) // t.num_rows
+        m = flat.reshape(t.num_rows, d)
+        q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"dim": np.arange(1, d + 1, dtype=np.int64),
+             "n": np.full(d, t.num_rows, dtype=np.int64),
+             "s": q.sum(axis=0),
+             "ss": (q * q).sum(axis=0)},
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("dim", pa.int64()), ("n", pa.int64()), ("sum_q", pa.int64()),
+         ("sum_sq", pa.int64()), ("mean", pa.float64()),
+         ("variance", pa.float64())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby("dim", sort=False).agg(
+            n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum")
+        ).reset_index()
+        n = agg["n"].to_numpy().astype(np.float64)
+        s = agg["s"].to_numpy().astype(np.float64)
+        ss = agg["ss"].to_numpy().astype(np.float64)
+        return pa.Table.from_pydict(
+            {"dim": agg["dim"].to_numpy(),
+             "n": agg["n"].to_numpy().astype(np.int64),
+             "sum_q": agg["s"].to_numpy().astype(np.int64),
+             "sum_sq": agg["ss"].to_numpy().astype(np.int64),
+             "mean": s / n,
+             "variance": (ss - s * s / n) / n},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        ds.map_batches(parts, batch_format="pyarrow"),
+        ["dim"], fold, out_schema,
+    )
+
+
+SQL_EMBEDDING_DIM_STATS = """
+WITH flat AS (
+  SELECT i.i AS dim,
+         CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+  FROM embeddings,
+       (SELECT unnest(generate_series(1, 64)) AS i) i
+),
+agg AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS s,
+         CAST(sum(q * q) AS BIGINT) AS ss
+  FROM flat GROUP BY 1
+)
+SELECT dim, n, s AS sum_q, ss AS sum_sq,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       (CAST(ss AS DOUBLE)
+        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       / CAST(n AS DOUBLE) AS variance
+FROM agg
+"""
+
+QUERIES["embedding_dim_stats"] = q_embedding_dim_stats
+ORACLE_SQL["embedding_dim_stats"] = SQL_EMBEDDING_DIM_STATS

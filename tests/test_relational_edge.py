@@ -232,3 +232,34 @@ def test_price_band_join_band_straddle(ray_session, tmp_path):
     # (2,3) diff 49... check: 101 vs 150 = 49 <= 100 ✓, (1,3) 51 ✓,
     # (2,4) 148 ✗, (1,4) 150 ✗, (3,5) 101 ✗
     assert dict(zip(got["brand"], got["n_pairs"])) == {"B1": 5}
+
+
+def test_embedding_dim_stats_exact_integers(ray_session, tmp_path):
+    """Quantized moments must be exact: dims fold across blocks, the
+    floor(x*1e6+0.5) idiom handles negatives, and variance comes from
+    the integer sums (constant column -> variance exactly 0.0)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_search_system_ray.pipelines.queries import (
+        q_embedding_dim_stats,
+    )
+
+    emb = [[0.5, -0.5], [1.5, -0.5], [-2.0, -0.5]]
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(emb, pa.list_(pa.float32())),
+        "label": pa.array(["a", "b", "c"]),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = (
+        q_embedding_dim_stats(str(tmp_path))
+        .to_pandas().sort_values("dim").reset_index(drop=True)
+    )
+    # dim1 q: 500000, 1500000, -2000000 -> sum 0, mean 0
+    assert got.loc[0, "sum_q"] == 0 and got.loc[0, "mean"] == 0.0
+    # dim2 constant -0.5 -> q = floor(-500000 + 0.5) = -499999... wait:
+    # floor(-0.5*1e6 + 0.5) = floor(-499999.5) = -500000 exactly
+    assert got.loc[1, "sum_q"] == -1500000
+    assert got.loc[1, "variance"] == 0.0
