@@ -1007,6 +1007,20 @@ def _q_kg_modularity(sf_dir: str):
     return modularity(edges, labels)
 
 
+def _q_kg_ktruss(sf_dir: str):
+    """Bounded 3-round 3-truss peel over the KG's undirected simple
+    graph (stages/graph.ktruss_edges): each round recomputes per-edge
+    triangle support on the surviving edges (scale-switched wedge
+    machinery) and drops uncorroborated edges (support < 1) — the
+    'relation backed by a third party' KG-cleaning filter, exact
+    rounds-prefix semantics like kcore. Oracle: unrolled per-round
+    support self-joins (text_oracles.sql_kg_ktruss)."""
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import ktruss_edges
+
+    return ktruss_edges(edges_from_triples(_kg_triples(sf_dir)), k=3, rounds=3)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Deterministic integer PageRank (stages/graph.pagerank, 5 rounds)
     over the KG edge set → top-20 nodes by (pr desc, node_id). The
@@ -1663,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_walks": _q_kg_walks,
             "kg_modularity": _q_kg_modularity,
             "kg_closeness": _q_kg_closeness,
+            "kg_ktruss": _q_kg_ktruss,
             "kg_ppr": _q_kg_ppr,
             "kg_triangles": _q_kg_triangles,
             "kg_clustering": _q_kg_clustering,
@@ -1856,6 +1871,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_closeness": tox.sql_kg_closeness(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_ktruss": tox.sql_kg_ktruss(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_ppr": tox.sql_kg_ppr(

@@ -1777,6 +1777,56 @@ FROM mm, intra, sq
 """
 
 
+def sql_kg_ktruss(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    k: int = 3,
+    rounds: int = 3,
+) -> str:
+    """Oracle for stages/graph.ktruss_edges over the KG edge set:
+    ``rounds`` unrolled peel rounds, each recomputing per-edge support
+    (the sql_kg_edge_support self-join) on the surviving edge set and
+    keeping support >= k-2. AS MATERIALIZED per round (the kcore
+    lesson). The per-round INNER join against the support rows is only
+    equivalent to the engine's zero-filled LEFT attach when k-2 >= 1
+    (0-support edges must drop anyway), hence the k >= 3 guard. Built
+    over the kg_triples oracle subquery."""
+    if k < 3:
+        raise ValueError("sql_kg_ktruss requires k >= 3 (see docstring)")
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    parts = [
+        f"WITH t AS MATERIALIZED ({triples}),\n",
+        "e0raw AS (SELECT CAST(subj AS VARCHAR) AS s, "
+        "CAST(obj AS VARCHAR) AS d FROM t "
+        "WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)),\n",
+        "t0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, "
+        "greatest(s, d) AS b FROM e0raw)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+sym{r} AS MATERIALIZED (SELECT a AS u, b AS v FROM t{r}
+                        UNION ALL SELECT b, a FROM t{r}),
+sup{r} AS MATERIALIZED (
+  SELECT s1.u AS a, s2.u AS b, count(*) AS c
+  FROM sym{r} s1 JOIN sym{r} s2 ON s1.v = s2.v AND s1.u < s2.u
+  GROUP BY 1, 2
+),
+t{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM t{r} e
+  JOIN sup{r} s ON s.a = e.a AND s.b = e.b
+  WHERE s.c >= {k - 2}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT a AS node_a, b AS node_b FROM t{rounds}"""
+    )
+    return "".join(parts)
+
+
 def sql_kg_reciprocity(
     gazetteer: dict[str, str],
     taxonomy: dict[str, list[str]],

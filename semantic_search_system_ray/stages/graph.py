@@ -4195,3 +4195,63 @@ def closeness_from_seeds(
             schema=CLOSENESS_SCHEMA,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# k-truss peeling (bounded rounds over edge_support)
+# --------------------------------------------------------------------------
+
+KTRUSS_SCHEMA = pa.schema([("node_a", pa.string()), ("node_b", pa.string())])
+
+
+def ktruss_edges(
+    edges: rd.Dataset,
+    *,
+    k: int = 3,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    driver_node_threshold: int = SUPPORT_DRIVER_NODE_THRESHOLD,
+) -> rd.Dataset:
+    """BOUNDED k-TRUSS peeling over the undirected simple graph: each
+    of the fixed ``rounds`` rounds recomputes per-edge triangle support
+    on the SURVIVING edge set (stages/graph.edge_support — the wedge
+    machinery, scale-switched) and drops edges with support < k-2.
+    Like kcore/LPA, the result is the exact ``rounds``-prefix of the
+    peel (the kcore convention: a fixed-round prefix is deterministic
+    and SQL-unrollable, where run-to-convergence would leave round
+    count data-dependent); on graphs whose peel stabilizes within the
+    budget it IS the k-truss. Edges surviving round r keep their
+    support ≥ k-2 certificate from round r's graph.
+
+    Cohesion semantics: the 3-truss drops every edge not backed by a
+    triangle — the 'relation corroborated by at least one third party'
+    filter for KG cleaning (reference analogue: driver-side NetworkX
+    cohesion queries, /root/reference/knowledge_graph/
+    knowledge_graph.py). Cost: ``rounds`` × edge_support."""
+    cur = undirected_simple_edges(
+        edges, src_col=src_col, dst_col=dst_col
+    ).materialize()
+    for _ in range(rounds):
+        if cur.count() == 0:
+            break
+        sup = edge_support(
+            cur, src_col="a", dst_col="b",
+            driver_node_threshold=driver_node_threshold,
+        )
+        cur = sup.map_batches(
+            lambda t, _k=k: (
+                lambda kept: pa.Table.from_pydict(
+                    {"a": kept.column("node_a"), "b": kept.column("node_b")},
+                    schema=pa.schema([("a", pa.string()), ("b", pa.string())]),
+                )
+            )(t.filter(pc.greater_equal(t.column("support"), _k - 2))),
+            batch_format="pyarrow",
+        ).materialize()
+    return cur.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node_a": t.column("a"), "node_b": t.column("b")},
+            schema=KTRUSS_SCHEMA,
+        ),
+        batch_format="pyarrow",
+    )

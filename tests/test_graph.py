@@ -1036,3 +1036,44 @@ def test_modularity_exact_integers(ray_session):
     got1 = modularity(rd.from_arrow(e), rd.from_arrow(one)).take_all()[0]
     assert got1["intra_edges"] == 7
     assert got1["modularity"] == 1.0 - (14 * 14) / (4.0 * 7.0 * 7.0)
+
+
+def _reference_ktruss(
+    edges: list[tuple[str, str]], k: int, rounds: int
+) -> list[tuple[str, str]]:
+    und = sorted({(min(s, d), max(s, d)) for s, d in edges if s != d})
+    for _ in range(rounds):
+        nbr: dict[str, set[str]] = {}
+        for a, b in und:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        und = [(a, b) for a, b in und if len(nbr[a] & nbr[b]) >= k - 2]
+    return und
+
+
+@pytest.mark.parametrize("driver_node_threshold", [0, 10_000])
+def test_ktruss_peels_pendants_and_cascades(
+    ray_session, driver_node_threshold
+):
+    """Triangle a-b-c with pendant chain c-d-e: round 1 drops c-d and
+    d-e (no triangles), the triangle survives every round. A
+    triangle-plus-tail graph where removal CASCADES (two triangles
+    sharing edge, tail breaking one) matches the python twin on both
+    edge_support regimes."""
+    from semantic_search_system_ray.stages.graph import ktruss_edges
+
+    e = pa.table({
+        "src": ["a", "a", "b", "c", "d"],
+        "dst": ["b", "c", "c", "d", "e"],
+    })
+    got = sorted(
+        (r["node_a"], r["node_b"])
+        for r in ktruss_edges(
+            rd.from_arrow(e), k=3, rounds=3,
+            driver_node_threshold=driver_node_threshold,
+        ).take_all()
+    )
+    assert got == [("a", "b"), ("a", "c"), ("b", "c")]
+    assert got == _reference_ktruss(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")], 3, 3
+    )
