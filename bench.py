@@ -188,6 +188,10 @@ def run_bench() -> dict:
         "split_leakage_free", "cluster_best_rep", "kg_condensation",
         "kg_reciprocity", "kg_jaccard", "kg_ego", "kg_linkpred_negs",
         "events_winsorize", "dedup_rate_by_lang",
+        "kg_katz", "kg_edge_support", "kg_comention", "kg_walks",
+        "kg_modularity", "kg_closeness", "kg_ktruss", "events_ewma",
+        "price_band_join", "large_orders", "waiting_customers",
+        "embedding_dim_stats",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level
