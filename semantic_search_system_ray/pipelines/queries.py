@@ -12164,3 +12164,153 @@ FROM agg
 
 QUERIES["embedding_dim_stats"] = q_embedding_dim_stats
 ORACLE_SQL["embedding_dim_stats"] = SQL_EMBEDDING_DIM_STATS
+
+
+def q_dedup_cluster_hist(sf_dir: str):
+    """Near-dup CLUSTER-SIZE histogram: (cluster size → number of
+    MinHash-LSH clusters of that size) — the one-glance shape of the
+    corpus's duplication structure (a heavy tail of big clusters means
+    a template/mirror problem; all-1s means clean). One cluster pass,
+    then two bounded aggregations: per-block (cluster, n) combiners →
+    one coarse size fold → per-block (size, n) combiners → one
+    size-DOMAIN-bounded fold. Sizes never collect per-doc rows to the
+    driver."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.dedup import minhash_lsh_clusters
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    docs = read_docs(sf_dir, ["doc_id", "text"])
+    clusters = minhash_lsh_clusters(docs, threshold=0.6)
+
+    size_schema = pa.schema([("cluster", pa.string()), ("n", pa.int64())])
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["cluster"]).aggregate([("cluster", "count")])
+        return pa.Table.from_pydict(
+            {"cluster": pc.cast(g.column("cluster"), pa.string()),
+             "n": pc.cast(g.column("cluster_count"), pa.int64())},
+            schema=size_schema,
+        )
+
+    def size_fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return size_schema.empty_table()
+        agg = df.groupby("cluster", sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pandas(agg, schema=size_schema,
+                                    preserve_index=False)
+
+    sizes = coarse_partition_apply(
+        clusters.map_batches(size_partial, batch_format="pyarrow"),
+        ["cluster"], size_fold, size_schema,
+    )
+    out_schema = pa.schema(
+        [("cluster_size", pa.int64()), ("n_clusters", pa.int64())]
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["n"]).aggregate([("n", "count")])
+        return pa.Table.from_pydict(
+            {"cluster_size": pc.cast(g.column("n"), pa.int64()),
+             "n_clusters": pc.cast(g.column("n_count"), pa.int64())},
+            schema=out_schema,
+        )
+
+    def hist_fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby("cluster_size", sort=False)["n_clusters"].sum().reset_index()
+        return pa.Table.from_pandas(agg, schema=out_schema,
+                                    preserve_index=False)
+
+    return coarse_partition_apply(
+        sizes.map_batches(hist_partial, batch_format="pyarrow"),
+        ["cluster_size"], hist_fold, out_schema,
+    )
+
+
+def _sql_dedup_cluster_hist() -> str:
+    from semantic_search_system_ray.pipelines.text_oracles import (
+        sql_minhash_clusters,
+    )
+
+    inner = sql_minhash_clusters(threshold=0.6)
+    return f"""
+WITH cl AS ({inner}),
+sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM cl GROUP BY 1)
+SELECT n AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY 1
+"""
+
+
+def q_tokenizer_fertility(sf_dir: str):
+    """Per-language TOKENIZER FERTILITY (tokens per character) — the
+    multilinguality dashboard number that decides per-language sampling
+    budgets (a language whose fertility is 2× pays 2× the context). Two
+    exact integer sums per language (regex token count, n_chars) folded
+    from per-block partials over the language DOMAIN, one trailing
+    divide."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    docs = read_docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+    part_schema = pa.schema(
+        [("lang", pa.string()), ("toks", pa.int64()), ("chars", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ntok = pc.count_substring_regex(t.column("text"), pattern=r"\w+")
+        t2 = pa.Table.from_pydict(
+            {"lang": t.column("lang"),
+             "toks": pc.cast(ntok, pa.int64()),
+             "chars": pc.cast(t.column("n_chars"), pa.int64())},
+        )
+        g = t2.group_by(["lang"]).aggregate([("toks", "sum"), ("chars", "sum")])
+        return pa.Table.from_pydict(
+            {"lang": g.column("lang"),
+             "toks": pc.cast(g.column("toks_sum"), pa.int64()),
+             "chars": pc.cast(g.column("chars_sum"), pa.int64())},
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("total_tokens", pa.int64()),
+         ("total_chars", pa.int64()), ("fertility", pa.float64())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby("lang", sort=False).agg(
+            toks=("toks", "sum"), chars=("chars", "sum")
+        ).reset_index()
+        return pa.Table.from_pydict(
+            {"lang": agg["lang"].to_numpy(),
+             "total_tokens": agg["toks"].to_numpy().astype(np.int64),
+             "total_chars": agg["chars"].to_numpy().astype(np.int64),
+             "fertility": agg["toks"].to_numpy().astype(np.float64)
+                          / agg["chars"].to_numpy().astype(np.float64)},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["lang"], fold, out_schema,
+    )
+
+
+SQL_TOKENIZER_FERTILITY = r"""
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text, '\w+'))) AS BIGINT)
+         AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(regexp_extract_all(text, '\w+'))) AS DOUBLE)
+         / CAST(sum(n_chars) AS DOUBLE) AS fertility
+FROM documents GROUP BY 1
+"""
+
+QUERIES["dedup_cluster_hist"] = q_dedup_cluster_hist
+ORACLE_SQL["dedup_cluster_hist"] = _sql_dedup_cluster_hist()
+QUERIES["tokenizer_fertility"] = q_tokenizer_fertility
+ORACLE_SQL["tokenizer_fertility"] = SQL_TOKENIZER_FERTILITY
