@@ -12314,3 +12314,128 @@ QUERIES["dedup_cluster_hist"] = q_dedup_cluster_hist
 ORACLE_SQL["dedup_cluster_hist"] = _sql_dedup_cluster_hist()
 QUERIES["tokenizer_fertility"] = q_tokenizer_fertility
 ORACLE_SQL["tokenizer_fertility"] = SQL_TOKENIZER_FERTILITY
+
+
+def q_zipf_slope(sf_dir: str):
+    """Per-source ZIPF SLOPE: the least-squares slope of ln(freq) over
+    ln(rank) across the source's word frequency spectrum — natural text
+    sits near −1; templated/boilerplate sources flatten toward 0, and a
+    crawler stuck in a loop spikes steep. The companion diagnostic to
+    entropy_by_source, sharing its FP-determinism contract: all four
+    regression sums fold in RANK order on both sides (np.cumsum left
+    fold == DuckDB list_sum over a rank-ORDERED list — the bm25/entropy
+    pinning idiom), rank is row_number over the exact (n DESC, w) tie
+    rule, ln is the one shared libm, and the slope is ONE mirrored
+    double expression from the four sums, floor(x·1e6+0.5)-rounded to
+    6dp on both sides (numpy's SIMD log and libm ln agree to well
+    inside a ULP budget that 6dp absorbs — the entropy_by_source
+    contract).
+
+    Scale shape: per-block (source, word, n) Arrow count combiners →
+    ONE coarse shuffle keyed by source (vocabulary-bounded); the
+    per-partition fold is one sort + four cumsums per source."""
+    import pandas as pd
+
+    from semantic_search_system_ray.functions.text import tokenize
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+
+    part_schema = pa.schema(
+        [("source", pa.string()), ("w", pa.string()), ("n", pa.int64())]
+    )
+
+    def wc(t: pa.Table) -> pa.Table:
+        srcs, words = [], []
+        for s, txt in zip(t.column("source").to_pylist(),
+                          t.column("text").to_pylist()):
+            for w in tokenize((txt or "").lower()):
+                srcs.append(s)
+                words.append(w)
+        if not srcs:
+            return part_schema.empty_table()
+        g = pa.Table.from_pydict(
+            {"source": pa.array(srcs, pa.string()),
+             "w": pa.array(words, pa.string())}
+        ).group_by(["source", "w"]).aggregate([("w", "count")])
+        return pa.Table.from_pydict(
+            {"source": g.column("source"), "w": g.column("w"),
+             "n": pc.cast(g.column("w_count"), pa.int64())},
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("source", pa.string()), ("vocab", pa.int64()),
+         ("slope", pa.float64())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby(["source", "w"], sort=False)["n"].sum().reset_index()
+        srcs, vocabs, slopes = [], [], []
+        for src, g in agg.groupby("source", sort=False):
+            g = g.sort_values(["n", "w"], ascending=[False, True],
+                              kind="mergesort")
+            n = g["n"].to_numpy().astype(np.float64)
+            v = len(n)
+            if v < 2:
+                continue
+            x = np.log(np.arange(1, v + 1, dtype=np.float64))
+            y = np.log(n)
+            sx = np.cumsum(x)[-1]
+            sy = np.cumsum(y)[-1]
+            sxy = np.cumsum(x * y)[-1]
+            sxx = np.cumsum(x * x)[-1]
+            srcs.append(src)
+            vocabs.append(v)
+            raw = (v * sxy - sx * sy) / (v * sxx - sx * sx)
+            slopes.append(np.floor(raw * 1e6 + 0.5) / 1e6)
+        if not srcs:
+            return out_schema.empty_table()
+        return pa.Table.from_pydict(
+            {"source": srcs,
+             "vocab": pa.array(vocabs, pa.int64()),
+             "slope": pa.array(slopes, pa.float64())},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        ds.map_batches(wc, batch_format="pyarrow"),
+        ["source"], fold, out_schema,
+    )
+
+
+SQL_ZIPF_SLOPE = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '\w+(?:''\w+)?')) AS w
+  FROM documents
+),
+counts AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, w, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, w) AS r
+  FROM counts
+),
+sums AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS v,
+         list_sum(list(ln(CAST(r AS DOUBLE)) ORDER BY r)) AS sx,
+         list_sum(list(ln(CAST(n AS DOUBLE)) ORDER BY r)) AS sy,
+         list_sum(list(ln(CAST(r AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+                       ORDER BY r)) AS sxy,
+         list_sum(list(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+                       ORDER BY r)) AS sxx
+  FROM ranked GROUP BY 1
+)
+SELECT source, v AS vocab,
+       floor((v * sxy - sx * sy) / (v * sxx - sx * sx) * 1000000 + 0.5)
+         / 1000000 AS slope
+FROM sums WHERE v >= 2
+"""
+
+QUERIES["zipf_slope"] = q_zipf_slope
+ORACLE_SQL["zipf_slope"] = SQL_ZIPF_SLOPE
