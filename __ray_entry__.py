@@ -988,6 +988,21 @@ def _q_kg_closeness(sf_dir: str):
     )
 
 
+def _q_kg_metapath(sf_dir: str):
+    """Heterogeneous metapath coverage per topic
+    (pipelines/kg_build.metapath_topic_coverage): distinct docs
+    reaching the topic via MENTIONS∘IN_TOPIC vs direct HAS_TOPIC vs
+    both — taxonomy-sized IN_TOPIC broadcast (ray.put) into a
+    stateless expand, ONE topic-keyed cogroup for the three
+    distinct-doc counts. Oracle: DISTINCT joins over the kg_triples
+    subquery (text_oracles.sql_kg_metapath)."""
+    from semantic_search_system_ray.pipelines.kg_build import (
+        metapath_topic_coverage,
+    )
+
+    return metapath_topic_coverage(_kg_triples(sf_dir))
+
+
 def _q_kg_modularity(sf_dir: str):
     """Newman modularity Q of the 3-round LPA communities over the KG's
     undirected simple graph (stages/graph.modularity): computed exactly
@@ -1678,6 +1693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_modularity": _q_kg_modularity,
             "kg_closeness": _q_kg_closeness,
             "kg_ktruss": _q_kg_ktruss,
+            "kg_metapath": _q_kg_metapath,
             "kg_ppr": _q_kg_ppr,
             "kg_triangles": _q_kg_triangles,
             "kg_clustering": _q_kg_clustering,
@@ -1874,6 +1890,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_ktruss": tox.sql_kg_ktruss(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_metapath": tox.sql_kg_metapath(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_ppr": tox.sql_kg_ppr(

@@ -700,3 +700,108 @@ def comention_pairs(triples: rd.Dataset) -> rd.Dataset:
     return coarse_partition_apply(
         pairs, ["ent_a", "ent_b"], pair_sum, COMENTION_SCHEMA
     )
+
+
+METAPATH_SCHEMA = pa.schema(
+    [("topic", pa.string()), ("n_via_path", pa.int64()),
+     ("n_direct", pa.int64()), ("n_both", pa.int64())]
+)
+
+
+def metapath_topic_coverage(triples: rd.Dataset) -> rd.Dataset:
+    """HETEROGENEOUS-graph metapath count: per topic, how many docs
+    reach it via the MENTIONS∘IN_TOPIC path (doc→entity→topic), how
+    many assert it directly (HAS_TOPIC), and the overlap — the
+    implied-vs-explicit topic coverage audit that tells a KG curator
+    whether the topic classifier and the entity taxonomy agree
+    (reference analogue: per-query multi-hop traversals over the graph
+    store, /root/reference/knowledge_graph/knowledge_graph.py).
+
+    Shape: the IN_TOPIC relation is taxonomy-sized (phrase→topic) —
+    collected once and ray.put-BROADCAST into a stateless map over
+    MENTIONS blocks (the documented small-side-broadcast convention; a
+    shuffle join would move the corpus for a dictionary). The exploded
+    (doc, topic) path rows and the HAS_TOPIC rows then fold through
+    ONE topic-keyed coarse cogroup computing the three DISTINCT-doc
+    counts per topic (per-partition sets are topic-bounded)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    t_mat = triples.materialize()
+
+    it_tables = [
+        tb for tb in ray.get(
+            t_mat.map_batches(
+                lambda t: (
+                    lambda f: pa.Table.from_pydict(
+                        {"ent": pc.cast(f.column("subj"), pa.string()),
+                         "topic": pc.cast(f.column("obj"), pa.string())}
+                    )
+                )(t.filter(pc.equal(t.column("pred"), "IN_TOPIC"))),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+        if tb.num_rows > 0 and "ent" in tb.schema.names
+    ]
+    if it_tables:
+        it = pa.concat_tables(it_tables)
+        itd = (
+            it.to_pandas().drop_duplicates()
+            .groupby("ent")["topic"].apply(list).to_dict()
+        )
+    else:
+        itd = {}
+    it_ref = ray.put(itd)
+
+    tag_schema = pa.schema(
+        [("topic", pa.string()), ("doc", pa.string()), ("kind", pa.string())]
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        lookup = ray.get(it_ref)
+        m = t.filter(pc.equal(t.column("pred"), "MENTIONS"))
+        docs_out, topics_out, kinds = [], [], []
+        for doc, ent in zip(
+            pc.cast(m.column("subj"), pa.string()).to_pylist(),
+            pc.cast(m.column("obj"), pa.string()).to_pylist(),
+        ):
+            for topic in lookup.get(ent, ()):
+                docs_out.append(doc)
+                topics_out.append(topic)
+                kinds.append("via")
+        d = t.filter(pc.equal(t.column("pred"), "HAS_TOPIC"))
+        docs_out.extend(pc.cast(d.column("subj"), pa.string()).to_pylist())
+        topics_out.extend(pc.cast(d.column("obj"), pa.string()).to_pylist())
+        kinds.extend(["direct"] * d.num_rows)
+        return pa.Table.from_pydict(
+            {"topic": pa.array(topics_out, pa.string()),
+             "doc": pa.array(docs_out, pa.string()),
+             "kind": pa.array(kinds, pa.string())},
+            schema=tag_schema,
+        )
+
+    def per_topic(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return METAPATH_SCHEMA.empty_table()
+        rows = []
+        for topic, g in df.groupby("topic", sort=False):
+            via = set(g.loc[g["kind"] == "via", "doc"])
+            direct = set(g.loc[g["kind"] == "direct", "doc"])
+            rows.append((topic, len(via), len(direct), len(via & direct)))
+        return pa.Table.from_pydict(
+            {"topic": [r[0] for r in rows],
+             "n_via_path": np.array([r[1] for r in rows], np.int64),
+             "n_direct": np.array([r[2] for r in rows], np.int64),
+             "n_both": np.array([r[3] for r in rows], np.int64)},
+            schema=METAPATH_SCHEMA,
+        )
+
+    return coarse_partition_apply(
+        t_mat.map_batches(expand, batch_format="pyarrow"),
+        ["topic"], per_topic, METAPATH_SCHEMA,
+    )

@@ -1827,6 +1827,41 @@ SELECT a AS node_a, b AS node_b FROM t{rounds}"""
     return "".join(parts)
 
 
+def sql_kg_metapath(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for pipelines/kg_build.metapath_topic_coverage: per
+    topic, distinct docs reaching it via MENTIONS∘IN_TOPIC, distinct
+    docs asserting it via HAS_TOPIC, and the overlap — plain DISTINCT
+    joins over the kg_triples subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS MATERIALIZED ({triples}),
+m AS (SELECT DISTINCT CAST(subj AS VARCHAR) AS doc,
+                      CAST(obj AS VARCHAR) AS ent
+      FROM t WHERE pred = 'MENTIONS'),
+it AS (SELECT DISTINCT CAST(subj AS VARCHAR) AS ent,
+                       CAST(obj AS VARCHAR) AS topic
+       FROM t WHERE pred = 'IN_TOPIC'),
+via AS (SELECT DISTINCT m.doc, it.topic FROM m JOIN it ON it.ent = m.ent),
+direct AS (SELECT DISTINCT CAST(subj AS VARCHAR) AS doc,
+                           CAST(obj AS VARCHAR) AS topic
+           FROM t WHERE pred = 'HAS_TOPIC'),
+topics AS (SELECT topic FROM via UNION SELECT topic FROM direct)
+SELECT tp.topic,
+       CAST((SELECT count(*) FROM via v WHERE v.topic = tp.topic)
+            AS BIGINT) AS n_via_path,
+       CAST((SELECT count(*) FROM direct d WHERE d.topic = tp.topic)
+            AS BIGINT) AS n_direct,
+       CAST((SELECT count(*) FROM via v JOIN direct d
+             ON d.doc = v.doc AND d.topic = v.topic
+             WHERE v.topic = tp.topic) AS BIGINT) AS n_both
+FROM topics tp
+"""
+
+
 def sql_kg_reciprocity(
     gazetteer: dict[str, str],
     taxonomy: dict[str, list[str]],

@@ -1077,3 +1077,27 @@ def test_ktruss_peels_pendants_and_cascades(
     assert got == _reference_ktruss(
         [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")], 3, 3
     )
+
+
+def test_metapath_topic_coverage(ray_session):
+    """Implied vs explicit coverage: doc d1 reaches T via the
+    MENTIONS∘IN_TOPIC path AND asserts it directly (both); d2 only via
+    the path; d3 only direct; entities with no IN_TOPIC mapping add
+    nothing; duplicate MENTIONS rows collapse (DISTINCT doc counts)."""
+    from semantic_search_system_ray.pipelines.kg_build import (
+        metapath_topic_coverage,
+    )
+
+    t = pa.table({
+        "subj": ["d1", "d1", "d2", "d2", "d3", "e1", "d1", "d3"],
+        "pred": ["MENTIONS", "MENTIONS", "MENTIONS", "MENTIONS",
+                 "MENTIONS", "IN_TOPIC", "HAS_TOPIC", "HAS_TOPIC"],
+        "obj":  ["e1", "e1", "e1", "e9", "e9", "T", "T", "T"],
+    })
+    got = (
+        metapath_topic_coverage(rd.from_arrow(t).repartition(3))
+        .to_pandas().sort_values("topic").reset_index(drop=True)
+    )
+    rows = list(zip(got["topic"], got["n_via_path"], got["n_direct"],
+                    got["n_both"]))
+    assert rows == [("T", 2, 2, 1)]
