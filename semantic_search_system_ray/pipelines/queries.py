@@ -12439,3 +12439,171 @@ FROM sums WHERE v >= 2
 
 QUERIES["zipf_slope"] = q_zipf_slope
 ORACLE_SQL["zipf_slope"] = SQL_ZIPF_SLOPE
+
+
+def q_kg_degree_hist(sf_dir: str):
+    """KG DEGREE DISTRIBUTION histogram: nodes bucketed by
+    ⌊log2(undirected simple degree)⌋ — the is-it-scale-free one-glance
+    plot (a straight log-log decay = power law; a spike = a gazetteer
+    artifact). Buckets from the same libm log2 double on both sides
+    (bit-identical on exact int inputs); counts exact. One degree pass
+    (per-block combiners → one node-keyed fold), then a
+    bucket-DOMAIN-bounded fold."""
+    import pandas as pd
+
+    from semantic_search_system_ray.pipelines.kg_build import (
+        edges_from_triples,
+    )
+    from semantic_search_system_ray.stages.graph import (
+        _simple_degrees,
+        undirected_simple_edges,
+    )
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    from __ray_entry__ import _kg_triples  # registered pipeline source
+
+    und = undirected_simple_edges(
+        edges_from_triples(_kg_triples(sf_dir)), src_col="src", dst_col="dst"
+    ).materialize()
+    deg = _simple_degrees(und, None)
+    out_schema = pa.schema([("bucket", pa.int64()), ("n_nodes", pa.int64())])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        d = t.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(np.log2(d)).astype(np.int64)  # deg >= 1 always
+        g = pa.Table.from_pydict({"bucket": pa.array(b, pa.int64())})
+        agg = g.group_by(["bucket"]).aggregate([("bucket", "count")])
+        return pa.Table.from_pydict(
+            {"bucket": pc.cast(agg.column("bucket"), pa.int64()),
+             "n_nodes": pc.cast(agg.column("bucket_count"), pa.int64())},
+            schema=out_schema,
+        )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby("bucket", sort=False)["n_nodes"].sum().reset_index()
+        return pa.Table.from_pandas(agg, schema=out_schema,
+                                    preserve_index=False)
+
+    return coarse_partition_apply(
+        deg.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"], fold, out_schema,
+    )
+
+
+def _sql_kg_degree_hist() -> str:
+    from semantic_search_system_ray.pipelines.text_oracles import (
+        sql_kg_triples,
+    )
+
+    from __ray_entry__ import (
+        TESTDATA_GAZETTEER,
+        TESTDATA_PHRASE_LIST,
+        TESTDATA_TAXONOMY,
+    )
+
+    triples = sql_kg_triples(
+        TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+    )
+    return f"""
+WITH t AS ({triples}),
+e0 AS (SELECT CAST(subj AS VARCHAR) AS s, CAST(obj AS VARCHAR) AS d
+       FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e0),
+sym AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1)
+SELECT CAST(floor(log2(CAST(deg AS DOUBLE))) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1
+"""
+
+
+def q_user_event_entropy(sf_dir: str):
+    """Per-USER event-type Shannon entropy — the behavioral-diversity
+    feature (one-trick users near 0, explorers near ln |types|) at
+    CORPUS-cardinality keys (millions of users), unlike
+    entropy_by_source's bounded domain. Same FP contract: the Σ over
+    types folds in SORTED type order on both sides, ln is the shared
+    libm, result floor(x·1e6+0.5)-rounded. One user-keyed coarse
+    cogroup; per-partition fold is vectorized (type domain bounded, so
+    the per-user loop is a pandas groupby over ≤|types| rows each)."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ev = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+    part_schema = pa.schema(
+        [("user_id", pa.int64()), ("event_type", pa.string()),
+         ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")]
+        )
+        return pa.Table.from_pydict(
+            {"user_id": pc.cast(g.column("user_id"), pa.int64()),
+             "event_type": g.column("event_type"),
+             "n": pc.cast(g.column("event_type_count"), pa.int64())},
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()),
+         ("entropy", pa.float64())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = (
+            df.groupby(["user_id", "event_type"], sort=False)["n"]
+            .sum().reset_index()
+            .sort_values(["user_id", "event_type"], kind="mergesort")
+        )
+        uids, totals, ents = [], [], []
+        for uid, g in agg.groupby("user_id", sort=False):
+            n = g["n"].to_numpy().astype(np.float64)
+            nn = int(n.sum())
+            s = np.cumsum(n * np.log(n))[-1]  # left fold in type order
+            h = np.log(float(nn)) - s / float(nn)
+            uids.append(uid)
+            totals.append(nn)
+            ents.append(np.floor(h * 1e6 + 0.5) / 1e6)
+        return pa.Table.from_pydict(
+            {"user_id": pa.array(uids, pa.int64()),
+             "n_events": pa.array(totals, pa.int64()),
+             "entropy": pa.array(ents, pa.float64())},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], fold, out_schema,
+    )
+
+
+SQL_USER_EVENT_ENTROPY = """
+WITH wc AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS nn FROM wc GROUP BY 1),
+s AS (
+  SELECT user_id,
+         list_sum(list(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                       ORDER BY event_type)) AS sw
+  FROM wc GROUP BY 1
+)
+SELECT t.user_id, t.nn AS n_events,
+       floor((ln(CAST(t.nn AS DOUBLE)) - s.sw / CAST(t.nn AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS entropy
+FROM tot t JOIN s ON s.user_id = t.user_id
+"""
+
+QUERIES["kg_degree_hist"] = q_kg_degree_hist
+ORACLE_SQL["kg_degree_hist"] = _sql_kg_degree_hist()
+QUERIES["user_event_entropy"] = q_user_event_entropy
+ORACLE_SQL["user_event_entropy"] = SQL_USER_EVENT_ENTROPY
