@@ -191,7 +191,8 @@ def run_bench() -> dict:
         "kg_katz", "kg_edge_support", "kg_comention", "kg_walks",
         "kg_modularity", "kg_closeness", "kg_ktruss", "events_ewma",
         "price_band_join", "large_orders", "waiting_customers",
-        "embedding_dim_stats",
+        "embedding_dim_stats", "dedup_cluster_hist", "tokenizer_fertility",
+        "zipf_slope", "kg_metapath", "kg_degree_hist", "user_event_entropy",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level
