@@ -749,13 +749,9 @@ def metapath_topic_coverage(triples: rd.Dataset) -> rd.Dataset:
         if tb.num_rows > 0 and "ent" in tb.schema.names
     ]
     if it_tables:
-        it = pa.concat_tables(it_tables)
-        itd = (
-            it.to_pandas().drop_duplicates()
-            .groupby("ent")["topic"].apply(list).to_dict()
-        )
+        itd = pa.concat_tables(it_tables).to_pandas().drop_duplicates()
     else:
-        itd = {}
+        itd = pd.DataFrame({"ent": [], "topic": []})
     it_ref = ray.put(itd)
 
     tag_schema = pa.schema(
@@ -765,23 +761,24 @@ def metapath_topic_coverage(triples: rd.Dataset) -> rd.Dataset:
     def expand(t: pa.Table) -> pa.Table:
         lookup = ray.get(it_ref)
         m = t.filter(pc.equal(t.column("pred"), "MENTIONS"))
-        docs_out, topics_out, kinds = [], [], []
-        for doc, ent in zip(
-            pc.cast(m.column("subj"), pa.string()).to_pylist(),
-            pc.cast(m.column("obj"), pa.string()).to_pylist(),
-        ):
-            for topic in lookup.get(ent, ()):
-                docs_out.append(doc)
-                topics_out.append(topic)
-                kinds.append("via")
+        # vectorized broadcast join: MENTIONS block x taxonomy-sized map
+        via = pd.DataFrame({
+            "doc": pc.cast(m.column("subj"), pa.string())
+                .to_numpy(zero_copy_only=False),
+            "ent": pc.cast(m.column("obj"), pa.string())
+                .to_numpy(zero_copy_only=False),
+        }).merge(lookup, on="ent")
         d = t.filter(pc.equal(t.column("pred"), "HAS_TOPIC"))
-        docs_out.extend(pc.cast(d.column("subj"), pa.string()).to_pylist())
-        topics_out.extend(pc.cast(d.column("obj"), pa.string()).to_pylist())
-        kinds.extend(["direct"] * d.num_rows)
         return pa.Table.from_pydict(
-            {"topic": pa.array(topics_out, pa.string()),
-             "doc": pa.array(docs_out, pa.string()),
-             "kind": pa.array(kinds, pa.string())},
+            {"topic": pa.chunked_array([
+                pa.array(via["topic"].to_numpy(), pa.string()),
+                pc.cast(d.column("obj"), pa.string()).combine_chunks()]),
+             "doc": pa.chunked_array([
+                pa.array(via["doc"].to_numpy(), pa.string()),
+                pc.cast(d.column("subj"), pa.string()).combine_chunks()]),
+             "kind": pa.chunked_array([
+                pa.array(["via"] * len(via), pa.string()),
+                pa.array(["direct"] * d.num_rows, pa.string())])},
             schema=tag_schema,
         )
 
