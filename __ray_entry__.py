@@ -488,6 +488,77 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(with_sig, batch_format="pyarrow")
 
 
+def _q_media_duration_quantiles(sf_dir: str):
+    """Per-kind EXACT duration quantiles over media spans (p50/p90 of
+    the chunk count) — the capacity-planning stat a multimodal pipeline
+    reads before sizing decode actor pools. The stub n_chunks metadata
+    (1 + md5 % max_chunks, the media_frame_sample seam — a real probe
+    drops in via the same pluggable duration hook) keeps it
+    SQL-recomputable; quantiles run on the bounded-cardinality
+    histogram (domain = 1..max_chunks, never row-sized), per-block
+    (kind, n) combiners → one domain-bounded fold → driver cum-scan —
+    the ship_lag_quantiles machinery. Oracle:
+    text_oracles.sql_media_duration_quantiles."""
+    import numpy as np
+
+    from semantic_search_system_ray.functions.hashing import md5_hash64
+    from semantic_search_system_ray.pipelines.queries import read_docs
+    from semantic_search_system_ray.sources.documents import text_table_to_spans
+    from semantic_search_system_ray.stages.media import (
+        MEDIA_MAX_CHUNKS,
+        flatten_media_spans,
+    )
+    from semantic_search_system_ray.stages.sketch import _quantile_rank
+
+    media = flatten_media_spans(
+        text_table_to_spans(read_docs(sf_dir, ["doc_id", "text"]))
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        kinds = t.column("kind").to_pylist()
+        refs = t.column("media_ref").to_pylist()
+        n = [1 + md5_hash64(f"{k}:{r}:dur") % MEDIA_MAX_CHUNKS
+             for k, r in zip(kinds, refs)]
+        t2 = pa.Table.from_pydict(
+            {"kind": pa.array(kinds, pa.string()),
+             "n_chunks": pa.array(n, pa.int64())}
+        )
+        out = t2.group_by(["kind", "n_chunks"]).aggregate(
+            [("n_chunks", "count")]
+        )
+        return out.rename_columns(["kind", "n_chunks", "n"])
+
+    rows = (
+        media.map_batches(hist, batch_format="pyarrow")
+        .groupby(["kind", "n_chunks"]).sum("n")
+        .take_all()  # kinds × 1..max_chunks — bounded
+    )
+    by_k: dict = {}
+    for r in rows:
+        by_k.setdefault(r["kind"], []).append(
+            (int(r["n_chunks"]), int(r["sum(n)"]))
+        )
+    QS = [0.5, 0.9]
+    out = {"kind": [], "q": [], "chunks": []}
+    for k in sorted(by_k):
+        cells = sorted(by_k[k])
+        vals = np.array([v for v, _n in cells], dtype=np.int64)
+        cnts = np.array([n for _v, n in cells], dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        for q in QS:
+            idx = int(np.searchsorted(cum, _quantile_rank(q, n),
+                                      side="left"))
+            out["kind"].append(k)
+            out["q"].append(q)
+            out["chunks"].append(int(vals[idx]))
+    return pa.Table.from_pydict(
+        {"kind": pa.array(out["kind"], pa.string()),
+         "q": pa.array(out["q"], pa.float64()),
+         "chunks": pa.array(out["chunks"], pa.int64())}
+    )
+
+
 def _q_media_frame_sample(sf_dir: str):
     """Frame/chunk sampling over media spans (stages/media
     .media_frame_sample) — every stride-th chunk of each asset; the
@@ -1726,6 +1797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_exact_multi": _q_ann_exact_multi,
             "media_features": _q_media_features,
             "media_frame_sample": _q_media_frame_sample,
+            "media_duration_quantiles": _q_media_duration_quantiles,
             "media_dedup": _q_media_dedup,
             "approx_distinct": _q_approx_distinct,
         }
@@ -1951,6 +2023,7 @@ def oracle_sql() -> dict[str, str]:
                     fromlist=["MEDIA_MAX_CHUNKS"],
                 ).MEDIA_MAX_CHUNKS,
             ),
+            "media_duration_quantiles": tox.sql_media_duration_quantiles(),
             # full minhash pipeline in SQL (md5-based hashes since r3)
             "minhash_clusters": tox.sql_minhash_clusters(threshold=0.6),
             "dedup_incremental": tox.sql_dedup_incremental(threshold=0.5),

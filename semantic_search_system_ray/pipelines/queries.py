@@ -12607,3 +12607,87 @@ QUERIES["kg_degree_hist"] = q_kg_degree_hist
 ORACLE_SQL["kg_degree_hist"] = _sql_kg_degree_hist()
 QUERIES["user_event_entropy"] = q_user_event_entropy
 ORACLE_SQL["user_event_entropy"] = SQL_USER_EVENT_ENTROPY
+
+
+def q_bpe_pair_counts(sf_dir: str):
+    """One BPE MERGE ROUND's candidate table: corpus-wide counts of
+    adjacent character pairs inside words, weighted by word frequency —
+    the argmax of this table IS the next byte-pair merge a tokenizer
+    trainer would take (Sennrich 2016), so the top-20 with the exact
+    (count DESC, pair) tie rule is the deterministic training
+    primitive. Tokenization is byte-identical to the
+    zipf/entropy/minhash family (functions.text.tokenize == the shared
+    regex).
+
+    Scale shape: per-block (word, n) count combiners, pair extraction
+    per DISTINCT word (vocabulary-bounded per block, weighted by n, so
+    gram work never scales with token count), per-block (pair, cnt)
+    partials → one pair-keyed coarse fold (pair domain ≤ alphabet² —
+    tiny) → bounded driver sort for the top-20."""
+    import pandas as pd
+
+    from semantic_search_system_ray.functions.text import tokenize
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    pair_schema = pa.schema([("pair", pa.string()), ("cnt", pa.int64())])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        wc: dict[str, int] = {}
+        for txt in t.column("text").to_pylist():
+            for w in tokenize((txt or "").lower()):
+                wc[w] = wc.get(w, 0) + 1
+        pc_: dict[str, int] = {}
+        for w, n in wc.items():
+            for i in range(len(w) - 1):
+                p = w[i:i + 2]
+                pc_[p] = pc_.get(p, 0) + n
+        if not pc_:
+            return pair_schema.empty_table()
+        return pa.Table.from_pydict(
+            {"pair": list(pc_), "cnt": list(pc_.values())},
+            schema=pair_schema,
+        )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pair_schema.empty_table()
+        agg = df.groupby("pair", sort=False)["cnt"].sum().reset_index()
+        return pa.Table.from_pandas(agg, schema=pair_schema,
+                                    preserve_index=False)
+
+    folded = coarse_partition_apply(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["pair"], fold, pair_schema,
+    )
+    rows = sorted(
+        ((r["pair"], r["cnt"]) for r in folded.take_all()),
+        key=lambda x: (-x[1], x[0]),
+    )[:20]
+    return pa.Table.from_pydict(
+        {"pair": pa.array([r[0] for r in rows], pa.string()),
+         "cnt": pa.array([r[1] for r in rows], pa.int64())},
+        schema=pair_schema,
+    )
+
+
+SQL_BPE_PAIR_COUNTS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\w+(?:''\w+)?')) AS w
+  FROM documents
+),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+exploded AS (
+  SELECT w, n, unnest(generate_series(1, len(w) - 1)) AS i
+  FROM wc WHERE len(w) >= 2
+),
+agg AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair,
+         CAST(sum(n) AS BIGINT) AS cnt
+  FROM exploded GROUP BY 1
+)
+SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT 20
+"""
+
+QUERIES["bpe_pair_counts"] = q_bpe_pair_counts
+ORACLE_SQL["bpe_pair_counts"] = SQL_BPE_PAIR_COUNTS

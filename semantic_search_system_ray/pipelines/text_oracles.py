@@ -2401,3 +2401,24 @@ SELECT ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS "rank",
        doc_id, rrf_score
 FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {k}
 """
+
+
+def sql_media_duration_quantiles() -> str:
+    """Oracle for the per-kind media duration quantiles: the shared
+    media-spans CTE + the stub n_chunks metadata (1 + md5 % max_chunks,
+    identical to media_frame_sample's), quantile_disc per kind — all
+    integers."""
+    from semantic_search_system_ray.stages.media import MEDIA_MAX_CHUNKS
+
+    return f"""{_sql_media_spans_cte()},
+dur AS (
+  SELECT kind, CAST(1 + md5_number_lower(
+           kind || ':' || media_ref || ':dur') % {MEDIA_MAX_CHUNKS}
+         AS BIGINT) AS n_chunks
+  FROM media
+)
+SELECT kind,
+       unnest([0.5, 0.9]) AS q,
+       unnest(quantile_disc(n_chunks, [0.5, 0.9])) AS chunks
+FROM dur GROUP BY kind
+"""
