@@ -1074,6 +1074,115 @@ def _q_kg_metapath(sf_dir: str):
     return metapath_topic_coverage(_kg_triples(sf_dir))
 
 
+def _q_kg_pred_stats(sf_dir: str):
+    """Per-PREDICATE profile of the triple store: triple count plus
+    distinct subject/object cardinalities — the KG schema-statistics
+    pass a query planner (or a sanity dashboard) reads first. One
+    coarse cogroup keyed by pred folds per-block partial (pred, subj,
+    obj) distinct sets; pred domain is schema-bounded."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    out_schema = pa.schema(
+        [("pred", pa.string()), ("n_triples", pa.int64()),
+         ("n_subj", pa.int64()), ("n_obj", pa.int64())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        rows = []
+        for p, g in df.groupby("pred", sort=False):
+            rows.append((p, len(g), g["subj"].nunique(), g["obj"].nunique()))
+        return pa.Table.from_pydict(
+            {"pred": [r[0] for r in rows],
+             "n_triples": pa.array([r[1] for r in rows], pa.int64()),
+             "n_subj": pa.array([r[2] for r in rows], pa.int64()),
+             "n_obj": pa.array([r[3] for r in rows], pa.int64())},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        _kg_triples(sf_dir), ["pred"], fold, out_schema
+    )
+
+
+def _q_kg_node_types(sf_dir: str):
+    """NODE-TYPE census of the KG: each node classified by the ROLES it
+    plays (sorted role-set string, e.g. doc nodes appear only as
+    MENTIONS/HAS_TOPIC subjects, topics as HAS_TOPIC/IN_TOPIC objects)
+    → (roles, n_nodes). The heterogeneous-schema audit that catches a
+    gazetteer leaking doc ids into entity positions. One coarse cogroup
+    keyed by node over (node, role) partials; role vocabulary is
+    schema-bounded, the census fold is a bounded second cogroup."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    t = _kg_triples(sf_dir)
+    nr_schema = pa.schema([("node", pa.string()), ("role", pa.string())])
+
+    def roles(tb: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        subj = pc.cast(tb.column("subj"), pa.string()).combine_chunks()
+        obj = pc.cast(tb.column("obj"), pa.string()).combine_chunks()
+        pred = pc.cast(tb.column("pred"), pa.string()).combine_chunks()
+        return pa.Table.from_pydict(
+            {"node": pa.chunked_array([subj, obj]),
+             "role": pa.chunked_array([
+                 pc.binary_join_element_wise(
+                     pa.array(["s"] * tb.num_rows), pred, ":"),
+                 pc.binary_join_element_wise(
+                     pa.array(["o"] * tb.num_rows), pred, ":"),
+             ])},
+            schema=nr_schema,
+        )
+
+    rs_schema = pa.schema([("roles", pa.string())])
+
+    def role_set(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return rs_schema.empty_table()
+        agg = (
+            df.drop_duplicates()
+            .sort_values(["node", "role"], kind="mergesort")
+            .groupby("node", sort=False)["role"]
+            .agg(lambda s: "|".join(s))
+        )
+        return pa.Table.from_pydict(
+            {"roles": agg.to_numpy()}, schema=rs_schema
+        )
+
+    sets = coarse_partition_apply(
+        t.map_batches(roles, batch_format="pyarrow"),
+        ["node"], role_set, rs_schema,
+    )
+    out_schema = pa.schema([("roles", pa.string()), ("n_nodes", pa.int64())])
+
+    def census_partial(tb: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = tb.group_by(["roles"]).aggregate([("roles", "count")])
+        return pa.Table.from_pydict(
+            {"roles": g.column("roles"),
+             "n_nodes": pc.cast(g.column("roles_count"), pa.int64())},
+            schema=out_schema,
+        )
+
+    def census(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby("roles", sort=False)["n_nodes"].sum().reset_index()
+        return pa.Table.from_pandas(agg, schema=out_schema,
+                                    preserve_index=False)
+
+    return coarse_partition_apply(
+        sets.map_batches(census_partial, batch_format="pyarrow"),
+        ["roles"], census, out_schema,
+    )
+
+
 def _q_kg_modularity(sf_dir: str):
     """Newman modularity Q of the 3-round LPA communities over the KG's
     undirected simple graph (stages/graph.modularity): computed exactly
@@ -1765,6 +1874,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_closeness": _q_kg_closeness,
             "kg_ktruss": _q_kg_ktruss,
             "kg_metapath": _q_kg_metapath,
+            "kg_pred_stats": _q_kg_pred_stats,
+            "kg_node_types": _q_kg_node_types,
             "kg_ppr": _q_kg_ppr,
             "kg_triangles": _q_kg_triangles,
             "kg_clustering": _q_kg_clustering,
@@ -1965,6 +2076,12 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_metapath": tox.sql_kg_metapath(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_pred_stats": tox.sql_kg_pred_stats(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_node_types": tox.sql_kg_node_types(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_ppr": tox.sql_kg_ppr(

@@ -1862,6 +1862,47 @@ FROM topics tp
 """
 
 
+def sql_kg_pred_stats(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for the per-predicate schema statistics: plain grouped
+    count + distinct cardinalities over the kg_triples subquery."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples})
+SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
+FROM t GROUP BY 1
+"""
+
+
+def sql_kg_node_types(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for the node-type census: per node the sorted distinct
+    (side:pred) role set joined by '|', counted per role-set string.
+    Built over the kg_triples subquery."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples}),
+nr AS (
+  SELECT CAST(subj AS VARCHAR) AS node, 's:' || pred AS role FROM t
+  UNION
+  SELECT CAST(obj AS VARCHAR), 'o:' || pred FROM t
+),
+rs AS (
+  SELECT node, string_agg(role, '|' ORDER BY role) AS roles
+  FROM nr GROUP BY node
+)
+SELECT roles, CAST(count(*) AS BIGINT) AS n_nodes FROM rs GROUP BY 1
+"""
+
+
 def sql_kg_reciprocity(
     gazetteer: dict[str, str],
     taxonomy: dict[str, list[str]],
