@@ -12691,3 +12691,182 @@ SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT 20
 
 QUERIES["bpe_pair_counts"] = q_bpe_pair_counts
 ORACLE_SQL["bpe_pair_counts"] = SQL_BPE_PAIR_COUNTS
+
+
+def q_hapax_ratio(sf_dir: str):
+    """Per-source HAPAX LEGOMENA ratio: the share of the source's
+    vocabulary occurring exactly once — the classic lexical-richness /
+    OCR-noise signal (clean natural text runs ~0.4–0.6; template spam
+    collapses toward 0, OCR garbage explodes toward 1). Exact integers
+    end to end, one trailing divide. Same tokenization and scale shape
+    as entropy_by_source / zipf_slope: per-block (source, word, n)
+    combiners → ONE source-keyed coarse fold over the vocabulary."""
+    import pandas as pd
+
+    from semantic_search_system_ray.functions.text import tokenize
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+    part_schema = pa.schema(
+        [("source", pa.string()), ("w", pa.string()), ("n", pa.int64())]
+    )
+
+    def wc(t: pa.Table) -> pa.Table:
+        srcs, words = [], []
+        for s, txt in zip(t.column("source").to_pylist(),
+                          t.column("text").to_pylist()):
+            for w in tokenize((txt or "").lower()):
+                srcs.append(s)
+                words.append(w)
+        if not srcs:
+            return part_schema.empty_table()
+        g = pa.Table.from_pydict(
+            {"source": pa.array(srcs, pa.string()),
+             "w": pa.array(words, pa.string())}
+        ).group_by(["source", "w"]).aggregate([("w", "count")])
+        return pa.Table.from_pydict(
+            {"source": g.column("source"), "w": g.column("w"),
+             "n": pc.cast(g.column("w_count"), pa.int64())},
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("source", pa.string()), ("vocab", pa.int64()),
+         ("hapax", pa.int64()), ("hapax_ratio", pa.float64())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby(["source", "w"], sort=False)["n"].sum().reset_index()
+        rows = []
+        for src, g in agg.groupby("source", sort=False):
+            v = len(g)
+            h = int((g["n"].to_numpy() == 1).sum())
+            rows.append((src, v, h, float(h) / float(v)))
+        return pa.Table.from_pydict(
+            {"source": [r[0] for r in rows],
+             "vocab": pa.array([r[1] for r in rows], pa.int64()),
+             "hapax": pa.array([r[2] for r in rows], pa.int64()),
+             "hapax_ratio": pa.array([r[3] for r in rows], pa.float64())},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        ds.map_batches(wc, batch_format="pyarrow"),
+        ["source"], fold, out_schema,
+    )
+
+
+SQL_HAPAX_RATIO = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '\w+(?:''\w+)?')) AS w
+  FROM documents
+),
+wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+       FROM toks GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS hapax_ratio
+FROM wc GROUP BY 1
+"""
+
+
+def q_cross_lang_dups(sf_dir: str):
+    """CROSS-LANGUAGE near-duplication report: MinHash cluster members
+    whose language differs from their cluster representative's — the
+    translation-leak / copy-with-lang-mislabel signal an eval-decontam
+    pass checks (same-content-different-lang pairs inflate multilingual
+    eval scores). Reuses the one minhash cluster pass; two lang
+    attaches (doc's and representative's) via coarse_attach; output
+    per (member_lang, rep_lang) pair counts with member_lang <>
+    rep_lang. Lang domain bounded → tiny fold."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.dedup import minhash_lsh_clusters
+    from semantic_search_system_ray.stages.util import (
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    docs = read_docs(sf_dir, ["doc_id", "text", "lang"]).materialize()
+    clusters = minhash_lsh_clusters(
+        docs.select_columns(["doc_id", "text"]), threshold=0.6
+    )
+    langs = docs.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"d": pc.cast(t.column("doc_id"), pa.string()),
+             "lang": t.column("lang")},
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    s1 = pa.schema([("doc_id", pa.string()), ("cluster", pa.string()),
+                    ("member_lang", pa.string())])
+    withm = coarse_attach(
+        clusters, langs, left_key="doc_id", right_key="d",
+        attach_cols=["lang"], attach_as=["member_lang"], out_schema=s1,
+        how="inner",
+    )
+    s2 = pa.schema([("doc_id", pa.string()), ("cluster", pa.string()),
+                    ("member_lang", pa.string()), ("rep_lang", pa.string())])
+    withr = coarse_attach(
+        withm, langs, left_key="cluster", right_key="d",
+        attach_cols=["lang"], attach_as=["rep_lang"], out_schema=s2,
+        how="inner",
+    )
+    out_schema = pa.schema(
+        [("member_lang", pa.string()), ("rep_lang", pa.string()),
+         ("n_docs", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t.column("member_lang"),
+                                  t.column("rep_lang")))
+        g = f.group_by(["member_lang", "rep_lang"]).aggregate(
+            [("doc_id", "count")]
+        )
+        return pa.Table.from_pydict(
+            {"member_lang": g.column("member_lang"),
+             "rep_lang": g.column("rep_lang"),
+             "n_docs": pc.cast(g.column("doc_id_count"), pa.int64())},
+            schema=out_schema,
+        )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby(["member_lang", "rep_lang"], sort=False)[
+            "n_docs"].sum().reset_index()
+        return pa.Table.from_pandas(agg, schema=out_schema,
+                                    preserve_index=False)
+
+    return coarse_partition_apply(
+        withr.map_batches(partial, batch_format="pyarrow"),
+        ["member_lang", "rep_lang"], fold, out_schema,
+    )
+
+
+def _sql_cross_lang_dups() -> str:
+    from semantic_search_system_ray.pipelines.text_oracles import (
+        sql_minhash_clusters,
+    )
+
+    inner = sql_minhash_clusters(threshold=0.6)
+    return f"""
+WITH cl AS ({inner})
+SELECT dm.lang AS member_lang, dr.lang AS rep_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM cl
+JOIN documents dm ON CAST(dm.doc_id AS VARCHAR) = cl.doc_id
+JOIN documents dr ON CAST(dr.doc_id AS VARCHAR) = cl.cluster
+WHERE dm.lang <> dr.lang
+GROUP BY 1, 2
+"""
+
+QUERIES["hapax_ratio"] = q_hapax_ratio
+ORACLE_SQL["hapax_ratio"] = SQL_HAPAX_RATIO
+QUERIES["cross_lang_dups"] = q_cross_lang_dups
+ORACLE_SQL["cross_lang_dups"] = _sql_cross_lang_dups()
