@@ -1074,6 +1074,79 @@ def _q_kg_metapath(sf_dir: str):
     return metapath_topic_coverage(_kg_triples(sf_dir))
 
 
+def _q_kg_wcc_sizes(sf_dir: str):
+    """Weakly-connected-component SIZE histogram of the KG: (component
+    size → number of components) — the fragmentation one-glance (one
+    giant component + dust is healthy; many mid-size islands means the
+    linker under-merges). Reuses the scale-switched CC pass, then two
+    bounded folds (component sizes → size census), the
+    dedup_cluster_hist shape on the graph side."""
+    import pandas as pd
+
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.cc import connected_components
+    from semantic_search_system_ray.stages.graph import _distinct_nodes
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    edges = edges_from_triples(_kg_triples(sf_dir)).materialize()
+    nodes = _distinct_nodes(edges, "src", "dst").map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+    )
+    comp = connected_components(nodes, edges, max_rounds=64).map_batches(
+        lambda t: t.rename_columns(["node_id", "component"]),
+        batch_format="pyarrow",
+    )
+    size_schema = pa.schema([("component", pa.string()), ("n", pa.int64())])
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = t.group_by(["component"]).aggregate([("component", "count")])
+        return pa.Table.from_pydict(
+            {"component": pc.cast(g.column("component"), pa.string()),
+             "n": pc.cast(g.column("component_count"), pa.int64())},
+            schema=size_schema,
+        )
+
+    def size_fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return size_schema.empty_table()
+        agg = df.groupby("component", sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pandas(agg, schema=size_schema,
+                                    preserve_index=False)
+
+    sizes = coarse_partition_apply(
+        comp.map_batches(size_partial, batch_format="pyarrow"),
+        ["component"], size_fold, size_schema,
+    )
+    out_schema = pa.schema(
+        [("component_size", pa.int64()), ("n_components", pa.int64())]
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = t.group_by(["n"]).aggregate([("n", "count")])
+        return pa.Table.from_pydict(
+            {"component_size": pc.cast(g.column("n"), pa.int64()),
+             "n_components": pc.cast(g.column("n_count"), pa.int64())},
+            schema=out_schema,
+        )
+
+    def hist_fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby("component_size", sort=False)[
+            "n_components"].sum().reset_index()
+        return pa.Table.from_pandas(agg, schema=out_schema,
+                                    preserve_index=False)
+
+    return coarse_partition_apply(
+        sizes.map_batches(hist_partial, batch_format="pyarrow"),
+        ["component_size"], hist_fold, out_schema,
+    )
+
+
 def _q_kg_pred_stats(sf_dir: str):
     """Per-PREDICATE profile of the triple store: triple count plus
     distinct subject/object cardinalities — the KG schema-statistics
@@ -1875,6 +1948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_ktruss": _q_kg_ktruss,
             "kg_metapath": _q_kg_metapath,
             "kg_pred_stats": _q_kg_pred_stats,
+            "kg_wcc_sizes": _q_kg_wcc_sizes,
             "kg_node_types": _q_kg_node_types,
             "kg_ppr": _q_kg_ppr,
             "kg_triangles": _q_kg_triangles,
@@ -2076,6 +2150,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_metapath": tox.sql_kg_metapath(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_wcc_sizes": tox.sql_kg_wcc_sizes(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_pred_stats": tox.sql_kg_pred_stats(

@@ -1862,6 +1862,23 @@ FROM topics tp
 """
 
 
+def sql_kg_wcc_sizes(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for the WCC size histogram: the sql_kg_components
+    subquery → per-component counts → size census."""
+    comp = sql_kg_components(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH comp AS MATERIALIZED ({comp}),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS n
+          FROM comp GROUP BY 1)
+SELECT n AS component_size, CAST(count(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY 1
+"""
+
+
 def sql_kg_pred_stats(
     gazetteer: dict[str, str],
     taxonomy: dict[str, list[str]],
