@@ -750,16 +750,38 @@ def _q_kg_components(sf_dir: str):
     kg_triples SQL subquery. Scale-switched via cc.connected_components:
     driver union-find for small edge sets, distributed propagation with
     checksum early-exit above the threshold (regimes parity-pytested in
-    tests/test_cc.py)."""
+    tests/test_cc.py). The raw triple multigraph is first collapsed to
+    its DISTINCT simple undirected edge set — connectivity-preserving
+    (parallel edges and self-loops never change components; a
+    self-loop-only node stays a singleton via the identity-label path)
+    and it lets the scale switch see the TRUE edge cardinality instead
+    of the triple count (6.1M triples → 48k simple edges at sf0.1, so
+    the exact union-find runs where the multigraph count would have
+    forced pointless distributed rounds)."""
+    return _kg_wcc_labels(sf_dir)
+
+
+def _kg_wcc_labels(sf_dir: str):
     from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
     from semantic_search_system_ray.stages.cc import connected_components
-    from semantic_search_system_ray.stages.graph import _distinct_nodes
+    from semantic_search_system_ray.stages.graph import (
+        _distinct_nodes,
+        undirected_simple_edges,
+    )
 
     edges = edges_from_triples(_kg_triples(sf_dir)).materialize()
     nodes = _distinct_nodes(edges, "src", "dst").map_batches(
         lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
     )
-    labels = connected_components(nodes, edges, max_rounds=64)
+    simple = undirected_simple_edges(
+        edges, src_col="src", dst_col="dst"
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"src": t.column("a"), "dst": t.column("b")}
+        ),
+        batch_format="pyarrow",
+    )
+    labels = connected_components(nodes, simple, max_rounds=64)
     return labels.map_batches(
         lambda t: t.rename_columns(["node_id", "component"]),
         batch_format="pyarrow",
@@ -1083,19 +1105,9 @@ def _q_kg_wcc_sizes(sf_dir: str):
     dedup_cluster_hist shape on the graph side."""
     import pandas as pd
 
-    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
-    from semantic_search_system_ray.stages.cc import connected_components
-    from semantic_search_system_ray.stages.graph import _distinct_nodes
     from semantic_search_system_ray.stages.util import coarse_partition_apply
 
-    edges = edges_from_triples(_kg_triples(sf_dir)).materialize()
-    nodes = _distinct_nodes(edges, "src", "dst").map_batches(
-        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
-    )
-    comp = connected_components(nodes, edges, max_rounds=64).map_batches(
-        lambda t: t.rename_columns(["node_id", "component"]),
-        batch_format="pyarrow",
-    )
+    comp = _kg_wcc_labels(sf_dir)
     size_schema = pa.schema([("component", pa.string()), ("n", pa.int64())])
 
     def size_partial(t: pa.Table) -> pa.Table:
