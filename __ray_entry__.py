@@ -1268,6 +1268,44 @@ def _q_kg_node_types(sf_dir: str):
     )
 
 
+def _q_kg_sigma(sf_dir: str):
+    """Shortest-path counts σ from the smallest HAS_TOPIC seed, radius
+    4 (stages/graph.shortest_path_counts) — the all-integer Brandes
+    forward pass (σ at layer r = Σ σ over BFS-DAG predecessors), one
+    edge cogroup + one per-node sum per layer over the
+    distance-attached edge set. Oracle: bounded reachability CTE +
+    unrolled σ layer CTEs (text_oracles.sql_kg_sigma)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import shortest_path_counts
+
+    triples = _kg_triples(sf_dir).materialize()
+    topic_objs = triples.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"obj": pc.cast(
+                t.filter(pc.equal(t.column("pred"), "HAS_TOPIC"))
+                .column("obj"), pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    objs = sorted({
+        v for tbl in ray.get(
+            topic_objs.map_batches(
+                lambda t: t.group_by(["obj"]).aggregate([]),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+        if tbl.num_rows > 0 and "obj" in tbl.schema.names
+        for v in tbl.column("obj").to_pylist()
+    })
+    return shortest_path_counts(
+        objs[0], edges_from_triples(triples), radius=4
+    )
+
+
 def _q_kg_modularity(sf_dir: str):
     """Newman modularity Q of the 3-round LPA communities over the KG's
     undirected simple graph (stages/graph.modularity): computed exactly
@@ -1961,6 +1999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_metapath": _q_kg_metapath,
             "kg_pred_stats": _q_kg_pred_stats,
             "kg_wcc_sizes": _q_kg_wcc_sizes,
+            "kg_sigma": _q_kg_sigma,
             "kg_node_types": _q_kg_node_types,
             "kg_ppr": _q_kg_ppr,
             "kg_triangles": _q_kg_triangles,
@@ -2165,6 +2204,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_wcc_sizes": tox.sql_kg_wcc_sizes(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_sigma": tox.sql_kg_sigma(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_pred_stats": tox.sql_kg_pred_stats(

@@ -1551,6 +1551,63 @@ FROM mind GROUP BY seed
 """
 
 
+def sql_kg_sigma(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    radius: int = 4,
+) -> str:
+    """Oracle for stages/graph.shortest_path_counts seeded at the
+    lexicographically smallest HAS_TOPIC object: bounded reachability
+    CTE → min hop distance per node, then ``radius`` unrolled σ layer
+    CTEs (σ at layer r = Σ of σ over BFS-DAG predecessors at r-1) —
+    all-integer Brandes forward pass. Built over the kg_triples oracle
+    subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    parts = [
+        f"""WITH RECURSIVE t AS ({triples}),
+e AS (
+  SELECT DISTINCT CAST(subj AS VARCHAR) AS src, CAST(obj AS VARCHAR) AS dst
+  FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)
+),
+es AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+seed AS (
+  SELECT min(CAST(obj AS VARCHAR)) AS node_id FROM t
+  WHERE pred = 'HAS_TOPIC'
+),
+reach(node_id, dist) AS (
+  SELECT node_id, 0 FROM seed
+  UNION
+  SELECT es.dst, r.dist + 1
+  FROM reach r JOIN es ON es.src = r.node_id
+  WHERE r.dist < {radius}
+),
+mind AS (SELECT node_id, min(dist) AS d FROM reach GROUP BY 1),
+s0 AS (SELECT node_id, CAST(1 AS BIGINT) AS sigma FROM seed)"""
+    ]
+    for r in range(1, radius + 1):
+        parts.append(
+            f""",
+s{r} AS (
+  SELECT mv.node_id, CAST(sum(sp.sigma) AS BIGINT) AS sigma
+  FROM mind mv
+  JOIN es ON es.dst = mv.node_id
+  JOIN mind mu ON mu.node_id = es.src AND mu.d = {r - 1}
+  JOIN s{r - 1} sp ON sp.node_id = es.src
+  WHERE mv.d = {r}
+  GROUP BY 1
+)"""
+        )
+    selects = ["SELECT node_id, CAST(0 AS BIGINT) AS dist, sigma FROM s0"]
+    for r in range(1, radius + 1):
+        selects.append(
+            f"SELECT node_id, CAST({r} AS BIGINT) AS dist, sigma FROM s{r}"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
 def sql_kg_linkpred_negs(
     gazetteer: dict[str, str],
     taxonomy: dict[str, list[str]],

@@ -4321,3 +4321,144 @@ def ktruss_edges(
         ),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# shortest-path counts from a seed (Brandes sigma — layered DAG DP)
+# --------------------------------------------------------------------------
+
+SIGMA_SCHEMA = pa.schema(
+    [("node_id", pa.string()), ("dist", pa.int64()), ("sigma", pa.int64())]
+)
+
+
+def shortest_path_counts(
+    seed: str,
+    edges: rd.Dataset,
+    *,
+    radius: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    driver_threshold: int | None = None,
+) -> rd.Dataset:
+    """σ (SHORTEST-PATH COUNTS) from ``seed`` over the undirected simple
+    graph, radius-bounded: for every node within ``radius`` hops, the
+    exact number of distinct shortest paths from the seed — the Brandes
+    (2001) forward pass and the quantity betweenness/centrality
+    estimators accumulate. All-integer (σ sums over BFS-DAG
+    predecessors are exact int64 and layer-local, so block layout never
+    matters), hence SQL-twinnable as unrolled layer CTEs.
+
+    Shape: one scale-switched BFS for the hop distances, then one
+    LAYERED DP round per hop — layer r's σ is ONE edge cogroup (edges
+    whose endpoints sit at dist r-1 / r) + ONE per-node sum; σ rows
+    live per layer (frontier-sized), never collected. int64 bound: σ
+    can reach ~(avg_deg)^radius on dense layers — radius 4 at deg 10³
+    is 10¹² (fine); deeper radii on dense graphs need the bound check
+    the docstring documents (multiply-free sums can't overflow-check
+    cheaply, so callers own the radius choice)."""
+    from semantic_search_system_ray.stages.util import (
+        _default_partitions,
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    und = undirected_simple_edges(
+        edges, src_col=src_col, dst_col=dst_col
+    ).materialize()
+    seed_ds = rd.from_arrow(
+        pa.Table.from_pydict({"node_id": pa.array([seed], pa.string())})
+    )
+    dist = bfs_hops(
+        seed_ds, und, max_hops=radius, src_col="a", dst_col="b",
+        **({} if driver_threshold is None
+           else {"driver_threshold": driver_threshold}),
+    ).materialize()
+    P = _default_partitions(und)
+
+    # symmetric edges with both endpoint distances attached
+    sym = und.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"u": pa.chunked_array([_str(t.column("a")), _str(t.column("b"))]),
+             "v": pa.chunked_array([_str(t.column("b")), _str(t.column("a"))])},
+        ),
+        batch_format="pyarrow",
+    )
+    du_schema = pa.schema([("u", pa.string()), ("v", pa.string()),
+                           ("du", pa.int64())])
+    duv_schema = pa.schema([("u", pa.string()), ("v", pa.string()),
+                            ("du", pa.int64()), ("dv", pa.int64())])
+    e1 = coarse_attach(
+        sym, dist, left_key="u", right_key="node_id",
+        attach_cols=["dist"], attach_as=["du"], out_schema=du_schema,
+        num_partitions=P, how="inner",
+    )
+    e2 = coarse_attach(
+        e1, dist, left_key="v", right_key="node_id",
+        attach_cols=["dist"], attach_as=["dv"], out_schema=duv_schema,
+        num_partitions=P, how="inner",
+    ).materialize()
+
+    sv_schema = pa.schema([("node", pa.string()), ("sigma", pa.int64())])
+    frontier = rd.from_arrow(
+        pa.Table.from_pydict(
+            {"node": pa.array([seed], pa.string()),
+             "sigma": pa.array([1], pa.int64())},
+            schema=sv_schema,
+        )
+    )
+    out_ds = rd.from_arrow(pa.Table.from_pydict(
+        {"node_id": pa.array([seed], pa.string()),
+         "dist": pa.array([0], pa.int64()),
+         "sigma": pa.array([1], pa.int64())},
+        schema=SIGMA_SCHEMA,
+    ))
+    for r in range(1, radius + 1):
+        layer_edges = e2.map_batches(
+            lambda t, _r=r: t.filter(
+                pc.and_(pc.equal(t.column("du"), _r - 1),
+                        pc.equal(t.column("dv"), _r))
+            ).select(["u", "v"]),
+            batch_format="pyarrow",
+        )
+        att_schema = pa.schema([("v", pa.string()), ("sigma", pa.int64())])
+        contrib = coarse_attach(
+            layer_edges, frontier, left_key="u", right_key="node",
+            attach_cols=["sigma"], out_schema=att_schema,
+            num_partitions=P, how="inner",
+        )
+
+        def part_sum(df, _sv=sv_schema):
+            if df.empty:
+                return _sv.empty_table()
+            agg = df.groupby("node", sort=False)["sigma"].sum().reset_index()
+            return pa.Table.from_pydict(
+                {"node": agg["node"].to_numpy(),
+                 "sigma": agg["sigma"].to_numpy().astype(np.int64)},
+                schema=_sv,
+            )
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by(["v"]).aggregate([("sigma", "sum")])
+            return pa.Table.from_pydict(
+                {"node": _str(g.column("v")),
+                 "sigma": pc.cast(g.column("sigma_sum"), pa.int64())},
+                schema=sv_schema,
+            )
+
+        frontier = coarse_partition_apply(
+            contrib.map_batches(partial, batch_format="pyarrow"),
+            ["node"], part_sum, sv_schema, num_partitions=P,
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        out_ds = out_ds.union(frontier.map_batches(
+            lambda t, _r=r: pa.Table.from_pydict(
+                {"node_id": t.column("node"),
+                 "dist": pa.nulls(t.num_rows, pa.int64()).fill_null(_r),
+                 "sigma": t.column("sigma")},
+                schema=SIGMA_SCHEMA,
+            ),
+            batch_format="pyarrow",
+        ))
+    return out_ds

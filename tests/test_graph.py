@@ -1101,3 +1101,59 @@ def test_metapath_topic_coverage(ray_session):
     rows = list(zip(got["topic"], got["n_via_path"], got["n_direct"],
                     got["n_both"]))
     assert rows == [("T", 2, 2, 1)]
+
+
+def _reference_sigma(
+    edges: list[tuple[str, str]], seed: str, radius: int
+) -> list[tuple[str, int, int]]:
+    """Single-process Brandes forward pass over the undirected simple
+    graph: BFS layers, σ(v) = Σ σ(u) over predecessors one layer up."""
+    from collections import deque
+
+    und = sorted({(min(s, d), max(s, d)) for s, d in edges if s != d})
+    nbr: dict[str, set[str]] = {}
+    for a, b in und:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    dist = {seed: 0}
+    sigma = {seed: 1}
+    dq = deque([seed])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= radius:
+            continue
+        for v in sorted(nbr.get(u, ())):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                sigma[v] = 0
+                dq.append(v)
+            if dist[v] == dist[u] + 1:
+                sigma[v] += sigma[u]
+    return sorted((n, dist[n], sigma[n]) for n in dist)
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_shortest_path_counts(ray_session, driver_threshold):
+    """Diamond a-b-d / a-c-d then d-e: σ(d)=2 (two shortest paths),
+    σ(e)=2 (inherits through d) — matches the single-process Brandes
+    forward pass on both BFS regimes, and layers stop at the radius."""
+    from semantic_search_system_ray.stages.graph import shortest_path_counts
+
+    e = pa.table({
+        "src": ["a", "a", "b", "c", "d"],
+        "dst": ["b", "c", "d", "d", "e"],
+    })
+    got = sorted(
+        (r["node_id"], r["dist"], r["sigma"])
+        for r in shortest_path_counts(
+            "a", rd.from_arrow(e), radius=3,
+            driver_threshold=driver_threshold,
+        ).take_all()
+    )
+    ref = _reference_sigma(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")],
+        "a", 3,
+    )
+    assert got == ref
+    asd = {n: (d, s) for n, d, s in got}
+    assert asd["d"] == (2, 2) and asd["e"] == (3, 2)
