@@ -1306,6 +1306,73 @@ def _q_kg_sigma(sf_dir: str):
     )
 
 
+def _q_kg_diameter_lb(sf_dir: str):
+    """DOUBLE-SWEEP diameter lower bound (the classic 2-BFS heuristic,
+    exact on trees, a certified lower bound everywhere): BFS from the
+    lexicographically smallest node → farthest node f1 (tie → min id),
+    BFS from f1 → eccentricity ecc2 ≥ the first sweep's ecc1, and
+    diameter ≥ ecc2. Both sweeps bounded at 16 hops (documented
+    truncation — the KG's observed diameter is far below it; the SQL
+    twin carries the identical bound). Per-sweep cost: one
+    scale-switched bfs_hops + a two-scalar fold. Oracle: two bounded
+    reachability CTEs with the same (dist DESC, node) pick
+    (text_oracles.sql_kg_diameter_lb)."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import (
+        _distinct_nodes,
+        bfs_hops,
+    )
+
+    edges = edges_from_triples(_kg_triples(sf_dir)).materialize()
+    nodes = _distinct_nodes(edges, "src", "dst")
+    seed = min(
+        r["node_id"] for r in nodes.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"node_id": [pc.min(t.column("node_id")).as_py()]}
+            ) if t.num_rows else pa.Table.from_pydict({"node_id": []}),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+
+    def far(dist_ds):
+        # (max dist, min node among max-dist rows) via per-block partials
+        parts = dist_ds.map_batches(
+            lambda t: (
+                lambda mx: pa.Table.from_pydict(
+                    {"d": [mx],
+                     "node": [pc.min(t.filter(
+                         pc.equal(t.column("dist"), mx)
+                     ).column("node_id")).as_py()]}
+                )
+            )(pc.max(t.column("dist")).as_py()),
+            batch_format="pyarrow",
+        ).take_all()
+        mx = max(p["d"] for p in parts)
+        node = min(p["node"] for p in parts if p["d"] == mx)
+        return mx, node
+
+    seed_ds = rd.from_arrow(
+        pa.Table.from_pydict({"node_id": pa.array([seed], pa.string())})
+    )
+    ecc1, f1 = far(bfs_hops(seed_ds, edges, max_hops=16,
+                            src_col="src", dst_col="dst"))
+    f1_ds = rd.from_arrow(
+        pa.Table.from_pydict({"node_id": pa.array([f1], pa.string())})
+    )
+    ecc2, _ = far(bfs_hops(f1_ds, edges, max_hops=16,
+                           src_col="src", dst_col="dst"))
+    return pa.Table.from_pydict(
+        {"seed": pa.array([seed], pa.string()),
+         "far_node": pa.array([f1], pa.string()),
+         "ecc1": pa.array([ecc1], pa.int64()),
+         "diameter_lb": pa.array([ecc2], pa.int64())},
+    )
+
+
 def _q_kg_modularity(sf_dir: str):
     """Newman modularity Q of the 3-round LPA communities over the KG's
     undirected simple graph (stages/graph.modularity): computed exactly
@@ -2000,6 +2067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_pred_stats": _q_kg_pred_stats,
             "kg_wcc_sizes": _q_kg_wcc_sizes,
             "kg_sigma": _q_kg_sigma,
+            "kg_diameter_lb": _q_kg_diameter_lb,
             "kg_node_types": _q_kg_node_types,
             "kg_ppr": _q_kg_ppr,
             "kg_triangles": _q_kg_triangles,
@@ -2207,6 +2275,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_sigma": tox.sql_kg_sigma(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_diameter_lb": tox.sql_kg_diameter_lb(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_pred_stats": tox.sql_kg_pred_stats(

@@ -195,7 +195,7 @@ def run_bench() -> dict:
         "zipf_slope", "kg_metapath", "kg_degree_hist", "user_event_entropy",
         "kg_pred_stats", "kg_node_types", "media_duration_quantiles",
         "bpe_pair_counts", "hapax_ratio", "cross_lang_dups", "kg_wcc_sizes",
-        "kg_sigma",
+        "kg_sigma", "kg_diameter_lb", "doc_len_quantiles",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level

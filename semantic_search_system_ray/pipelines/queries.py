@@ -12870,3 +12870,64 @@ QUERIES["hapax_ratio"] = q_hapax_ratio
 ORACLE_SQL["hapax_ratio"] = SQL_HAPAX_RATIO
 QUERIES["cross_lang_dups"] = q_cross_lang_dups
 ORACLE_SQL["cross_lang_dups"] = _sql_cross_lang_dups()
+
+
+def q_doc_len_quantiles(sf_dir: str):
+    """Per-LANGUAGE document-length quantiles (p25/p50/p90 of n_chars)
+    — the curation length-profile that decides per-language chunking
+    and Gopher length bounds. Composes the bounded-cardinality grouped
+    histogram (length domain ≈ hundreds of distinct values regardless
+    of corpus size — the ship_lag_quantiles machinery) with the exact
+    quantile_disc rank rule: per-block (lang, n_chars) count combiners
+    → one domain-bounded groupby → driver cum-scan per language."""
+    from semantic_search_system_ray.stages.sketch import _quantile_rank
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"),
+                           columns=["lang", "n_chars"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return pa.Table.from_pydict(
+            {"lang": g.column("lang"),
+             "len": pc.cast(g.column("n_chars"), pa.int64()),
+             "n": pc.cast(g.column("n_chars_count"), pa.int64())},
+        )
+
+    rows = (
+        docs.map_batches(hist, batch_format="pyarrow")
+        .groupby(["lang", "len"]).sum("n")
+        .take_all()  # langs × length domain — bounded
+    )
+    by_l: dict = {}
+    for r in rows:
+        by_l.setdefault(r["lang"], []).append((int(r["len"]), int(r["sum(n)"])))
+    QS = [0.25, 0.5, 0.9]
+    out = {"lang": [], "q": [], "n_chars": []}
+    for lang in sorted(by_l):
+        cells = sorted(by_l[lang])
+        vals = np.array([v for v, _n in cells], dtype=np.int64)
+        cnts = np.array([n for _v, n in cells], dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        for q in QS:
+            idx = int(np.searchsorted(cum, _quantile_rank(q, n), side="left"))
+            out["lang"].append(lang)
+            out["q"].append(q)
+            out["n_chars"].append(int(vals[idx]))
+    return pa.Table.from_pydict(
+        {"lang": pa.array(out["lang"], pa.string()),
+         "q": pa.array(out["q"], pa.float64()),
+         "n_chars": pa.array(out["n_chars"], pa.int64())},
+    )
+
+
+SQL_DOC_LEN_QUANTILES = """
+SELECT lang,
+       unnest([0.25, 0.5, 0.9]) AS q,
+       unnest(quantile_disc(CAST(n_chars AS BIGINT), [0.25, 0.5, 0.9]))
+         AS n_chars
+FROM documents GROUP BY lang
+"""
+
+QUERIES["doc_len_quantiles"] = q_doc_len_quantiles
+ORACLE_SQL["doc_len_quantiles"] = SQL_DOC_LEN_QUANTILES

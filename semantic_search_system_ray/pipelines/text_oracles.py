@@ -1608,6 +1608,51 @@ s{r} AS (
     return "".join(parts)
 
 
+def sql_kg_diameter_lb(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    max_hops: int = 16,
+) -> str:
+    """Oracle for the double-sweep diameter lower bound: two bounded
+    undirected reachability CTEs; the far pick is (dist DESC, node)
+    exactly as the engine's (max dist, min node) fold. Built over the
+    kg_triples oracle subquery."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH RECURSIVE t AS ({triples}),
+e AS (
+  SELECT DISTINCT CAST(subj AS VARCHAR) AS src, CAST(obj AS VARCHAR) AS dst
+  FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)
+),
+es AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+seed AS (
+  SELECT min(node) AS node_id FROM
+    (SELECT src AS node FROM e UNION SELECT dst FROM e)
+),
+r1(node_id, dist) AS (
+  SELECT node_id, 0 FROM seed
+  UNION
+  SELECT es.dst, r.dist + 1 FROM r1 r JOIN es ON es.src = r.node_id
+  WHERE r.dist < {max_hops}
+),
+m1 AS (SELECT node_id, min(dist) AS d FROM r1 GROUP BY 1),
+f1 AS (SELECT node_id, d FROM m1 ORDER BY d DESC, node_id LIMIT 1),
+r2(node_id, dist) AS (
+  SELECT node_id, 0 FROM f1
+  UNION
+  SELECT es.dst, r.dist + 1 FROM r2 r JOIN es ON es.src = r.node_id
+  WHERE r.dist < {max_hops}
+),
+m2 AS (SELECT node_id, min(dist) AS d FROM r2 GROUP BY 1)
+SELECT (SELECT node_id FROM seed) AS seed,
+       (SELECT node_id FROM f1) AS far_node,
+       CAST((SELECT d FROM f1) AS BIGINT) AS ecc1,
+       CAST((SELECT max(d) FROM m2) AS BIGINT) AS diameter_lb
+"""
+
+
 def sql_kg_linkpred_negs(
     gazetteer: dict[str, str],
     taxonomy: dict[str, list[str]],
