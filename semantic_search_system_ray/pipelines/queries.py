@@ -12931,3 +12931,96 @@ FROM documents GROUP BY lang
 
 QUERIES["doc_len_quantiles"] = q_doc_len_quantiles
 ORACLE_SQL["doc_len_quantiles"] = SQL_DOC_LEN_QUANTILES
+
+
+def q_numeric_density(sf_dir: str):
+    """Per-source NUMERIC DENSITY profile: total digit characters vs
+    total characters, plus the count of numeric-heavy docs (digit share
+    > 30%, decided by the exact integer cross-multiply 10·digits >
+    3·chars — no per-doc float) — the tables/price-list/boilerplate
+    detector quality pipelines pair with the Gopher rules. Digit counts
+    are RE2 `[0-9]` matches on both engines; everything is int64 until
+    the one trailing density divide. Per-block (source, …) partial sums
+    → one domain-bounded fold."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"),
+                           columns=["source", "text", "n_chars"])
+    part_schema = pa.schema(
+        [("source", pa.string()), ("docs", pa.int64()),
+         ("digits", pa.int64()), ("chars", pa.int64()),
+         ("heavy", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        dg = pc.cast(
+            pc.count_substring_regex(t.column("text"), pattern="[0-9]"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        ch = pc.cast(t.column("n_chars"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        heavy = (10 * dg > 3 * ch).astype(np.int64)
+        df = pd.DataFrame({
+            "source": t.column("source").to_numpy(zero_copy_only=False),
+            "digits": dg, "chars": ch, "heavy": heavy,
+        })
+        agg = df.groupby("source", sort=False).agg(
+            docs=("digits", "size"), digits=("digits", "sum"),
+            chars=("chars", "sum"), heavy=("heavy", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(
+            agg[["source", "docs", "digits", "chars", "heavy"]],
+            schema=part_schema, preserve_index=False,
+        )
+
+    out_schema = pa.schema(
+        [("source", pa.string()), ("n_docs", pa.int64()),
+         ("total_digits", pa.int64()), ("total_chars", pa.int64()),
+         ("n_numeric_heavy", pa.int64()), ("density", pa.float64())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby("source", sort=False).agg(
+            docs=("docs", "sum"), digits=("digits", "sum"),
+            chars=("chars", "sum"), heavy=("heavy", "sum"),
+        ).reset_index()
+        return pa.Table.from_pydict(
+            {"source": agg["source"].to_numpy(),
+             "n_docs": agg["docs"].to_numpy().astype(np.int64),
+             "total_digits": agg["digits"].to_numpy().astype(np.int64),
+             "total_chars": agg["chars"].to_numpy().astype(np.int64),
+             "n_numeric_heavy": agg["heavy"].to_numpy().astype(np.int64),
+             "density": agg["digits"].to_numpy().astype(np.float64)
+                        / agg["chars"].to_numpy().astype(np.float64)},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source"], fold, out_schema,
+    )
+
+
+SQL_NUMERIC_DENSITY = """
+WITH d AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digits,
+         CAST(n_chars AS BIGINT) AS chars
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(digits) AS BIGINT) AS total_digits,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN 10 * digits > 3 * chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_numeric_heavy,
+       CAST(sum(digits) AS DOUBLE) / CAST(sum(chars) AS DOUBLE) AS density
+FROM d GROUP BY 1
+"""
+
+QUERIES["numeric_density"] = q_numeric_density
+ORACLE_SQL["numeric_density"] = SQL_NUMERIC_DENSITY
