@@ -196,7 +196,8 @@ def run_bench() -> dict:
         "kg_pred_stats", "kg_node_types", "media_duration_quantiles",
         "bpe_pair_counts", "hapax_ratio", "cross_lang_dups", "kg_wcc_sizes",
         "kg_sigma", "kg_diameter_lb", "doc_len_quantiles",
-        "numeric_density",
+        "numeric_density", "nation_trade_volume", "returned_revenue",
+        "product_profit",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level

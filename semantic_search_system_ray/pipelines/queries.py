@@ -13024,3 +13024,567 @@ FROM d GROUP BY 1
 
 QUERIES["numeric_density"] = q_numeric_density
 ORACLE_SQL["numeric_density"] = SQL_NUMERIC_DENSITY
+
+# --------------------------------------------------------------------------
+# TPC-H Q7/Q9/Q10 join shapes over the driver's tables (round-4 widening)
+# --------------------------------------------------------------------------
+
+def q_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape — BILATERAL trade volume: revenue shipped between
+    every (supplier nation, customer nation) pair per ship YEAR in the
+    1996-1997 window, cross-nation flows only. The three-strategy join
+    plan of local_supplier_volume, reused verbatim:
+
+    - nation (≤25 rows) collapses to a driver dict broadcast by closure;
+    - lineitem ⋈ orders (fact-fact) is ONE coarse cogroup on orderkey,
+      with the ship-date filter pushed to the parquet READ and a
+      per-block (orderkey, suppkey, year) revenue combiner ahead of the
+      shuffle, so only pre-aggregated partials move;
+    - customer / supplier nationkey attaches are hash-partitioned
+      `coarse_attach` (dimension too big to assume driver-resident at
+      100 TB; the helper auto-broadcasts when the side measures small).
+
+    Money rides as scale-4 integers end to end; the single
+    bigint→double divide happens at the ≤ 25·25·2-row finish, mirrored
+    by the oracle."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import (
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    nat = rd.read_parquet(_p(sf_dir, "nation")).to_pandas()
+    nat_name = {int(r["n_nationkey"]): r["n_name"] for _, r in nat.iterrows()}
+
+    import datetime as dt
+
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(dt.datetime(1996, 1, 1)))
+            & (pc.field("l_shipdate") < pa.scalar(dt.datetime(1998, 1, 1)))
+        ),
+    )
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    )
+
+    union_schema = pa.schema(
+        [("key", pa.int64()), ("supp", pa.int64()), ("yr", pa.int64()),
+         ("rev", pa.int64()), ("cust", pa.int64())]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                               pa.scalar(100.0))), pa.int64())
+        disc_h = pc.cast(pc.round(pc.multiply(t.column("l_discount"),
+                                              pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(price_c,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc_h))
+        t2 = pa.Table.from_pydict(
+            {"key": t.column("l_orderkey"), "supp": t.column("l_suppkey"),
+             "yr": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+             "rev": rev}
+        )
+        agg = t2.group_by(["key", "supp", "yr"]).aggregate([("rev", "sum")])
+        return pa.Table.from_arrays(
+            [agg.column("key"), agg.column("supp"), agg.column("yr"),
+             agg.column("rev_sum"), pa.nulls(agg.num_rows, pa.int64())],
+            schema=union_schema,
+        )
+
+    def orders_tag(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("o_orderkey"), pa.nulls(t.num_rows, pa.int64()),
+             pa.nulls(t.num_rows, pa.int64()),
+             pa.nulls(t.num_rows, pa.int64()), t.column("o_custkey")],
+            schema=union_schema,
+        )
+
+    combined = li.map_batches(li_partial, batch_format="pyarrow").union(
+        orders.map_batches(orders_tag, batch_format="pyarrow")
+    )
+    pair_schema = pa.schema(
+        [("cust", pa.int64()), ("supp", pa.int64()), ("yr", pa.int64()),
+         ("rev_s4", pa.int64())]
+    )
+
+    def cogroup(df: pd.DataFrame) -> pa.Table:
+        li_rows = df[df["cust"].isna()]
+        od_rows = df[df["cust"].notna()]
+        if li_rows.empty or od_rows.empty:
+            return pair_schema.empty_table()
+        j = od_rows[["key", "cust"]].merge(
+            li_rows[["key", "supp", "yr", "rev"]], on="key", how="inner"
+        )
+        if j.empty:
+            return pair_schema.empty_table()
+        agg = (
+            j.groupby(["cust", "supp", "yr"], sort=False)["rev"]
+            .sum().reset_index()
+        )
+        return pa.Table.from_pydict(
+            {"cust": agg["cust"].astype("int64"),
+             "supp": agg["supp"].astype("int64"),
+             "yr": agg["yr"].astype("int64"),
+             "rev_s4": agg["rev"].astype("int64")},
+            schema=pair_schema,
+        )
+
+    pairs = coarse_partition_apply(combined, ["key"], cogroup, pair_schema)
+
+    cust = rd.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+    with_cnat = coarse_attach(
+        pairs, cust, left_key="cust", right_key="c_custkey",
+        attach_cols=["c_nationkey"],
+        out_schema=pa.schema(
+            [("supp", pa.int64()), ("yr", pa.int64()), ("rev_s4", pa.int64()),
+             ("c_nationkey", pa.int64())]
+        ),
+        how="inner",
+    )
+    supp = rd.read_parquet(
+        _p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    with_snat = coarse_attach(
+        with_cnat, supp, left_key="supp", right_key="s_suppkey",
+        attach_cols=["s_nationkey"],
+        out_schema=pa.schema(
+            [("yr", pa.int64()), ("rev_s4", pa.int64()),
+             ("c_nationkey", pa.int64()), ("s_nationkey", pa.int64())]
+        ),
+        how="inner",
+    )
+
+    part_schema = pa.schema(
+        [("supp_nation", pa.string()), ("cust_nation", pa.string()),
+         ("l_year", pa.int64()), ("rev_s4", pa.int64())]
+    )
+
+    def to_names(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("c_nationkey"), t.column("s_nationkey"))
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        sn = pa.array(
+            [nat_name[k] for k in t.column("s_nationkey").to_pylist()],
+            pa.string(),
+        )
+        cn = pa.array(
+            [nat_name[k] for k in t.column("c_nationkey").to_pylist()],
+            pa.string(),
+        )
+        t2 = pa.Table.from_pydict(
+            {"supp_nation": sn, "cust_nation": cn,
+             "l_year": t.column("yr"), "rev_s4": t.column("rev_s4")}
+        )
+        agg = t2.group_by(
+            ["supp_nation", "cust_nation", "l_year"]
+        ).aggregate([("rev_s4", "sum")])
+        return agg.rename_columns(
+            ["supp_nation", "cust_nation", "l_year", "rev_s4"]
+        )
+
+    out = with_snat.map_batches(to_names, batch_format="pyarrow").groupby(
+        ["supp_nation", "cust_nation", "l_year"]
+    ).aggregate(Sum("rev_s4", alias_name="rev_sum"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cents = np.floor_divide(
+            t.column("rev_sum").to_numpy(zero_copy_only=False) + 50, 100
+        )
+        return pa.Table.from_pydict(
+            {"supp_nation": t.column("supp_nation"),
+             "cust_nation": t.column("cust_nation"),
+             "l_year": t.column("l_year"),
+             "revenue": pa.array(cents.astype(np.float64) / 100.0,
+                                 pa.float64())}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_NATION_TRADE_VOLUME = """
+WITH j AS (
+  SELECT s_nationkey, c_nationkey,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_s4
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND s_nationkey <> c_nationkey
+)
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, l_year,
+       CAST((sum(rev_s4) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+FROM j
+JOIN nation ns ON j.s_nationkey = ns.n_nationkey
+JOIN nation nc ON j.c_nationkey = nc.n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["nation_trade_volume"] = q_nation_trade_volume
+ORACLE_SQL["nation_trade_volume"] = SQL_NATION_TRADE_VOLUME
+
+
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape — top-20 customers by revenue lost to RETURNED
+    items in 1995-Q4 orders. Plan: the return-flag AND order-date
+    filters are pushed to the parquet READS; a bloom built from the
+    quarter's order keys prunes lineitem partials before the ONE
+    fact-fact cogroup on orderkey (Q5's sideways pass — the quarter
+    keeps ~1/28 of orders, so most R-partials never shuffle); customer
+    revenue folds through per-block combiners + one groupby; the top-20
+    finish is per-block local top-k → a ≤ 20·blocks driver fold
+    (deterministic tie rule revenue DESC, custkey ASC); the 20 winners'
+    names attach from a key-pruned customer read + the ≤25-row nation
+    dict. Money rides scale-4 ints until the final divide."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.bloomjoin import (
+        bloom_prefilter,
+        build_bloom,
+    )
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pc.field("o_orderdate") >= pa.scalar(dt.datetime(1995, 10, 1)))
+            & (pc.field("o_orderdate") < pa.scalar(dt.datetime(1996, 1, 1)))
+        ),
+    )
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_returnflag") == "R",
+    )
+
+    union_schema = pa.schema(
+        [("key", pa.int64()), ("rev", pa.int64()), ("cust", pa.int64())]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                               pa.scalar(100.0))), pa.int64())
+        disc_h = pc.cast(pc.round(pc.multiply(t.column("l_discount"),
+                                              pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(price_c,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc_h))
+        t2 = pa.Table.from_pydict(
+            {"key": t.column("l_orderkey"), "rev": rev}
+        )
+        agg = t2.group_by(["key"]).aggregate([("rev", "sum")])
+        return pa.Table.from_arrays(
+            [agg.column("key"), agg.column("rev_sum"),
+             pa.nulls(agg.num_rows, pa.int64())],
+            schema=union_schema,
+        )
+
+    def orders_tag(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("o_orderkey"), pa.nulls(t.num_rows, pa.int64()),
+             t.column("o_custkey")],
+            schema=union_schema,
+        )
+
+    bloom_ref = build_bloom(orders, "o_orderkey")
+    li_pruned = bloom_prefilter(
+        li.map_batches(li_partial, batch_format="pyarrow"), "key", bloom_ref
+    )
+    combined = li_pruned.union(
+        orders.map_batches(orders_tag, batch_format="pyarrow")
+    )
+    cust_schema = pa.schema([("cust", pa.int64()), ("rev_s4", pa.int64())])
+
+    def cogroup(df: pd.DataFrame) -> pa.Table:
+        li_rows = df[df["cust"].isna()]
+        od_rows = df[df["cust"].notna()]
+        if li_rows.empty or od_rows.empty:
+            return cust_schema.empty_table()
+        j = od_rows[["key", "cust"]].merge(
+            li_rows[["key", "rev"]], on="key", how="inner"
+        )
+        if j.empty:
+            return cust_schema.empty_table()
+        agg = j.groupby("cust", sort=False)["rev"].sum().reset_index()
+        return pa.Table.from_pydict(
+            {"cust": agg["cust"].astype("int64"),
+             "rev_s4": agg["rev"].astype("int64")},
+            schema=cust_schema,
+        )
+
+    per_cust = coarse_partition_apply(
+        combined, ["key"], cogroup, cust_schema
+    ).groupby("cust").aggregate(Sum("rev_s4", alias_name="rev_sum"))
+
+    K = 20
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas().sort_values(
+            ["rev_sum", "cust"], ascending=[False, True], kind="mergesort"
+        ).head(K)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # ≤ K per block reaches the driver — bounded regardless of corpus size
+    folded = pa.concat_tables(
+        [t for t in ray.get(
+            per_cust.map_batches(local_topk, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_rows]
+    )
+    top = folded.to_pandas().sort_values(
+        ["rev_sum", "cust"], ascending=[False, True], kind="mergesort"
+    ).head(K)
+    keys = [int(k) for k in top["cust"]]
+
+    cust_rows = rd.read_parquet(
+        _p(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filter=pc.field("c_custkey").isin(keys),
+    ).to_pandas()
+    nat = rd.read_parquet(_p(sf_dir, "nation")).to_pandas()
+    j = top.merge(cust_rows, left_on="cust", right_on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    cents = np.floor_divide(j["rev_sum"].to_numpy().astype(np.int64) + 50, 100)
+    return pa.Table.from_pydict(
+        {"c_custkey": pa.array(j["c_custkey"].astype("int64")),
+         "c_name": pa.array(j["c_name"], pa.string()),
+         "n_name": pa.array(j["n_name"], pa.string()),
+         "revenue": pa.array(cents.astype(np.float64) / 100.0, pa.float64())}
+    )
+
+
+SQL_RETURNED_REVENUE = """
+WITH rev AS (
+  SELECT o_custkey AS cust,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_s4
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1995-10-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY 1
+),
+top AS (
+  SELECT cust, rev_s4 FROM rev ORDER BY rev_s4 DESC, cust LIMIT 20
+)
+SELECT c_custkey, c_name, n_name,
+       CAST((rev_s4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+FROM top
+JOIN customer ON cust = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+"""
+
+QUERIES["returned_revenue"] = q_returned_revenue
+ORACLE_SQL["returned_revenue"] = SQL_RETURNED_REVENUE
+
+
+def q_product_profit(sf_dir: str):
+    """TPC-H Q9 shape — PRODUCT-LINE PROFIT by supplier nation × order
+    year for parts whose name contains 'widget': profit = revenue −
+    retail cost (the schema has no partsupp, so p_retailprice is the
+    cost basis — a faithful Q9 plan over the tables that exist). Plan:
+    the part name filter is pushed to the READ and the pruned part side
+    attaches by hash (`coarse_attach` auto-broadcasts when it measures
+    small); per-row profit lands in ONE scale-4 integer; per-block
+    (orderkey, suppkey) combiners pre-shrink the fact side before the
+    single fact-fact cogroup with orders (which carries the year);
+    supplier nationkey attaches by hash; nation is a driver dict.
+    Profit sums may be NEGATIVE (discounted lines sell below retail) —
+    the cents finish uses FLOOR division on both engines (numpy
+    floor_divide == DuckDB `//`), not Arrow's truncating divide."""
+    import datetime as dt  # noqa: F401  (parity with sibling shapes)
+
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import (
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    part = rd.read_parquet(
+        _p(sf_dir, "part"), columns=["p_partkey", "p_retailprice"],
+        filter=pc.match_substring(pc.field("p_name"), "widget"),
+    )
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    with_part = coarse_attach(
+        li, part, left_key="l_partkey", right_key="p_partkey",
+        attach_cols=["p_retailprice"],
+        out_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+             ("l_discount", pa.float64()), ("p_retailprice", pa.float64())]
+        ),
+        how="inner",
+    )
+
+    union_schema = pa.schema(
+        [("key", pa.int64()), ("supp", pa.int64()), ("profit", pa.int64()),
+         ("cust_yr", pa.int64())]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                               pa.scalar(100.0))), pa.int64())
+        disc_h = pc.cast(pc.round(pc.multiply(t.column("l_discount"),
+                                              pa.scalar(100.0))), pa.int64())
+        retail_c = pc.cast(pc.round(pc.multiply(t.column("p_retailprice"),
+                                                pa.scalar(100.0))), pa.int64())
+        qty = pc.cast(pc.round(t.column("l_quantity")), pa.int64())
+        rev = pc.multiply(price_c,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc_h))
+        cost = pc.multiply(pc.multiply(retail_c, qty),
+                           pa.scalar(100, pa.int64()))
+        profit = pc.subtract(rev, cost)
+        t2 = pa.Table.from_pydict(
+            {"key": t.column("l_orderkey"), "supp": t.column("l_suppkey"),
+             "profit": profit}
+        )
+        agg = t2.group_by(["key", "supp"]).aggregate([("profit", "sum")])
+        return pa.Table.from_arrays(
+            [agg.column("key"), agg.column("supp"),
+             agg.column("profit_sum"), pa.nulls(agg.num_rows, pa.int64())],
+            schema=union_schema,
+        )
+
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def orders_tag(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("o_orderkey"), pa.nulls(t.num_rows, pa.int64()),
+             pa.nulls(t.num_rows, pa.int64()),
+             pc.cast(pc.year(t.column("o_orderdate")), pa.int64())],
+            schema=union_schema,
+        )
+
+    combined = with_part.map_batches(li_partial, batch_format="pyarrow").union(
+        orders.map_batches(orders_tag, batch_format="pyarrow")
+    )
+    pair_schema = pa.schema(
+        [("supp", pa.int64()), ("o_year", pa.int64()),
+         ("profit_s4", pa.int64())]
+    )
+
+    def cogroup(df: pd.DataFrame) -> pa.Table:
+        li_rows = df[df["cust_yr"].isna()]
+        od_rows = df[df["cust_yr"].notna()]
+        if li_rows.empty or od_rows.empty:
+            return pair_schema.empty_table()
+        j = od_rows[["key", "cust_yr"]].merge(
+            li_rows[["key", "supp", "profit"]], on="key", how="inner"
+        )
+        if j.empty:
+            return pair_schema.empty_table()
+        agg = (
+            j.groupby(["supp", "cust_yr"], sort=False)["profit"]
+            .sum().reset_index()
+        )
+        return pa.Table.from_pydict(
+            {"supp": agg["supp"].astype("int64"),
+             "o_year": agg["cust_yr"].astype("int64"),
+             "profit_s4": agg["profit"].astype("int64")},
+            schema=pair_schema,
+        )
+
+    pairs = coarse_partition_apply(combined, ["key"], cogroup, pair_schema)
+
+    supp = rd.read_parquet(
+        _p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    with_snat = coarse_attach(
+        pairs, supp, left_key="supp", right_key="s_suppkey",
+        attach_cols=["s_nationkey"],
+        out_schema=pa.schema(
+            [("o_year", pa.int64()), ("profit_s4", pa.int64()),
+             ("s_nationkey", pa.int64())]
+        ),
+        how="inner",
+    )
+
+    nat = rd.read_parquet(_p(sf_dir, "nation")).to_pandas()
+    nat_name = {int(r["n_nationkey"]): r["n_name"] for _, r in nat.iterrows()}
+    part_schema2 = pa.schema(
+        [("n_name", pa.string()), ("o_year", pa.int64()),
+         ("profit_s4", pa.int64())]
+    )
+
+    def to_names(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema2.empty_table()
+        names = pa.array(
+            [nat_name[k] for k in t.column("s_nationkey").to_pylist()],
+            pa.string(),
+        )
+        t2 = pa.Table.from_pydict(
+            {"n_name": names, "o_year": t.column("o_year"),
+             "profit_s4": t.column("profit_s4")}
+        )
+        agg = t2.group_by(["n_name", "o_year"]).aggregate(
+            [("profit_s4", "sum")]
+        )
+        return agg.rename_columns(["n_name", "o_year", "profit_s4"])
+
+    out = with_snat.map_batches(to_names, batch_format="pyarrow").groupby(
+        ["n_name", "o_year"]
+    ).aggregate(Sum("profit_s4", alias_name="profit_sum"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cents = np.floor_divide(
+            t.column("profit_sum").to_numpy(zero_copy_only=False) + 50, 100
+        )
+        return pa.Table.from_pydict(
+            {"n_name": t.column("n_name"),
+             "o_year": t.column("o_year"),
+             "profit": pa.array(cents.astype(np.float64) / 100.0,
+                                pa.float64())}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PRODUCT_PROFIT = """
+WITH p AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS retail_c
+  FROM part WHERE p_name LIKE '%widget%'
+),
+l AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+         - retail_c * CAST(round(l_quantity) AS BIGINT) * 100 AS profit_s4
+  FROM lineitem JOIN p ON l_partkey = p_partkey
+),
+j AS (
+  SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         profit_s4
+  FROM l
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name, o_year,
+       CAST((sum(profit_s4) + 50) // 100 AS DOUBLE) / 100.0 AS profit
+FROM j GROUP BY 1, 2
+"""
+
+QUERIES["product_profit"] = q_product_profit
+ORACLE_SQL["product_profit"] = SQL_PRODUCT_PROFIT
