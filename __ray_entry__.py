@@ -2030,6 +2030,220 @@ def _q_doc_topic_words(sf_dir: str):
     )
 
 
+def _q_kg_conflicts(sf_dir: str):
+    """KG CARDINALITY-VIOLATION audit: per predicate, the 20 worst
+    multi-valued subjects (distinct-object fanout) with their sorted
+    '|'-joined object lists — the functional-predicate QA report a KG
+    curation pass runs before asserting uniqueness constraints
+    (reference analogue: the one-entity-one-node assumption of
+    knowledge_graph/knowledge_graph.py's MERGE writes). Per-block
+    distinct (pred, subj, obj) combiners → ONE coarse cogroup keyed by
+    (pred, subj) → per-group fanout + object list → grouped_topk (pred
+    domain is schema-bounded, so ≤ 20·preds·blocks rows ride the
+    combine). Oracle: text_oracles.sql_kg_conflicts."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from semantic_search_system_ray.stages.util import (
+        coarse_partition_apply,
+        grouped_topk,
+    )
+
+    t = _kg_triples(sf_dir)
+    so_schema = pa.schema(
+        [("pred", pa.string()), ("subj", pa.string()), ("obj", pa.string())]
+    )
+
+    def narrow(tb: pa.Table) -> pa.Table:
+        d = pa.Table.from_pydict(
+            {"pred": pc.cast(tb.column("pred"), pa.string()),
+             "subj": pc.cast(tb.column("subj"), pa.string()),
+             "obj": pc.cast(tb.column("obj"), pa.string())},
+            schema=so_schema,
+        )
+        # per-block distinct: the exchange carries unique rows only
+        return d.group_by(["pred", "subj", "obj"]).aggregate([])
+
+    g_schema = pa.schema(
+        [("pred", pa.string()), ("subj", pa.string()),
+         ("n_obj", pa.int64()), ("objs", pa.string())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return g_schema.empty_table()
+        d = df.drop_duplicates().sort_values(
+            ["pred", "subj", "obj"], kind="mergesort"
+        )
+        g = (
+            d.groupby(["pred", "subj"], sort=False)["obj"]
+            .agg(n_obj="size", objs="|".join)
+            .reset_index()
+        )
+        g = g[g["n_obj"] > 1]
+        if g.empty:
+            return g_schema.empty_table()
+        return pa.Table.from_pydict(
+            {"pred": g["pred"].to_numpy(), "subj": g["subj"].to_numpy(),
+             "n_obj": g["n_obj"].to_numpy().astype("int64"),
+             "objs": g["objs"].to_numpy()},
+            schema=g_schema,
+        )
+
+    multi = coarse_partition_apply(
+        t.map_batches(narrow, batch_format="pyarrow"),
+        ["pred", "subj"], fold, g_schema,
+    )
+    return grouped_topk(
+        multi, ["pred"], ["n_obj", "subj"], descending=[True, False], k=20
+    )
+
+
+def _q_kg_walk_pairs(sf_dir: str):
+    """SKIP-GRAM co-occurrence pairs over the deterministic walk corpus
+    (window 2, the node2vec/word2vec training-pair emission): for every
+    walk, ordered (center, context) node pairs with 1 <= |step delta|
+    <= 2, counted across all walks. Walks are fixed length (steps+1
+    rows), so the per-walk self-join is O(1) rows — ONE coarse cogroup
+    keyed by walk id with per-partition vectorized pandas merges, then
+    one pair-keyed sum (pair domain is edge-neighborhood-bounded, never
+    corpus²). Oracle: the full sql_kg_walks query nested as a
+    materialized CTE, self-joined on walk id
+    (text_oracles.sql_kg_walk_pairs)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import random_walks
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    walks = random_walks(edges_from_triples(_kg_triples(sf_dir)), steps=3)
+    pair_schema = pa.schema(
+        [("center", pa.string()), ("context", pa.string()), ("n", pa.int64())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pair_schema.empty_table()
+        j = df.merge(df, on="walk_id")
+        delta = (j["step_x"] - j["step_y"]).abs()
+        j = j[(delta >= 1) & (delta <= 2)]
+        if j.empty:
+            return pair_schema.empty_table()
+        agg = (
+            j.groupby(["node_x", "node_y"], sort=False)
+            .size().reset_index(name="n")
+        )
+        return pa.Table.from_pydict(
+            {"center": agg["node_x"].to_numpy(),
+             "context": agg["node_y"].to_numpy(),
+             "n": agg["n"].to_numpy().astype("int64")},
+            schema=pair_schema,
+        )
+
+    pairs = coarse_partition_apply(walks, ["walk_id"], fold, pair_schema)
+    out = pairs.groupby(["center", "context"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"center": t.column("center"), "context": t.column("context"),
+             "n": pc.cast(t.column("n"), pa.int64())},
+            schema=pair_schema,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_kg_path_transit(sf_dir: str):
+    """s-t SHORTEST-PATH TRANSIT counts — the integer Brandes
+    pair-dependency numerator: for the (smallest, largest) HAS_TOPIC
+    seed pair, every node v on some shortest s-t path with the exact
+    count sigma_s(v) * sigma_t(v) of shortest paths THROUGH it (the
+    graph is undirected, so the backward sigma IS a forward run from
+    t). Two shortest_path_counts runs (each: scale-switched BFS + one
+    layer cogroup per hop), ONE hash attach joining them, a vectorized
+    filter on ds + dt = d(s,t). Radius-4 truncation on both engines.
+    Oracle: two suffixed sql_kg_sigma layer stacks joined on node
+    (text_oracles.sql_kg_path_transit)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import shortest_path_counts
+    from semantic_search_system_ray.stages.util import coarse_attach
+
+    triples = _kg_triples(sf_dir).materialize()
+    topic_objs = triples.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"obj": pc.cast(
+                t.filter(pc.equal(t.column("pred"), "HAS_TOPIC"))
+                .column("obj"), pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    objs = sorted({
+        v for tbl in ray.get(
+            topic_objs.map_batches(
+                lambda t: t.group_by(["obj"]).aggregate([]),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+        if tbl.num_rows > 0 and "obj" in tbl.schema.names
+        for v in tbl.column("obj").to_pylist()
+    })
+    seed_s, seed_t = objs[0], objs[-1]
+    edges = edges_from_triples(triples)
+
+    out_schema = pa.schema(
+        [("node_id", pa.string()), ("ds", pa.int64()), ("dt", pa.int64()),
+         ("n_paths", pa.int64())]
+    )
+    sig_s = shortest_path_counts(seed_s, edges, radius=4).materialize()
+    sig_t = shortest_path_counts(seed_t, edges, radius=4).materialize()
+
+    d_rows = sig_s.map_batches(
+        lambda t: t.filter(pc.equal(t.column("node_id"), seed_t)),
+        batch_format="pyarrow",
+    ).take_all()  # <= 1 row: t's distance from s
+    if not d_rows:
+        return out_schema.empty_table()  # t beyond radius: both engines empty
+    dist_st = int(d_rows[0]["dist"])
+
+    renamed = sig_s.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node_id": t.column("node_id"), "ds": t.column("dist"),
+             "ss": t.column("sigma")}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = coarse_attach(
+        renamed, sig_t, left_key="node_id", right_key="node_id",
+        attach_cols=["dist", "sigma"], attach_as=["dt", "st"],
+        out_schema=pa.schema(
+            [("node_id", pa.string()), ("ds", pa.int64()),
+             ("ss", pa.int64()), ("dt", pa.int64()), ("st", pa.int64())]
+        ),
+        how="inner",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.add(t.column("ds"), t.column("dt")),
+                        pa.scalar(dist_st, pa.int64()))
+        t = t.filter(keep)
+        return pa.Table.from_pydict(
+            {"node_id": t.column("node_id"), "ds": t.column("ds"),
+             "dt": t.column("dt"),
+             "n_paths": pc.multiply(t.column("ss"), t.column("st"))},
+            schema=out_schema,
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from semantic_search_system_ray.pipelines.queries import QUERIES
 
@@ -2069,6 +2283,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_sigma": _q_kg_sigma,
             "kg_diameter_lb": _q_kg_diameter_lb,
             "kg_node_types": _q_kg_node_types,
+            "kg_conflicts": _q_kg_conflicts,
+            "kg_walk_pairs": _q_kg_walk_pairs,
+            "kg_path_transit": _q_kg_path_transit,
             "kg_ppr": _q_kg_ppr,
             "kg_triangles": _q_kg_triangles,
             "kg_clustering": _q_kg_clustering,
@@ -2281,6 +2498,15 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_pred_stats": tox.sql_kg_pred_stats(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_conflicts": tox.sql_kg_conflicts(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_walk_pairs": tox.sql_kg_walk_pairs(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_path_transit": tox.sql_kg_path_transit(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_node_types": tox.sql_kg_node_types(

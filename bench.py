@@ -197,7 +197,8 @@ def run_bench() -> dict:
         "bpe_pair_counts", "hapax_ratio", "cross_lang_dups", "kg_wcc_sizes",
         "kg_sigma", "kg_diameter_lb", "doc_len_quantiles",
         "numeric_density", "nation_trade_volume", "returned_revenue",
-        "product_profit",
+        "product_profit", "kg_conflicts", "kg_walk_pairs",
+        "kg_path_transit",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level

@@ -2582,3 +2582,151 @@ SELECT kind,
        unnest(quantile_disc(n_chunks, [0.5, 0.9])) AS chunks
 FROM dur GROUP BY kind
 """
+
+
+def sql_kg_conflicts(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    k: int = 20,
+) -> str:
+    """Oracle for the KG cardinality-violation audit: per predicate the
+    ``k`` worst multi-valued subjects (distinct-object fanout DESC,
+    subj ASC — subj is unique within the group, so the cut is total),
+    each carrying its sorted '|'-joined object list. Built over the
+    kg_triples oracle subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples}),
+d AS (
+  SELECT DISTINCT pred, CAST(subj AS VARCHAR) AS subj,
+         CAST(obj AS VARCHAR) AS obj
+  FROM t
+),
+g AS (
+  SELECT pred, subj, CAST(count(*) AS BIGINT) AS n_obj,
+         string_agg(obj, '|' ORDER BY obj) AS objs
+  FROM d GROUP BY 1, 2 HAVING count(*) > 1
+),
+r AS (
+  SELECT pred, subj, n_obj, objs,
+         row_number() OVER (PARTITION BY pred
+                            ORDER BY n_obj DESC, subj) AS rn
+  FROM g
+)
+SELECT pred, subj, n_obj, objs FROM r WHERE rn <= {k}
+"""
+
+
+def sql_kg_walk_pairs(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    steps: int = 3,
+    window: int = 2,
+    salt: str = "walk",
+) -> str:
+    """Oracle for the skip-gram co-occurrence table over the
+    deterministic walk corpus: the full sql_kg_walks query nested as
+    ONE materialized CTE, self-joined on walk id with |step delta| <=
+    ``window`` — exactly the (center, context) pair emission word2vec
+    trains on."""
+    walks = sql_kg_walks(
+        gazetteer, taxonomy, phrase_list, steps=steps, salt=salt
+    )
+    return f"""
+WITH w AS MATERIALIZED ({walks})
+SELECT a.node AS center, b.node AS context, CAST(count(*) AS BIGINT) AS n
+FROM w a
+JOIN w b ON a.walk_id = b.walk_id AND a.step <> b.step
+        AND abs(a.step - b.step) <= {window}
+GROUP BY 1, 2
+"""
+
+
+def sql_kg_path_transit(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    radius: int = 4,
+) -> str:
+    """Oracle for the s-t shortest-path TRANSIT counts (the integer
+    Brandes pair-dependency numerator): two suffixed copies of the
+    sql_kg_sigma layer stack — forward from the smallest HAS_TOPIC
+    object, forward from the largest (the graph is undirected, so the
+    reverse sigma IS a forward run from t) — joined on the nodes where
+    ds + dt equals the s-t distance; transit = sigma_s * sigma_t, all
+    int64. Nodes farther than ``radius`` from either endpoint fall out
+    of both engines identically (documented truncation)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    parts = [
+        f"""WITH RECURSIVE t AS ({triples}),
+e AS (
+  SELECT DISTINCT CAST(subj AS VARCHAR) AS src, CAST(obj AS VARCHAR) AS dst
+  FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)
+),
+es AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+seed_s AS (
+  SELECT min(CAST(obj AS VARCHAR)) AS node_id FROM t
+  WHERE pred = 'HAS_TOPIC'
+),
+seed_t AS (
+  SELECT max(CAST(obj AS VARCHAR)) AS node_id FROM t
+  WHERE pred = 'HAS_TOPIC'
+)"""
+    ]
+    for sfx in ("s", "t"):
+        parts.append(
+            f""",
+reach_{sfx}(node_id, dist) AS (
+  SELECT node_id, 0 FROM seed_{sfx}
+  UNION
+  SELECT es.dst, r.dist + 1
+  FROM reach_{sfx} r JOIN es ON es.src = r.node_id
+  WHERE r.dist < {radius}
+),
+mind_{sfx} AS (SELECT node_id, min(dist) AS d FROM reach_{sfx} GROUP BY 1),
+s0_{sfx} AS (SELECT node_id, CAST(1 AS BIGINT) AS sigma FROM seed_{sfx})"""
+        )
+        for r in range(1, radius + 1):
+            parts.append(
+                f""",
+s{r}_{sfx} AS (
+  SELECT mv.node_id, CAST(sum(sp.sigma) AS BIGINT) AS sigma
+  FROM mind_{sfx} mv
+  JOIN es ON es.dst = mv.node_id
+  JOIN mind_{sfx} mu ON mu.node_id = es.src AND mu.d = {r - 1}
+  JOIN s{r - 1}_{sfx} sp ON sp.node_id = es.src
+  WHERE mv.d = {r}
+  GROUP BY 1
+)"""
+            )
+        selects = [
+            f"SELECT node_id, CAST(0 AS BIGINT) AS dist, sigma FROM s0_{sfx}"
+        ]
+        for r in range(1, radius + 1):
+            selects.append(
+                f"SELECT node_id, CAST({r} AS BIGINT) AS dist, sigma "
+                f"FROM s{r}_{sfx}"
+            )
+        parts.append(
+            f""",
+sig_{sfx} AS (
+{chr(10).join('  ' + s if i == 0 else 'UNION ALL ' + s
+              for i, s in enumerate(selects))}
+)"""
+        )
+    parts.append(
+        """
+SELECT a.node_id, a.dist AS ds, b.dist AS dt,
+       CAST(a.sigma * b.sigma AS BIGINT) AS n_paths
+FROM sig_s a JOIN sig_t b ON a.node_id = b.node_id
+WHERE a.dist + b.dist = (
+  SELECT d FROM mind_s
+  WHERE node_id = (SELECT node_id FROM seed_t)
+)"""
+    )
+    return "".join(parts)
