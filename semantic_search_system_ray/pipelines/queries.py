@@ -13588,3 +13588,121 @@ FROM j GROUP BY 1, 2
 
 QUERIES["product_profit"] = q_product_profit
 ORACLE_SQL["product_profit"] = SQL_PRODUCT_PROFIT
+
+
+def q_events_autocorr(sf_dir: str):
+    """LAG-k AUTOCORRELATION (k = 1..3) of the DAILY event-count series
+    over the dense [min_day, max_day] calendar grid (missing days count
+    0 — the gap convention events_daily_gapfill pins) — the seasonality
+    probe a pipeline runs before picking retraining cadence. Exactness
+    contract: the series is INTEGER counts, so all five regression sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) are exact int64 on both engines; r is
+    ONE mirrored double expression — num / sqrt(A·B) with A, B the
+    integer variance terms cast to double BEFORE the product (int64·
+    int64 could overflow at petabyte-scale daily counts; the double
+    product can't), floor(x·1e6+0.5)-rounded to 6dp. Zero-variance
+    lags drop on both sides. Scale shape: per-block (day, n) Arrow
+    count combiners → one calendar-bounded groupby → a driver fold over
+    the day domain (thousands of rows at any corpus size)."""
+    import math
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts"])
+    part_schema = pa.schema([("day", pa.string()), ("n", pa.int64())])
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        d = pc.strftime(t.column("ts"), format="%Y-%m-%d")
+        g = pa.Table.from_pydict({"day": d}).group_by(["day"]).aggregate(
+            [("day", "count")]
+        )
+        return pa.Table.from_pydict(
+            {"day": g.column("day"),
+             "n": pc.cast(g.column("day_count"), pa.int64())},
+            schema=part_schema,
+        )
+
+    rows = (
+        ds.map_batches(day_counts, batch_format="pyarrow")
+        .groupby("day").sum("n")
+        .take_all()  # calendar-bounded
+    )
+    import datetime as dt
+
+    by_day = {
+        dt.date.fromisoformat(r["day"]).toordinal(): int(r["sum(n)"])
+        for r in rows
+    }
+    lo, hi = min(by_day), max(by_day)
+    c = np.zeros(hi - lo + 1, dtype=np.int64)
+    for o, n in by_day.items():
+        c[o - lo] = n
+
+    out = {"lag": [], "n_pairs": [], "r": []}
+    for k in (1, 2, 3):
+        if len(c) <= k:
+            continue
+        x, y = c[:-k], c[k:]
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        a_var = n * sxx - sx * sx
+        b_var = n * syy - sy * sy
+        if a_var <= 0 or b_var <= 0:
+            continue
+        num = float(n * sxy - sx * sy)
+        den = math.sqrt(float(a_var) * float(b_var))
+        out["lag"].append(k)
+        out["n_pairs"].append(n)
+        out["r"].append(math.floor(num / den * 1e6 + 0.5) / 1e6)
+    return pa.Table.from_pydict(
+        {"lag": pa.array(out["lag"], pa.int64()),
+         "n_pairs": pa.array(out["n_pairs"], pa.int64()),
+         "r": pa.array(out["r"], pa.float64())}
+    )
+
+
+SQL_EVENTS_AUTOCORR = """
+WITH days AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+grid AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+dense AS (
+  SELECT COALESCE(d.c, 0) AS c,
+         row_number() OVER (ORDER BY g.day) AS i
+  FROM grid g LEFT JOIN days d ON d.day = g.day
+),
+lags AS (SELECT unnest([1, 2, 3]) AS lag),
+pairs AS (
+  SELECT l.lag, a.c AS x, b.c AS y
+  FROM lags l
+  JOIN dense a ON TRUE
+  JOIN dense b ON b.i = a.i + l.lag
+),
+sums AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       floor(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                    * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS r
+FROM sums
+WHERE n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+"""
+
+QUERIES["events_autocorr"] = q_events_autocorr
+ORACLE_SQL["events_autocorr"] = SQL_EVENTS_AUTOCORR
