@@ -198,7 +198,8 @@ def run_bench() -> dict:
         "kg_sigma", "kg_diameter_lb", "doc_len_quantiles",
         "numeric_density", "nation_trade_volume", "returned_revenue",
         "product_profit", "kg_conflicts", "kg_walk_pairs",
-        "kg_path_transit", "events_autocorr",
+        "kg_path_transit", "events_autocorr", "shipping_priority",
+        "market_share", "promo_revenue_share",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level

@@ -13706,3 +13706,512 @@ WHERE n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
 
 QUERIES["events_autocorr"] = q_events_autocorr
 ORACLE_SQL["events_autocorr"] = SQL_EVENTS_AUTOCORR
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — SHIPPING PRIORITY: the 10 highest-revenue
+    unshipped BUILDING-segment orders as of 1998-01-01 (order placed
+    before the date, some lineitem ships after it). Plan: the segment
+    filter prunes customer AT THE READ and attaches by hash to the
+    date-filtered orders (inner — non-BUILDING orders drop before the
+    fact-fact join); a bloom built from surviving order keys prunes the
+    ship-date-filtered lineitem partials before the ONE cogroup on
+    orderkey; the top-10 finish is per-block local top-k → a bounded
+    driver fold (revenue DESC, orderkey ASC — total order). Money rides
+    scale-4 ints until the final divide; dates stringify identically on
+    both engines."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.bloomjoin import (
+        bloom_prefilter,
+        build_bloom,
+    )
+    from semantic_search_system_ray.stages.util import (
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    D = dt.datetime(1998, 1, 1)
+    cust = rd.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey"],
+        filter=pc.field("c_mktsegment") == "BUILDING",
+    )
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pc.field("o_orderdate") < pa.scalar(D),
+    )
+
+    def orders_narrow(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"o_orderkey": t.column("o_orderkey"),
+             "o_custkey": t.column("o_custkey"),
+             "o_orderdate": pc.strftime(t.column("o_orderdate"),
+                                        format="%Y-%m-%d"),
+             "o_orderpriority": t.column("o_orderpriority")}
+        )
+
+    bld_orders = coarse_attach(
+        orders.map_batches(orders_narrow, batch_format="pyarrow"),
+        cust.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"c_custkey": t.column("c_custkey"),
+                 "one": pa.nulls(t.num_rows, pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        left_key="o_custkey", right_key="c_custkey", attach_cols=["one"],
+        out_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderdate", pa.string()),
+             ("o_orderpriority", pa.string()), ("one", pa.int64())]
+        ),
+        how="inner",
+    )
+
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_shipdate") > pa.scalar(D),
+    )
+
+    union_schema = pa.schema(
+        [("key", pa.int64()), ("rev", pa.int64()), ("odate", pa.string()),
+         ("oprio", pa.string())]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                               pa.scalar(100.0))), pa.int64())
+        disc_h = pc.cast(pc.round(pc.multiply(t.column("l_discount"),
+                                              pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(price_c,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc_h))
+        agg = pa.Table.from_pydict(
+            {"key": t.column("l_orderkey"), "rev": rev}
+        ).group_by(["key"]).aggregate([("rev", "sum")])
+        return pa.Table.from_arrays(
+            [agg.column("key"), agg.column("rev_sum"),
+             pa.nulls(agg.num_rows, pa.string()),
+             pa.nulls(agg.num_rows, pa.string())],
+            schema=union_schema,
+        )
+
+    def orders_tag(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("o_orderkey"), pa.nulls(t.num_rows, pa.int64()),
+             t.column("o_orderdate"), t.column("o_orderpriority")],
+            schema=union_schema,
+        )
+
+    bloom_ref = build_bloom(bld_orders, "o_orderkey")
+    li_pruned = bloom_prefilter(
+        li.map_batches(li_partial, batch_format="pyarrow"), "key", bloom_ref
+    )
+    combined = li_pruned.union(
+        bld_orders.map_batches(orders_tag, batch_format="pyarrow")
+    )
+    ord_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("rev_s4", pa.int64()),
+         ("o_orderdate", pa.string()), ("o_orderpriority", pa.string())]
+    )
+
+    def cogroup(df: pd.DataFrame) -> pa.Table:
+        li_rows = df[df["odate"].isna()]
+        od_rows = df[df["odate"].notna()]
+        if li_rows.empty or od_rows.empty:
+            return ord_schema.empty_table()
+        j = od_rows[["key", "odate", "oprio"]].merge(
+            li_rows[["key", "rev"]], on="key", how="inner"
+        )
+        if j.empty:
+            return ord_schema.empty_table()
+        agg = (
+            j.groupby(["key", "odate", "oprio"], sort=False)["rev"]
+            .sum().reset_index()
+        )
+        return pa.Table.from_pydict(
+            {"o_orderkey": agg["key"].astype("int64"),
+             "rev_s4": agg["rev"].astype("int64"),
+             "o_orderdate": agg["odate"], "o_orderpriority": agg["oprio"]},
+            schema=ord_schema,
+        )
+
+    per_order = coarse_partition_apply(combined, ["key"], cogroup, ord_schema)
+
+    K = 10
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas().sort_values(
+            ["rev_s4", "o_orderkey"], ascending=[False, True],
+            kind="mergesort",
+        ).head(K)
+        return pa.Table.from_pandas(df, schema=t.schema, preserve_index=False)
+
+    folded = pa.concat_tables(
+        [t for t in ray.get(
+            per_order.map_batches(local_topk, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_rows]
+    )
+    top = folded.to_pandas().sort_values(
+        ["rev_s4", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(K)
+    cents = np.floor_divide(top["rev_s4"].to_numpy().astype(np.int64) + 50,
+                            100)
+    return pa.Table.from_pydict(
+        {"o_orderkey": pa.array(top["o_orderkey"].astype("int64")),
+         "revenue": pa.array(cents.astype(np.float64) / 100.0, pa.float64()),
+         "o_orderdate": pa.array(top["o_orderdate"], pa.string()),
+         "o_orderpriority": pa.array(top["o_orderpriority"], pa.string())}
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+WITH j AS (
+  SELECT o_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_s4,
+         strftime(min(o_orderdate), '%Y-%m-%d') AS o_orderdate,
+         min(o_orderpriority) AS o_orderpriority
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY 1
+)
+SELECT o_orderkey,
+       CAST((rev_s4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM j ORDER BY rev_s4 DESC, o_orderkey LIMIT 10
+"""
+
+QUERIES["shipping_priority"] = q_shipping_priority
+ORACLE_SQL["shipping_priority"] = SQL_SHIPPING_PRIORITY
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 shape — NATIONAL MARKET SHARE: among 1996-1997 orders
+    placed by ASIA-region customers for 'widget' parts, the yearly
+    revenue share supplied by the lexicographically first ASIA nation
+    (a deterministic stand-in for Q8's parameter). Reuses the Q7/Q9
+    machinery end to end: part filter pushed to the read + inner hash
+    attach, per-block (orderkey, suppkey) revenue combiners, ONE
+    fact-fact cogroup with the date-filtered orders (which carry the
+    year), customer attach pruned to ASIA nationkeys AT THE READ,
+    supplier attach, ≤ 2-row finish. Share = national / total from two
+    exact int64 sums, floor(x·1e6+0.5)-rounded — the single FP op."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import (
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    nat = rd.read_parquet(_p(sf_dir, "nation")).to_pandas()
+    reg = rd.read_parquet(_p(sf_dir, "region")).to_pandas()
+    asia_regs = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    asia = nat[nat["n_regionkey"].isin(asia_regs)]
+    asia_keys = sorted(int(k) for k in asia["n_nationkey"])
+    target_key = int(
+        asia.sort_values("n_name", kind="mergesort")["n_nationkey"].iloc[0]
+    )
+
+    part = rd.read_parquet(
+        _p(sf_dir, "part"), columns=["p_partkey"],
+        filter=pc.match_substring(pc.field("p_name"), "widget"),
+    )
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    )
+    with_part = coarse_attach(
+        li, part.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"p_partkey": t.column("p_partkey"),
+                 "one": pa.nulls(t.num_rows, pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        left_key="l_partkey", right_key="p_partkey", attach_cols=["one"],
+        out_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("l_extendedprice", pa.float64()), ("l_discount", pa.float64()),
+             ("one", pa.int64())]
+        ),
+        how="inner",
+    )
+
+    union_schema = pa.schema(
+        [("key", pa.int64()), ("supp", pa.int64()), ("rev", pa.int64()),
+         ("cust", pa.int64()), ("yr", pa.int64())]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                               pa.scalar(100.0))), pa.int64())
+        disc_h = pc.cast(pc.round(pc.multiply(t.column("l_discount"),
+                                              pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(price_c,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc_h))
+        agg = pa.Table.from_pydict(
+            {"key": t.column("l_orderkey"), "supp": t.column("l_suppkey"),
+             "rev": rev}
+        ).group_by(["key", "supp"]).aggregate([("rev", "sum")])
+        return pa.Table.from_arrays(
+            [agg.column("key"), agg.column("supp"), agg.column("rev_sum"),
+             pa.nulls(agg.num_rows, pa.int64()),
+             pa.nulls(agg.num_rows, pa.int64())],
+            schema=union_schema,
+        )
+
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pc.field("o_orderdate") >= pa.scalar(dt.datetime(1996, 1, 1)))
+            & (pc.field("o_orderdate") < pa.scalar(dt.datetime(1998, 1, 1)))
+        ),
+    )
+
+    def orders_tag(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("o_orderkey"), pa.nulls(t.num_rows, pa.int64()),
+             pa.nulls(t.num_rows, pa.int64()), t.column("o_custkey"),
+             pc.cast(pc.year(t.column("o_orderdate")), pa.int64())],
+            schema=union_schema,
+        )
+
+    combined = with_part.map_batches(li_partial, batch_format="pyarrow").union(
+        orders.map_batches(orders_tag, batch_format="pyarrow")
+    )
+    pair_schema = pa.schema(
+        [("cust", pa.int64()), ("supp", pa.int64()), ("yr", pa.int64()),
+         ("rev_s4", pa.int64())]
+    )
+
+    def cogroup(df: pd.DataFrame) -> pa.Table:
+        li_rows = df[df["cust"].isna()]
+        od_rows = df[df["cust"].notna()]
+        if li_rows.empty or od_rows.empty:
+            return pair_schema.empty_table()
+        j = od_rows[["key", "cust", "yr"]].merge(
+            li_rows[["key", "supp", "rev"]], on="key", how="inner"
+        )
+        if j.empty:
+            return pair_schema.empty_table()
+        agg = (
+            j.groupby(["cust", "supp", "yr"], sort=False)["rev"]
+            .sum().reset_index()
+        )
+        return pa.Table.from_pydict(
+            {"cust": agg["cust"].astype("int64"),
+             "supp": agg["supp"].astype("int64"),
+             "yr": agg["yr"].astype("int64"),
+             "rev_s4": agg["rev"].astype("int64")},
+            schema=pair_schema,
+        )
+
+    pairs = coarse_partition_apply(combined, ["key"], cogroup, pair_schema)
+
+    cust = rd.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey"],
+        filter=pc.field("c_nationkey").isin(asia_keys),
+    )
+    with_cust = coarse_attach(
+        pairs, cust.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"c_custkey": t.column("c_custkey"),
+                 "one": pa.nulls(t.num_rows, pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        left_key="cust", right_key="c_custkey", attach_cols=["one"],
+        out_schema=pa.schema(
+            [("supp", pa.int64()), ("yr", pa.int64()), ("rev_s4", pa.int64()),
+             ("one", pa.int64())]
+        ),
+        how="inner",
+    )
+    supp = rd.read_parquet(
+        _p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    with_snat = coarse_attach(
+        with_cust, supp, left_key="supp", right_key="s_suppkey",
+        attach_cols=["s_nationkey"],
+        out_schema=pa.schema(
+            [("yr", pa.int64()), ("rev_s4", pa.int64()),
+             ("s_nationkey", pa.int64())]
+        ),
+        how="inner",
+    )
+
+    part_schema2 = pa.schema(
+        [("o_year", pa.int64()), ("nat_s4", pa.int64()),
+         ("tot_s4", pa.int64())]
+    )
+
+    def shares_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema2.empty_table()
+        is_nat = pc.cast(
+            pc.equal(t.column("s_nationkey"),
+                     pa.scalar(target_key, pa.int64())),
+            pa.int64(),
+        )
+        t2 = pa.Table.from_pydict(
+            {"o_year": t.column("yr"),
+             "nat_s4": pc.multiply(t.column("rev_s4"), is_nat),
+             "tot_s4": t.column("rev_s4")}
+        )
+        agg = t2.group_by(["o_year"]).aggregate(
+            [("nat_s4", "sum"), ("tot_s4", "sum")]
+        )
+        return agg.rename_columns(["o_year", "nat_s4", "tot_s4"])
+
+    out = with_snat.map_batches(
+        shares_partial, batch_format="pyarrow"
+    ).groupby("o_year").aggregate(
+        Sum("nat_s4", alias_name="nat_sum"), Sum("tot_s4", alias_name="tot_sum")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nat_f = t.column("nat_sum").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        tot_f = t.column("tot_sum").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        share = np.floor(nat_f / tot_f * 1e6 + 0.5) / 1e6
+        return pa.Table.from_pydict(
+            {"o_year": t.column("o_year"),
+             "mkt_share": pa.array(share, pa.float64())}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_MARKET_SHARE = """
+WITH asia AS (
+  SELECT n_nationkey, n_name FROM nation
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+target AS (SELECT min_by(n_nationkey, n_name) AS k FROM asia),
+j AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         s_nationkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_s4
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE p_name LIKE '%widget%'
+    AND c_nationkey IN (SELECT n_nationkey FROM asia)
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       floor(CAST(sum(CASE WHEN s_nationkey = (SELECT k FROM target)
+                           THEN rev_s4 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_s4) AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS mkt_share
+FROM j GROUP BY 1
+"""
+
+QUERIES["market_share"] = q_market_share
+ORACLE_SQL["market_share"] = SQL_MARKET_SHARE
+
+
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape — PROMO revenue share for the 1997-09 ship
+    month: 100 × revenue from PROMO-type parts / total revenue. The
+    ship-month filter is pushed to the lineitem READ; p_type attaches
+    by hash (inner); both sums ride ONE pass of per-block conditional
+    int64 combiners; the finish is two exact bigints → one mirrored
+    divide, floor(x·1e6+0.5)-rounded."""
+    import datetime as dt
+
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(dt.datetime(1997, 9, 1)))
+            & (pc.field("l_shipdate") < pa.scalar(dt.datetime(1997, 10, 1)))
+        ),
+    )
+    part = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_type"])
+
+    from semantic_search_system_ray.stages.util import coarse_attach
+
+    with_type = coarse_attach(
+        li, part, left_key="l_partkey", right_key="p_partkey",
+        attach_cols=["p_type"],
+        out_schema=pa.schema(
+            [("l_extendedprice", pa.float64()), ("l_discount", pa.float64()),
+             ("p_type", pa.string())]
+        ),
+        how="inner",
+    )
+
+    part_schema = pa.schema(
+        [("promo_s4", pa.int64()), ("tot_s4", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        price_c = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                               pa.scalar(100.0))), pa.int64())
+        disc_h = pc.cast(pc.round(pc.multiply(t.column("l_discount"),
+                                              pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(price_c,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc_h))
+        is_promo = pc.cast(pc.equal(t.column("p_type"), "PROMO"), pa.int64())
+        return pa.Table.from_pydict(
+            {"promo_s4": pa.array(
+                [pc.sum(pc.multiply(rev, is_promo)).as_py() or 0], pa.int64()
+            ),
+             "tot_s4": pa.array([pc.sum(rev).as_py() or 0], pa.int64())},
+            schema=part_schema,
+        )
+
+    sums = with_type.map_batches(partial, batch_format="pyarrow").take_all()
+    promo = sum(int(r["promo_s4"]) for r in sums)
+    tot = sum(int(r["tot_s4"]) for r in sums)
+    share = (
+        np.floor(100.0 * float(promo) / float(tot) * 1e6 + 0.5) / 1e6
+        if tot else 0.0
+    )
+    return pa.Table.from_pydict(
+        {"promo_share": pa.array([share], pa.float64())}
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = """
+WITH j AS (
+  SELECT p_type,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_s4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate < TIMESTAMP '1997-10-01'
+)
+SELECT floor(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_s4
+                                   ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_s4) AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS promo_share
+FROM j
+"""
+
+QUERIES["promo_revenue_share"] = q_promo_revenue_share
+ORACLE_SQL["promo_revenue_share"] = SQL_PROMO_REVENUE_SHARE
