@@ -199,7 +199,8 @@ def run_bench() -> dict:
         "numeric_density", "nation_trade_volume", "returned_revenue",
         "product_profit", "kg_conflicts", "kg_walk_pairs",
         "kg_path_transit", "events_autocorr", "shipping_priority",
-        "market_share", "promo_revenue_share",
+        "market_share", "promo_revenue_share", "length_gini",
+        "events_burstiness",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level

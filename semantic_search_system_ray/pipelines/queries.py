@@ -14215,3 +14215,215 @@ FROM j
 
 QUERIES["promo_revenue_share"] = q_promo_revenue_share
 ORACLE_SQL["promo_revenue_share"] = SQL_PROMO_REVENUE_SHARE
+
+
+def q_length_gini(sf_dir: str):
+    """Per-source GINI COEFFICIENT of document lengths — the
+    inequality-of-contribution dashboard number that flags sources
+    where a few giant documents dominate the token budget (the
+    complement of doc_len_quantiles). Exactness: G = (2·Σ i·x_(i)) /
+    (n·Σx) − (n+1)/n needs the rank-weighted sum, which is invariant to
+    rank assignment WITHIN equal lengths — so the engine computes it
+    from the bounded (source, len, count) histogram (per run of c equal
+    values after cum docs d: Σ ranks = c·(2d+c+1)/2, exact int64) while
+    the SQL twin uses row_number; both reduce to the same three
+    integers per source, then ONE mirrored double expression,
+    floor(x·1e6+0.5)-rounded. Scale shape: per-block histogram
+    combiners → one length-domain-bounded groupby → driver fold over
+    (sources × length domain)."""
+    docs = rd.read_parquet(_p(sf_dir, "documents"),
+                           columns=["source", "n_chars"])
+    part_schema = pa.schema(
+        [("source", pa.string()), ("len", pa.int64()), ("n", pa.int64())]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "n_chars"]).aggregate(
+            [("n_chars", "count")]
+        )
+        return pa.Table.from_pydict(
+            {"source": g.column("source"),
+             "len": pc.cast(g.column("n_chars"), pa.int64()),
+             "n": pc.cast(g.column("n_chars_count"), pa.int64())},
+            schema=part_schema,
+        )
+
+    rows = (
+        docs.map_batches(hist, batch_format="pyarrow")
+        .groupby(["source", "len"]).sum("n")
+        .take_all()  # sources × length domain — bounded
+    )
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(
+            (int(r["len"]), int(r["sum(n)"]))
+        )
+    out = {"source": [], "n_docs": [], "total_chars": [], "gini": []}
+    for src in sorted(by_src):
+        cells = sorted(by_src[src])
+        n = sum(c for _v, c in cells)
+        sx = sum(v * c for v, c in cells)
+        if n == 0 or sx == 0:
+            continue
+        rank_sum = 0  # Σ i·x_(i), exact
+        d = 0
+        for v, c in cells:
+            rank_sum += v * (c * (2 * d + c + 1) // 2)
+            d += c
+        g = 2.0 * float(rank_sum) / (float(n) * float(sx)) \
+            - (float(n) + 1.0) / float(n)
+        out["source"].append(src)
+        out["n_docs"].append(n)
+        out["total_chars"].append(sx)
+        out["gini"].append(np.floor(g * 1e6 + 0.5) / 1e6)
+    return pa.Table.from_pydict(
+        {"source": pa.array(out["source"], pa.string()),
+         "n_docs": pa.array(out["n_docs"], pa.int64()),
+         "total_chars": pa.array(out["total_chars"], pa.int64()),
+         "gini": pa.array(out["gini"], pa.float64())}
+    )
+
+
+SQL_LENGTH_GINI = """
+WITH ranked AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars)
+           AS i
+  FROM documents
+),
+sums AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(i * x) AS BIGINT) AS rank_sum
+  FROM ranked GROUP BY 1
+)
+SELECT source, n AS n_docs, sx AS total_chars,
+       floor((2.0 * CAST(rank_sum AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+              - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS gini
+FROM sums WHERE n > 0 AND sx > 0
+"""
+
+QUERIES["length_gini"] = q_length_gini
+ORACLE_SQL["length_gini"] = SQL_LENGTH_GINI
+
+
+def q_events_burstiness(sf_dir: str):
+    """Per-user BURSTINESS (Fano factor) of daily event counts over the
+    user's OWN active-day span: F = Var(c)/Mean(c) over the dense
+    [first_day, last_day] grid (zero-filled gaps — the same calendar
+    convention as events_autocorr). Users with a single active day drop
+    (zero variance span). Exactness: per-user (m, Σc, Σc²) are exact
+    int64 on both engines — the engine derives the zero-day
+    contribution algebraically (zeros add nothing to Σc, Σc²; m comes
+    from the date span), the SQL twin materializes the grid; F =
+    (m·Σc² − (Σc)²) / (m·Σc) is ONE mirrored double expression,
+    floor(x·1e6+0.5)-rounded. Scale shape: per-block (user, day, n)
+    combiners → ONE user-keyed coarse cogroup (per-user day counts are
+    calendar-bounded); population variance (ddof 0)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    part_schema = pa.schema(
+        [("user_id", pa.string()), ("day", pa.string()), ("n", pa.int64())]
+    )
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        d = pc.strftime(t.column("ts"), format="%Y-%m-%d")
+        g = pa.Table.from_pydict(
+            {"user_id": pc.cast(t.column("user_id"), pa.string()), "day": d}
+        ).group_by(["user_id", "day"]).aggregate([("day", "count")])
+        return pa.Table.from_pydict(
+            {"user_id": g.column("user_id"), "day": g.column("day"),
+             "n": pc.cast(g.column("day_count"), pa.int64())},
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.string()), ("active_days", pa.int64()),
+         ("span_days", pa.int64()), ("fano", pa.float64())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby(["user_id", "day"], sort=False)["n"].sum()
+        agg = agg.reset_index()
+        agg["ord"] = agg["day"].map(
+            lambda s: dt.date.fromisoformat(s).toordinal()
+        )
+        rows = {"user_id": [], "active_days": [], "span_days": [],
+                "fano": []}
+        for uid, g in agg.groupby("user_id", sort=False):
+            m = int(g["ord"].max() - g["ord"].min()) + 1
+            if m < 2:
+                continue  # single-day span: zero-variance denominator
+            c = g["n"].to_numpy().astype(np.int64)
+            sc = int(c.sum())
+            sc2 = int((c * c).sum())
+            fano = float(m * sc2 - sc * sc) / float(m * sc)
+            rows["user_id"].append(uid)
+            rows["active_days"].append(len(c))
+            rows["span_days"].append(m)
+            rows["fano"].append(np.floor(fano * 1e6 + 0.5) / 1e6)
+        if not rows["user_id"]:
+            return out_schema.empty_table()
+        return pa.Table.from_pydict(
+            {"user_id": pa.array(rows["user_id"], pa.string()),
+             "active_days": pa.array(rows["active_days"], pa.int64()),
+             "span_days": pa.array(rows["span_days"], pa.int64()),
+             "fano": pa.array(rows["fano"], pa.float64())},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        ds.map_batches(day_counts, batch_format="pyarrow"),
+        ["user_id"], fold, out_schema,
+    )
+
+
+SQL_EVENTS_BURSTINESS = """
+WITH days AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, min(day) AS lo, max(day) AS hi,
+         CAST(count(*) AS BIGINT) AS active_days
+  FROM days GROUP BY 1
+),
+grid AS (
+  SELECT s.user_id,
+         CAST(unnest(generate_series(CAST(s.lo AS TIMESTAMP),
+                                     CAST(s.hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans s
+),
+dense AS (
+  SELECT g.user_id, COALESCE(d.c, 0) AS c
+  FROM grid g LEFT JOIN days d
+    ON d.user_id = g.user_id AND d.day = g.day
+),
+sums AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(c * c) AS BIGINT) AS sc2
+  FROM dense GROUP BY 1
+)
+SELECT s.user_id, sp.active_days, s.m AS span_days,
+       floor(CAST(s.m * s.sc2 - s.sc * s.sc AS DOUBLE)
+             / CAST(s.m * s.sc AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS fano
+FROM sums s JOIN spans sp ON sp.user_id = s.user_id
+WHERE s.m >= 2
+"""
+
+QUERIES["events_burstiness"] = q_events_burstiness
+ORACLE_SQL["events_burstiness"] = SQL_EVENTS_BURSTINESS
