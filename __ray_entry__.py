@@ -2030,6 +2030,20 @@ def _q_doc_topic_words(sf_dir: str):
     )
 
 
+def _q_minhash_calibration(sf_dir: str):
+    """MinHash estimator calibration over the LSH candidate pairs
+    (stages/dedup.minhash_calibration): per exact integer estimate bin
+    (signature matches·10 // 64), candidate count and POOLED true
+    shingle Jaccard (Σ inter / Σ union — associative int64 sums, one
+    trailing divide). The threshold-picking metrology report for the
+    near-dup stack. Oracle: the shared sig/band CTE prefix + exact
+    shingle self-join (text_oracles.sql_minhash_calibration)."""
+    from semantic_search_system_ray.pipelines.queries import read_docs
+    from semantic_search_system_ray.stages.dedup import minhash_calibration
+
+    return minhash_calibration(read_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_kg_conflicts(sf_dir: str):
     """KG CARDINALITY-VIOLATION audit: per predicate, the 20 worst
     multi-valued subjects (distinct-object fanout) with their sorted
@@ -2300,6 +2314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "taxonomy_build": _q_taxonomy_build,
             "doc_topic_words": _q_doc_topic_words,
             "minhash_clusters": _q_minhash_clusters,
+            "minhash_calibration": _q_minhash_calibration,
             "dedup_incremental": _q_dedup_incremental,
             "split_leakage_free": _q_split_leakage_free,
             "cluster_best_rep": _q_cluster_best_rep,
@@ -2571,6 +2586,7 @@ def oracle_sql() -> dict[str, str]:
             "media_duration_quantiles": tox.sql_media_duration_quantiles(),
             # full minhash pipeline in SQL (md5-based hashes since r3)
             "minhash_clusters": tox.sql_minhash_clusters(threshold=0.6),
+            "minhash_calibration": tox.sql_minhash_calibration(),
             "dedup_incremental": tox.sql_dedup_incremental(threshold=0.5),
             "split_leakage_free": tox.sql_leakage_free_split(threshold=0.6),
             "cluster_best_rep": tox.sql_cluster_best_rep(threshold=0.6),

@@ -200,7 +200,7 @@ def run_bench() -> dict:
         "product_profit", "kg_conflicts", "kg_walk_pairs",
         "kg_path_transit", "events_autocorr", "shipping_priority",
         "market_share", "promo_revenue_share", "length_gini",
-        "events_burstiness",
+        "events_burstiness", "minhash_calibration",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level

@@ -2730,3 +2730,65 @@ WHERE a.dist + b.dist = (
 )"""
     )
     return "".join(parts)
+
+
+def sql_minhash_calibration(
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 1,
+) -> str:
+    """Oracle for stages/dedup.minhash_calibration: the shared sig/band
+    prefix (_sql_minhash_sig_band — one source of truth with the
+    clustering and incremental twins), the clustering pipeline's star
+    candidate pairs, then per pair the signature match count (exact
+    integer bin = matches·10 // num_perm) against the TRUE shingle-set
+    intersection/union, pooled per bin as two exact BIGINT sums and one
+    trailing divide. Zero-shingle docs have no ``shing`` rows → size 0,
+    matching the engine's empty-set lengths."""
+    prefix = _sql_minhash_sig_band(num_perm, bands, shingle_k, seed)
+    return f"""
+WITH {prefix},
+cand AS (
+  SELECT DISTINCT b1.d AS src, m.mn AS dst
+  FROM band b1
+  JOIN (SELECT band, band_hash, min(d) AS mn, count(*) AS n
+        FROM band GROUP BY band, band_hash) m
+    USING (band, band_hash)
+  WHERE m.n >= 2 AND b1.d <> m.mn
+),
+m AS (
+  SELECT c.src, c.dst,
+         CAST(len(list_filter(generate_series(1, {num_perm}),
+                              i -> sa.slv[i] = sb.slv[i])) AS BIGINT)
+           AS matches
+  FROM cand c
+  JOIN sig sa ON sa.d = c.src
+  JOIN sig sb ON sb.d = c.dst
+),
+sizes AS (SELECT d, CAST(count(*) AS BIGINT) AS sz FROM shing GROUP BY 1),
+ints AS (
+  SELECT c.src, c.dst, CAST(count(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN shing a ON a.d = c.src
+  JOIN shing b ON b.d = c.dst AND b.s = a.s
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT m.matches * 10 // {num_perm} AS est_bin,
+         COALESCE(i.i, 0) AS inter,
+         COALESCE(za.sz, 0) + COALESCE(zb.sz, 0) - COALESCE(i.i, 0) AS un
+  FROM m
+  LEFT JOIN ints i ON i.src = m.src AND i.dst = m.dst
+  LEFT JOIN sizes za ON za.d = m.src
+  LEFT JOIN sizes zb ON zb.d = m.dst
+)
+SELECT est_bin, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(inter) AS BIGINT) AS sum_inter,
+       CAST(sum(un) AS BIGINT) AS sum_union,
+       CASE WHEN sum(un) = 0 THEN 0.0
+            ELSE floor(CAST(sum(inter) AS DOUBLE)
+                       / CAST(sum(un) AS DOUBLE) * 1000000 + 0.5) / 1000000
+       END AS pooled_jaccard
+FROM pairs GROUP BY 1
+"""

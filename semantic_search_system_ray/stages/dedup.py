@@ -676,6 +676,33 @@ def _ragged_take(off: np.ndarray, rows: np.ndarray, lens: np.ndarray) -> np.ndar
     return np.repeat(off[rows] - cum, lens) + np.arange(total, dtype=np.int64)
 
 
+def _pair_intersections(
+    la: np.ndarray, flat_a: np.ndarray, lb: np.ndarray, flat_b: np.ndarray
+) -> np.ndarray:
+    """Exact |A ∩ B| for a batch of set pairs in CSR layout with NO
+    per-pair Python — the pair-key trick (see _jaccard_pairs_vectorized):
+    factorize all gram strings to int codes, key each occurrence as
+    pair_idx · G + code, sort; a key appearing twice (once per side,
+    grams are distinct within a side) is one intersecting gram."""
+    import pandas as pd
+
+    n = len(la)
+    la = np.asarray(la, np.int64)
+    lb = np.asarray(lb, np.int64)
+    if n == 0 or int(la.sum() + lb.sum()) == 0:
+        return np.zeros(n, np.int64)
+    codes, _ = pd.factorize(np.concatenate([flat_a, flat_b]))
+    G = int(codes.max()) + 1
+    ca, cb = codes[: la.sum()], codes[la.sum():]
+    keys = np.concatenate(
+        [np.repeat(np.arange(n, dtype=np.int64), la) * G + ca,
+         np.repeat(np.arange(n, dtype=np.int64), lb) * G + cb]
+    )
+    keys.sort(kind="stable")
+    dup = keys[:-1][keys[1:] == keys[:-1]]
+    return np.bincount(dup // G, minlength=n).astype(np.int64)
+
+
 def _jaccard_pairs_vectorized(
     src: np.ndarray,
     dst: np.ndarray,
@@ -698,24 +725,13 @@ def _jaccard_pairs_vectorized(
     key appearing twice (necessarily once per side) is one intersecting
     gram; a bincount by pair recovers |A ∩ B|. O(total grams · log)
     instead of O(pairs) Python set ops."""
-    import pandas as pd
-
     n = len(src)
     la = np.asarray(la, np.int64)
     lb = np.asarray(lb, np.int64)
     total = int(la.sum() + lb.sum())
     if n == 0 or total == 0:
         return _JACCARD_SCHEMA.empty_table()
-    codes, _ = pd.factorize(np.concatenate([flat_a, flat_b]))
-    G = int(codes.max()) + 1
-    ca, cb = codes[: la.sum()], codes[la.sum():]
-    keys = np.concatenate(
-        [np.repeat(np.arange(n, dtype=np.int64), la) * G + ca,
-         np.repeat(np.arange(n, dtype=np.int64), lb) * G + cb]
-    )
-    keys.sort(kind="stable")
-    dup = keys[:-1][keys[1:] == keys[:-1]]
-    inter = np.bincount(dup // G, minlength=n).astype(np.int64)
+    inter = _pair_intersections(la, flat_a, lb, flat_b)
     union = la + lb - inter
     jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
     keep = (inter > 0) & (jac >= threshold)
@@ -1249,3 +1265,210 @@ def edit_distance_pairs(
         )
 
     return candidates.map_batches(verify, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator calibration (dedup metrology)
+# --------------------------------------------------------------------------
+
+CALIBRATION_SCHEMA = pa.schema(
+    [("est_bin", pa.int64()), ("n_pairs", pa.int64()),
+     ("sum_inter", pa.int64()), ("sum_union", pa.int64()),
+     ("pooled_jaccard", pa.float64())]
+)
+
+
+def minhash_calibration(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> pa.Table:
+    """Estimated-vs-exact Jaccard CALIBRATION of the MinHash LSH stack —
+    the metrology report that justifies a verification threshold before
+    a 100 TB dedup run: for every LSH candidate pair (the star pairs
+    the clustering pipeline verifies), the signature match-fraction
+    estimate is binned (bin = matches·10 // num_perm, an exact integer)
+    against the TRUE shingle-set Jaccard, POOLED per bin as
+    Σ|A∩B| / Σ|A∪B| — two exact associative int64 sums and ONE trailing
+    divide, instead of an order-dependent mean of per-pair ratios.
+
+    Scale shape: one fused pass computes signature AND serialized
+    shingle set per doc; banding/bucketing is the clustering pipeline's
+    (star candidates, never all-pairs); signatures and gram sets
+    hash-join onto pairs (coarse_attach — no driver materialization);
+    the intersection kernel is the shared pair-key trick
+    (_pair_intersections, no per-pair Python); per-block (bin, n,
+    inter, union) partials fold through one ≤11-row groupby."""
+    from semantic_search_system_ray.pipelines.kg_build import distinct_rows
+    from semantic_search_system_ray.stages.util import (
+        coarse_attach,
+        coarse_grouped_apply,
+    )
+
+    rows_per_band = num_perm // bands
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids, sigs, grams = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            toks = [w.lower() for w in tokenize(t or "")]
+            sh = set(word_shingles(toks, shingle_k))
+            sig = minhash_signature(sh, num_perm)
+            ids.append(str(i))
+            sigs.append(sig.astype(np.uint32).tobytes())
+            grams.append(_GRAM_SEP.join(sorted(sh)))
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.string()),
+             "sig": pa.array(sigs, pa.binary()),
+             "g": pa.array(grams, pa.string())}
+        )
+
+    docs = ds.map_batches(doc_rows, batch_format="pyarrow").materialize()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        out_id, out_band, out_hash = [], [], []
+        for i, sb in zip(batch.column("doc_id").to_pylist(),
+                         batch.column("sig").to_pylist()):
+            sig = np.frombuffer(sb, dtype=np.uint32)
+            for b in range(bands):
+                chunk = sig[b * rows_per_band: (b + 1) * rows_per_band]
+                out_id.append(i)
+                out_band.append(b)
+                out_hash.append(
+                    hashlib.md5(
+                        ",".join(str(int(v)) for v in chunk).encode()
+                    ).hexdigest()[:16]
+                )
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(out_id, pa.string()),
+             "band": pa.array(out_band, pa.int32()),
+             "band_hash": pa.array(out_hash, pa.string())}
+        )
+
+    banded = docs.map_batches(band_rows, batch_format="pyarrow")
+    candidates = coarse_grouped_apply(
+        banded, ["band", "band_hash"], _bucket_pairs, _PAIR_SCHEMA,
+        min_group_size=2,
+    )
+    candidates = distinct_rows(
+        candidates, ["src", "dst"], strategy="tree", out_blocks=8
+    )
+
+    step1 = coarse_attach(
+        candidates, docs, left_key="src", right_key="doc_id",
+        attach_cols=["sig", "g"], attach_as=["sig_a", "g_a"],
+        out_schema=pa.schema(
+            [("src", pa.string()), ("dst", pa.string()),
+             ("sig_a", pa.binary()), ("g_a", pa.string())]
+        ),
+    )
+    step2 = coarse_attach(
+        step1, docs, left_key="dst", right_key="doc_id",
+        attach_cols=["sig", "g"], attach_as=["sig_b", "g_b"],
+        out_schema=pa.schema(
+            [("src", pa.string()), ("dst", pa.string()),
+             ("sig_a", pa.binary()), ("g_a", pa.string()),
+             ("sig_b", pa.binary()), ("g_b", pa.string())]
+        ),
+    )
+
+    part_schema = pa.schema(
+        [("est_bin", pa.int64()), ("n_pairs", pa.int64()),
+         ("sum_inter", pa.int64()), ("sum_union", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        aa = np.stack(
+            [np.frombuffer(x, dtype=np.uint32)
+             for x in t.column("sig_a").to_pylist()]
+        )
+        bb = np.stack(
+            [np.frombuffer(x, dtype=np.uint32)
+             for x in t.column("sig_b").to_pylist()]
+        )
+        matches = (aa == bb).sum(axis=1).astype(np.int64)
+        est_bin = matches * 10 // num_perm
+        # empty serialized gram strings are EMPTY sets, not {''}: split
+        # would yield [''] (length 1), so zero their lengths explicitly
+        ga = pc.split_pattern(t.column("g_a"), _GRAM_SEP).combine_chunks()
+        gb = pc.split_pattern(t.column("g_b"), _GRAM_SEP).combine_chunks()
+        la = pc.list_value_length(ga).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lb = pc.list_value_length(gb).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        empty_a = pc.equal(t.column("g_a"), "").to_numpy(
+            zero_copy_only=False
+        )
+        empty_b = pc.equal(t.column("g_b"), "").to_numpy(
+            zero_copy_only=False
+        )
+        la[empty_a] = 0
+        lb[empty_b] = 0
+        inter = _pair_intersections(
+            la, pc.list_flatten(ga).to_numpy(zero_copy_only=False),
+            lb, pc.list_flatten(gb).to_numpy(zero_copy_only=False),
+        )
+        # flats still carry the '' rows for empty docs; those codes can
+        # only collide with other '' entries — mask them out of inter
+        both_empty_safe = ~(empty_a | empty_b)
+        inter = np.where(both_empty_safe, inter, 0)
+        union = la + lb - inter
+        df = pd.DataFrame(
+            {"est_bin": est_bin, "inter": inter, "union": union}
+        )
+        agg = df.groupby("est_bin", sort=False).agg(
+            n_pairs=("inter", "size"), sum_inter=("inter", "sum"),
+            sum_union=("union", "sum"),
+        ).reset_index()
+        return pa.Table.from_pydict(
+            {"est_bin": agg["est_bin"].astype("int64"),
+             "n_pairs": agg["n_pairs"].astype("int64"),
+             "sum_inter": agg["sum_inter"].astype("int64"),
+             "sum_union": agg["sum_union"].astype("int64")},
+            schema=part_schema,
+        )
+
+    from ray.data.aggregate import Sum
+
+    folded = step2.map_batches(partial, batch_format="pyarrow").groupby(
+        "est_bin"
+    ).aggregate(
+        Sum("n_pairs", alias_name="n_pairs"),
+        Sum("sum_inter", alias_name="sum_inter"),
+        Sum("sum_union", alias_name="sum_union"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        si = t.column("sum_inter").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        su = t.column("sum_union").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        pooled = np.where(
+            su > 0,
+            np.floor(si.astype(np.float64)
+                     / np.maximum(su, 1).astype(np.float64) * 1e6 + 0.5)
+            / 1e6,
+            0.0,
+        )
+        return pa.Table.from_pydict(
+            {"est_bin": pc.cast(t.column("est_bin"), pa.int64()),
+             "n_pairs": pc.cast(t.column("n_pairs"), pa.int64()),
+             "sum_inter": pa.array(si, pa.int64()),
+             "sum_union": pa.array(su, pa.int64()),
+             "pooled_jaccard": pa.array(pooled, pa.float64())},
+            schema=CALIBRATION_SCHEMA,
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")
