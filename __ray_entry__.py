@@ -2030,6 +2030,99 @@ def _q_doc_topic_words(sf_dir: str):
     )
 
 
+def _q_kg_entity_provenance(sf_dir: str):
+    """Per-entity PROVENANCE profile: supporting-doc count, distinct
+    source count, and the dominant source (count DESC, source ASC) for
+    every entity the KG mentions — the corroboration signal entity
+    resolution and fact-confidence scoring read (reference analogue:
+    the per-doc metadata the NER writer carries,
+    knowledge_graph/knowledge_graph.py MERGE payloads). MENTIONS triples
+    attach the doc's source by ONE hash join against a 2-column pruned
+    documents read; per-block (entity, source) count combiners → ONE
+    entity-keyed coarse cogroup (per-entity source domain is
+    schema-bounded). Oracle: text_oracles.sql_kg_entity_provenance."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from semantic_search_system_ray.pipelines.queries import read_docs
+    from semantic_search_system_ray.stages.util import (
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    t = _kg_triples(sf_dir)
+    mentions = t.map_batches(
+        lambda tb: pa.Table.from_pydict(
+            {"d": pc.cast(
+                tb.filter(pc.equal(tb.column("pred"), "MENTIONS"))
+                .column("subj"), pa.string()),
+             "entity": pc.cast(
+                 tb.filter(pc.equal(tb.column("pred"), "MENTIONS"))
+                 .column("obj"), pa.string())},
+        ),
+        batch_format="pyarrow",
+    )
+    docs = read_docs(sf_dir, ["doc_id", "source"])
+    with_src = coarse_attach(
+        mentions, docs, left_key="d", right_key="doc_id",
+        attach_cols=["source"],
+        out_schema=pa.schema(
+            [("entity", pa.string()), ("source", pa.string())]
+        ),
+        how="inner",
+    )
+
+    part_schema = pa.schema(
+        [("entity", pa.string()), ("source", pa.string()),
+         ("n", pa.int64())]
+    )
+
+    def counts(tb: pa.Table) -> pa.Table:
+        g = tb.group_by(["entity", "source"]).aggregate([("source", "count")])
+        return pa.Table.from_pydict(
+            {"entity": g.column("entity"), "source": g.column("source"),
+             "n": pc.cast(g.column("source_count"), pa.int64())},
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("entity", pa.string()), ("n_docs", pa.int64()),
+         ("n_sources", pa.int64()), ("top_source", pa.string()),
+         ("top_source_docs", pa.int64())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby(["entity", "source"], sort=False)["n"].sum()
+        agg = agg.reset_index().sort_values(
+            ["entity", "n", "source"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        rows = {"entity": [], "n_docs": [], "n_sources": [],
+                "top_source": [], "top_source_docs": []}
+        for ent, g in agg.groupby("entity", sort=False):
+            rows["entity"].append(ent)
+            rows["n_docs"].append(int(g["n"].sum()))
+            rows["n_sources"].append(len(g))
+            rows["top_source"].append(g["source"].iloc[0])
+            rows["top_source_docs"].append(int(g["n"].iloc[0]))
+        return pa.Table.from_pydict(
+            {"entity": pa.array(rows["entity"], pa.string()),
+             "n_docs": pa.array(rows["n_docs"], pa.int64()),
+             "n_sources": pa.array(rows["n_sources"], pa.int64()),
+             "top_source": pa.array(rows["top_source"], pa.string()),
+             "top_source_docs": pa.array(rows["top_source_docs"],
+                                         pa.int64())},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        with_src.map_batches(counts, batch_format="pyarrow"),
+        ["entity"], fold, out_schema,
+    )
+
+
 def _q_minhash_calibration(sf_dir: str):
     """MinHash estimator calibration over the LSH candidate pairs
     (stages/dedup.minhash_calibration): per exact integer estimate bin
@@ -2315,6 +2408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_topic_words": _q_doc_topic_words,
             "minhash_clusters": _q_minhash_clusters,
             "minhash_calibration": _q_minhash_calibration,
+            "kg_entity_provenance": _q_kg_entity_provenance,
             "dedup_incremental": _q_dedup_incremental,
             "split_leakage_free": _q_split_leakage_free,
             "cluster_best_rep": _q_cluster_best_rep,
@@ -2587,6 +2681,9 @@ def oracle_sql() -> dict[str, str]:
             # full minhash pipeline in SQL (md5-based hashes since r3)
             "minhash_clusters": tox.sql_minhash_clusters(threshold=0.6),
             "minhash_calibration": tox.sql_minhash_calibration(),
+            "kg_entity_provenance": tox.sql_kg_entity_provenance(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
             "dedup_incremental": tox.sql_dedup_incremental(threshold=0.5),
             "split_leakage_free": tox.sql_leakage_free_split(threshold=0.6),
             "cluster_best_rep": tox.sql_cluster_best_rep(threshold=0.6),

@@ -201,6 +201,7 @@ def run_bench() -> dict:
         "kg_path_transit", "events_autocorr", "shipping_priority",
         "market_share", "promo_revenue_share", "length_gini",
         "events_burstiness", "minhash_calibration",
+        "kg_entity_provenance", "dedup_savings", "source_share_drift",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level

@@ -14427,3 +14427,239 @@ WHERE s.m >= 2
 
 QUERIES["events_burstiness"] = q_events_burstiness
 ORACLE_SQL["events_burstiness"] = SQL_EVENTS_BURSTINESS
+
+
+def q_dedup_savings(sf_dir: str):
+    """Per-source DEDUP SAVINGS forecast: document/character totals vs
+    what survives near-dup deduplication (MinHash-LSH cluster
+    representatives = docs whose cluster label is themselves) — the
+    storage/compute-budget number a 100 TB curation run is sized by.
+    ONE hash attach of the cluster label onto a 3-column pruned
+    documents read, per-block (source, …) int64 partial sums → one
+    domain-bounded fold; the two ratios are the only FP ops,
+    floor(x·1e6+0.5)-rounded."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.dedup import minhash_lsh_clusters
+    from semantic_search_system_ray.stages.util import (
+        coarse_attach,
+        coarse_partition_apply,
+    )
+
+    docs = read_docs(sf_dir, ["doc_id", "text", "source", "n_chars"])
+    clusters = minhash_lsh_clusters(
+        docs.select_columns(["doc_id", "text"]), threshold=0.6
+    )
+    slim = docs.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.string()),
+             "source": t.column("source"),
+             "n_chars": pc.cast(t.column("n_chars"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    with_cl = coarse_attach(
+        slim, clusters, left_key="doc_id", right_key="doc_id",
+        attach_cols=["cluster"],
+        out_schema=pa.schema(
+            [("doc_id", pa.string()), ("source", pa.string()),
+             ("n_chars", pa.int64()), ("cluster", pa.string())]
+        ),
+        how="inner",
+    )
+
+    part_schema = pa.schema(
+        [("source", pa.string()), ("n_docs", pa.int64()),
+         ("total_chars", pa.int64()), ("kept_docs", pa.int64()),
+         ("kept_chars", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        kept = pc.cast(
+            pc.equal(t.column("doc_id"), t.column("cluster")), pa.int64()
+        )
+        df = pd.DataFrame(
+            {"source": t.column("source").to_numpy(zero_copy_only=False),
+             "n_chars": t.column("n_chars").to_numpy(zero_copy_only=False),
+             "kept": kept.to_numpy(zero_copy_only=False)}
+        )
+        df["kept_chars"] = df["n_chars"] * df["kept"]
+        agg = df.groupby("source", sort=False).agg(
+            n_docs=("kept", "size"), total_chars=("n_chars", "sum"),
+            kept_docs=("kept", "sum"), kept_chars=("kept_chars", "sum"),
+        ).reset_index()
+        return pa.Table.from_pydict(
+            {"source": agg["source"].to_numpy(),
+             "n_docs": agg["n_docs"].to_numpy().astype(np.int64),
+             "total_chars": agg["total_chars"].to_numpy().astype(np.int64),
+             "kept_docs": agg["kept_docs"].to_numpy().astype(np.int64),
+             "kept_chars": agg["kept_chars"].to_numpy().astype(np.int64)},
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        list(part_schema)
+        + [pa.field("doc_keep_rate", pa.float64()),
+           pa.field("char_keep_rate", pa.float64())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby("source", sort=False).agg(
+            n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"),
+            kept_docs=("kept_docs", "sum"), kept_chars=("kept_chars", "sum"),
+        ).reset_index()
+        dkr = np.floor(
+            agg["kept_docs"].to_numpy().astype(np.float64)
+            / agg["n_docs"].to_numpy().astype(np.float64) * 1e6 + 0.5
+        ) / 1e6
+        ckr = np.floor(
+            agg["kept_chars"].to_numpy().astype(np.float64)
+            / np.maximum(agg["total_chars"].to_numpy(), 1).astype(np.float64)
+            * 1e6 + 0.5
+        ) / 1e6
+        return pa.Table.from_pydict(
+            {"source": agg["source"].to_numpy(),
+             "n_docs": agg["n_docs"].to_numpy().astype(np.int64),
+             "total_chars": agg["total_chars"].to_numpy().astype(np.int64),
+             "kept_docs": agg["kept_docs"].to_numpy().astype(np.int64),
+             "kept_chars": agg["kept_chars"].to_numpy().astype(np.int64),
+             "doc_keep_rate": pa.array(dkr, pa.float64()),
+             "char_keep_rate": pa.array(ckr, pa.float64())},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        with_cl.map_batches(partial, batch_format="pyarrow"),
+        ["source"], fold, out_schema,
+    )
+
+
+def _sql_dedup_savings() -> str:
+    from semantic_search_system_ray.pipelines.text_oracles import (
+        sql_minhash_clusters,
+    )
+
+    inner = sql_minhash_clusters(threshold=0.6)
+    return f"""
+WITH cl AS ({inner}),
+j AS (
+  SELECT d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+         CASE WHEN cl.doc_id = cl.cluster THEN 1 ELSE 0 END AS kept
+  FROM cl JOIN documents d ON CAST(d.doc_id AS VARCHAR) = cl.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(kept) AS BIGINT) AS kept_docs,
+       CAST(sum(kept * n_chars) AS BIGINT) AS kept_chars,
+       floor(CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS doc_keep_rate,
+       floor(CAST(sum(kept * n_chars) AS DOUBLE)
+             / CAST(greatest(sum(n_chars), 1) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS char_keep_rate
+FROM j GROUP BY 1
+"""
+
+QUERIES["dedup_savings"] = q_dedup_savings
+ORACLE_SQL["dedup_savings"] = _sql_dedup_savings()
+
+
+def q_source_share_drift(sf_dir: str):
+    """Corpus-MIX DRIFT between two deterministic snapshot halves
+    (doc_id parity — the stand-in for consecutive crawl snapshots):
+    per-source share of each half in exact integer ppm
+    (count·1e6 // half_total) and the absolute drift — the monitoring
+    number that pages the crawl team when a source's share moves. One
+    streaming pass of per-block (source, parity) count combiners → a
+    source-domain-bounded fold; no floats anywhere."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"),
+                           columns=["doc_id", "source"])
+    part_schema = pa.schema(
+        [("source", pa.string()), ("n_a", pa.int64()), ("n_b", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        par = pc.cast(
+            pc.equal(
+                pc.bit_wise_and(pc.cast(t.column("doc_id"), pa.int64()),
+                                pa.scalar(1, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            ),
+            pa.int64(),
+        )
+        t2 = pa.Table.from_pydict(
+            {"source": t.column("source"), "a": par,
+             "b": pc.subtract(pa.scalar(1, pa.int64()), par)}
+        )
+        g = t2.group_by(["source"]).aggregate([("a", "sum"), ("b", "sum")])
+        return pa.Table.from_pydict(
+            {"source": g.column("source"),
+             "n_a": pc.cast(g.column("a_sum"), pa.int64()),
+             "n_b": pc.cast(g.column("b_sum"), pa.int64())},
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("source", pa.string()), ("n_a", pa.int64()), ("n_b", pa.int64()),
+         ("share_a_ppm", pa.int64()), ("share_b_ppm", pa.int64()),
+         ("drift_ppm", pa.int64())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby("source", sort=False).agg(
+            n_a=("n_a", "sum"), n_b=("n_b", "sum")
+        ).reset_index()
+        ta = max(int(agg["n_a"].sum()), 1)
+        tb = max(int(agg["n_b"].sum()), 1)
+        sa = agg["n_a"].to_numpy().astype(np.int64) * 1_000_000 // ta
+        sb = agg["n_b"].to_numpy().astype(np.int64) * 1_000_000 // tb
+        return pa.Table.from_pydict(
+            {"source": agg["source"].to_numpy(),
+             "n_a": agg["n_a"].to_numpy().astype(np.int64),
+             "n_b": agg["n_b"].to_numpy().astype(np.int64),
+             "share_a_ppm": pa.array(sa, pa.int64()),
+             "share_b_ppm": pa.array(sb, pa.int64()),
+             "drift_ppm": pa.array(np.abs(sa - sb), pa.int64())},
+            schema=out_schema,
+        )
+
+    # the fold needs BOTH half totals, so it runs as ONE partition over
+    # the source-domain-bounded partials (sources ≪ corpus)
+    return coarse_partition_apply(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source"], fold, out_schema, num_partitions=1,
+    )
+
+
+SQL_SOURCE_SHARE_DRIFT = """
+WITH halves AS (
+  SELECT source,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT greatest(sum(n_a), 1) AS ta, greatest(sum(n_b), 1) AS tb
+  FROM halves
+)
+SELECT source, n_a, n_b,
+       CAST(n_a * 1000000 // ta AS BIGINT) AS share_a_ppm,
+       CAST(n_b * 1000000 // tb AS BIGINT) AS share_b_ppm,
+       CAST(abs(n_a * 1000000 // ta - n_b * 1000000 // tb) AS BIGINT)
+         AS drift_ppm
+FROM halves, tot
+"""
+
+QUERIES["source_share_drift"] = q_source_share_drift
+ORACLE_SQL["source_share_drift"] = SQL_SOURCE_SHARE_DRIFT

@@ -2792,3 +2792,45 @@ SELECT est_bin, CAST(count(*) AS BIGINT) AS n_pairs,
        END AS pooled_jaccard
 FROM pairs GROUP BY 1
 """
+
+
+def sql_kg_entity_provenance(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for the per-entity PROVENANCE profile: MENTIONS triples
+    (doc → entity) joined back to the documents table's source column,
+    then per entity the supporting-doc count, distinct-source count and
+    the dominant source (count DESC, source ASC — total order). Built
+    over the kg_triples oracle subquery (one source of truth)."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples}),
+m AS (
+  SELECT CAST(subj AS VARCHAR) AS d, CAST(obj AS VARCHAR) AS entity
+  FROM t WHERE pred = 'MENTIONS'
+),
+j AS (
+  SELECT m.entity, doc.source
+  FROM m JOIN documents doc ON CAST(doc.doc_id AS VARCHAR) = m.d
+),
+per AS (
+  SELECT entity, source, CAST(count(*) AS BIGINT) AS n
+  FROM j GROUP BY 1, 2
+),
+ranked AS (
+  SELECT entity, source, n,
+         row_number() OVER (PARTITION BY entity
+                            ORDER BY n DESC, source) AS rn
+  FROM per
+),
+agg AS (
+  SELECT entity, CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM per GROUP BY 1
+)
+SELECT a.entity, a.n_docs, a.n_sources,
+       r.source AS top_source, r.n AS top_source_docs
+FROM agg a JOIN ranked r ON r.entity = a.entity AND r.rn = 1
+"""
