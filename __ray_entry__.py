@@ -2030,6 +2030,111 @@ def _q_doc_topic_words(sf_dir: str):
     )
 
 
+def _q_kg_rich_club(sf_dir: str):
+    """RICH-CLUB coefficients of the KG's undirected simple graph: for
+    degree thresholds k ∈ {2,4,8,16}, how densely the deg>k hubs
+    interconnect (phi = 2E/(N(N−1))) — the hub-collusion diagnostic
+    that separates a natural entity graph from a boilerplate-dominated
+    one. ONE shared simple-edge distinct + degree pass, two hash
+    attaches put endpoint degrees on edges, then per-block conditional
+    int64 counters per threshold (4 partial rows per block) and a
+    driver fold; phi is the single mirrored 6dp-floored divide.
+    Oracle: text_oracles.sql_kg_rich_club."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from semantic_search_system_ray.pipelines.kg_build import edges_from_triples
+    from semantic_search_system_ray.stages.graph import (
+        _simple_degrees,
+        undirected_simple_edges,
+    )
+    from semantic_search_system_ray.stages.util import coarse_attach
+
+    THRESH = (2, 4, 8, 16)
+    und = undirected_simple_edges(
+        edges_from_triples(_kg_triples(sf_dir))
+    ).materialize()
+    deg = _simple_degrees(und, None).materialize()
+
+    e1 = coarse_attach(
+        und, deg, left_key="a", right_key="node_id", attach_cols=["deg"],
+        attach_as=["da"],
+        out_schema=pa.schema(
+            [("b", pa.string()), ("da", pa.int64())]
+        ),
+        how="inner",
+    )
+    e2 = coarse_attach(
+        e1, deg, left_key="b", right_key="node_id", attach_cols=["deg"],
+        attach_as=["db"],
+        out_schema=pa.schema(
+            [("da", pa.int64()), ("db", pa.int64())]
+        ),
+        how="inner",
+    )
+
+    part_schema = pa.schema([("k", pa.int64()), ("n", pa.int64())])
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        da = t.column("da").to_numpy(zero_copy_only=False)
+        db = t.column("db").to_numpy(zero_copy_only=False)
+        ks, ns = [], []
+        for k in THRESH:
+            ks.append(k)
+            ns.append(int(((da > k) & (db > k)).sum()))
+        return pa.Table.from_pydict(
+            {"k": pa.array(ks, pa.int64()), "n": pa.array(ns, pa.int64())},
+            schema=part_schema,
+        )
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        dg = t.column("deg").to_numpy(zero_copy_only=False)
+        ks, ns = [], []
+        for k in THRESH:
+            ks.append(k)
+            ns.append(int((dg > k).sum()))
+        return pa.Table.from_pydict(
+            {"k": pa.array(ks, pa.int64()), "n": pa.array(ns, pa.int64())},
+            schema=part_schema,
+        )
+
+    def fold(ds) -> dict:
+        acc = {k: 0 for k in THRESH}
+        for tbl in ray.get(ds.to_arrow_refs()):
+            # empty input blocks pass through with their source schema
+            if tbl.num_rows == 0 or "k" not in tbl.schema.names:
+                continue
+            for k, n in zip(tbl.column("k").to_pylist(),
+                            tbl.column("n").to_pylist()):
+                acc[int(k)] += int(n)
+        return acc
+
+    n_k = fold(deg.map_batches(node_partial, batch_format="pyarrow"))
+    e_k = fold(e2.map_batches(edge_partial, batch_format="pyarrow"))
+
+    out = {"k": [], "n_nodes": [], "n_edges": [], "phi": []}
+    import numpy as np
+
+    for k in THRESH:
+        n, e = n_k[k], e_k[k]
+        if n < 2:
+            continue
+        out["k"].append(k)
+        out["n_nodes"].append(n)
+        out["n_edges"].append(e)
+        out["phi"].append(
+            float(np.floor(2.0 * float(e) / (float(n) * float(n - 1))
+                           * 1e6 + 0.5) / 1e6)
+        )
+    return pa.Table.from_pydict(
+        {"k": pa.array(out["k"], pa.int64()),
+         "n_nodes": pa.array(out["n_nodes"], pa.int64()),
+         "n_edges": pa.array(out["n_edges"], pa.int64()),
+         "phi": pa.array(out["phi"], pa.float64())}
+    )
+
+
 def _q_kg_entity_provenance(sf_dir: str):
     """Per-entity PROVENANCE profile: supporting-doc count, distinct
     source count, and the dominant source (count DESC, source ASC) for
@@ -2409,6 +2514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "minhash_clusters": _q_minhash_clusters,
             "minhash_calibration": _q_minhash_calibration,
             "kg_entity_provenance": _q_kg_entity_provenance,
+            "kg_rich_club": _q_kg_rich_club,
             "dedup_incremental": _q_dedup_incremental,
             "split_leakage_free": _q_split_leakage_free,
             "cluster_best_rep": _q_cluster_best_rep,
@@ -2682,6 +2788,9 @@ def oracle_sql() -> dict[str, str]:
             "minhash_clusters": tox.sql_minhash_clusters(threshold=0.6),
             "minhash_calibration": tox.sql_minhash_calibration(),
             "kg_entity_provenance": tox.sql_kg_entity_provenance(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_rich_club": tox.sql_kg_rich_club(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "dedup_incremental": tox.sql_dedup_incremental(threshold=0.5),

@@ -14663,3 +14663,268 @@ FROM halves, tot
 
 QUERIES["source_share_drift"] = q_source_share_drift
 ORACLE_SQL["source_share_drift"] = SQL_SOURCE_SHARE_DRIFT
+
+
+def q_tokenizer_oov_rate(sf_dir: str):
+    """Per-source OUT-OF-VOCABULARY rate against the corpus's own
+    top-1000 word vocabulary — the coverage check run before freezing a
+    tokenizer/vocab for training. Two-phase word counts (per-block
+    Arrow combiners → ONE vocabulary-bounded shuffle), exact top-1000
+    by (count DESC, word ASC), vocabulary broadcast by closure into a
+    stateless vectorized membership pass; per-source totals are exact
+    int64 and the rate is integer ppm (oov·1e6 // total) — no floats
+    anywhere."""
+    import pandas as pd
+
+    from semantic_search_system_ray.functions.text import tokenize
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+
+    wc_schema = pa.schema(
+        [("source", pa.string()), ("w", pa.string()), ("n", pa.int64())]
+    )
+
+    def wc(t: pa.Table) -> pa.Table:
+        srcs, words = [], []
+        for s, txt in zip(t.column("source").to_pylist(),
+                          t.column("text").to_pylist()):
+            for w in tokenize((txt or "").lower()):
+                srcs.append(s)
+                words.append(w)
+        if not srcs:
+            return wc_schema.empty_table()
+        g = pa.Table.from_pydict(
+            {"source": pa.array(srcs, pa.string()),
+             "w": pa.array(words, pa.string())}
+        ).group_by(["source", "w"]).aggregate([("w", "count")])
+        return pa.Table.from_pydict(
+            {"source": g.column("source"), "w": g.column("w"),
+             "n": pc.cast(g.column("w_count"), pa.int64())},
+            schema=wc_schema,
+        )
+
+    counts = (
+        ds.map_batches(wc, batch_format="pyarrow")
+        .groupby(["source", "w"]).sum("n")
+        .map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"source": t.column("source"), "w": t.column("w"),
+                 "n": pc.cast(t.column("sum(n)"), pa.int64())},
+                schema=wc_schema,
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # reused: vocab top-k + per-source folds
+    )
+
+    K = 1000
+    # global top-K: per-block local top-K over per-block word sums →
+    # bounded driver fold (the word domain is source-split here, so fold
+    # the (w, n) partials first)
+    gw = counts.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"w": t.column("w"), "n": t.column("n")}
+        ).group_by(["w"]).aggregate([("n", "sum")]),
+        batch_format="pyarrow",
+    ).groupby("w").sum("n_sum")
+    gw_rows = gw.take_all()  # vocabulary-bounded
+    vocab_df = pd.DataFrame(
+        {"w": [r["w"] for r in gw_rows],
+         "n": [int(r["sum(n_sum)"]) for r in gw_rows]}
+    ).sort_values(["n", "w"], ascending=[False, True], kind="mergesort")
+    vocab = set(vocab_df["w"].head(K))
+
+    out_schema = pa.schema(
+        [("source", pa.string()), ("total_tokens", pa.int64()),
+         ("oov_tokens", pa.int64()), ("oov_ppm", pa.int64())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby(["source", "w"], sort=False)["n"].sum().reset_index()
+        agg["oov"] = (~agg["w"].isin(vocab)).astype(np.int64) * agg["n"]
+        g = agg.groupby("source", sort=False).agg(
+            total=("n", "sum"), oov=("oov", "sum")
+        ).reset_index()
+        tot = g["total"].to_numpy().astype(np.int64)
+        oov = g["oov"].to_numpy().astype(np.int64)
+        return pa.Table.from_pydict(
+            {"source": g["source"].to_numpy(),
+             "total_tokens": tot, "oov_tokens": oov,
+             "oov_ppm": oov * 1_000_000 // np.maximum(tot, 1)},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(counts, ["source"], fold, out_schema)
+
+
+SQL_TOKENIZER_OOV_RATE = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '\w+(?:''\w+)?')) AS w
+  FROM documents
+),
+counts AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2
+),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, sum(n) AS n,
+           row_number() OVER (ORDER BY sum(n) DESC, w) AS rn
+    FROM counts GROUP BY w
+  ) WHERE rn <= 1000
+),
+per AS (
+  SELECT c.source, CAST(sum(c.n) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN v.w IS NULL THEN c.n ELSE 0 END) AS BIGINT)
+           AS oov_tokens
+  FROM counts c LEFT JOIN vocab v ON v.w = c.w
+  GROUP BY 1
+)
+SELECT source, total_tokens, oov_tokens,
+       CAST(oov_tokens * 1000000 // greatest(total_tokens, 1) AS BIGINT)
+         AS oov_ppm
+FROM per
+"""
+
+QUERIES["tokenizer_oov_rate"] = q_tokenizer_oov_rate
+ORACLE_SQL["tokenizer_oov_rate"] = SQL_TOKENIZER_OOV_RATE
+
+
+def q_embedding_int8_error(sf_dir: str):
+    """INT8-QUANTIZATION error profile of the embeddings table — the
+    accuracy-loss audit run before shipping a quantized ANN index
+    (reference analogue: the int8 Cohere embedding path, test.py:18-50).
+    Quantization rule, identical on both engines: per-vector scale m =
+    max|x|; q = clip(floor(127·x/m + 0.5), −127, 127); x̂ = q·m/127
+    (floor(x+0.5), NOT round() — numpy rounds half-to-even, DuckDB
+    half-away; the floor idiom is the repo's standard). Per-element
+    |x−x̂| quantizes to int64 nano-units BEFORE summing, so the
+    per-label means are exact associative sums with one trailing
+    divide; zero vectors drop on both sides. One streaming vectorized
+    pass → per-block (label, n, Σerr, max_err) partials → a
+    label-bounded fold."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                         columns=["label", "embedding"])
+    part_schema = pa.schema(
+        [("label", pa.int64()), ("n_vecs", pa.int64()),
+         ("sum_err_nano", pa.int64()), ("max_err_nano", pa.int64()),
+         ("dim", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding").combine_chunks()
+        dim = (emb.type.list_size
+               if isinstance(emb.type, pa.FixedSizeListType)
+               else None)
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        if dim is None:
+            lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+            dim = int(lens[0]) if len(lens) else 0
+        X = flat.reshape(-1, dim)
+        labels = pc.cast(t.column("label"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        m = np.abs(X).max(axis=1)
+        keep = m > 0
+        X, labels, m = X[keep], labels[keep], m[keep]
+        if len(labels) == 0:
+            return part_schema.empty_table()
+        q = np.clip(np.floor(127.0 * X / m[:, None] + 0.5), -127, 127)
+        err = np.abs(X - q * m[:, None] / 127.0)
+        err_nano = np.floor(err * 1e9 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {"label": labels, "s": err_nano.sum(axis=1),
+             "mx": err_nano.max(axis=1)}
+        )
+        g = df.groupby("label", sort=False).agg(
+            n_vecs=("s", "size"), sum_err_nano=("s", "sum"),
+            max_err_nano=("mx", "max"),
+        ).reset_index()
+        g["dim"] = dim
+        return pa.Table.from_pydict(
+            {"label": g["label"].astype("int64"),
+             "n_vecs": g["n_vecs"].astype("int64"),
+             "sum_err_nano": g["sum_err_nano"].astype("int64"),
+             "max_err_nano": g["max_err_nano"].astype("int64"),
+             "dim": g["dim"].astype("int64")},
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("label", pa.int64()), ("n_vecs", pa.int64()),
+         ("mean_abs_err", pa.float64()), ("max_abs_err", pa.float64())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        g = df.groupby("label", sort=False).agg(
+            n_vecs=("n_vecs", "sum"), s=("sum_err_nano", "sum"),
+            mx=("max_err_nano", "max"), dim=("dim", "max"),
+        ).reset_index()
+        mean = np.floor(
+            g["s"].to_numpy().astype(np.float64)
+            / (g["n_vecs"].to_numpy() * g["dim"].to_numpy()).astype(
+                np.float64
+            ) / 1e9 * 1e6 + 0.5
+        ) / 1e6
+        return pa.Table.from_pydict(
+            {"label": g["label"].astype("int64"),
+             "n_vecs": g["n_vecs"].astype("int64"),
+             "mean_abs_err": pa.array(mean, pa.float64()),
+             "max_abs_err": pa.array(
+                 np.floor(g["mx"].to_numpy().astype(np.float64) / 1e9 * 1e6
+                          + 0.5) / 1e6, pa.float64())},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label"], fold, out_schema,
+    )
+
+
+SQL_EMBEDDING_INT8_ERROR = """
+WITH el AS (
+  SELECT CAST(label AS BIGINT) AS label, vec_id,
+         unnest(embedding) AS xf
+  FROM embeddings
+),
+e AS (SELECT label, vec_id, CAST(xf AS DOUBLE) AS x FROM el),
+scales AS (
+  SELECT vec_id, max(abs(x)) AS m, CAST(count(*) AS BIGINT) AS dim
+  FROM e GROUP BY 1
+),
+errs AS (
+  SELECT e.label, e.vec_id, s.dim,
+         CAST(floor(abs(e.x
+               - greatest(least(floor(127.0 * e.x / s.m + 0.5), 127.0),
+                          -127.0) * s.m / 127.0) * 1000000000 + 0.5)
+              AS BIGINT) AS err_nano
+  FROM e JOIN scales s ON s.vec_id = e.vec_id
+  WHERE s.m > 0
+),
+per_vec AS (
+  SELECT label, vec_id, max(dim) AS dim,
+         CAST(sum(err_nano) AS BIGINT) AS s,
+         CAST(max(err_nano) AS BIGINT) AS mx
+  FROM errs GROUP BY 1, 2
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       floor(CAST(sum(s) AS DOUBLE)
+             / CAST(sum(dim) AS DOUBLE) / 1000000000 * 1000000 + 0.5)
+         / 1000000 AS mean_abs_err,
+       floor(CAST(max(mx) AS DOUBLE) / 1000000000 * 1000000 + 0.5)
+         / 1000000 AS max_abs_err
+FROM per_vec GROUP BY 1
+"""
+
+QUERIES["embedding_int8_error"] = q_embedding_int8_error
+ORACLE_SQL["embedding_int8_error"] = SQL_EMBEDDING_INT8_ERROR

@@ -2834,3 +2834,54 @@ SELECT a.entity, a.n_docs, a.n_sources,
        r.source AS top_source, r.n AS top_source_docs
 FROM agg a JOIN ranked r ON r.entity = a.entity AND r.rn = 1
 """
+
+
+def sql_kg_rich_club(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+    *,
+    thresholds: tuple = (2, 4, 8, 16),
+) -> str:
+    """Oracle for the rich-club coefficients over the KG's undirected
+    simple graph: for each degree threshold k, the node/edge counts of
+    the deg>k induced subgraph and phi = 2·E/(N·(N−1)), one mirrored
+    floor(x·1e6+0.5) divide; thresholds with N < 2 drop on both sides.
+    Built over the kg_triples oracle subquery."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    ks = ", ".join(str(int(k)) for k in thresholds)
+    return f"""
+WITH t AS ({triples}),
+e0 AS (
+  SELECT DISTINCT CAST(subj AS VARCHAR) AS s, CAST(obj AS VARCHAR) AS d
+  FROM t WHERE CAST(subj AS VARCHAR) <> CAST(obj AS VARCHAR)
+),
+e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e0),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS dg
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY 1
+),
+ks AS (SELECT unnest([{ks}]) AS k),
+nk AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM ks JOIN deg ON dg > k GROUP BY 1
+),
+ek AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+  FROM ks
+  JOIN e ON TRUE
+  JOIN deg da ON da.node = e.a
+  JOIN deg db ON db.node = e.b
+  WHERE da.dg > k AND db.dg > k
+  GROUP BY 1
+)
+SELECT CAST(nk.k AS BIGINT) AS k, nk.n_nodes,
+       COALESCE(ek.n_edges, 0) AS n_edges,
+       floor(2.0 * CAST(COALESCE(ek.n_edges, 0) AS DOUBLE)
+             / (CAST(nk.n_nodes AS DOUBLE)
+                * CAST(nk.n_nodes - 1 AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS phi
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+WHERE nk.n_nodes >= 2
+"""
