@@ -14928,3 +14928,97 @@ FROM per_vec GROUP BY 1
 
 QUERIES["embedding_int8_error"] = q_embedding_int8_error
 ORACLE_SQL["embedding_int8_error"] = SQL_EMBEDDING_INT8_ERROR
+
+
+def q_pii_density_by_source(sf_dir: str):
+    """Per-source PII DENSITY profile: hit counts for each PII class
+    (email / phone / SSN — the shared textstats.PII_PATTERNS, RE2 on
+    both engines) plus hits-per-million-chars — the audit that decides
+    which sources need the redaction pass before training. ONE
+    streaming pass of vectorized count_substring_regex kernels →
+    per-block (source, …) int64 partials → a source-bounded fold;
+    density is integer ppm (hits·1e6 // chars)."""
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.textstats import PII_PATTERNS
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"),
+                           columns=["source", "text", "n_chars"])
+    part_schema = pa.schema(
+        [("source", pa.string()), ("chars", pa.int64()),
+         ("emails", pa.int64()), ("phones", pa.int64()),
+         ("ssns", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"source": t.column("source").to_numpy(zero_copy_only=False),
+                "chars": pc.cast(t.column("n_chars"), pa.int64()).to_numpy(
+                    zero_copy_only=False)}
+        for name, (pattern, _tok) in zip(("emails", "phones", "ssns"),
+                                         PII_PATTERNS):
+            cols[name] = pc.cast(
+                pc.count_substring_regex(t.column("text"), pattern=pattern),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(cols)
+        agg = df.groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, schema=part_schema,
+                                    preserve_index=False)
+
+    out_schema = pa.schema(
+        [("source", pa.string()), ("total_chars", pa.int64()),
+         ("emails", pa.int64()), ("phones", pa.int64()),
+         ("ssns", pa.int64()), ("pii_ppm", pa.int64())]
+    )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby("source", sort=False).sum().reset_index()
+        hits = (agg["emails"] + agg["phones"] + agg["ssns"]).to_numpy()
+        chars = agg["chars"].to_numpy().astype(np.int64)
+        return pa.Table.from_pydict(
+            {"source": agg["source"].to_numpy(),
+             "total_chars": chars,
+             "emails": agg["emails"].to_numpy().astype(np.int64),
+             "phones": agg["phones"].to_numpy().astype(np.int64),
+             "ssns": agg["ssns"].to_numpy().astype(np.int64),
+             "pii_ppm": hits.astype(np.int64) * 1_000_000
+                        // np.maximum(chars, 1)},
+            schema=out_schema,
+        )
+
+    return coarse_partition_apply(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source"], fold, out_schema,
+    )
+
+
+def _sql_pii_density_by_source() -> str:
+    from semantic_search_system_ray.stages.textstats import PII_PATTERNS
+
+    exprs = []
+    for name, (pattern, _tok) in zip(("emails", "phones", "ssns"),
+                                     PII_PATTERNS):
+        esc = pattern.replace("'", "''")
+        exprs.append(
+            f"CAST(sum(len(regexp_extract_all(text, '{esc}'))) AS BIGINT)"
+            f" AS {name}"
+        )
+    cols = ",\n       ".join(exprs)
+    return f"""
+SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       {cols},
+       CAST((sum(len(regexp_extract_all(text,
+              '{PII_PATTERNS[0][0].replace("'", "''")}')))
+           + sum(len(regexp_extract_all(text,
+              '{PII_PATTERNS[1][0].replace("'", "''")}')))
+           + sum(len(regexp_extract_all(text,
+              '{PII_PATTERNS[2][0].replace("'", "''")}'))))
+          * 1000000 // greatest(sum(n_chars), 1) AS BIGINT) AS pii_ppm
+FROM documents GROUP BY 1
+"""
+
+QUERIES["pii_density_by_source"] = q_pii_density_by_source
+ORACLE_SQL["pii_density_by_source"] = _sql_pii_density_by_source()
