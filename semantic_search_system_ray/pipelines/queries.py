@@ -13761,14 +13761,14 @@ def q_shipping_priority(sf_dir: str):
                  "one": pa.nulls(t.num_rows, pa.int64())}
             ),
             batch_format="pyarrow",
-        ),
+        ).materialize(),  # restore the size estimate → broadcast plan
         left_key="o_custkey", right_key="c_custkey", attach_cols=["one"],
         out_schema=pa.schema(
             [("o_orderkey", pa.int64()), ("o_orderdate", pa.string()),
              ("o_orderpriority", pa.string()), ("one", pa.int64())]
         ),
         how="inner",
-    )
+    ).materialize()  # consumed twice: bloom build + the cogroup union
 
     li = rd.read_parquet(
         _p(sf_dir, "lineitem"),
@@ -13939,7 +13939,8 @@ def q_market_share(sf_dir: str):
                  "one": pa.nulls(t.num_rows, pa.int64())}
             ),
             batch_format="pyarrow",
-        ),
+        ).materialize(),  # mapped side loses its size estimate: without
+        # this the attach takes the shuffle plan and the FACT side moves
         left_key="l_partkey", right_key="p_partkey", attach_cols=["one"],
         out_schema=pa.schema(
             [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
@@ -14032,7 +14033,7 @@ def q_market_share(sf_dir: str):
                  "one": pa.nulls(t.num_rows, pa.int64())}
             ),
             batch_format="pyarrow",
-        ),
+        ).materialize(),  # restore the size estimate → broadcast plan
         left_key="cust", right_key="c_custkey", attach_cols=["one"],
         out_schema=pa.schema(
             [("supp", pa.int64()), ("yr", pa.int64()), ("rev_s4", pa.int64()),
