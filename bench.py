@@ -203,7 +203,7 @@ def run_bench() -> dict:
         "events_burstiness", "minhash_calibration",
         "kg_entity_provenance", "dedup_savings", "source_share_drift",
         "kg_rich_club", "tokenizer_oov_rate", "embedding_int8_error",
-        "pii_density_by_source",
+        "pii_density_by_source", "events_value_sketch",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level

@@ -15023,3 +15023,101 @@ FROM documents GROUP BY 1
 
 QUERIES["pii_density_by_source"] = q_pii_density_by_source
 ORACLE_SQL["pii_density_by_source"] = _sql_pii_density_by_source()
+
+
+def q_events_value_sketch(sf_dir: str):
+    """MERGEABLE log-bucket quantile sketch (DDSketch-shaped) over the
+    UNBOUNDED-domain events.value — the scale primitive the exact
+    bounded-histogram quantiles (ship_lag_quantiles machinery) can't
+    cover when the value domain isn't enumerable. Bucketing is EXACT
+    integer bit arithmetic, so the SQL twin matches bit-for-bit (no
+    float log whose last-ulp could flip a bucket): c = floor(100·v +
+    0.5) cents; c ≤ 7 → bucket c; else bucket = 8·(bitlen(c)−3) +
+    (top-3-bits-after-MSB) — one octave split into 8 sub-buckets, ≤
+    ±6.25% relative error, ≤ ~8·62 buckets for ALL int64 cents.
+    Reported quantile = the bucket's exact LOWER BOUND under the
+    quantile_disc rank rule (both engines: the engine folds cumulative
+    bucket counts with _quantile_rank; the twin runs quantile_disc over
+    per-row lower bounds — same element). Per-block bucket-count
+    combiners → one ≤500-row groupby → driver fold; engine bit length
+    via np.frexp on the exact float64 of c (exact below 2^53 —
+    documented bound, cents at $10^16 scale)."""
+    from semantic_search_system_ray.stages.sketch import _quantile_rank
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["value"])
+    part_schema = pa.schema([("key", pa.int64()), ("n", pa.int64())])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        key = np.zeros(len(c), np.int64)
+        small = (c >= 1) & (c <= 7)
+        key[small] = c[small]
+        big = c >= 8
+        cb = c[big]
+        _m, ex = np.frexp(cb.astype(np.float64))  # ex = bitlen, exact <2^53
+        bl = ex.astype(np.int64)
+        key[big] = 8 * (bl - 3) + ((cb >> (bl - 4)) & 7)
+        tt = pa.Table.from_pydict({"key": pa.array(key, pa.int64())})
+        g = tt.group_by(["key"]).aggregate([("key", "count")])
+        return pa.Table.from_pydict(
+            {"key": g.column("key"),
+             "n": pc.cast(g.column("key_count"), pa.int64())},
+            schema=part_schema,
+        )
+
+    rows = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("key").sum("n")
+        .take_all()  # ≤ ~500 buckets regardless of corpus size
+    )
+    cells = sorted((int(r["key"]), int(r["sum(n)"])) for r in rows)
+    keys = np.array([k for k, _n in cells], dtype=np.int64)
+    cnts = np.array([n for _k, n in cells], dtype=np.int64)
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+
+    def lower_bound(k: int) -> int:
+        if k <= 7:
+            return k
+        b, s = divmod(k, 8)
+        return (8 + s) << (b - 1)
+
+    out = {"q": [], "approx_value": []}
+    for q in (0.5, 0.9, 0.99):
+        if n == 0:
+            continue
+        idx = int(np.searchsorted(cum, _quantile_rank(q, n), side="left"))
+        out["q"].append(q)
+        out["approx_value"].append(lower_bound(int(keys[idx])) / 100.0)
+    return pa.Table.from_pydict(
+        {"q": pa.array(out["q"], pa.float64()),
+         "approx_value": pa.array(out["approx_value"], pa.float64())}
+    )
+
+
+SQL_EVENTS_VALUE_SKETCH = """
+WITH c AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+),
+k AS (
+  SELECT CASE
+           WHEN c < 1 THEN 0
+           WHEN c <= 7 THEN c
+           ELSE 8 * (len(bin(c)) - 3) + ((c >> (len(bin(c)) - 4)) & 7)
+         END AS key
+  FROM c
+),
+lb AS (
+  SELECT CASE WHEN key <= 7 THEN key
+              ELSE (8 + key % 8) << (key // 8 - 1) END AS lo
+  FROM k
+)
+SELECT unnest([0.5, 0.9, 0.99]) AS q,
+       unnest(quantile_disc(CAST(lo AS DOUBLE) / 100.0, [0.5, 0.9, 0.99]))
+         AS approx_value
+FROM lb
+"""
+
+QUERIES["events_value_sketch"] = q_events_value_sketch
+ORACLE_SQL["events_value_sketch"] = SQL_EVENTS_VALUE_SKETCH
