@@ -15121,3 +15121,105 @@ FROM lb
 
 QUERIES["events_value_sketch"] = q_events_value_sketch
 ORACLE_SQL["events_value_sketch"] = SQL_EVENTS_VALUE_SKETCH
+
+
+def q_orders_zorder_buckets(sf_dir: str):
+    """Z-ORDER (Morton-curve) layout profile of orders over the
+    (orderdate, custkey) plane — the multi-dimensional clustering
+    technique a lakehouse layout pass uses so BOTH date-range and
+    customer-range scans prune: interleave the low 16 bits of
+    days-since-1995-01-01 with the low 16 bits of custkey into a 32-bit
+    z-value, drop the low 14 bits to form the bucket, and report per-bucket
+    row count plus the min/max of both dimensions — the
+    locality-quality report (tight per-bucket ranges = good pruning).
+    All integer bit arithmetic, identical unrolled on both engines; one
+    streaming pass of per-block combiners → a ≤1024-row groupby."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    EPOCH = dt.datetime(1995, 1, 1)
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate"]
+    )
+    part_schema = pa.schema(
+        [("bucket", pa.int64()), ("n", pa.int64()),
+         ("min_day", pa.int64()), ("max_day", pa.int64()),
+         ("min_cust", pa.int64()), ("max_cust", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        # naive timestamps: day index via epoch-day arithmetic, no tz
+        day = (us // 86_400_000_000) - (EPOCH - dt.datetime(1970, 1, 1)).days
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        d16 = day & 0xFFFF
+        c16 = cust & 0xFFFF
+        z = np.zeros(len(day), np.int64)
+        for i in range(16):
+            z |= ((d16 >> i) & 1) << (2 * i + 1)
+            z |= ((c16 >> i) & 1) << (2 * i)
+        bucket = z >> 14
+        df = pd.DataFrame({"bucket": bucket, "day": day, "cust": cust})
+        agg = df.groupby("bucket", sort=False).agg(
+            n=("day", "size"), min_day=("day", "min"), max_day=("day", "max"),
+            min_cust=("cust", "min"), max_cust=("cust", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(agg, schema=part_schema,
+                                    preserve_index=False)
+
+    out_schema = part_schema
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return out_schema.empty_table()
+        agg = df.groupby("bucket", sort=False).agg(
+            n=("n", "sum"), min_day=("min_day", "min"),
+            max_day=("max_day", "max"), min_cust=("min_cust", "min"),
+            max_cust=("max_cust", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(agg, schema=out_schema,
+                                    preserve_index=False)
+
+    return coarse_partition_apply(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["bucket"], fold, out_schema,
+    )
+
+
+def _sql_orders_zorder_buckets() -> str:
+    terms = []
+    for i in range(16):
+        terms.append(f"(((day >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((cust >> {i}) & 1) << {2 * i})")
+    z = " | ".join(terms)
+    return f"""
+WITH base AS (
+  SELECT CAST(datediff('day', DATE '1995-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+         CAST(o_custkey AS BIGINT) AS cust
+  FROM orders
+),
+masked AS (
+  SELECT day, cust, (day & 65535) AS d16, (cust & 65535) AS c16 FROM base
+),
+zv AS (
+  SELECT day, cust, ({z.replace('day >>', 'd16 >>').replace('cust >>', 'c16 >>')}) AS z
+  FROM masked
+)
+SELECT (z >> 14) AS bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(day) AS BIGINT) AS min_day,
+       CAST(max(day) AS BIGINT) AS max_day,
+       CAST(min(cust) AS BIGINT) AS min_cust,
+       CAST(max(cust) AS BIGINT) AS max_cust
+FROM zv GROUP BY 1
+"""
+
+QUERIES["orders_zorder_buckets"] = q_orders_zorder_buckets
+ORACLE_SQL["orders_zorder_buckets"] = _sql_orders_zorder_buckets()
