@@ -78,9 +78,16 @@ TESTDATA_PHRASE_LIST: list[str] = [
 def _testdata_phrase_docs(sf_dir: str):
     """(phrase, doc_id, url, title) rows, doc-contiguous within each block
     (the layout contract of distinct_doc_partitioned's boundary repair)."""
-    import numpy as np
-
     from semantic_search_system_ray.pipelines.queries import read_docs
+
+    return _phrase_docs_from(read_docs(sf_dir, ["doc_id"]))
+
+
+def _phrase_docs_from(docs_ds):
+    """The deterministic phrase→docs rule over an ARBITRARY docs Dataset
+    (doc_id column) — shared by the full-corpus fixture above and the
+    curated-corpus flagship composition."""
+    import numpy as np
 
     res_phrases: dict[int, list[str]] = {}
     for i, p in enumerate(TESTDATA_PHRASE_LIST):
@@ -108,7 +115,9 @@ def _testdata_phrase_docs(sf_dir: str):
             }
         )
 
-    return read_docs(sf_dir, ["doc_id"]).map_batches(emit, batch_format="pyarrow")
+    return docs_ds.select_columns(["doc_id"]).map_batches(
+        emit, batch_format="pyarrow"
+    )
 
 
 _KG_TRIPLES_CACHE: dict[str, Any] = {}
@@ -2030,6 +2039,56 @@ def _q_doc_topic_words(sf_dir: str):
     )
 
 
+def _q_kg_curated_triples(sf_dir: str):
+    """CURATED FLAGSHIP composition — the KG build consuming the
+    engine's own curation funnel, exactly what a training-data KG
+    pipeline runs in production: curation_e2e decides per-doc verdicts
+    (Gopher rules → exact dedup → decontamination), only 'kept' docs
+    flow into spans → DocNLP → canonicalization → triple dedup. The
+    keep set semi-joins the corpus by ONE hash attach (doc ids only —
+    text never rides the verdict exchange); phrase→doc fixtures are
+    regenerated FROM the curated set so RELATES_TO_DOC can't reference
+    dropped docs. Oracle: the identical kg_triples matcher SQL over the
+    curation CTE's kept rows (text_oracles.sql_kg_curated_triples —
+    the corpus relation is a parameter, one source of truth)."""
+    import pyarrow.compute as pc
+
+    from semantic_search_system_ray.pipelines.kg_build import build_triples
+    from semantic_search_system_ray.pipelines.queries import QUERIES, read_docs
+    from semantic_search_system_ray.sources.documents import text_table_to_spans
+    from semantic_search_system_ray.stages.util import coarse_attach
+
+    verdicts = QUERIES["curation_e2e"](sf_dir)
+    kept = verdicts.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": pc.cast(
+                t.filter(pc.equal(t.column("stage"), "kept"))
+                .column("doc_id"), pa.int64()),
+             "one": pa.nulls(
+                 t.filter(pc.equal(t.column("stage"), "kept")).num_rows,
+                 pa.int64())},
+        ),
+        batch_format="pyarrow",
+    )
+    docs = read_docs(sf_dir, ["doc_id", "text"])
+    docs_kept = coarse_attach(
+        docs, kept, left_key="doc_id", right_key="doc_id",
+        attach_cols=["one"],
+        out_schema=pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string()),
+             ("one", pa.int64())]
+        ),
+        how="inner",
+    ).select_columns(["doc_id", "text"]).materialize()
+
+    res = build_triples(
+        text_table_to_spans(docs_kept), _testdata_taxonomy_table(),
+        _phrase_docs_from(docs_kept), TESTDATA_GAZETTEER,
+        concurrency=(1, 4), batch_size=128,
+    )
+    return res.triples
+
+
 def _q_kg_rich_club(sf_dir: str):
     """RICH-CLUB coefficients of the KG's undirected simple graph: for
     degree thresholds k ∈ {2,4,8,16}, how densely the deg>k hubs
@@ -2515,6 +2574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "minhash_calibration": _q_minhash_calibration,
             "kg_entity_provenance": _q_kg_entity_provenance,
             "kg_rich_club": _q_kg_rich_club,
+            "kg_curated_triples": _q_kg_curated_triples,
             "dedup_incremental": _q_dedup_incremental,
             "split_leakage_free": _q_split_leakage_free,
             "cluster_best_rep": _q_cluster_best_rep,
@@ -2791,6 +2851,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_rich_club": tox.sql_kg_rich_club(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_curated_triples": tox.sql_kg_curated_triples(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "dedup_incremental": tox.sql_dedup_incremental(threshold=0.5),

@@ -204,7 +204,7 @@ def run_bench() -> dict:
         "kg_entity_provenance", "dedup_savings", "source_share_drift",
         "kg_rich_club", "tokenizer_oov_rate", "embedding_int8_error",
         "pii_density_by_source", "events_value_sketch",
-        "orders_zorder_buckets",
+        "orders_zorder_buckets", "kg_curated_triples",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level

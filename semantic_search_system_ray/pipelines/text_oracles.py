@@ -225,6 +225,9 @@ def sql_kg_triples(
     gazetteer: dict[str, str],
     taxonomy: dict[str, list[str]],
     phrase_list: list[str],
+    *,
+    docs_relation: str = "documents",
+    prelude: str = "",
 ) -> str:
     """DuckDB oracle for the FLAGSHIP kg_triples pipeline over the driver's
     word-soup documents (round-2 verdict item 2 — the headline pipeline
@@ -256,6 +259,11 @@ def sql_kg_triples(
     - IN_TOPIC from the taxonomy VALUES; RELATES_TO_DOC from the
       deterministic phrase->docs rule (phrase i -> docs with doc_id % 5 ==
       i % 5), inner-joined to the taxonomy (phrases outside it drop).
+
+    ``docs_relation`` substitutes the corpus relation (a table/CTE name)
+    so compositions can run the SAME matcher SQL over a filtered corpus;
+    ``prelude`` injects extra leading CTEs (must end with ', ' when
+    non-empty) — defaults leave every existing oracle byte-identical.
     """
     pairs = sorted(s for s in gazetteer if " " in s)
     singles = sorted(s for s in gazetteer if " " not in s)
@@ -288,11 +296,11 @@ def sql_kg_triples(
         f"({_sql_str(t)}, {r})" for t, r in relates_rows
     ) or "('', -1)"
     return f"""
-WITH doc AS (
+WITH {prelude}doc AS (
   SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS d,
          length(text) > 200 AS chunked,
          string_split(text, ' ') AS ws
-  FROM documents
+  FROM {docs_relation}
 ),
 words AS (
   SELECT d, chunked,
@@ -2885,3 +2893,29 @@ SELECT CAST(nk.k AS BIGINT) AS k, nk.n_nodes,
 FROM nk LEFT JOIN ek ON ek.k = nk.k
 WHERE nk.n_nodes >= 2
 """
+
+
+def sql_kg_curated_triples(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for the CURATED flagship: the exact kg_triples matcher SQL
+    (one source of truth — sql_kg_triples with its corpus relation
+    swapped) over only the documents the curation funnel keeps
+    (queries.SQL_CURATION_E2E nested as a materialized CTE, stage =
+    'kept'). The RELATES_TO_DOC branch follows the filter automatically
+    because it joins the same doc CTE."""
+    from semantic_search_system_ray.pipelines.queries import SQL_CURATION_E2E
+
+    prelude = f"""cur AS MATERIALIZED ({SQL_CURATION_E2E}),
+docs_kept AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN cur ON cur.doc_id = d.doc_id
+  WHERE cur.stage = 'kept'
+),
+"""
+    return sql_kg_triples(
+        gazetteer, taxonomy, phrase_list,
+        docs_relation="docs_kept", prelude=prelude,
+    )
