@@ -2089,6 +2089,67 @@ def _q_kg_curated_triples(sf_dir: str):
     return res.triples
 
 
+def _q_kg_curation_diff(sf_dir: str):
+    """Curation IMPACT report on the KG: per predicate, triples asserted
+    by the full corpus vs by the curated corpus (kg_curated_triples) and
+    the drop count — the review artifact that says what knowledge a
+    cleaning pass costs. Composite-key distributed ANTI join (full
+    minus curated; the probe key set only ever exists per partition) →
+    pred-bounded count folds. Oracle: the two matcher SQLs EXCEPT'd
+    (text_oracles.sql_kg_curation_diff)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from semantic_search_system_ray.stages.util import coarse_anti_join
+
+    full = _kg_triples(sf_dir)
+    cur = _q_kg_curated_triples(sf_dir).materialize()
+
+    def keyed(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("subj"), pa.string())
+        p = pc.cast(t.column("pred"), pa.string())
+        o = pc.cast(t.column("obj"), pa.string())
+        return pa.Table.from_pydict(
+            {"key": pc.binary_join_element_wise(s, p, o, "\x1f"),
+             "pred": p}
+        )
+
+    dropped = coarse_anti_join(
+        full.map_batches(keyed, batch_format="pyarrow"),
+        cur.map_batches(keyed, batch_format="pyarrow"),
+        left_key="key", right_key="key",
+        out_schema=pa.schema([("pred", pa.string())]),
+    )
+
+    def pred_counts(ds) -> dict:
+        acc: dict[str, int] = {}
+        for tbl in ray.get(
+            ds.map_batches(
+                lambda t: t.group_by(["pred"]).aggregate([("pred", "count")]),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        ):
+            if tbl.num_rows == 0 or "pred" not in tbl.schema.names:
+                continue
+            for p, n in zip(tbl.column("pred").to_pylist(),
+                            tbl.column("pred_count").to_pylist()):
+                acc[p] = acc.get(p, 0) + int(n)
+        return acc
+
+    n_full = pred_counts(full)
+    n_drop = pred_counts(dropped)
+    preds = sorted(n_full)
+    return pa.Table.from_pydict(
+        {"pred": pa.array(preds, pa.string()),
+         "n_full": pa.array([n_full[p] for p in preds], pa.int64()),
+         "n_curated": pa.array(
+             [n_full[p] - n_drop.get(p, 0) for p in preds], pa.int64()),
+         "n_dropped": pa.array(
+             [n_drop.get(p, 0) for p in preds], pa.int64())}
+    )
+
+
 def _q_kg_rich_club(sf_dir: str):
     """RICH-CLUB coefficients of the KG's undirected simple graph: for
     degree thresholds k ∈ {2,4,8,16}, how densely the deg>k hubs
@@ -2575,6 +2636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_entity_provenance": _q_kg_entity_provenance,
             "kg_rich_club": _q_kg_rich_club,
             "kg_curated_triples": _q_kg_curated_triples,
+            "kg_curation_diff": _q_kg_curation_diff,
             "dedup_incremental": _q_dedup_incremental,
             "split_leakage_free": _q_split_leakage_free,
             "cluster_best_rep": _q_cluster_best_rep,
@@ -2854,6 +2916,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_curated_triples": tox.sql_kg_curated_triples(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_curation_diff": tox.sql_kg_curation_diff(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "dedup_incremental": tox.sql_dedup_incremental(threshold=0.5),

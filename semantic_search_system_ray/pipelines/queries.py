@@ -15223,3 +15223,65 @@ FROM zv GROUP BY 1
 
 QUERIES["orders_zorder_buckets"] = q_orders_zorder_buckets
 ORACLE_SQL["orders_zorder_buckets"] = _sql_orders_zorder_buckets()
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape — FORECAST REVENUE CHANGE: the discount revenue
+    recovered by dropping small discounts on low-quantity 1996 lines
+    (sum of extendedprice·discount over the filtered band). Every
+    predicate is pushed to the parquet READ (date range + quantity +
+    discount band hit row-group stats); the sum rides ONE streaming
+    pass of per-block scale-4 int64 partials — the minimal
+    filter-aggregate every engine demo starts with, included to
+    complete the classic suite."""
+    import datetime as dt
+
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(dt.datetime(1996, 1, 1)))
+            & (pc.field("l_shipdate") < pa.scalar(dt.datetime(1997, 1, 1)))
+            & (pc.field("l_quantity") < 24.0)
+            & (pc.field("l_discount") >= 0.05)
+            & (pc.field("l_discount") <= 0.07)
+        ),
+    )
+    part_schema = pa.schema([("rev_s4", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                               pa.scalar(100.0))), pa.int64())
+        disc_h = pc.cast(pc.round(pc.multiply(t.column("l_discount"),
+                                              pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(price_c, disc_h)
+        return pa.Table.from_pydict(
+            {"rev_s4": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+             "n": pa.array([t.num_rows], pa.int64())},
+            schema=part_schema,
+        )
+
+    rows = li.map_batches(partial, batch_format="pyarrow").take_all()
+    s4 = sum(int(r["rev_s4"]) for r in rows)
+    n = sum(int(r["n"]) for r in rows)
+    cents = (s4 + 50) // 100
+    return pa.Table.from_pydict(
+        {"revenue": pa.array([cents / 100.0], pa.float64()),
+         "n_lines": pa.array([n], pa.int64())}
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)) + 50) // 100
+            AS DOUBLE) / 100.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity < 24
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+"""
+
+QUERIES["forecast_revenue"] = q_forecast_revenue
+ORACLE_SQL["forecast_revenue"] = SQL_FORECAST_REVENUE

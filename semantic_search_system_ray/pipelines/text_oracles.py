@@ -2919,3 +2919,38 @@ docs_kept AS (
         gazetteer, taxonomy, phrase_list,
         docs_relation="docs_kept", prelude=prelude,
     )
+
+
+def sql_kg_curation_diff(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for the curation IMPACT report on the KG: per predicate,
+    how many triples the full corpus asserts, how many survive when the
+    KG is built only from curation-kept docs, and how many drop — the
+    two matcher SQLs (full + curated, one source of truth) EXCEPT'd and
+    folded per predicate."""
+    full = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    cur = sql_kg_curated_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH full_t AS MATERIALIZED ({full}),
+cur_t AS MATERIALIZED ({cur}),
+dropped AS (
+  SELECT pred FROM (
+    SELECT subj, pred, obj FROM full_t
+    EXCEPT
+    SELECT subj, pred, obj FROM cur_t
+  )
+)
+SELECT f.pred,
+       CAST(count(*) AS BIGINT) AS n_full,
+       CAST(count(*) AS BIGINT) - COALESCE(d.n_dropped, 0) AS n_curated,
+       COALESCE(d.n_dropped, 0) AS n_dropped
+FROM full_t f
+LEFT JOIN (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_dropped
+  FROM dropped GROUP BY 1
+) d USING (pred)
+GROUP BY f.pred, d.n_dropped
+"""
