@@ -602,6 +602,22 @@ def _q_media_dedup(sf_dir: str):
     return pairs.select_columns(["id_a", "id_b"])
 
 
+def _q_approx_users_by_type(sf_dir: str):
+    """Per-event-type approximate distinct users — the GROUPED
+    HyperLogLog (stages/sketch.grouped_approx_distinct): one streaming
+    pass of per-block per-group registers, movement bounded by
+    groups × blocks × 4 KB, same bit-recomputable estimator as
+    approx_distinct so the grouped sketch sits on the hard gate too
+    (text_oracles.sql_grouped_approx_distinct)."""
+    import ray.data as rd
+
+    from semantic_search_system_ray.stages.sketch import grouped_approx_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return grouped_approx_distinct(ev, "user_id", "event_type")
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct counts (stages/sketch.py) over events —
     approximate vs COUNT(DISTINCT) by design, but the SKETCH itself is a
@@ -2658,6 +2674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "media_duration_quantiles": _q_media_duration_quantiles,
             "media_dedup": _q_media_dedup,
             "approx_distinct": _q_approx_distinct,
+            "approx_users_by_type": _q_approx_users_by_type,
         }
     )
     return out
@@ -2950,6 +2967,7 @@ def oracle_sql() -> dict[str, str]:
             # media near-dup pair set collapses to an exact join (the
             # stub features are injective in (kind, media_ref))
             "approx_distinct": tox.sql_approx_distinct(),
+            "approx_users_by_type": tox.sql_grouped_approx_distinct(),
             "media_dedup": tox.sql_media_dedup(),
             # r4: fused multi-query exact top-k (full value oracle) and
             # the LSH/IVF recall certificates — approximate results are

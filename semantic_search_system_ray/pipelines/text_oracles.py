@@ -2954,3 +2954,54 @@ LEFT JOIN (
 ) d USING (pred)
 GROUP BY f.pred, d.n_dropped
 """
+
+
+def sql_grouped_approx_distinct(
+    col: str = "user_id", group_col: str = "event_type", p: int = 12
+) -> str:
+    """Oracle for stages/sketch.grouped_approx_distinct over events: the
+    sql_approx_distinct register/estimator machinery with the group
+    column carried through — per (group, bucket) MAX rank, per-group
+    exact HUGEINT harmonic sum, the same two estimator branches and
+    FLOOR(x+0.5)."""
+    from semantic_search_system_ray.stages.sketch import hll_numerator
+
+    m = 1 << p
+    lo = 1 << (64 - p)
+    max_rank = 64 - p + 1
+    num = repr(hll_numerator(m))
+    rank_case = " ".join(
+        f"WHEN rest >= {1 << (64 - r)} THEN {r}" for r in range(1, 64 - p + 1)
+    )
+    contrib_case = " ".join(
+        f"WHEN reg = {r} THEN CAST('{1 << (64 - r)}' AS HUGEINT)"
+        for r in range(1, max_rank + 1)
+    )
+    return f"""
+WITH h0 AS (
+  SELECT CAST({group_col} AS VARCHAR) AS g,
+         CAST(md5_number_lower(CAST({col} AS VARCHAR)) AS HUGEINT) AS h
+  FROM events WHERE {col} IS NOT NULL AND {group_col} IS NOT NULL
+),
+rk AS (
+  SELECT g, h // {lo} AS bucket,
+         CASE {rank_case} ELSE {max_rank} END AS rnk
+  FROM (SELECT g, h, (h % {lo}) * {1 << p} AS rest FROM h0)
+),
+reg AS (SELECT g, bucket, MAX(rnk) AS reg FROM rk GROUP BY 1, 2),
+s AS (
+  SELECT g,
+         COALESCE(SUM(CASE {contrib_case} END), CAST(0 AS HUGEINT))
+           + ({m} - COUNT(*)) * CAST('{1 << 64}' AS HUGEINT) AS intsum,
+         {m} - COUNT(*) AS zeros
+  FROM reg GROUP BY g
+)
+SELECT g AS {group_col},
+       CAST(FLOOR(
+         CASE WHEN {num} / CAST(intsum AS DOUBLE) <= {2.5 * m!r}
+                   AND zeros > 0
+              THEN {m} * ln(CAST({m} AS DOUBLE) / zeros)
+              ELSE {num} / CAST(intsum AS DOUBLE) END + 0.5) AS BIGINT)
+         AS approx_distinct
+FROM s
+"""

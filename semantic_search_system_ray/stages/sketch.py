@@ -51,20 +51,28 @@ def hll_register_batch(batch: pa.Table, col: str, p: int) -> pa.Table:
     # md5(CAST(x AS VARCHAR)) is NULL for NULL rows and drops out too)
     vals = [v for v in batch.column(col).to_pylist() if v is not None]
     if vals:
-        hashes = np.array([md5_hash64(str(v)) for v in vals], dtype=np.uint64)
-        idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
-        rest = hashes << np.uint64(p)  # remaining 64-p bits, left-aligned
-        # rank = position of the first 1-bit in the remaining bits (1-based);
-        # all-zero rest → max rank (64 - p + 1)
-        rank = np.full(len(hashes), 64 - p + 1, dtype=np.uint8)
-        found = np.zeros(len(hashes), dtype=bool)
-        for r in range(1, 64 - p + 1):
-            bit = (rest >> np.uint64(64 - r)) & np.uint64(1)
-            hit = (~found) & (bit == 1)
-            rank[hit] = r
-            found |= hit
+        idx, rank = _hll_ranks(
+            np.array([md5_hash64(str(v)) for v in vals], dtype=np.uint64), p
+        )
         np.maximum.at(regs, idx, rank)
     return pa.Table.from_pydict({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+
+def _hll_ranks(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket index, leading-one rank) per hash — the shared register
+    kernel of the global and grouped sketches."""
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes << np.uint64(p)  # remaining 64-p bits, left-aligned
+    # rank = position of the first 1-bit in the remaining bits (1-based);
+    # all-zero rest → max rank (64 - p + 1)
+    rank = np.full(len(hashes), 64 - p + 1, dtype=np.uint8)
+    found = np.zeros(len(hashes), dtype=bool)
+    for r in range(1, 64 - p + 1):
+        bit = (rest >> np.uint64(64 - r)) & np.uint64(1)
+        hit = (~found) & (bit == 1)
+        rank[hit] = r
+        found |= hit
+    return idx, rank
 
 
 def hll_merge(parts: list[bytes], p: int) -> np.ndarray:
@@ -298,3 +306,65 @@ def exact_grouped_quantiles_histogram(
             out_q.append(q)
             out_v.append(cells[idx] / float(scale))
     return {"group": out_g, "q": out_q, "value": out_v}
+
+
+def grouped_hll_register_batch(
+    batch: pa.Table, col: str, group_col: str, p: int
+) -> pa.Table:
+    """One input block → one (group, regs) row PER GROUP present in the
+    block — the grouped combiner: downstream movement is
+    groups × blocks × 2^p bytes, never per row."""
+    m = 1 << p
+    groups = batch.column(group_col).to_pylist()
+    vals = batch.column(col).to_pylist()
+    pairs = [(g, v) for g, v in zip(groups, vals)
+             if g is not None and v is not None]
+    out_g, out_r = [], []
+    if pairs:
+        import pandas as pd
+
+        df = pd.DataFrame({"g": [g for g, _v in pairs],
+                           "h": np.array(
+                               [md5_hash64(str(v)) for _g, v in pairs],
+                               dtype=np.uint64)})
+        for g, sub in df.groupby("g", sort=False):
+            regs = np.zeros(m, dtype=np.uint8)
+            idx, rank = _hll_ranks(
+                sub["h"].to_numpy().astype(np.uint64), p
+            )
+            np.maximum.at(regs, idx, rank)
+            out_g.append(str(g))
+            out_r.append(regs.tobytes())
+    return pa.Table.from_pydict(
+        {"group": pa.array(out_g, pa.string()),
+         "regs": pa.array(out_r, pa.binary())}
+    )
+
+
+def grouped_approx_distinct(
+    ds: rd.Dataset, col: str, group_col: str, *, p: int = 12
+) -> pa.Table:
+    """Approximate per-group COUNT(DISTINCT col) — the grouped HLL: one
+    streaming pass of per-block per-group registers, a driver merge
+    bounded by groups × blocks × 4 KB (group domain must be bounded —
+    event types, languages, sources; corpus-cardinality groups belong
+    in an exact grouped distinct). Same md5 registers, exact-integer
+    harmonic sum, estimator branches and floor(x+0.5) rounding as the
+    global sketch, so the whole table is SQL-recomputable
+    (text_oracles.sql_grouped_approx_distinct)."""
+    parts = ds.map_batches(
+        grouped_hll_register_batch, batch_format="pyarrow",
+        fn_kwargs=dict(col=col, group_col=group_col, p=p),
+    ).take_all()
+    by_g: dict[str, list[bytes]] = {}
+    for r in parts:
+        by_g.setdefault(r["group"], []).append(r["regs"])
+    gs = sorted(by_g)
+    ests = [
+        int(math.floor(hll_estimate(hll_merge(by_g[g], p)) + 0.5))
+        for g in gs
+    ]
+    return pa.Table.from_pydict(
+        {group_col: pa.array(gs, pa.string()),
+         "approx_distinct": pa.array(ests, pa.int64())}
+    )
