@@ -1190,6 +1190,12 @@ def _q_kg_pred_stats(sf_dir: str):
     pass a query planner (or a sanity dashboard) reads first. One
     coarse cogroup keyed by pred folds per-block partial (pred, subj,
     obj) distinct sets; pred domain is schema-bounded."""
+    return _pred_stats(_kg_triples(sf_dir))
+
+
+def _pred_stats(triples):
+    """The pred-profile fold over an arbitrary triples Dataset — shared
+    by kg_pred_stats and the kg_store_roundtrip read-back check."""
     import pandas as pd
 
     from semantic_search_system_ray.stages.util import coarse_partition_apply
@@ -1213,9 +1219,7 @@ def _q_kg_pred_stats(sf_dir: str):
             schema=out_schema,
         )
 
-    return coarse_partition_apply(
-        _kg_triples(sf_dir), ["pred"], fold, out_schema
-    )
+    return coarse_partition_apply(triples, ["pred"], fold, out_schema)
 
 
 def _q_kg_node_types(sf_dir: str):
@@ -2105,6 +2109,49 @@ def _q_kg_curated_triples(sf_dir: str):
     return res.triples
 
 
+def _q_kg_store_roundtrip(sf_dir: str):
+    """KG STORE materialization + read-back (S15/S16 graph sink as a
+    durable parquet store, the north star's 'materialize deduplicated
+    triples plus a node/edge store'): the triple set writes to
+    PRED-PARTITIONED parquet under /tmp (one directory per predicate —
+    the resumable layout: a failed run skips finished partitions), a
+    fresh read_parquet loads it back, and the result is the per-pred
+    profile of the READ-BACK store — so the oracle (the kg_pred_stats
+    SQL over the in-memory triples) passing proves the sink/source
+    roundtrip is lossless. Hive partitioning restores the pred column
+    from directory keys."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    out_dir = f"/tmp/kg_store_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    triples = _kg_triples(sf_dir)
+    triples.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"subj": pc.cast(t.column("subj"), pa.string()),
+             "pred": pc.cast(t.column("pred"), pa.string()),
+             "obj": pc.cast(t.column("obj"), pa.string())},
+        ),
+        batch_format="pyarrow",
+    ).write_parquet(out_dir, partition_cols=["pred"])
+    back = rd.read_parquet(out_dir)
+    # hive partition values read back as dictionary-encoded strings;
+    # normalize to plain utf8 for the shared fold
+    back = back.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"subj": pc.cast(t.column("subj"), pa.string()),
+             "pred": pc.cast(t.column("pred"), pa.string()),
+             "obj": pc.cast(t.column("obj"), pa.string())},
+        ),
+        batch_format="pyarrow",
+    )
+    return _pred_stats(back)
+
+
 def _q_kg_curation_diff(sf_dir: str):
     """Curation IMPACT report on the KG: per predicate, triples asserted
     by the full corpus vs by the curated corpus (kg_curated_triples) and
@@ -2653,6 +2700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_rich_club": _q_kg_rich_club,
             "kg_curated_triples": _q_kg_curated_triples,
             "kg_curation_diff": _q_kg_curation_diff,
+            "kg_store_roundtrip": _q_kg_store_roundtrip,
             "dedup_incremental": _q_dedup_incremental,
             "split_leakage_free": _q_split_leakage_free,
             "cluster_best_rep": _q_cluster_best_rep,
@@ -2936,6 +2984,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_curation_diff": tox.sql_kg_curation_diff(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_store_roundtrip": tox.sql_kg_pred_stats(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "dedup_incremental": tox.sql_dedup_incremental(threshold=0.5),
