@@ -1051,6 +1051,81 @@ def _q_kg_comention(sf_dir: str):
     return comention_pairs(_kg_triples(sf_dir))
 
 
+def _q_kg_comention_pmi(sf_dir: str):
+    """Entity-association PMI over the co-mention graph — the
+    relatedness feature entity-linking and KG-completion models train
+    on: per co-mentioned pair, ln((n_ab·N)/(n_a·n_b)) from four exact
+    integers (pair docs, each entity's doc count, corpus mention-doc
+    count), one mirrored divide + ln, 6dp floor. Pair and entity
+    domains are gazetteer-bounded, so the finish is a bounded driver
+    fold over comention_pairs' distributed output; N comes from the
+    tree distinct. Oracle: text_oracles.sql_kg_comention_pmi."""
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    from semantic_search_system_ray.pipelines.kg_build import (
+        comention_pairs,
+        distinct_rows,
+    )
+
+    triples = _kg_triples(sf_dir)
+    pairs_tbls = [
+        t for t in ray.get(comention_pairs(triples).to_arrow_refs())
+        if t.num_rows > 0
+    ]
+    mentions = triples.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc": pc.cast(
+                t.filter(pc.equal(t.column("pred"), "MENTIONS"))
+                .column("subj"), pa.string()),
+             "ent": pc.cast(
+                 t.filter(pc.equal(t.column("pred"), "MENTIONS"))
+                 .column("obj"), pa.string())},
+        ),
+        batch_format="pyarrow",
+    )
+    dm = distinct_rows(mentions, ["doc", "ent"], strategy="tree",
+                       out_blocks=8).materialize()
+    n_total = distinct_rows(dm, ["doc"], strategy="tree",
+                            out_blocks=4).count()
+    ent_counts: dict[str, int] = {}
+    for t in ray.get(
+        dm.map_batches(
+            lambda t: t.group_by(["ent"]).aggregate([("ent", "count")]),
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+    ):
+        if t.num_rows == 0 or "ent" not in t.schema.names:
+            continue
+        for e, n in zip(t.column("ent").to_pylist(),
+                        t.column("ent_count").to_pylist()):
+            ent_counts[e] = ent_counts.get(e, 0) + int(n)
+
+    out = {"ent_a": [], "ent_b": [], "n_docs": [], "pmi": []}
+    for t in pairs_tbls:
+        for a, b, nab in zip(t.column("ent_a").to_pylist(),
+                             t.column("ent_b").to_pylist(),
+                             t.column("docs").to_pylist()):
+            nab = int(nab)
+            ratio = float(nab * n_total) / float(
+                ent_counts[a] * ent_counts[b]
+            )
+            out["ent_a"].append(a)
+            out["ent_b"].append(b)
+            out["n_docs"].append(nab)
+            out["pmi"].append(math.floor(math.log(ratio) * 1e6 + 0.5) / 1e6)
+    return pa.Table.from_pydict(
+        {"ent_a": pa.array(out["ent_a"], pa.string()),
+         "ent_b": pa.array(out["ent_b"], pa.string()),
+         "n_docs": pa.array(out["n_docs"], pa.int64()),
+         "pmi": pa.array(out["pmi"], pa.float64())}
+    )
+
+
 def _q_kg_walks(sf_dir: str):
     """Deterministic random walks over the KG's undirected simple graph
     (stages/graph.random_walks, 3 steps, one walk per node) — the
@@ -2668,6 +2743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_katz": _q_kg_katz,
             "kg_edge_support": _q_kg_edge_support,
             "kg_comention": _q_kg_comention,
+            "kg_comention_pmi": _q_kg_comention_pmi,
             "kg_walks": _q_kg_walks,
             "kg_modularity": _q_kg_modularity,
             "kg_closeness": _q_kg_closeness,
@@ -2987,6 +3063,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_store_roundtrip": tox.sql_kg_pred_stats(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_comention_pmi": tox.sql_kg_comention_pmi(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "dedup_incremental": tox.sql_dedup_incremental(threshold=0.5),

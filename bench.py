@@ -206,7 +206,7 @@ def run_bench() -> dict:
         "pii_density_by_source", "events_value_sketch",
         "orders_zorder_buckets", "kg_curated_triples",
         "kg_curation_diff", "forecast_revenue", "approx_users_by_type",
-        "kg_store_roundtrip",
+        "kg_store_roundtrip", "kg_comention_pmi",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level

@@ -3005,3 +3005,37 @@ SELECT g AS {group_col},
          AS approx_distinct
 FROM s
 """
+
+
+def sql_kg_comention_pmi(
+    gazetteer: dict[str, str],
+    taxonomy: dict[str, list[str]],
+    phrase_list: list[str],
+) -> str:
+    """Oracle for the entity-association PMI table: pointwise mutual
+    information per co-mentioned entity pair, ln((n_ab·N)/(n_a·n_b))
+    from four exact integers with one mirrored double divide + ln,
+    floor(x·1e6+0.5)-rounded (the zipf/entropy libm contract). Built
+    over the kg_triples oracle subquery."""
+    triples = sql_kg_triples(gazetteer, taxonomy, phrase_list)
+    return f"""
+WITH t AS ({triples}),
+m AS (SELECT DISTINCT CAST(subj AS VARCHAR) AS doc,
+                      CAST(obj AS VARCHAR) AS ent
+      FROM t WHERE pred = 'MENTIONS'),
+pairs AS (
+  SELECT m1.ent AS a, m2.ent AS b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM m m1 JOIN m m2 ON m1.doc = m2.doc AND m1.ent < m2.ent
+  GROUP BY 1, 2
+),
+ec AS (SELECT ent, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT doc) AS BIGINT) AS nn FROM m)
+SELECT p.a AS ent_a, p.b AS ent_b, p.n_ab AS n_docs,
+       floor(ln(CAST(p.n_ab * tot.nn AS DOUBLE)
+                / CAST(ea.n * eb.n AS DOUBLE)) * 1000000 + 0.5) / 1000000
+         AS pmi
+FROM pairs p
+JOIN ec ea ON ea.ent = p.a
+JOIN ec eb ON eb.ent = p.b
+CROSS JOIN tot
+"""
