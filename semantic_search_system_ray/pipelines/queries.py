@@ -15285,3 +15285,107 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 
 QUERIES["forecast_revenue"] = q_forecast_revenue
 ORACLE_SQL["forecast_revenue"] = SQL_FORECAST_REVENUE
+
+
+def q_events_value_sketch_by_type(sf_dir: str):
+    """GROUPED log-bucket quantile sketch: per event TYPE, the p50/p90
+    approximate value from the same exact-integer bit-bucketing as
+    events_value_sketch — the per-segment latency/value dashboard at
+    unbounded domains. Per-block (type, bucket) count combiners → one
+    (types × ≤500)-row groupby → driver fold per type; identical bucket
+    lower-bound + quantile_disc rank rule on both engines."""
+    from semantic_search_system_ray.stages.sketch import _quantile_rank
+
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_type", "value"])
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("key", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        key = np.zeros(len(c), np.int64)
+        small = (c >= 1) & (c <= 7)
+        key[small] = c[small]
+        big = c >= 8
+        cb = c[big]
+        _m, ex = np.frexp(cb.astype(np.float64))
+        bl = ex.astype(np.int64)
+        key[big] = 8 * (bl - 3) + ((cb >> (bl - 4)) & 7)
+        tt = pa.Table.from_pydict(
+            {"event_type": t.column("event_type"),
+             "key": pa.array(key, pa.int64())}
+        )
+        g = tt.group_by(["event_type", "key"]).aggregate([("key", "count")])
+        return pa.Table.from_pydict(
+            {"event_type": g.column("event_type"), "key": g.column("key"),
+             "n": pc.cast(g.column("key_count"), pa.int64())},
+            schema=part_schema,
+        )
+
+    rows = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["event_type", "key"]).sum("n")
+        .take_all()  # types × bucket domain — bounded
+    )
+    by_t: dict = {}
+    for r in rows:
+        by_t.setdefault(r["event_type"], []).append(
+            (int(r["key"]), int(r["sum(n)"]))
+        )
+
+    def lower_bound(k: int) -> int:
+        if k <= 7:
+            return k
+        b, s = divmod(k, 8)
+        return (8 + s) << (b - 1)
+
+    out = {"event_type": [], "q": [], "approx_value": []}
+    for et in sorted(by_t):
+        cells = sorted(by_t[et])
+        keys = np.array([k for k, _n in cells], dtype=np.int64)
+        cum = np.cumsum(np.array([n for _k, n in cells], dtype=np.int64))
+        n = int(cum[-1])
+        for q in (0.5, 0.9):
+            idx = int(np.searchsorted(cum, _quantile_rank(q, n),
+                                      side="left"))
+            out["event_type"].append(et)
+            out["q"].append(q)
+            out["approx_value"].append(lower_bound(int(keys[idx])) / 100.0)
+    return pa.Table.from_pydict(
+        {"event_type": pa.array(out["event_type"], pa.string()),
+         "q": pa.array(out["q"], pa.float64()),
+         "approx_value": pa.array(out["approx_value"], pa.float64())}
+    )
+
+
+SQL_EVENTS_VALUE_SKETCH_BY_TYPE = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+k AS (
+  SELECT event_type, CASE
+           WHEN c < 1 THEN 0
+           WHEN c <= 7 THEN c
+           ELSE 8 * (len(bin(c)) - 3) + ((c >> (len(bin(c)) - 4)) & 7)
+         END AS key
+  FROM c
+),
+lb AS (
+  SELECT event_type,
+         CASE WHEN key <= 7 THEN key
+              ELSE (8 + key % 8) << (key // 8 - 1) END AS lo
+  FROM k
+)
+SELECT event_type,
+       unnest([0.5, 0.9]) AS q,
+       unnest(quantile_disc(CAST(lo AS DOUBLE) / 100.0, [0.5, 0.9]))
+         AS approx_value
+FROM lb GROUP BY event_type
+"""
+
+QUERIES["events_value_sketch_by_type"] = q_events_value_sketch_by_type
+ORACLE_SQL["events_value_sketch_by_type"] = SQL_EVENTS_VALUE_SKETCH_BY_TYPE
