@@ -207,7 +207,7 @@ def run_bench() -> dict:
         "orders_zorder_buckets", "kg_curated_triples",
         "kg_curation_diff", "forecast_revenue", "approx_users_by_type",
         "kg_store_roundtrip", "kg_comention_pmi",
-        "events_value_sketch_by_type",
+        "events_value_sketch_by_type", "embedding_top_pc",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level

@@ -13404,8 +13404,8 @@ def q_product_profit(sf_dir: str):
     single fact-fact cogroup with orders (which carries the year);
     supplier nationkey attaches by hash; nation is a driver dict.
     Profit sums may be NEGATIVE (discounted lines sell below retail) —
-    the cents finish uses FLOOR division on both engines (numpy
-    floor_divide == DuckDB `//`), not Arrow's truncating divide."""
+    the cents finish mirrors DuckDB's `//`, which TRUNCATES toward zero
+    on negatives (measured: -7 // 2 = -3), via sign·(|v|//100)."""
     import datetime as dt  # noqa: F401  (parity with sibling shapes)
 
     import pandas as pd
@@ -13548,9 +13548,8 @@ def q_product_profit(sf_dir: str):
     ).aggregate(Sum("profit_s4", alias_name="profit_sum"))
 
     def finish(t: pa.Table) -> pa.Table:
-        cents = np.floor_divide(
-            t.column("profit_sum").to_numpy(zero_copy_only=False) + 50, 100
-        )
+        v = t.column("profit_sum").to_numpy(zero_copy_only=False) + 50
+        cents = np.sign(v) * (np.abs(v) // 100)  # trunc == DuckDB //
         return pa.Table.from_pydict(
             {"n_name": t.column("n_name"),
              "o_year": t.column("o_year"),
@@ -15389,3 +15388,109 @@ FROM lb GROUP BY event_type
 
 QUERIES["events_value_sketch_by_type"] = q_events_value_sketch_by_type
 ORACLE_SQL["events_value_sketch_by_type"] = SQL_EVENTS_VALUE_SKETCH_BY_TYPE
+
+
+def q_embedding_top_pc(sf_dir: str):
+    """TOP PRINCIPAL DIRECTION of the embedding matrix by DETERMINISTIC
+    integer power iteration (uncentered: the top right-singular vector)
+    — the distributed linear-algebra pattern (matvec as per-block
+    partial sums, spectral methods, embeddings whitening) on the
+    kmeans/HITS exact-integer playbook. Elements quantize ONCE to int64
+    micro-units (floor(x·1e6+0.5), both engines); each round is two
+    matvecs — z = E·w (row-local, no shuffle) and y = Eᵀ·z' (per-block
+    64-long partial-sum VECTORS → driver fold) — with an integer
+    max-normalization (v·1e4 // max|v|, floor division on BOTH engines)
+    between them, so every number is exact int64 end to end and the SQL
+    twin unrolls the two rounds as lockstep-unnest CTEs. Integer division
+    is TRUNCATION toward zero on both engines (DuckDB `//` truncates on
+    negatives — measured, NOT floor; the engine mirrors with
+    sign·(|v|//m)). Start vector = all 1e4 (deterministic); output
+    (dim, weight) with weight scaled to max 1e4."""
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["embedding"])
+    DIM = 64
+    SCALE_W = 10_000
+
+    def quantized(t: pa.Table) -> np.ndarray:
+        emb = t.column("embedding").combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.floor(flat * 1e6 + 0.5).astype(np.int64).reshape(-1, DIM)
+
+    def matvec_round(w: np.ndarray) -> np.ndarray:
+        """One power round: returns the UN-normalized y = Eᵀ·z' where
+        z' = (E·w)·1e4 // max|E·w| — two streaming passes, partials only."""
+        # pass 1: global max|z| (per-block max fold, one scalar per block)
+        def zmax(t: pa.Table) -> pa.Table:
+            E = quantized(t)
+            z = E @ w
+            m = int(np.abs(z).max()) if len(z) else 0
+            return pa.Table.from_pydict({"m": pa.array([m], pa.int64())})
+
+        mz = max(int(r["m"]) for r in
+                 ds.map_batches(zmax, batch_format="pyarrow").take_all())
+        if mz == 0:
+            return np.zeros(DIM, np.int64)
+
+        # pass 2: per-block y partial vectors (64 int64 per block)
+        def ypart(t: pa.Table) -> pa.Table:
+            E = quantized(t)
+            z = E @ w
+            zs = z * SCALE_W
+            zq = np.sign(zs) * (np.abs(zs) // mz)  # trunc == DuckDB //
+            y = E.T @ zq
+            return pa.Table.from_pydict(
+                {"j": pa.array(np.arange(DIM), pa.int64()),
+                 "y": pa.array(y.astype(np.int64), pa.int64())}
+            )
+
+        acc = np.zeros(DIM, np.int64)
+        for r in ds.map_batches(ypart, batch_format="pyarrow").take_all():
+            acc[int(r["j"])] += int(r["y"])
+        return acc
+
+    w = np.full(DIM, SCALE_W, dtype=np.int64)
+    for _round in range(2):
+        y = matvec_round(w)
+        my = int(np.abs(y).max())
+        if my == 0:
+            break
+        ys = y * SCALE_W
+        w = np.sign(ys) * (np.abs(ys) // my)  # trunc == DuckDB //
+    return pa.Table.from_pydict(
+        {"dim": pa.array(np.arange(DIM), pa.int64()),
+         "weight": pa.array(w, pa.int64())}
+    )
+
+
+def _sql_embedding_top_pc() -> str:
+    parts = ["""
+WITH e AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) - 1 AS j,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings
+),
+w0 AS (SELECT j, CAST(10000 AS BIGINT) AS w
+       FROM (SELECT unnest(generate_series(0, 63)) AS j))"""]
+    for r in (1, 2):
+        parts.append(f""",
+z{r} AS (
+  SELECT e.vec_id, CAST(sum(e.v * w.w) AS BIGINT) AS z
+  FROM e JOIN w{r - 1} w ON w.j = e.j GROUP BY 1
+),
+mz{r} AS (SELECT max(abs(z)) AS m FROM z{r}),
+zq{r} AS (SELECT vec_id, z * 10000 // (SELECT m FROM mz{r}) AS zq
+          FROM z{r}),
+y{r} AS (
+  SELECT e.j, CAST(sum(e.v * q.zq) AS BIGINT) AS y
+  FROM e JOIN zq{r} q ON q.vec_id = e.vec_id GROUP BY 1
+),
+my{r} AS (SELECT max(abs(y)) AS m FROM y{r}),
+w{r} AS (SELECT j, y * 10000 // (SELECT m FROM my{r}) AS w FROM y{r})""")
+    parts.append("""
+SELECT j AS dim, CAST(w AS BIGINT) AS weight FROM w2""")
+    return "".join(parts)
+
+
+QUERIES["embedding_top_pc"] = q_embedding_top_pc
+ORACLE_SQL["embedding_top_pc"] = _sql_embedding_top_pc()
