@@ -208,6 +208,7 @@ def run_bench() -> dict:
         "kg_curation_diff", "forecast_revenue", "approx_users_by_type",
         "kg_store_roundtrip", "kg_comention_pmi",
         "events_value_sketch_by_type", "embedding_top_pc",
+        "transition_entropy",
     ):
         _warm_sf()  # re-warm: the host evicts between queries
         # each timing measures the FULL pipeline: the session-level

@@ -15494,3 +15494,69 @@ SELECT j AS dim, CAST(w AS BIGINT) AS weight FROM w2""")
 
 QUERIES["embedding_top_pc"] = q_embedding_top_pc
 ORACLE_SQL["embedding_top_pc"] = _sql_embedding_top_pc()
+
+
+def q_transition_entropy(sf_dir: str):
+    """Per-state TRANSITION ENTROPY of the user event chain: for each
+    previous event type, H = Σ (n/tot)·ln(tot/n) over its next-type
+    distribution — the sequence-predictability score (low = funnel-like
+    deterministic flows, ln|types| = uniform noise). Reuses the
+    event_transitions distributed path end to end (per-user coarse
+    cogroup → ≤|types|² lean partials); the entropy fold happens over
+    that bounded set with the entropy_by_source FP contract: terms fold
+    in next-type order on both engines (Python left fold == DuckDB
+    list_sum over an ORDER BY list), one shared libm ln per term,
+    floor(x·1e6+0.5) to 6dp."""
+    import math
+
+    tbl = q_event_transitions(sf_dir)
+    df = tbl.to_pandas() if hasattr(tbl, "to_pandas") else tbl
+    df = df.sort_values(["prev_type", "event_type"], kind="mergesort")
+    out = {"prev_type": [], "n_total": [], "n_next_types": [],
+           "entropy": []}
+    for prev, g in df.groupby("prev_type", sort=True):
+        tot = int(g["n"].sum())
+        h = 0.0
+        for n in g["n"]:  # event_type-ordered left fold
+            n = int(n)
+            h += float(n) / float(tot) * math.log(float(tot) / float(n))
+        out["prev_type"].append(prev)
+        out["n_total"].append(tot)
+        out["n_next_types"].append(len(g))
+        out["entropy"].append(math.floor(h * 1e6 + 0.5) / 1e6)
+    return pa.Table.from_pydict(
+        {"prev_type": pa.array(out["prev_type"], pa.string()),
+         "n_total": pa.array(out["n_total"], pa.int64()),
+         "n_next_types": pa.array(out["n_next_types"], pa.int64()),
+         "entropy": pa.array(out["entropy"], pa.float64())}
+    )
+
+
+SQL_TRANSITION_ENTROPY = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+tot AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS k
+  FROM c GROUP BY 1
+)
+SELECT c.prev_type, tot.tot AS n_total, tot.k AS n_next_types,
+       floor(list_sum(list(CAST(c.n AS DOUBLE) / tot.tot
+                           * ln(CAST(tot.tot AS DOUBLE) / c.n)
+                           ORDER BY c.event_type)) * 1000000 + 0.5)
+         / 1000000 AS entropy
+FROM c JOIN tot USING (prev_type)
+GROUP BY c.prev_type, tot.tot, tot.k
+"""
+
+QUERIES["transition_entropy"] = q_transition_entropy
+ORACLE_SQL["transition_entropy"] = SQL_TRANSITION_ENTROPY
