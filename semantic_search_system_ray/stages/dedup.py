@@ -1412,16 +1412,19 @@ def minhash_calibration(
         empty_b = pc.equal(t.column("g_b"), "").to_numpy(
             zero_copy_only=False
         )
-        la[empty_a] = 0
-        lb[empty_b] = 0
-        inter = _pair_intersections(
-            la, pc.list_flatten(ga).to_numpy(zero_copy_only=False),
-            lb, pc.list_flatten(gb).to_numpy(zero_copy_only=False),
-        )
-        # flats still carry the '' rows for empty docs; those codes can
-        # only collide with other '' entries — mask them out of inter
-        both_empty_safe = ~(empty_a | empty_b)
-        inter = np.where(both_empty_safe, inter, 0)
+        # drop the '' placeholder element each empty row contributed to
+        # the flat array BEFORE zeroing its length, so the CSR contract
+        # of _pair_intersections (sum(la) == len(flat_a)) holds even
+        # when a zero-shingle doc lands in a candidate pair
+        flat_a = pc.list_flatten(ga).to_numpy(zero_copy_only=False)
+        flat_b = pc.list_flatten(gb).to_numpy(zero_copy_only=False)
+        if empty_a.any():
+            flat_a = flat_a[np.repeat(~empty_a, la)]
+            la[empty_a] = 0
+        if empty_b.any():
+            flat_b = flat_b[np.repeat(~empty_b, lb)]
+            lb[empty_b] = 0
+        inter = _pair_intersections(la, flat_a, lb, flat_b)
         union = la + lb - inter
         df = pd.DataFrame(
             {"est_bin": est_bin, "inter": inter, "union": union}

@@ -483,3 +483,51 @@ def test_cosine_range_search_matches_numpy(ray_session, vec_ds):
     )
     assert list(zip(got["qid"], got["vec_id"], got["dot"])) == exp
     assert len(exp) > 0  # the fixture corpus must exercise matches
+
+
+def test_minhash_calibration_zero_shingle_docs(ray_session):
+    """Regression (ADVICE r4): zero-token docs produce EMPTY shingle
+    sets but identical all-0xFFFFFFFF signatures, so they always
+    band-collide into candidate pairs. The partial kernel must drop
+    their '' placeholder from the flattened gram arrays BEFORE zeroing
+    lengths (CSR contract: sum(lens) == len(flat)) — previously this
+    raised ValueError and would mis-attribute grams across pairs.
+    Engine must match the DuckDB oracle (COALESCE path) exactly."""
+    import duckdb
+    import pandas as pd
+
+    from semantic_search_system_ray.pipelines.text_oracles import (
+        sql_minhash_calibration,
+    )
+    from semantic_search_system_ray.stages.dedup import minhash_calibration
+
+    rows = [
+        ("z0", "!!!"),          # zero tokens -> zero shingles
+        ("z1", "..."),          # zero tokens -> zero shingles
+        ("z2", ""),             # empty text
+        ("dupA0", BASE),
+        ("dupA1", BASE.replace("quick", "swift")),
+        ("n0", "completely unrelated words about maritime navigation"),
+    ]
+    tbl = pa.Table.from_pydict(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+    )
+    got = (
+        minhash_calibration(rd.from_arrow(tbl))
+        .to_pandas().sort_values("est_bin").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = (
+        con.execute(sql_minhash_calibration())
+        .fetchdf().sort_values("est_bin").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)]
+    )
+    # the zero-shingle family must actually appear: star pairs over the
+    # 3-doc family (2 pairs) with inter=0, union=0 land in the top bin
+    # with pooled 0.0
+    top = got[got["est_bin"] == 10]
+    assert len(top) == 1 and int(top["n_pairs"].iloc[0]) == 2
+    assert float(top["pooled_jaccard"].iloc[0]) == 0.0
