@@ -2195,36 +2195,42 @@ def _q_kg_store_roundtrip(sf_dir: str):
     SQL over the in-memory triples) passing proves the sink/source
     roundtrip is lossless. Hive partitioning restores the pred column
     from directory keys."""
-    import os
     import shutil
+    import tempfile
 
     import pyarrow.compute as pc
 
     import ray.data as rd
 
-    out_dir = f"/tmp/kg_store_{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    triples = _kg_triples(sf_dir)
-    triples.map_batches(
-        lambda t: pa.Table.from_pydict(
-            {"subj": pc.cast(t.column("subj"), pa.string()),
-             "pred": pc.cast(t.column("pred"), pa.string()),
-             "obj": pc.cast(t.column("obj"), pa.string())},
-        ),
-        batch_format="pyarrow",
-    ).write_parquet(out_dir, partition_cols=["pred"])
-    back = rd.read_parquet(out_dir)
-    # hive partition values read back as dictionary-encoded strings;
-    # normalize to plain utf8 for the shared fold
-    back = back.map_batches(
-        lambda t: pa.Table.from_pydict(
-            {"subj": pc.cast(t.column("subj"), pa.string()),
-             "pred": pc.cast(t.column("pred"), pa.string()),
-             "obj": pc.cast(t.column("obj"), pa.string())},
-        ),
-        batch_format="pyarrow",
-    )
-    return _pred_stats(back)
+    # per-invocation unique dir: two concurrent runs on same-basename
+    # corpora must not rmtree under each other's read_parquet
+    out_dir = tempfile.mkdtemp(prefix="kg_store_")
+    try:
+        triples = _kg_triples(sf_dir)
+        triples.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"subj": pc.cast(t.column("subj"), pa.string()),
+                 "pred": pc.cast(t.column("pred"), pa.string()),
+                 "obj": pc.cast(t.column("obj"), pa.string())},
+            ),
+            batch_format="pyarrow",
+        ).write_parquet(out_dir, partition_cols=["pred"])
+        back = rd.read_parquet(out_dir)
+        # hive partition values read back as dictionary-encoded strings;
+        # normalize to plain utf8 for the shared fold
+        back = back.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"subj": pc.cast(t.column("subj"), pa.string()),
+                 "pred": pc.cast(t.column("pred"), pa.string()),
+                 "obj": pc.cast(t.column("obj"), pa.string())},
+            ),
+            batch_format="pyarrow",
+        )
+        # materialize the profile before deleting the store files the
+        # lazy plan still reads from
+        return _pred_stats(back).materialize()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def _q_kg_curation_diff(sf_dir: str):

@@ -15039,8 +15039,9 @@ def q_events_value_sketch(sf_dir: str):
     bucket counts with _quantile_rank; the twin runs quantile_disc over
     per-row lower bounds — same element). Per-block bucket-count
     combiners → one ≤500-row groupby → driver fold; engine bit length
-    via np.frexp on the exact float64 of c (exact below 2^53 —
-    documented bound, cents at $10^16 scale)."""
+    via np.frexp seeded then corrected with exact integer shifts, so
+    it is exact for ALL int64 cents (frexp alone can round up at
+    power-of-two boundaries above 2^53)."""
     from semantic_search_system_ray.stages.sketch import _quantile_rank
 
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["value"])
@@ -15054,8 +15055,13 @@ def q_events_value_sketch(sf_dir: str):
         key[small] = c[small]
         big = c >= 8
         cb = c[big]
-        _m, ex = np.frexp(cb.astype(np.float64))  # ex = bitlen, exact <2^53
+        _m, ex = np.frexp(cb.astype(np.float64))  # ex ≈ bitlen (±1 ≥2^53)
         bl = ex.astype(np.int64)
+        # exact-shift correction: bitlen b satisfies (c >> (b-1)) >= 1
+        # and (c >> b) == 0; float64 rounding can only overshoot at
+        # power-of-two boundaries, but correct both directions anyway
+        bl[(cb >> np.minimum(bl - 1, 63)) == 0] -= 1
+        bl[(cb >> np.minimum(bl, 63)) != 0] += 1
         key[big] = 8 * (bl - 3) + ((cb >> (bl - 4)) & 7)
         tt = pa.Table.from_pydict({"key": pa.array(key, pa.int64())})
         g = tt.group_by(["key"]).aggregate([("key", "count")])
@@ -15428,7 +15434,7 @@ def q_embedding_top_pc(sf_dir: str):
         mz = max(int(r["m"]) for r in
                  ds.map_batches(zmax, batch_format="pyarrow").take_all())
         if mz == 0:
-            return np.zeros(DIM, np.int64)
+            return [0] * DIM
 
         # pass 2: per-block y partial vectors (64 int64 per block)
         def ypart(t: pa.Table) -> pa.Table:
@@ -15436,25 +15442,42 @@ def q_embedding_top_pc(sf_dir: str):
             z = E @ w
             zs = z * SCALE_W
             zq = np.sign(zs) * (np.abs(zs) // mz)  # trunc == DuckDB //
+            # loud overflow guard: the block partial Eᵀ·zq is bounded by
+            # n_rows·max|E|·max|zq|; int64 wraps SILENTLY in numpy while
+            # the SQL twin's BIGINT sum raises — match it by raising
+            if E.size:
+                bound = int(E.shape[0]) * int(np.abs(E).max()) * SCALE_W
+                if bound >= 2 ** 63:
+                    raise OverflowError(
+                        "embedding_top_pc block partial may exceed int64 "
+                        f"(bound {bound}); shrink target block size"
+                    )
             y = E.T @ zq
             return pa.Table.from_pydict(
                 {"j": pa.array(np.arange(DIM), pa.int64()),
                  "y": pa.array(y.astype(np.int64), pa.int64())}
             )
 
-        acc = np.zeros(DIM, np.int64)
+        # driver fold in PYTHON ints (arbitrary precision): the sum of
+        # per-block int64 partials can exceed int64 at very large
+        # corpora even though each partial fits
+        acc = [0] * DIM
         for r in ds.map_batches(ypart, batch_format="pyarrow").take_all():
             acc[int(r["j"])] += int(r["y"])
         return acc
 
     w = np.full(DIM, SCALE_W, dtype=np.int64)
     for _round in range(2):
-        y = matvec_round(w)
-        my = int(np.abs(y).max())
+        y = matvec_round(w)  # python ints — exact at any magnitude
+        my = max(abs(v) for v in y)
         if my == 0:
             break
-        ys = y * SCALE_W
-        w = np.sign(ys) * (np.abs(ys) // my)  # trunc == DuckDB //
+        # normalization in python ints too (y·1e4 can exceed int64);
+        # the result is bounded by SCALE_W so the np.int64 cast is safe
+        w = np.array(
+            [(1 if v >= 0 else -1) * (abs(v) * SCALE_W // my) for v in y],
+            dtype=np.int64,
+        )
     return pa.Table.from_pydict(
         {"dim": pa.array(np.arange(DIM), pa.int64()),
          "weight": pa.array(w, pa.int64())}
