@@ -330,13 +330,14 @@ def _canon_applier(canon: dict[str, str]):
     return apply_canon
 
 
-CANON_DRIVER_THRESHOLD = 200_000
+# canon threshold is centralized: context.ScaleConfig.canon_driver_rows
+# (anchor 200k, SSR_CANON_DRIVER_ROWS override); None defers to it.
 
 
 def finalize_triples(
     flat: rd.Dataset,
     *,
-    canon_driver_threshold: int = CANON_DRIVER_THRESHOLD,
+    canon_driver_threshold: int | None = None,
 ) -> tuple[rd.Dataset, "dict[str, str] | rd.Dataset"]:
     """Locally-distinct FLAT rows → (distinct canonical doc triples, canon).
 
@@ -490,7 +491,7 @@ def build_triples(
     concurrency=(1, 8),
     batch_size: int = 256,
     embed: bool = False,
-    canon_driver_threshold: int = CANON_DRIVER_THRESHOLD,
+    canon_driver_threshold: int | None = None,
 ) -> KGResult:
     """Streaming plan: fused task-based DocNLP+flatten (FLAT rows: triples
     + surfaces, block-locally distinct) → ONE materialize → class-split

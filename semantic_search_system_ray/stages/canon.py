@@ -130,7 +130,7 @@ def distinct_surfaces(surfaces_ds: rd.Dataset) -> rd.Dataset:
 def canonical_map_auto(
     surfaces_ds: rd.Dataset,
     *,
-    driver_threshold: int = 200_000,
+    driver_threshold: int | None = None,
     assume_distinct: bool = False,
     **kwargs,
 ) -> "tuple[str, dict[str, str] | None, rd.Dataset | None]":
@@ -159,6 +159,10 @@ def canonical_map_auto(
     """
     from semantic_search_system_ray.functions.canon_spec import canonicalize_exact
 
+    if driver_threshold is None:
+        from semantic_search_system_ray.context import scale_config
+
+        driver_threshold = scale_config().canon_driver_rows
     distinct = (
         surfaces_ds if assume_distinct else distinct_surfaces(surfaces_ds)
     ).materialize()
@@ -186,7 +190,7 @@ def canonical_map_auto(
 def canonical_map_dict(
     surfaces_ds: rd.Dataset,
     *,
-    driver_threshold: int = 200_000,
+    driver_threshold: int | None = None,
     **kwargs,
 ) -> "dict[str, str] | rd.Dataset":
     """Canonical map for broadcast application — a dict when it fits.

@@ -229,7 +229,7 @@ def connected_components(
     edges: rd.Dataset,
     *,
     max_rounds: int = 10,
-    driver_edge_threshold: int = 500_000,
+    driver_edge_threshold: int | None = None,
 ) -> rd.Dataset:
     """Scale-switched wrapper over ``min_label_components`` (same
     convention as stages/dedup._cluster_labels and graph.pagerank): edge
@@ -244,6 +244,10 @@ def connected_components(
     distributed path but not here (the one observable regime
     difference; every caller passes a covering node set)."""
     edges = edges.materialize()
+    if driver_edge_threshold is None:
+        from semantic_search_system_ray.context import scale_config
+
+        driver_edge_threshold = scale_config().cc_driver_edges
     if edges.count() > driver_edge_threshold:
         return min_label_components(nodes, edges, max_rounds=max_rounds)
 

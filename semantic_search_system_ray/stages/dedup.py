@@ -11,7 +11,7 @@ All are Ray-Data-native compositions:
   (stages/util.coarse_grouped_apply — Ray's ~25µs/group cost paid P
   times, not per bucket) → star candidate pairs → signature verification
   (broadcast map for small collections, DISTRIBUTED hash-join of sigs
-  onto pairs beyond VERIFY_BROADCAST_THRESHOLD — parity-tested) →
+  onto pairs beyond ScaleConfig.verify_broadcast_rows — parity-tested) →
   connected components → cluster labels.
 - **simhash_clusters**: 64-bit SimHash per doc → 4×16-bit band buckets →
   candidates verified by Hamming distance ≤ k → components.
@@ -56,7 +56,7 @@ def _cluster_labels(
     edges: rd.Dataset,
     *,
     max_rounds: int,
-    driver_edge_threshold: int = 500_000,
+    driver_edge_threshold: int | None = None,
 ) -> rd.Dataset:
     """nodes(node) + verified near-dup edges(src,dst) → (doc_id, cluster).
 
@@ -67,6 +67,10 @@ def _cluster_labels(
     computed locally per batch, no shuffle at all). Above the threshold
     the iterative distributed CC (stages/cc.py) takes over."""
     edges = edges.materialize()
+    if driver_edge_threshold is None:
+        from semantic_search_system_ray.context import scale_config
+
+        driver_edge_threshold = scale_config().cc_driver_edges
     if edges.count() <= driver_edge_threshold:
         parent: dict[str, str] = {}
 
@@ -239,7 +243,14 @@ def _bucket_all_pairs(g: "pd.DataFrame", cap: int = 64) -> pa.Table:
 # How many docs the broadcast-verification path will tolerate before the
 # pipelines switch to the distributed hash-join path ("auto" mode). The
 # broadcast map costs ~0.5 KB/doc on the driver and in each worker.
-VERIFY_BROADCAST_THRESHOLD = 1_000_000
+# (centralized: context.ScaleConfig.verify_broadcast_rows, anchor 1M,
+#  SSR_VERIFY_BROADCAST_ROWS override)
+
+
+def _verify_broadcast_rows() -> int:
+    from semantic_search_system_ray.context import scale_config
+
+    return scale_config().verify_broadcast_rows
 
 
 def _sigs_binary(sigs: rd.Dataset) -> rd.Dataset:
@@ -313,7 +324,7 @@ def _verify_pairs_with_sigs(pairs: rd.Dataset, sigs: rd.Dataset, threshold: floa
     indices (pandas C-level map) and compares the two gathered slices in
     one vectorized equality — no per-pair Python (r3 verdict #7), same
     shape as ``_verify_pairs_join``. Beyond
-    ``VERIFY_BROADCAST_THRESHOLD`` docs use ``_verify_pairs_join``."""
+    ``ScaleConfig.verify_broadcast_rows`` docs use ``_verify_pairs_join``."""
     import pandas as pd
 
     # Collect as ARROW blocks, not Python rows: the flat uint32 child of
@@ -367,7 +378,7 @@ def minhash_lsh_clusters(
     threshold: float = 0.7,
     max_rounds: int = 8,
     verify: str = "auto",
-    driver_edge_threshold: int = 500_000,
+    driver_edge_threshold: int | None = None,
 ) -> rd.Dataset:
     """→ (doc_id, cluster): near-dup cluster representative (min doc id in
     the transitive closure of verified candidate pairs).
@@ -375,7 +386,7 @@ def minhash_lsh_clusters(
     ``verify``: "broadcast" (signature map via ray.put — small
     collections), "join" (distributed hash-join of signatures onto pairs —
     the 100 TB path, no driver materialization), or "auto" (switch on
-    ``VERIFY_BROADCAST_THRESHOLD`` docs). Both paths produce identical
+    ``ScaleConfig.verify_broadcast_rows`` docs). Both paths produce identical
     edges (parity-tested)."""
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
@@ -405,7 +416,7 @@ def minhash_lsh_clusters(
         candidates, ["src", "dst"], strategy="tree", out_blocks=8
     )
     if verify == "auto":
-        verify = "broadcast" if sigs.count() <= VERIFY_BROADCAST_THRESHOLD else "join"
+        verify = "broadcast" if sigs.count() <= _verify_broadcast_rows() else "join"
     if verify == "join":
         edges = _verify_pairs_join(candidates, sigs, threshold)
     else:
@@ -521,7 +532,7 @@ def minhash_incremental(
     sig_tbl = sigs.select_columns(["doc_id", "sig"]).materialize()
     if verify == "auto":
         verify = (
-            "broadcast" if sig_tbl.count() <= VERIFY_BROADCAST_THRESHOLD
+            "broadcast" if sig_tbl.count() <= _verify_broadcast_rows()
             else "join"
         )
     if verify == "join":
@@ -823,7 +834,7 @@ def ngram_jaccard_pairs(
     threshold. Candidates come from MinHash-LSH over the n-gram sets;
     candidate PAIRS (ids only — gram sets never ride the exploded band
     rows) are distinct-ed, then verified exactly — against a broadcast
-    gram table below ``VERIFY_BROADCAST_THRESHOLD`` docs, else by
+    gram table below ``ScaleConfig.verify_broadcast_rows`` docs, else by
     hash-joining the gram sets onto the pairs (``verify="join"``, the
     100 TB path; parity-tested against broadcast)."""
     rows_per_band = num_perm // bands
@@ -861,7 +872,7 @@ def ngram_jaccard_pairs(
     )
 
     if verify == "auto":
-        verify = "broadcast" if sigs.count() <= VERIFY_BROADCAST_THRESHOLD else "join"
+        verify = "broadcast" if sigs.count() <= _verify_broadcast_rows() else "join"
     if verify == "join":
         return _verify_grams_join(candidates, sigs, threshold)
 

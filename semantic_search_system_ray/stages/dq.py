@@ -88,7 +88,10 @@ def distinct_count(ds: rd.Dataset, key: str) -> int:
 # metadata counts) finish in one concat task instead of a sorted cogroup;
 # the summary the task sees is bounded by distinct keys ≤ input rows, so
 # 8M rows ≈ 136 MB of (int64, int64, bool) — comfortably one worker heap.
-SMALL_DOMAIN_ROWS = 8_000_000
+# None defers to context.ScaleConfig.dq_small_domain_rows (anchor 8M,
+# SSR_DQ_SMALL_DOMAIN_ROWS override); setting the attribute pins it
+# for the process (tests force the cogroup regime with 0).
+SMALL_DOMAIN_ROWS: int | None = None
 
 
 def key_domain_checks(
@@ -162,7 +165,12 @@ def key_domain_checks(
     # rows) finishes the job. Large domains keep the hash cogroup — the
     # single-task path would concentrate the whole key domain on one
     # worker.
-    if base.count() + child.count() <= SMALL_DOMAIN_ROWS:
+    small_rows = SMALL_DOMAIN_ROWS
+    if small_rows is None:
+        from semantic_search_system_ray.context import scale_config
+
+        small_rows = scale_config().dq_small_domain_rows
+    if base.count() + child.count() <= small_rows:
         from semantic_search_system_ray.stages.util import ensure_schema
 
         parts = ensure_schema(

@@ -41,9 +41,18 @@ DEFAULT_SCALE = 1_000_000
 # Scale switch (same convention as stages/canon): graphs whose edge count
 # fits comfortably on the driver run the exact numpy loop — a 48k-edge
 # graph costs ~55 s of pure shuffle overhead on the distributed path vs
-# <1 s on the driver (measured, BASELINE.md). 2M string edges ≈ low
-# hundreds of MB driver-resident; above that the distributed path runs.
-PAGERANK_DRIVER_EDGE_THRESHOLD = 2_000_000
+# <1 s on the driver (measured, BASELINE.md). The edge threshold lives in
+# context.ScaleConfig (graph_driver_edges, anchor 2M on the 128-GiB box,
+# scaled to the driver node's memory, SSR_GRAPH_DRIVER_EDGES override);
+# every algorithm resolves through _resolve_edges at call time.
+
+
+def _resolve_edges(driver_threshold: int | None) -> int:
+    if driver_threshold is not None:
+        return driver_threshold
+    from semantic_search_system_ray.context import scale_config
+
+    return scale_config().graph_driver_edges
 
 DEGREE_SCHEMA = pa.schema(
     [("node_id", pa.string()), ("out_degree", pa.int64()),
@@ -194,7 +203,7 @@ def pagerank(
     scale: int = DEFAULT_SCALE,
     src_col: str = "src",
     dst_col: str = "dst",
-    driver_threshold: int = PAGERANK_DRIVER_EDGE_THRESHOLD,
+    driver_threshold: int | None = None,
     seeds: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """→ (node_id, pr) after ``iterations`` synchronous rounds of the
@@ -239,7 +248,7 @@ def pagerank(
     # can't be known, so per-call derivation would fall back to the floor
     # anyway, and a constant P keeps iteration cost flat.
     edges = edges.materialize()
-    if edges.count() <= driver_threshold:  # metadata count: free
+    if edges.count() <= _resolve_edges(driver_threshold):  # metadata count: free
         seed_set = None
         if seeds is not None:
             # driver regime: the seed set is a subset of a node table
@@ -867,7 +876,6 @@ def neighbor_jaccard_topk(
 # ---------------------------------------------------------------------------
 
 BFS_SCHEMA = pa.schema([("node_id", pa.string()), ("dist", pa.int64())])
-BFS_DRIVER_EDGE_THRESHOLD = 2_000_000
 
 _BFS_CG_SCHEMA = pa.schema(
     [("key", pa.string()), ("dst", pa.string()),
@@ -979,7 +987,7 @@ def bfs_hops(
     max_hops: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
-    driver_threshold: int = BFS_DRIVER_EDGE_THRESHOLD,
+    driver_threshold: int | None = None,
 ) -> rd.Dataset:
     """Multi-source BFS over an undirected view of ``edges``:
     seeds(node_id) + edges(src, dst) → (node_id, dist) for every node
@@ -1001,7 +1009,7 @@ def bfs_hops(
     from semantic_search_system_ray.stages.util import _default_partitions
 
     edges = edges.materialize()
-    if edges.count() <= driver_threshold:
+    if edges.count() <= _resolve_edges(driver_threshold):
         return _bfs_driver(seeds, edges, max_hops, src_col, dst_col)
 
     edges_sym = edges.map_batches(
@@ -1095,7 +1103,6 @@ def bfs_hops(
 # ---------------------------------------------------------------------------
 # Bounded weighted shortest paths (multi-source Bellman-Ford / min-plus)
 
-WEIGHTED_DRIVER_EDGE_THRESHOLD = 2_000_000
 
 _WSP_MSG_SCHEMA = pa.schema([("node_id", pa.string()), ("dist", pa.int64())])
 _WSP_CG_SCHEMA = pa.schema(
@@ -1198,7 +1205,7 @@ def weighted_hops(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "w",
-    driver_threshold: int = WEIGHTED_DRIVER_EDGE_THRESHOLD,
+    driver_threshold: int | None = None,
 ) -> rd.Dataset:
     """Multi-source BOUNDED weighted shortest paths over an undirected
     view of ``edges(src, dst, w:int)``: seeds(node_id) → (node_id,
@@ -1219,7 +1226,7 @@ def weighted_hops(
     from semantic_search_system_ray.stages.util import _default_partitions
 
     edges = edges.materialize()
-    if edges.count() <= driver_threshold:
+    if edges.count() <= _resolve_edges(driver_threshold):
         return _wsp_driver(seeds, edges, max_rounds, src_col, dst_col, weight_col)
 
     def norm(t: pa.Table) -> pa.Table:
@@ -1315,7 +1322,6 @@ def weighted_hops(
 # ---------------------------------------------------------------------------
 # Bounded k-core peeling (synchronous rounds, unrolled-CTE oracle twin)
 
-KCORE_DRIVER_EDGE_THRESHOLD = 2_000_000
 
 KCORE_SCHEMA = pa.schema([("node_id", pa.string()), ("deg", pa.int64())])
 
@@ -1428,7 +1434,7 @@ def kcore(
     rounds: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
-    driver_threshold: int = KCORE_DRIVER_EDGE_THRESHOLD,
+    driver_threshold: int | None = None,
 ) -> rd.Dataset:
     """Bounded k-core peeling over the distinct undirected simple edge
     set of ``edges``: ``rounds`` synchronous rounds, each computing
@@ -1455,7 +1461,7 @@ def kcore(
     und = undirected_simple_edges(
         edges, src_col=src_col, dst_col=dst_col
     ).materialize()
-    if und.count() <= driver_threshold:
+    if und.count() <= _resolve_edges(driver_threshold):
         parts = [p for p in und.to_arrow_refs()]
         import ray
 
@@ -1489,7 +1495,6 @@ def kcore(
 # label-propagation communities (synchronous, fixed rounds, min-label ties)
 # --------------------------------------------------------------------------
 
-LPA_DRIVER_EDGE_THRESHOLD = 2_000_000
 
 LPA_SCHEMA = pa.schema([("node_id", pa.string()), ("community", pa.string())])
 
@@ -1543,7 +1548,7 @@ def label_propagation(
     rounds: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
-    driver_threshold: int = LPA_DRIVER_EDGE_THRESHOLD,
+    driver_threshold: int | None = None,
 ) -> rd.Dataset:
     """Synchronous label-propagation communities (Raghavan et al. 2007,
     made deterministic) over the distinct undirected simple edge set of
@@ -1577,7 +1582,7 @@ def label_propagation(
     und = undirected_simple_edges(
         edges, src_col=src_col, dst_col=dst_col
     ).materialize()
-    if und.count() <= driver_threshold:
+    if und.count() <= _resolve_edges(driver_threshold):
         import ray
 
         tables = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows > 0]
@@ -1675,7 +1680,6 @@ HITS_SCHEMA = pa.schema(
 )
 _HITS_E_SCHEMA = pa.schema([("s", pa.string()), ("d", pa.string())])
 _HITS_SV_SCHEMA = pa.schema([("node", pa.string()), ("v", pa.int64())])
-HITS_DRIVER_EDGE_THRESHOLD = PAGERANK_DRIVER_EDGE_THRESHOLD
 
 
 def _hits_driver(e: pa.Table, rounds: int, scale: int) -> rd.Dataset:
@@ -1712,7 +1716,7 @@ def hits(
     scale: int = DEFAULT_SCALE,
     src_col: str = "src",
     dst_col: str = "dst",
-    driver_threshold: int = HITS_DRIVER_EDGE_THRESHOLD,
+    driver_threshold: int | None = None,
 ) -> rd.Dataset:
     """Deterministic integer HITS (Kleinberg 1999) over the DISTINCT
     directed simple edge set of ``edges`` (parallel edges and self-loops
@@ -1773,7 +1777,7 @@ def hits(
     n_edges = e.count()
     if n_edges == 0:
         return rd.from_arrow(HITS_SCHEMA.empty_table())
-    if n_edges <= driver_threshold:
+    if n_edges <= _resolve_edges(driver_threshold):
         import ray
 
         tables = [t for t in ray.get(e.to_arrow_refs()) if t.num_rows > 0]
@@ -1937,7 +1941,6 @@ def clustering_coefficient(
 # strongly connected components (directed; EXACT, scale-switched)
 # --------------------------------------------------------------------------
 
-SCC_DRIVER_EDGE_THRESHOLD = 2_000_000
 
 SCC_SCHEMA = pa.schema([("node_id", pa.string()), ("scc", pa.string())])
 
@@ -2209,7 +2212,7 @@ def scc_labels(
     *,
     src_col: str = "src",
     dst_col: str = "dst",
-    driver_threshold: int = SCC_DRIVER_EDGE_THRESHOLD,
+    driver_threshold: int | None = None,
     max_outer: int = 50,
     max_rounds: int = 64,
 ) -> rd.Dataset:
@@ -2236,7 +2239,7 @@ def scc_labels(
     n_edges = e.count()
     if n_edges == 0:
         return rd.from_arrow(SCC_SCHEMA.empty_table())
-    if n_edges <= driver_threshold:
+    if n_edges <= _resolve_edges(driver_threshold):
         import ray
 
         tables = [t for t in ray.get(e.to_arrow_refs()) if t.num_rows > 0]
@@ -2273,7 +2276,7 @@ def condensation(
     *,
     src_col: str = "src",
     dst_col: str = "dst",
-    driver_threshold: int = SCC_DRIVER_EDGE_THRESHOLD,
+    driver_threshold: int | None = None,
 ) -> rd.Dataset:
     """Condensation of the directed graph: contract every strongly
     connected component (scc_labels — exact, scale-switched) to one node
@@ -2335,7 +2338,6 @@ def condensation(
 
 TOPO_SCHEMA = pa.schema([("node_id", pa.string()), ("level", pa.int64())])
 
-DAG_LEVELS_DRIVER_EDGE_THRESHOLD = 2_000_000
 
 _LEV_SCHEMA = pa.schema([("node", pa.string()), ("level", pa.int64())])
 _LEV_ATT = pa.schema(
@@ -2387,7 +2389,7 @@ def dag_levels(
     *,
     src_col: str = "src",
     dst_col: str = "dst",
-    driver_threshold: int = DAG_LEVELS_DRIVER_EDGE_THRESHOLD,
+    driver_threshold: int | None = None,
     max_rounds: int = 64,
 ) -> rd.Dataset:
     """Longest-path topological layering of a DAG → (node_id, level)
@@ -2415,7 +2417,7 @@ def dag_levels(
     n_edges = e.count()
     if n_edges == 0:
         return rd.from_arrow(TOPO_SCHEMA.empty_table())
-    if n_edges <= driver_threshold:
+    if n_edges <= _resolve_edges(driver_threshold):
         import ray
 
         tables = [t for t in ray.get(e.to_arrow_refs()) if t.num_rows > 0]
@@ -2486,7 +2488,7 @@ def condensation_levels(
     *,
     src_col: str = "src",
     dst_col: str = "dst",
-    driver_threshold: int = SCC_DRIVER_EDGE_THRESHOLD,
+    driver_threshold: int | None = None,
     max_rounds: int = 64,
 ) -> rd.Dataset:
     """Topological longest-path levels of the CONDENSATION: contract
@@ -3301,7 +3303,6 @@ def ego_edges(
 
 KATZ_SCHEMA = pa.schema([("node_id", pa.string()), ("katz", pa.int64())])
 KATZ_ALPHA_INV = 4  # attenuation 1/4 as an exact integer divisor
-KATZ_DRIVER_EDGE_THRESHOLD = PAGERANK_DRIVER_EDGE_THRESHOLD
 
 
 def _katz_driver(e: pa.Table, rounds: int, scale: int, alpha_inv: int) -> rd.Dataset:
@@ -3334,7 +3335,7 @@ def katz(
     alpha_inv: int = KATZ_ALPHA_INV,
     src_col: str = "src",
     dst_col: str = "dst",
-    driver_threshold: int = KATZ_DRIVER_EDGE_THRESHOLD,
+    driver_threshold: int | None = None,
 ) -> rd.Dataset:
     """Deterministic integer KATZ centrality (Katz 1953) over the
     DISTINCT directed simple edge set of ``edges`` (parallel edges and
@@ -3393,7 +3394,7 @@ def katz(
     n_edges = e.count()
     if n_edges == 0:
         return rd.from_arrow(KATZ_SCHEMA.empty_table())
-    if n_edges <= driver_threshold:
+    if n_edges <= _resolve_edges(driver_threshold):
         import ray
 
         tables = [t for t in ray.get(e.to_arrow_refs()) if t.num_rows > 0]
@@ -3748,7 +3749,6 @@ _WALK_FRONTIER_SCHEMA = pa.schema(
 _WALK_CAND_SCHEMA = pa.schema(
     [("walk", pa.string()), ("v", pa.string()), ("h", pa.uint64())]
 )
-WALKS_DRIVER_EDGE_THRESHOLD = PAGERANK_DRIVER_EDGE_THRESHOLD
 
 
 def _walk_hash_batch(walks: np.ndarray, step: int, vs: np.ndarray,
@@ -3840,7 +3840,7 @@ def random_walks(
     src_col: str = "src",
     dst_col: str = "dst",
     num_partitions: int | None = None,
-    driver_threshold: int = WALKS_DRIVER_EDGE_THRESHOLD,
+    driver_threshold: int | None = None,
 ) -> rd.Dataset:
     """DETERMINISTIC random walks over the undirected simple graph —
     the corpus-generation primitive node2vec/DeepWalk embeddings train
@@ -3877,7 +3877,7 @@ def random_walks(
     n_edges = und.count()
     if n_edges == 0:
         return rd.from_arrow(WALKS_SCHEMA.empty_table())
-    if n_edges <= driver_threshold:
+    if n_edges <= _resolve_edges(driver_threshold):
         import ray
 
         tables = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows > 0]

@@ -182,7 +182,11 @@ def coarse_partition_apply(
     )
 
 
-ATTACH_BROADCAST_BYTES = 32 << 20  # right sides under 32 MiB never shuffle
+# Right sides under this estimated size never shuffle. None defers to
+# context.ScaleConfig.attach_broadcast_bytes (anchor 32 MiB, scaled to
+# the per-node object store, SSR_ATTACH_BROADCAST_BYTES override);
+# setting the attribute pins it for the process (tests).
+ATTACH_BROADCAST_BYTES: int | None = None
 
 
 def _attach_broadcast(
@@ -326,6 +330,10 @@ def coarse_attach(
 
     if broadcast_bytes is None:
         broadcast_bytes = ATTACH_BROADCAST_BYTES
+    if broadcast_bytes is None:
+        from semantic_search_system_ray.context import scale_config
+
+        broadcast_bytes = scale_config().attach_broadcast_bytes
     est = _estimate_size_bytes(right)
     if est is not None and est <= broadcast_bytes:
         return _attach_broadcast(
