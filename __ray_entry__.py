@@ -2134,6 +2134,9 @@ def _q_doc_topic_words(sf_dir: str):
     )
 
 
+_KG_CURATED_CACHE: dict[str, Any] = {}
+
+
 def _q_kg_curated_triples(sf_dir: str):
     """CURATED FLAGSHIP composition — the KG build consuming the
     engine's own curation funnel, exactly what a training-data KG
@@ -2145,7 +2148,15 @@ def _q_kg_curated_triples(sf_dir: str):
     regenerated FROM the curated set so RELATES_TO_DOC can't reference
     dropped docs. Oracle: the identical kg_triples matcher SQL over the
     curation CTE's kept rows (text_oracles.sql_kg_curated_triples —
-    the corpus relation is a parameter, one source of truth)."""
+    the corpus relation is a parameter, one source of truth).
+
+    Memoized per sf_dir like _kg_triples: the curated extract serves
+    both this query and kg_curation_diff's curated leg — the funnel +
+    matcher run once per session, the diff pays only the anti join."""
+    cached = _KG_CURATED_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+
     import pyarrow.compute as pc
 
     from semantic_search_system_ray.pipelines.kg_build import build_triples
@@ -2181,7 +2192,9 @@ def _q_kg_curated_triples(sf_dir: str):
         _phrase_docs_from(docs_kept), TESTDATA_GAZETTEER,
         concurrency=(1, 4), batch_size=128,
     )
-    return res.triples
+    triples = res.triples.materialize()
+    _KG_CURATED_CACHE[sf_dir] = triples
+    return triples
 
 
 def _q_kg_store_roundtrip(sf_dir: str):
@@ -2248,7 +2261,7 @@ def _q_kg_curation_diff(sf_dir: str):
     from semantic_search_system_ray.stages.util import coarse_anti_join
 
     full = _kg_triples(sf_dir)
-    cur = _q_kg_curated_triples(sf_dir).materialize()
+    cur = _q_kg_curated_triples(sf_dir)  # memoized materialized handle
 
     def keyed(t: pa.Table) -> pa.Table:
         s = pc.cast(t.column("subj"), pa.string())
