@@ -2652,10 +2652,14 @@ def _q_kg_path_transit(sf_dir: str):
     seed pair, every node v on some shortest s-t path with the exact
     count sigma_s(v) * sigma_t(v) of shortest paths THROUGH it (the
     graph is undirected, so the backward sigma IS a forward run from
-    t). Two shortest_path_counts runs (each: scale-switched BFS + one
-    layer cogroup per hop), ONE hash attach joining them, a vectorized
-    filter on ds + dt = d(s,t). Radius-4 truncation on both engines.
-    Oracle: two suffixed sql_kg_sigma layer stacks joined on node
+    t). The two sigma runs are FUSED into one plan (VERDICT r4 #3):
+    edges are duplicated under seed-prefixed node ids (two disjoint
+    components), and ONE multi-seed shortest_path_counts run walks
+    both — one scale-switched BFS and one layer cogroup per hop total,
+    half the shuffle rounds of two sequential runs. Then ONE hash
+    attach joins the unprefixed halves, a vectorized filter on
+    ds + dt = d(s,t). Radius-4 truncation on both engines. Oracle:
+    two suffixed sql_kg_sigma layer stacks joined on node
     (text_oracles.sql_kg_path_transit)."""
     import pyarrow.compute as pc
 
@@ -2691,8 +2695,44 @@ def _q_kg_path_transit(sf_dir: str):
         [("node_id", pa.string()), ("ds", pa.int64()), ("dt", pa.int64()),
          ("n_paths", pa.int64())]
     )
-    sig_s = shortest_path_counts(seed_s, edges, radius=4).materialize()
-    sig_t = shortest_path_counts(seed_t, edges, radius=4).materialize()
+    # fuse the two sigma runs: seed-prefixed node ids make two disjoint
+    # copies of the graph, so ONE multi-seed run computes both exactly
+    SEP = "\x1f"  # never occurs in entity surfaces (control char)
+
+    def _prefixed(tag: str):
+        return edges.map_batches(
+            lambda t, _p=tag: pa.Table.from_pydict(
+                {"src": pc.binary_join_element_wise(
+                    pa.array([_p] * t.num_rows, pa.string()),
+                    pc.cast(t.column("src"), pa.string()), SEP),
+                 "dst": pc.binary_join_element_wise(
+                    pa.array([_p] * t.num_rows, pa.string()),
+                    pc.cast(t.column("dst"), pa.string()), SEP)},
+            ),
+            batch_format="pyarrow",
+        )
+
+    sig_all = shortest_path_counts(
+        [f"{seed_s}{SEP}{seed_s}", f"{seed_t}{SEP}{seed_t}"],
+        _prefixed(seed_s).union(_prefixed(seed_t)), radius=4,
+    ).materialize()
+
+    def _half(tag: str):
+        pref = f"{tag}{SEP}"
+
+        def strip(t: pa.Table) -> pa.Table:
+            keep = pc.starts_with(t.column("node_id"), pref)
+            t = t.filter(keep)
+            return pa.Table.from_pydict(
+                {"node_id": pc.utf8_slice_codeunits(
+                    t.column("node_id"), len(pref)),
+                 "dist": t.column("dist"), "sigma": t.column("sigma")},
+            )
+
+        return sig_all.map_batches(strip, batch_format="pyarrow")
+
+    sig_s = _half(seed_s).materialize()
+    sig_t = _half(seed_t).materialize()
 
     d_rows = sig_s.map_batches(
         lambda t: t.filter(pc.equal(t.column("node_id"), seed_t)),

@@ -4333,7 +4333,7 @@ SIGMA_SCHEMA = pa.schema(
 
 
 def shortest_path_counts(
-    seed: str,
+    seed: str | list[str],
     edges: rd.Dataset,
     *,
     radius: int = 4,
@@ -4356,18 +4356,27 @@ def shortest_path_counts(
     can reach ~(avg_deg)^radius on dense layers — radius 4 at deg 10³
     is 10¹² (fine); deeper radii on dense graphs need the bound check
     the docstring documents (multiply-free sums can't overflow-check
-    cheaply, so callers own the radius choice)."""
+    cheaply, so callers own the radius choice).
+
+    ``seed`` may be a LIST of seeds: all start at dist 0 / σ=1 and the
+    whole run shares ONE plan (one BFS, one layer-DP round per hop —
+    half the shuffle rounds of two sequential runs for a pair). With
+    multiple seeds the per-node dist/σ are the MULTI-SOURCE values
+    (min-dist, σ summed over min-dist seeds); callers needing PER-SEED
+    values must separate the seeds structurally — e.g. the
+    seed-prefixed disjoint-component trick kg_path_transit uses."""
     from semantic_search_system_ray.stages.util import (
         _default_partitions,
         coarse_attach,
         coarse_partition_apply,
     )
 
+    seeds = [seed] if isinstance(seed, str) else list(seed)
     und = undirected_simple_edges(
         edges, src_col=src_col, dst_col=dst_col
     ).materialize()
     seed_ds = rd.from_arrow(
-        pa.Table.from_pydict({"node_id": pa.array([seed], pa.string())})
+        pa.Table.from_pydict({"node_id": pa.array(seeds, pa.string())})
     )
     dist = bfs_hops(
         seed_ds, und, max_hops=radius, src_col="a", dst_col="b",
@@ -4402,15 +4411,15 @@ def shortest_path_counts(
     sv_schema = pa.schema([("node", pa.string()), ("sigma", pa.int64())])
     frontier = rd.from_arrow(
         pa.Table.from_pydict(
-            {"node": pa.array([seed], pa.string()),
-             "sigma": pa.array([1], pa.int64())},
+            {"node": pa.array(seeds, pa.string()),
+             "sigma": pa.array([1] * len(seeds), pa.int64())},
             schema=sv_schema,
         )
     )
     out_ds = rd.from_arrow(pa.Table.from_pydict(
-        {"node_id": pa.array([seed], pa.string()),
-         "dist": pa.array([0], pa.int64()),
-         "sigma": pa.array([1], pa.int64())},
+        {"node_id": pa.array(seeds, pa.string()),
+         "dist": pa.array([0] * len(seeds), pa.int64()),
+         "sigma": pa.array([1] * len(seeds), pa.int64())},
         schema=SIGMA_SCHEMA,
     ))
     for r in range(1, radius + 1):

@@ -1157,3 +1157,60 @@ def test_shortest_path_counts(ray_session, driver_threshold):
     assert got == ref
     asd = {n: (d, s) for n, d, s in got}
     assert asd["d"] == (2, 2) and asd["e"] == (3, 2)
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 10_000])
+def test_shortest_path_counts_multi_seed_fused(ray_session, driver_threshold):
+    """Multi-seed fusion (VERDICT r4 #3): prefixing node ids per seed
+    makes disjoint graph copies, so ONE multi-seed run returns exactly
+    the per-seed single runs' rows — on both BFS regimes."""
+    import pyarrow.compute as pc
+
+    from semantic_search_system_ray.stages.graph import shortest_path_counts
+
+    e = pa.table({
+        "src": ["a", "a", "b", "c", "d"],
+        "dst": ["b", "c", "d", "d", "e"],
+    })
+    SEP = "\x1f"
+    pref = pa.table({
+        "src": [f"{s}{SEP}{u}" for s in ("a", "e")
+                for u in e.column("src").to_pylist()],
+        "dst": [f"{s}{SEP}{v}" for s in ("a", "e")
+                for v in e.column("dst").to_pylist()],
+    })
+    fused = shortest_path_counts(
+        [f"a{SEP}a", f"e{SEP}e"], rd.from_arrow(pref), radius=3,
+        driver_threshold=driver_threshold,
+    ).take_all()
+    for seed in ("a", "e"):
+        single = sorted(
+            (r["node_id"], r["dist"], r["sigma"])
+            for r in shortest_path_counts(
+                seed, rd.from_arrow(e), radius=3,
+                driver_threshold=driver_threshold,
+            ).take_all()
+        )
+        got = sorted(
+            (r["node_id"].split(SEP, 1)[1], r["dist"], r["sigma"])
+            for r in fused if r["node_id"].startswith(f"{seed}{SEP}")
+        )
+        assert got == single, (seed, got, single)
+
+
+def test_shortest_path_counts_multi_source_semantics(ray_session):
+    """A plain (unprefixed) multi-seed run gives MULTI-SOURCE semantics:
+    min-dist, sigma summed over min-dist seeds — the documented
+    contract for callers that want it."""
+    from semantic_search_system_ray.stages.graph import shortest_path_counts
+
+    e = pa.table({"src": ["a", "b"], "dst": ["b", "c"]})
+    got = {
+        r["node_id"]: (r["dist"], r["sigma"])
+        for r in shortest_path_counts(
+            ["a", "c"], rd.from_arrow(e), radius=3, driver_threshold=10_000
+        ).take_all()
+    }
+    # b is 1 hop from both seeds: sigma = 1 (from a) + 1 (from c)
+    assert got["a"] == (0, 1) and got["c"] == (0, 1)
+    assert got["b"] == (1, 2)
