@@ -123,19 +123,50 @@ def trigram_model(ds: "object", *, text_col: str = "text"):
     perplexity-style quality scoring): per-batch Counters (combiner) →
     global sum → broadcastable {gram: count} dict + (total, vocab) —
     vocabulary-bounded (charset³ in practice ≪ corpus), the same
-    small-side-broadcast shape as the taxonomy."""
-    from collections import Counter
+    small-side-broadcast shape as the taxonomy.
 
+    The per-block combiner is VECTORIZED (VERDICT r4 wrong-#1): texts
+    concatenate into one UTF-32 codepoint buffer with two sentinel
+    codepoints between docs (0x1FFFFF — above the Unicode max, so no
+    window spanning a doc boundary survives the mask), the three
+    shifted views pack into one uint64 per window (3 × 21 bits), and
+    np.unique counts them — no per-character Python loop. Only the
+    vocabulary-bounded UNIQUE grams decode back to strings."""
     from ray.data.aggregate import Sum
 
+    empty = pa.Table.from_pydict(
+        {"gram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+    )
+
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
+        SENT = np.uint32(0x1FFFFF)
+        bufs = []
         for t in batch.column(text_col).to_pylist():
             s = (t or "").lower()
-            for i in range(len(s) - 2):
-                c[s[i : i + 3]] += 1
+            if s:
+                bufs.append(np.frombuffer(s.encode("utf-32-le"), np.uint32))
+            bufs.append(np.array([SENT, SENT], np.uint32))
+        cp = np.concatenate(bufs) if bufs else np.array([], np.uint32)
+        if len(cp) < 3:
+            return empty
+        w0, w1, w2 = cp[:-2], cp[1:-1], cp[2:]
+        ok = (w0 != SENT) & (w1 != SENT) & (w2 != SENT)
+        packed = (
+            (w0.astype(np.uint64) << np.uint64(42))
+            | (w1.astype(np.uint64) << np.uint64(21))
+            | w2.astype(np.uint64)
+        )[ok]
+        if not len(packed):
+            return empty
+        uniq, cnt = np.unique(packed, return_counts=True)
+        M = 0x1FFFFF
+        grams = [
+            chr((p >> 42) & M) + chr((p >> 21) & M) + chr(p & M)
+            for p in uniq.tolist()
+        ]
         return pa.Table.from_pydict(
-            {"gram": list(c.keys()), "cnt": pa.array(list(c.values()), pa.int64())}
+            {"gram": pa.array(grams, pa.string()),
+             "cnt": pa.array(cnt.astype(np.int64), pa.int64())}
         )
 
     counts = (
