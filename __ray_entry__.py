@@ -2246,6 +2246,91 @@ def _q_kg_store_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _q_kg_incremental_rebuild(sf_dir: str):
+    """INCREMENTAL FLAGSHIP REBUILD (VERDICT r4 #6; the reference's
+    ``processed:false`` work-queue semantics,
+    ``/root/reference/ingest/pr_meta_store.py:55-63``): the corpus splits
+    90/10 by doc_id % 10, the 90% base builds the CHECKPOINTED KG
+    (runner Phase A per-partition extract + Phase B global canon/dedup),
+    the 10% delta is APPENDED as new parquet shards, and
+    ``run_incremental`` re-extracts ONLY the delta partitions (committed
+    base partitions untouched — asserted via their manifest checksums)
+    before the light global Phase B recommit. The engine then asserts
+    the final store's order-independent checksum and row count equal the
+    from-scratch flagship build's (``_kg_triples``) — raising loudly on
+    drift — and returns the store's per-pred profile. Oracle: the pred
+    profile of the full kg_triples matcher SQL (sql_kg_pred_stats), so
+    a green row proves the incremental rebuild is lossless and
+    bit-identical to the full rebuild."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from semantic_search_system_ray.pipelines.queries import read_docs
+    from semantic_search_system_ray.pipelines.runner import (
+        _triples_checksum,
+        run_incremental,
+        run_kg,
+    )
+    from semantic_search_system_ray.sources.documents import text_table_to_spans
+    from semantic_search_system_ray.state.manifest import Manifest
+
+    docs_dir = tempfile.mkdtemp(prefix="kg_incr_docs_")
+    out_dir = tempfile.mkdtemp(prefix="kg_incr_out_")
+    try:
+        spans = text_table_to_spans(read_docs(sf_dir, ["doc_id", "text"]))
+
+        def _split(keep_delta: bool):
+            def f(t: pa.Table) -> pa.Table:
+                ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                mask = (ids % 10 == 0) == keep_delta
+                return t.filter(pa.array(mask))
+            return f
+
+        spans.map_batches(
+            _split(False), batch_format="pyarrow"
+        ).write_parquet(docs_dir)
+        tax, phrase_docs = _testdata_taxonomy_table(), _testdata_phrase_docs(sf_dir)
+        run_kg(
+            docs_dir, tax, phrase_docs, TESTDATA_GAZETTEER, out_dir,
+            num_parts=8, concurrency=(1, 4), batch_size=128,
+        )
+        m = Manifest(out_dir)
+        base_chk = {
+            k: m.record("raw_triples", k).checksum
+            for k in m.committed("raw_triples")
+        }
+
+        # APPEND the delta shards, rebuild incrementally
+        spans.map_batches(
+            _split(True), batch_format="pyarrow"
+        ).write_parquet(docs_dir)
+        res = run_incremental(
+            docs_dir, tax, phrase_docs, TESTDATA_GAZETTEER, out_dir,
+            concurrency=(1, 4), batch_size=128,
+        )
+
+        m2 = Manifest(out_dir)
+        for k, chk in base_chk.items():  # base partitions not re-extracted
+            if m2.record("raw_triples", k).checksum != chk:
+                raise AssertionError(f"base partition {k} was re-extracted")
+        full = _kg_triples(sf_dir)
+        if _triples_checksum(res.triples) != _triples_checksum(full):
+            raise AssertionError("incremental store checksum != full rebuild")
+        if res.triples.count() != full.count():
+            raise AssertionError("incremental store row count != full rebuild")
+        return _pred_stats(res.triples).materialize()
+    finally:
+        shutil.rmtree(docs_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def _q_kg_curation_diff(sf_dir: str):
     """Curation IMPACT report on the KG: per predicate, triples asserted
     by the full corpus vs by the curated corpus (kg_curated_triples) and
@@ -2836,6 +2921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_curated_triples": _q_kg_curated_triples,
             "kg_curation_diff": _q_kg_curation_diff,
             "kg_store_roundtrip": _q_kg_store_roundtrip,
+            "kg_incremental_rebuild": _q_kg_incremental_rebuild,
             "dedup_incremental": _q_dedup_incremental,
             "split_leakage_free": _q_split_leakage_free,
             "cluster_best_rep": _q_cluster_best_rep,
@@ -3122,6 +3208,9 @@ def oracle_sql() -> dict[str, str]:
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_store_roundtrip": tox.sql_kg_pred_stats(
+                TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
+            ),
+            "kg_incremental_rebuild": tox.sql_kg_pred_stats(
                 TESTDATA_GAZETTEER, TESTDATA_TAXONOMY, TESTDATA_PHRASE_LIST
             ),
             "kg_comention_pmi": tox.sql_kg_comention_pmi(

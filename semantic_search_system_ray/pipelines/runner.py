@@ -127,34 +127,118 @@ def run_phase_a(
             continue
         if max_parts is not None and newly >= max_parts:
             break
-        docs = rd.read_parquet(files)
-        # single fused streaming pass per shard: task-based DocNLP+flatten
-        # (triples + surface rows) -> block-local distinct -> write.
-        # NO shuffle here: doc-contiguity of rows must survive into the
-        # written files (Phase B's doc-local dedup depends on it).
-        from semantic_search_system_ray.pipelines.kg_build import (
-            _distinct_batch_doc_sorted,
-        )
-
-        flat = extract_flat(docs, gazetteer).map_batches(
-            _distinct_batch_doc_sorted, batch_format="pyarrow", batch_size=None
-        )
-        raw_dir = manifest.begin_partition("raw_triples", k)
-        flat.write_parquet(raw_dir)
-
-        raw_written = rd.read_parquet(raw_dir)
-        rows_out = raw_written.count()
-        rows_in = docs.count()
-        manifest.commit_partition(
-            "raw_triples",
-            k,
-            rows_in=rows_in,
-            rows_out=rows_out,
-            checksum=_flat_checksum(raw_written),
-            extra={"files": files},
-        )
+        _extract_partition(manifest, k, files, gazetteer, concurrency,
+                           batch_size)
         newly += 1
     return manifest
+
+
+def _extract_partition(
+    manifest: Manifest,
+    k: int,
+    files: list[str],
+    gazetteer: dict[str, str],
+    concurrency,
+    batch_size: int,
+) -> None:
+    """ONE Phase-A partition: read its files → fused DocNLP+flatten →
+    block-local distinct → write → atomic commit. Shared by the full
+    planner (run_phase_a) and the append planner (run_incremental)."""
+    docs = rd.read_parquet(files)
+    # single fused streaming pass per shard: task-based DocNLP+flatten
+    # (triples + surface rows) -> block-local distinct -> write.
+    # NO shuffle here: doc-contiguity of rows must survive into the
+    # written files (Phase B's doc-local dedup depends on it).
+    from semantic_search_system_ray.pipelines.kg_build import (
+        _distinct_batch_doc_sorted,
+    )
+
+    flat = extract_flat(docs, gazetteer).map_batches(
+        _distinct_batch_doc_sorted, batch_format="pyarrow", batch_size=None
+    )
+    raw_dir = manifest.begin_partition("raw_triples", k)
+    flat.write_parquet(raw_dir)
+
+    raw_written = rd.read_parquet(raw_dir)
+    rows_out = raw_written.count()
+    rows_in = docs.count()
+    manifest.commit_partition(
+        "raw_triples",
+        k,
+        rows_in=rows_in,
+        rows_out=rows_out,
+        checksum=_flat_checksum(raw_written),
+        extra={"files": files},
+    )
+
+
+def plan_append(
+    documents_path: str,
+    manifest: Manifest,
+    *,
+    files_per_part: int | None = None,
+) -> list[tuple[int, list[str]]]:
+    """Plan ONLY the input files no committed raw_triples partition
+    covers, as NEW partition indices appended after the existing ones —
+    the append-only analogue of the reference's ``processed:false`` work
+    queue (``/root/reference/ingest/pr_meta_store.py:55-63``): committed
+    work is immutable, new files become new partitions. ``files_per_part``
+    defaults to the committed plan's median files-per-partition (so delta
+    partitions match the original granularity)."""
+    if os.path.isdir(documents_path):
+        all_files = sorted(
+            glob.glob(os.path.join(documents_path, "**", "*.parquet"),
+                      recursive=True)
+        )
+    else:
+        all_files = [documents_path]
+    records = manifest.records("raw_triples")
+    covered: set[str] = set()
+    sizes: list[int] = []
+    for rec in records:
+        files = (rec.extra or {}).get("files") or []
+        covered.update(files)
+        if files:
+            sizes.append(len(files))
+    new_files = [f for f in all_files if f not in covered]
+    if not new_files:
+        return []
+    if files_per_part is None:
+        files_per_part = sorted(sizes)[len(sizes) // 2] if sizes else 1
+    next_k = (max(manifest.committed("raw_triples")) + 1) if records else 0
+    plan: list[tuple[int, list[str]]] = []
+    for i in range(0, len(new_files), files_per_part):
+        plan.append((next_k, new_files[i: i + files_per_part]))
+        next_k += 1
+    return plan
+
+
+def run_incremental(
+    documents_path: str,
+    taxonomy: pa.Table,
+    phrase_docs: rd.Dataset,
+    gazetteer: dict[str, str],
+    out_dir: str,
+    *,
+    files_per_part: int | None = None,
+    concurrency=(1, 8),
+    batch_size: int = 256,
+) -> KGResult:
+    """Incremental rebuild after an APPEND to the corpus: Phase A runs
+    only over uncovered files (the extraction actor pool — the dominant
+    cost — touches just the delta), then Phase B (canonicalization +
+    dedup + materialize; corpus-global but vocabulary-light) reruns over
+    all committed parts and recommits the final store via the atomic
+    flag-flip. Output is BIT-IDENTICAL to a from-scratch full rebuild of
+    the grown corpus by construction (all content is a deterministic
+    function of the input); the bench and pytest assert the checksums."""
+    manifest = Manifest(out_dir)
+    for k, files in plan_append(
+        documents_path, manifest, files_per_part=files_per_part
+    ):
+        _extract_partition(manifest, k, files, gazetteer, concurrency,
+                           batch_size)
+    return run_phase_b(taxonomy, phrase_docs, out_dir)
 
 
 def run_phase_b(

@@ -24,7 +24,6 @@ distributed ``cc.lookup_labels`` cogroup.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -59,12 +58,12 @@ def _block_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _block_edges(group: pd.DataFrame) -> pa.Table:
+def _block_edges(group: pa.Table) -> pa.Table:
     """Within one block: link members sharing (first, last) tokens via star
-    edges to the group's lexicographic min member. Returns Arrow with an
-    explicit schema — an empty pandas frame would degrade string columns to
-    Arrow ``null`` type and break downstream schema resolution."""
-    members = sorted(set(group["norm"]))
+    edges to the group's lexicographic min member. Arrow in, Arrow out
+    (no pandas conversion on the group exchange); the per-group Python
+    work is bounded by the block's DISTINCT members."""
+    members = sorted(set(group.column("norm").to_pylist()))
     by_pair: dict[tuple[str, str], list[str]] = {}
     for n in members:
         by_pair.setdefault(first_last(n), []).append(n)
@@ -96,7 +95,7 @@ def canonical_map_ds(
     edges = ensure_schema(
         norms.map_batches(_block_rows, batch_format="pyarrow")
         .groupby("block_key")
-        .map_groups(_block_edges, batch_format="pandas"),
+        .map_groups(_block_edges, batch_format="pyarrow"),
         _EDGE_SCHEMA,
     )
     nodes = norms.map_batches(

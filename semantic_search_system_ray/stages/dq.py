@@ -73,13 +73,15 @@ def distinct_count(ds: rd.Dataset, key: str) -> int:
 
     schema = pa.schema([("n", pa.int64())])
 
-    def cnt(df) -> pa.Table:
+    def cnt(t: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
-            {"n": [int(df[key].nunique())]}, schema=schema
+            {"n": [int(pc.count_distinct(t.column(key)).as_py() or 0)]},
+            schema=schema,
         )
 
     parts = coarse_partition_apply(
-        ds.map_batches(uniq, batch_format="pyarrow"), [key], cnt, schema
+        ds.map_batches(uniq, batch_format="pyarrow"), [key], cnt, schema,
+        fn_format="pyarrow",
     )
     return sum(int(r["n"]) for r in parts.take_all())
 
@@ -107,7 +109,6 @@ def key_domain_checks(
     (nulls excluded, SQL COUNT DISTINCT) and fk_violations = child rows
     whose key is null or has no base row (SQL NOT EXISTS)."""
     import numpy as np
-    import pandas as pd
 
     from semantic_search_system_ray.stages.util import coarse_partition_apply
 
@@ -146,14 +147,29 @@ def key_domain_checks(
 
     part_schema = pa.schema([("pk_dup", pa.int64()), ("viol", pa.int64())])
 
-    def per_part(df: pd.DataFrame) -> pa.Table:
-        b = df[~df["__rhs"]]
-        c = df[df["__rhs"]]
-        b_nonnull = b[b["__key"].notna()]
-        pk_dup = int(b_nonnull["n"].sum()) - int(b_nonnull["__key"].nunique())
-        bad = c[c["__key"].isna() | ~c["__key"].isin(b_nonnull["__key"].values)]
+    def per_part(t: pa.Table) -> pa.Table:
+        # Arrow-native (no pandas conversion on the group exchange):
+        # filters + count_distinct + is_in cover both checks exactly
+        rhs = t.column("__rhs")
+        b = t.filter(pc.invert(rhs))
+        c = t.filter(rhs)
+        b_nonnull = b.filter(pc.is_valid(b.column("__key")))
+        n_base = pc.sum(b_nonnull.column("n")).as_py() or 0
+        n_dist = pc.count_distinct(b_nonnull.column("__key")).as_py() or 0
+        pk_dup = int(n_base) - int(n_dist)
+        ckey = c.column("__key")
+        # or_kleene: null-key child rows must be violations even where
+        # is_in yields null (plain or_ would propagate the null and the
+        # filter would silently drop the row)
+        bad = pc.or_kleene(
+            pc.is_null(ckey),
+            pc.invert(pc.is_in(
+                ckey, value_set=b_nonnull.column("__key").combine_chunks()
+            )),
+        )
+        viol = pc.sum(c.filter(bad).column("n")).as_py() or 0
         return pa.Table.from_pydict(
-            {"pk_dup": [pk_dup], "viol": [int(bad["n"].sum())]},
+            {"pk_dup": [pk_dup], "viol": [int(viol)]},
             schema=part_schema,
         )
 
@@ -175,13 +191,13 @@ def key_domain_checks(
 
         parts = ensure_schema(
             combined.repartition(1).map_batches(
-                per_part, batch_format="pandas", batch_size=None
+                per_part, batch_format="pyarrow", batch_size=None
             ),
             part_schema,
         ).take_all()  # exactly one row
     else:
         parts = coarse_partition_apply(
-            combined, ["__key"], per_part, part_schema
+            combined, ["__key"], per_part, part_schema, fn_format="pyarrow"
         ).take_all()  # ≤ #partitions rows
     return (sum(int(r["pk_dup"]) for r in parts),
             sum(int(r["viol"]) for r in parts))

@@ -152,15 +152,21 @@ def coarse_partition_apply(
     out_schema: pa.Schema,
     *,
     num_partitions: int | None = None,
+    fn_format: str = "pandas",
 ):
     """Route rows into P coarse partitions by key hash (all rows of a key
-    land together) and run ``fn(partition: pd.DataFrame) -> pa.Table`` once
-    per PARTITION — ``fn`` does its own per-key work fully vectorized
-    (pandas groupby/merge), so Ray's per-group overhead is paid P times
-    total, not per key. Rows with null key components are routed (one
-    sentinel partition) and handed to ``fn`` like any others — ``fn``
-    decides their semantics (use ``dropna=False`` in a pandas groupby to
-    keep them as a group)."""
+    land together) and run ``fn(partition) -> pa.Table`` once per
+    PARTITION — ``fn`` does its own per-key work fully vectorized
+    (pandas groupby/merge or Arrow kernels), so Ray's per-group overhead
+    is paid P times total, not per key. Rows with null key components
+    are routed (one sentinel partition) and handed to ``fn`` like any
+    others — ``fn`` decides their semantics (use ``dropna=False`` in a
+    pandas groupby to keep them as a group).
+
+    ``fn_format``: "pandas" (default — ``fn`` takes a ``pd.DataFrame``)
+    or "pyarrow" (``fn`` takes the partition's ``pa.Table`` ZERO-COPY —
+    the group exchange itself is Arrow either way; only a pandas ``fn``
+    pays the conversion, inside its own task)."""
     if num_partitions is None:
         num_partitions = _default_partitions(ds)
 
@@ -171,13 +177,16 @@ def coarse_partition_apply(
             "__part", _route_parts(t, keys, num_partitions, use_polars)
         )
 
-    def per_part(df) -> pa.Table:
-        return fn(df.drop(columns=["__part"]))
+    arrow_fn = fn_format == "pyarrow"
+
+    def per_part(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        return fn(t) if arrow_fn else fn(t.to_pandas())
 
     return ensure_schema(
         ds.map_batches(route, batch_format="pyarrow", batch_size=None)
         .groupby("__part")
-        .map_groups(per_part, batch_format="pandas"),
+        .map_groups(per_part, batch_format="pyarrow"),
         out_schema,
     )
 
@@ -664,6 +673,40 @@ def coarse_asof_join(
     )
 
 
+def key_group_slices(t: pa.Table, keys: list[str]):
+    """Yield the per-key groups of ``t`` as ZERO-COPY slices (one gather
+    to cluster the rows, then contiguous slices). Group identity comes
+    from dictionary CODES per key column (null code -1) combined with
+    ``np.unique(axis=0)`` — no stringified composite key, so values
+    containing separator bytes and multi-key nulls can never merge two
+    distinct groups (pandas ``dropna=False`` semantics: null == null,
+    distinct from every value). Group order follows the clustered sort,
+    which no caller may rely on (same contract as a hash groupby)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return
+    cols = []
+    for k in keys:
+        d = pc.dictionary_encode(t.column(k).combine_chunks())
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        if idx.dtype.kind == "f":  # nulls decode as NaN
+            idx = np.where(np.isnan(idx), -1.0, idx)
+        cols.append(idx.astype(np.int64))
+    mat = np.stack(cols, axis=1)
+    _, ids = np.unique(mat, axis=0, return_inverse=True)
+    ids = ids.reshape(-1)
+    order = np.argsort(ids, kind="stable")
+    sid = ids[order]
+    clustered = t.take(pa.array(order, pa.int64()))
+    bounds = np.flatnonzero(np.diff(sid)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(sid)]))
+    for s, e in zip(starts, ends):
+        yield clustered.slice(int(s), int(e - s))
+
+
 def coarse_grouped_apply(
     ds: rd.Dataset,
     keys: list[str],
@@ -672,21 +715,24 @@ def coarse_grouped_apply(
     *,
     num_partitions: int | None = None,
     min_group_size: int = 1,
+    fn_format: str = "pandas",
 ):
     """``groupby(keys).map_groups(fn)`` with Ray's per-group overhead
     removed: rows are routed by ``crc32(keys) % P`` (P coarse partitions —
     the ONLY groupby Ray sees), and the true per-key grouping runs inside
-    each partition with pandas' C-level groupby. Measured: Ray's shuffle
-    groupby costs ~25µs per group, ruinous for high-cardinality keys
-    (e.g. LSH band buckets, mostly singletons); this pays it P times.
+    each partition with pandas' C-level groupby (``fn_format="pandas"``,
+    default) or Arrow dictionary-code clustering + zero-copy slices
+    (``fn_format="pyarrow"`` — no pandas conversion anywhere in the
+    path). Measured: Ray's shuffle groupby costs ~25µs per group,
+    ruinous for high-cardinality keys (e.g. LSH band buckets, mostly
+    singletons); this pays it P times.
 
-    ``fn(group: pd.DataFrame) -> pa.Table`` must return ``out_schema``
+    ``fn(group) -> pa.Table`` (group is a ``pd.DataFrame`` or a
+    ``pa.Table`` slice per ``fn_format``) must return ``out_schema``
     rows; groups smaller than ``min_group_size`` are skipped (useful for
     candidate-pair generation where singleton buckets are noise). A null
     key is a GROUP (pandas ``dropna=False``), matching Ray's native
-    groupby semantics."""
-    import pandas as pd
-
+    groupby semantics on BOTH formats."""
     if num_partitions is None:
         num_partitions = _default_partitions(ds)
 
@@ -697,12 +743,19 @@ def coarse_grouped_apply(
             "__part", _route_parts(t, keys, num_partitions, use_polars)
         )
 
-    def per_part(df: pd.DataFrame) -> pa.Table:
-        df = df.drop(columns=["__part"])
+    arrow_fn = fn_format == "pyarrow"
+
+    def per_part(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
         outs = []
-        for _k, g in df.groupby(keys, sort=False, dropna=False):
-            if len(g) >= min_group_size:
-                outs.append(fn(g))
+        if arrow_fn:
+            for g in key_group_slices(t, keys):
+                if g.num_rows >= min_group_size:
+                    outs.append(fn(g))
+        else:
+            for _k, g in t.to_pandas().groupby(keys, sort=False, dropna=False):
+                if len(g) >= min_group_size:
+                    outs.append(fn(g))
         outs = [o for o in outs if o is not None and o.num_rows > 0]
         if not outs:
             return out_schema.empty_table()
@@ -711,7 +764,7 @@ def coarse_grouped_apply(
     return ensure_schema(
         ds.map_batches(route, batch_format="pyarrow", batch_size=None)
         .groupby("__part")
-        .map_groups(per_part, batch_format="pandas"),
+        .map_groups(per_part, batch_format="pyarrow"),
         out_schema,
     )
 
