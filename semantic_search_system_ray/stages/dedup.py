@@ -881,14 +881,26 @@ def ngram_jaccard_pairs(
     # endpoints to rows (pandas C map), gathers both sides with a
     # vectorized ragged take, and runs the shared pair-key intersection
     # kernel — no per-pair Python in this regime either (r3 verdict #7).
-    rows = sigs.select_columns(["doc_id", "grams"]).take_all()
-    idx = {r["doc_id"]: i for i, r in enumerate(rows)}
-    lens = np.fromiter((len(r["grams"]) for r in rows), np.int64, len(rows))
-    off = np.zeros(len(rows) + 1, np.int64)
+    # collect as ARROW (not row dicts): lengths/flat come from the list
+    # kernels in one C pass each instead of a per-gram comprehension
+    parts = [
+        t for t in ray.get(
+            sigs.select_columns(["doc_id", "grams"]).to_arrow_refs()
+        ) if t.num_rows
+    ]
+    if parts:
+        tbl = pa.concat_tables(parts)
+        grams_col = tbl.column("grams").combine_chunks()
+        idx = {d: i for i, d in enumerate(tbl.column("doc_id").to_pylist())}
+        lens = pc.list_value_length(grams_col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(grams_col).to_numpy(zero_copy_only=False)
+    else:
+        idx, lens = {}, np.zeros(0, np.int64)
+        flat = np.zeros(0, dtype=object)
+    off = np.zeros(len(lens) + 1, np.int64)
     np.cumsum(lens, out=off[1:])
-    flat = np.asarray(
-        [g for r in rows for g in r["grams"]], dtype=object
-    )
     ref = ray.put((idx, off, flat))
     _cache: dict[str, tuple] = {}
 
