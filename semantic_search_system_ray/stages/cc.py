@@ -125,11 +125,16 @@ def _emit_messages_part(df: pd.DataFrame) -> pa.Table:
     )
 
 
-def _min_label_part(df: pd.DataFrame) -> pa.Table:
-    if df.empty:
+def _min_label_part(t: pa.Table) -> pa.Table:
+    # Arrow-native per-round min fold (no pandas conversion in the CC
+    # loop's exchange; string min is a native Arrow group aggregate)
+    if t.num_rows == 0:
         return _MSG_SCHEMA.empty_table()
-    g = df.groupby("node", sort=False)["label"].min().reset_index()
-    return pa.Table.from_pandas(g, schema=_MSG_SCHEMA, preserve_index=False)
+    g = t.group_by(["node"]).aggregate([("label", "min")])
+    return pa.Table.from_pydict(
+        {"node": g.column("node"), "label": g.column("label_min")},
+        schema=_MSG_SCHEMA,
+    )
 
 
 def min_label_fixpoint(
@@ -173,7 +178,7 @@ def min_label_fixpoint(
         labels = (
             coarse_partition_apply(
                 messages, ["node"], _min_label_part, _MSG_SCHEMA,
-                num_partitions=P,
+                num_partitions=P, fn_format="pyarrow",
             )
             .repartition(P)
             .materialize()

@@ -971,12 +971,16 @@ def _bfs_emit_part(df: pd.DataFrame) -> pa.Table:
     )
 
 
-def _bfs_min_part(df: pd.DataFrame) -> pa.Table:
-    if df.empty:
+def _bfs_min_part(t: pa.Table) -> pa.Table:
+    # Arrow-native per-round min fold (runs once per BFS round per
+    # partition — no pandas conversion on the hot loop's exchange)
+    if t.num_rows == 0:
         return _BFS_MSG_SCHEMA.empty_table()
-    g = df.groupby("node_id", sort=False)["dist"].min().reset_index()
-    return pa.Table.from_pandas(
-        g, schema=_BFS_MSG_SCHEMA, preserve_index=False
+    g = t.group_by(["node_id"]).aggregate([("dist", "min")])
+    return pa.Table.from_pydict(
+        {"node_id": g.column("node_id"),
+         "dist": pc.cast(g.column("dist_min"), pa.int64())},
+        schema=_BFS_MSG_SCHEMA,
     )
 
 
@@ -1043,7 +1047,7 @@ def bfs_hops(
     labels = (
         coarse_partition_apply(
             labels, ["node_id"], _bfs_min_part, _BFS_MSG_SCHEMA,
-            num_partitions=P,
+            num_partitions=P, fn_format="pyarrow",
         )
         .repartition(P)
         .materialize()
@@ -1088,7 +1092,7 @@ def bfs_hops(
         labels = (
             coarse_partition_apply(
                 messages, ["node_id"], _bfs_min_part, _BFS_MSG_SCHEMA,
-                num_partitions=P,
+                num_partitions=P, fn_format="pyarrow",
             )
             .repartition(P)
             .materialize()
@@ -1260,7 +1264,7 @@ def weighted_hops(
     labels = (
         coarse_partition_apply(
             labels, ["node_id"], _bfs_min_part, _WSP_MSG_SCHEMA,
-            num_partitions=P,
+            num_partitions=P, fn_format="pyarrow",
         )
         .repartition(P)
         .materialize()
@@ -1307,7 +1311,7 @@ def weighted_hops(
         labels = (
             coarse_partition_apply(
                 messages, ["node_id"], _bfs_min_part, _WSP_MSG_SCHEMA,
-                num_partitions=P,
+                num_partitions=P, fn_format="pyarrow",
             )
             .repartition(P)
             .materialize()
@@ -4437,13 +4441,14 @@ def shortest_path_counts(
             num_partitions=P, how="inner",
         )
 
-        def part_sum(df, _sv=sv_schema):
-            if df.empty:
+        def part_sum(t: pa.Table, _sv=sv_schema) -> pa.Table:
+            # Arrow-native per-layer sum fold (one per DP round)
+            if t.num_rows == 0:
                 return _sv.empty_table()
-            agg = df.groupby("node", sort=False)["sigma"].sum().reset_index()
+            agg = t.group_by(["node"]).aggregate([("sigma", "sum")])
             return pa.Table.from_pydict(
-                {"node": agg["node"].to_numpy(),
-                 "sigma": agg["sigma"].to_numpy().astype(np.int64)},
+                {"node": agg.column("node"),
+                 "sigma": pc.cast(agg.column("sigma_sum"), pa.int64())},
                 schema=_sv,
             )
 
@@ -4458,6 +4463,7 @@ def shortest_path_counts(
         frontier = coarse_partition_apply(
             contrib.map_batches(partial, batch_format="pyarrow"),
             ["node"], part_sum, sv_schema, num_partitions=P,
+            fn_format="pyarrow",
         ).materialize()
         if frontier.count() == 0:
             break
