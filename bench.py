@@ -268,44 +268,47 @@ def run_bench() -> dict:
     full_out = "/tmp/kg_incr_full_out"
     for d in (incr_docs, incr_out, full_out):
         _shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(incr_docs)
-    for f in base_shards:
-        os.link(f, os.path.join(incr_docs, os.path.basename(f)))
-    tax_tbl = _pq.read_table(f"{corpus}/taxonomy.parquet")
-    phrase_ds = rd.read_parquet(_phrase_docs_path(corpus))
-    _warm(f"{incr_docs}/*.parquet")
-    run_kg(  # untimed base build: populates the checkpoint manifest
-        incr_docs, tax_tbl, phrase_ds, build_gazetteer(), incr_out,
-        num_parts=max(8, NCPU), concurrency=(2, max(2, NCPU // 2)),
-        batch_size=256,
-    )
-    for f in delta_shards:  # the append
-        os.link(f, os.path.join(incr_docs, os.path.basename(f)))
-    _warm(f"{incr_docs}/*.parquet")
-    t0 = time.perf_counter()
-    incr_res = run_incremental(
-        incr_docs, tax_tbl, phrase_ds, build_gazetteer(), incr_out,
-        concurrency=(2, max(2, NCPU // 2)), batch_size=256,
-    )
-    incr_chk = _triples_checksum(incr_res.triples)
-    timings["kg_incremental_rebuild"] = round(time.perf_counter() - t0, 3)
-    _warm(f"{incr_docs}/*.parquet")
-    t0 = time.perf_counter()
-    full_res = run_kg(
-        incr_docs, tax_tbl, phrase_ds, build_gazetteer(), full_out,
-        num_parts=max(8, NCPU), concurrency=(2, max(2, NCPU // 2)),
-        batch_size=256,
-    )
-    full_chk = _triples_checksum(full_res.triples)
-    timings["kg_full_rebuild"] = round(time.perf_counter() - t0, 3)
-    assert incr_chk == full_chk, (
-        f"incremental rebuild diverged: {incr_chk} != {full_chk}"
-    )
-    timings["kg_incremental_speedup"] = round(
-        timings["kg_full_rebuild"] / timings["kg_incremental_rebuild"], 2
-    )
-    for d in (incr_docs, incr_out, full_out):
-        _shutil.rmtree(d, ignore_errors=True)
+    try:
+        os.makedirs(incr_docs)
+        for f in base_shards:
+            os.link(f, os.path.join(incr_docs, os.path.basename(f)))
+        tax_tbl = _pq.read_table(f"{corpus}/taxonomy.parquet")
+        phrase_ds = rd.read_parquet(_phrase_docs_path(corpus))
+        _warm(f"{incr_docs}/*.parquet")
+        run_kg(  # untimed base build: populates the checkpoint manifest
+            incr_docs, tax_tbl, phrase_ds, build_gazetteer(), incr_out,
+            num_parts=max(8, NCPU), concurrency=(2, max(2, NCPU // 2)),
+            batch_size=256,
+        )
+        for f in delta_shards:  # the append
+            os.link(f, os.path.join(incr_docs, os.path.basename(f)))
+        _warm(f"{incr_docs}/*.parquet")
+        t0 = time.perf_counter()
+        incr_res = run_incremental(
+            incr_docs, tax_tbl, phrase_ds, build_gazetteer(), incr_out,
+            concurrency=(2, max(2, NCPU // 2)), batch_size=256,
+        )
+        incr_chk = _triples_checksum(incr_res.triples)
+        timings["kg_incremental_rebuild"] = round(time.perf_counter() - t0, 3)
+        _warm(f"{incr_docs}/*.parquet")
+        t0 = time.perf_counter()
+        full_res = run_kg(
+            incr_docs, tax_tbl, phrase_ds, build_gazetteer(), full_out,
+            num_parts=max(8, NCPU), concurrency=(2, max(2, NCPU // 2)),
+            batch_size=256,
+        )
+        full_chk = _triples_checksum(full_res.triples)
+        timings["kg_full_rebuild"] = round(time.perf_counter() - t0, 3)
+        if incr_chk != full_chk:  # hard raise: survives python -O
+            raise RuntimeError(
+                f"incremental rebuild diverged: {incr_chk} != {full_chk}"
+            )
+        timings["kg_incremental_speedup"] = round(
+            timings["kg_full_rebuild"] / timings["kg_incremental_rebuild"], 2
+        )
+    finally:
+        for d in (incr_docs, incr_out, full_out):
+            _shutil.rmtree(d, ignore_errors=True)
 
     # --- skew stress (r3 verdict #6): two same-size corpora, one uniform
     # and one with a planted 2/3-mass near-dup family — ONE head key

@@ -115,6 +115,7 @@ _ANCHORS = {
 }
 
 _scale_config: ScaleConfig | None = None
+_derived_with_ray: bool = False
 
 
 def _driver_mem_bytes() -> int:
@@ -150,9 +151,14 @@ def scale_config() -> ScaleConfig:
     ``anchor × (measured_mem / anchor_mem)``, clamped to
     [anchor/8, anchor×8]; an ``SSR_<NAME>`` env var (integer) wins
     outright and is NOT clamped (the operator knows their cluster)."""
-    global _scale_config
+    global _scale_config, _derived_with_ray
+    ray_live = _ray_initialized()
     if _scale_config is not None:
-        return _scale_config
+        # a config derived BEFORE ray.init used the 30%-heuristic store
+        # figure; once a live session exists, re-derive so the
+        # broadcast-bytes knob reflects the real per-node object store
+        if _derived_with_ray or not ray_live:
+            return _scale_config
     mem = _driver_mem_bytes()
     store = _object_store_bytes()
     values: dict[str, int] = {}
@@ -168,10 +174,21 @@ def scale_config() -> ScaleConfig:
         scaled = anchor * basis // anchor_basis
         values[name] = max(anchor // 8, min(anchor * 8, scaled))
     _scale_config = ScaleConfig(**values)
+    _derived_with_ray = ray_live
     return _scale_config
+
+
+def _ray_initialized() -> bool:
+    try:
+        import ray
+
+        return bool(ray.is_initialized())
+    except Exception:
+        return False
 
 
 def reset_scale_config() -> None:
     """Drop the cache (tests; or after env/cluster changes)."""
-    global _scale_config
+    global _scale_config, _derived_with_ray
     _scale_config = None
+    _derived_with_ray = False

@@ -45,15 +45,28 @@ from semantic_search_system_ray.stages.docnlp import extract_flat
 from semantic_search_system_ray.state.manifest import Manifest
 
 
+def _input_files(documents_path: str) -> list[str]:
+    """Canonical (realpath'd, sorted) input-file discovery — ONE source
+    of truth for the full planner and the append planner, so coverage
+    matching in ``plan_append`` can never miss files because the same
+    directory was spelled differently (relative path, symlink) between
+    the base build and the incremental run."""
+    if os.path.isdir(documents_path):
+        files = sorted(
+            os.path.realpath(f) for f in glob.glob(
+                os.path.join(documents_path, "**", "*.parquet"),
+                recursive=True,
+            )
+        )
+    else:
+        files = [os.path.realpath(documents_path)]
+    return files
+
+
 def plan_partitions(documents_path: str, num_parts: int) -> list[list[str]]:
     """Deterministic partition plan: sorted input files round-robined into
     ``num_parts`` groups. One file → one single-partition plan."""
-    if os.path.isdir(documents_path):
-        files = sorted(
-            glob.glob(os.path.join(documents_path, "**", "*.parquet"), recursive=True)
-        )
-    else:
-        files = [documents_path]
+    files = _input_files(documents_path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {documents_path}")
     num_parts = min(num_parts, len(files))
@@ -143,7 +156,12 @@ def _extract_partition(
 ) -> None:
     """ONE Phase-A partition: read its files → fused DocNLP+flatten →
     block-local distinct → write → atomic commit. Shared by the full
-    planner (run_phase_a) and the append planner (run_incremental)."""
+    planner (run_phase_a) and the append planner (run_incremental).
+
+    ``concurrency``/``batch_size`` are accepted for API symmetry with
+    the enriched actor-pool mode but unused here: the flat extraction
+    path is task-based and self-scaling (same contract as
+    ``kg_build.build_triples`` — see its docstring)."""
     docs = rd.read_parquet(files)
     # single fused streaming pass per shard: task-based DocNLP+flatten
     # (triples + surface rows) -> block-local distinct -> write.
@@ -185,19 +203,15 @@ def plan_append(
     work is immutable, new files become new partitions. ``files_per_part``
     defaults to the committed plan's median files-per-partition (so delta
     partitions match the original granularity)."""
-    if os.path.isdir(documents_path):
-        all_files = sorted(
-            glob.glob(os.path.join(documents_path, "**", "*.parquet"),
-                      recursive=True)
-        )
-    else:
-        all_files = [documents_path]
+    all_files = _input_files(documents_path)
     records = manifest.records("raw_triples")
     covered: set[str] = set()
     sizes: list[int] = []
     for rec in records:
         files = (rec.extra or {}).get("files") or []
-        covered.update(files)
+        # realpath the RECORDED side too: older manifests may carry
+        # unnormalized spellings of the same files
+        covered.update(os.path.realpath(f) for f in files)
         if files:
             sizes.append(len(files))
     new_files = [f for f in all_files if f not in covered]

@@ -127,7 +127,10 @@ def _emit_messages_part(df: pd.DataFrame) -> pa.Table:
 
 def _min_label_part(t: pa.Table) -> pa.Table:
     # Arrow-native per-round min fold (no pandas conversion in the CC
-    # loop's exchange; string min is a native Arrow group aggregate)
+    # loop's exchange; string min is a native Arrow group aggregate).
+    # Null keys dropped (previous pandas dropna=True semantics).
+    if t.column("node").null_count:
+        t = t.filter(pc.is_valid(t.column("node")))
     if t.num_rows == 0:
         return _MSG_SCHEMA.empty_table()
     g = t.group_by(["node"]).aggregate([("label", "min")])

@@ -973,7 +973,11 @@ def _bfs_emit_part(df: pd.DataFrame) -> pa.Table:
 
 def _bfs_min_part(t: pa.Table) -> pa.Table:
     # Arrow-native per-round min fold (runs once per BFS round per
-    # partition — no pandas conversion on the hot loop's exchange)
+    # partition — no pandas conversion on the hot loop's exchange).
+    # Null keys are DROPPED, preserving the previous pandas groupby
+    # (dropna=True) semantics — Arrow group_by would keep them.
+    if t.column("node_id").null_count:
+        t = t.filter(pc.is_valid(t.column("node_id")))
     if t.num_rows == 0:
         return _BFS_MSG_SCHEMA.empty_table()
     g = t.group_by(["node_id"]).aggregate([("dist", "min")])
@@ -4375,7 +4379,9 @@ def shortest_path_counts(
         coarse_partition_apply,
     )
 
-    seeds = [seed] if isinstance(seed, str) else list(seed)
+    # dedupe while preserving order: a repeated seed (e.g. a transit
+    # query whose s and t coincide) must not double sigma contributions
+    seeds = [seed] if isinstance(seed, str) else list(dict.fromkeys(seed))
     und = undirected_simple_edges(
         edges, src_col=src_col, dst_col=dst_col
     ).materialize()
@@ -4442,7 +4448,10 @@ def shortest_path_counts(
         )
 
         def part_sum(t: pa.Table, _sv=sv_schema) -> pa.Table:
-            # Arrow-native per-layer sum fold (one per DP round)
+            # Arrow-native per-layer sum fold (one per DP round); null
+            # keys dropped (previous pandas dropna=True semantics)
+            if t.column("node").null_count:
+                t = t.filter(pc.is_valid(t.column("node")))
             if t.num_rows == 0:
                 return _sv.empty_table()
             agg = t.group_by(["node"]).aggregate([("sigma", "sum")])

@@ -144,7 +144,12 @@ def trigram_model(ds: "object", *, text_col: str = "text"):
         for t in batch.column(text_col).to_pylist():
             s = (t or "").lower()
             if s:
-                bufs.append(np.frombuffer(s.encode("utf-32-le"), np.uint32))
+                # surrogatepass: lone surrogates (surrogateescape'd
+                # ingest) must count like any char, as the old per-char
+                # loop did — strict utf-32 would raise mid-task
+                bufs.append(np.frombuffer(
+                    s.encode("utf-32-le", "surrogatepass"), np.uint32
+                ))
             bufs.append(np.array([SENT, SENT], np.uint32))
         cp = np.concatenate(bufs) if bufs else np.array([], np.uint32)
         if len(cp) < 3:

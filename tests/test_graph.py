@@ -1214,3 +1214,24 @@ def test_shortest_path_counts_multi_source_semantics(ray_session):
     # b is 1 hop from both seeds: sigma = 1 (from a) + 1 (from c)
     assert got["a"] == (0, 1) and got["c"] == (0, 1)
     assert got["b"] == (1, 2)
+
+
+def test_shortest_path_counts_duplicate_seed(ray_session):
+    """A repeated seed (transit query where s == t) must not double
+    sigma contributions — seeds dedupe order-preserving."""
+    from semantic_search_system_ray.stages.graph import shortest_path_counts
+
+    e = pa.table({"src": ["a", "b"], "dst": ["b", "c"]})
+    single = sorted(
+        (r["node_id"], r["dist"], r["sigma"])
+        for r in shortest_path_counts(
+            "a", rd.from_arrow(e), radius=3, driver_threshold=10_000
+        ).take_all()
+    )
+    doubled = sorted(
+        (r["node_id"], r["dist"], r["sigma"])
+        for r in shortest_path_counts(
+            ["a", "a"], rd.from_arrow(e), radius=3, driver_threshold=10_000
+        ).take_all()
+    )
+    assert doubled == single
