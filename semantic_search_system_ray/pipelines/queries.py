@@ -1650,20 +1650,38 @@ def q_curation_e2e(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def verdict(g) -> pa.Table:  # g: pandas.DataFrame per hash group
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        win = int(ids.min())
-        win_contam = bool(g["contaminated"].to_numpy()[ids.argmin()])
+    def verdict_part(t: pa.Table) -> pa.Table:
+        # whole-PARTITION vectorized verdict (hash groups are mostly
+        # singletons — corpus-cardinality keys — so a per-group fn pays
+        # one Python call per doc; this pays one lexsort per partition):
+        # cluster rows by (hash, doc_id); the first row of each hash run
+        # is the min-doc_id winner, everything else is exact_dup
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        h = pc.dictionary_encode(
+            t.column("content_hash").combine_chunks()
+        ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        contam = t.column("contaminated").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        hs, iss, cs = h[order], ids[order], contam[order]
+        first = np.ones(len(hs), bool)
+        first[1:] = hs[1:] != hs[:-1]
         stage = np.where(
-            ids != win, "exact_dup",
-            "contaminated" if win_contam else "kept",
+            first, np.where(cs, "contaminated", "kept"), "exact_dup"
         )
         return pa.Table.from_pydict(
-            {"doc_id": ids, "stage": stage.astype(object)},
+            {"doc_id": iss, "stage": stage.astype(object)},
             schema=out_schema,
         )
 
-    survivors = coarse_grouped_apply(ok, ["content_hash"], verdict, out_schema)
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
+
+    survivors = coarse_partition_apply(
+        ok, ["content_hash"], verdict_part, out_schema, fn_format="pyarrow"
+    )
     return rejects.union(survivors)
 
 
