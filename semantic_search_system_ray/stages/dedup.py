@@ -222,6 +222,52 @@ def _bucket_pairs(g: "pd.DataFrame") -> pa.Table:
     )
 
 
+def _star_pairs_part(t: pa.Table) -> pa.Table:
+    """Whole-PARTITION star-pair emission (the vectorized replacement
+    for per-group ``_bucket_pairs``): LSH buckets are corpus-cardinality
+    keys — mostly singletons — so a per-group fn pays one Python call
+    per bucket. This pays ONE Arrow sort per partition: rows sort by
+    (band, band_hash, doc_id); run boundaries and within-run duplicate
+    docs fall out of vectorized adjacent-compare; each run's first doc
+    is the representative and every other distinct member emits one
+    (member, rep) star edge. Singleton buckets emit nothing (the old
+    ``min_group_size=2``)."""
+    n = t.num_rows
+    if n == 0:
+        return _PAIR_SCHEMA.empty_table()
+    srt = t.sort_by(
+        [("band", "ascending"), ("band_hash", "ascending"),
+         ("doc_id", "ascending")]
+    )
+    new_run = np.zeros(n, bool)
+    new_run[0] = True
+    for k in ("band", "band_hash"):
+        col = srt.column(k).combine_chunks()
+        new_run[1:] |= pc.not_equal(
+            col.slice(1), col.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+    doc = srt.column("doc_id").combine_chunks()
+    keep = new_run.copy()
+    keep[1:] |= pc.not_equal(
+        doc.slice(1), doc.slice(0, n - 1)
+    ).to_numpy(zero_copy_only=False)
+    rid = (np.cumsum(new_run) - 1)[keep]
+    docs_kept = doc.to_numpy(zero_copy_only=False)[keep]
+    k_ = len(docs_kept)
+    if k_ == 0:
+        return _PAIR_SCHEMA.empty_table()
+    first = np.ones(k_, bool)
+    first[1:] = rid[1:] != rid[:-1]
+    # index of each row's run-first via running max over first positions
+    first_idx = np.maximum.accumulate(np.where(first, np.arange(k_), 0))
+    members = ~first
+    return pa.Table.from_pydict(
+        {"src": pa.array(docs_kept[members], pa.string()),
+         "dst": pa.array(docs_kept[first_idx[members]], pa.string())},
+        schema=_PAIR_SCHEMA,
+    )
+
+
 def _bucket_all_pairs(g: "pd.DataFrame", cap: int = 64) -> pa.Table:
     """One LSH bucket → ALL candidate pairs (needed when the OUTPUT is the
     pair list, not clusters). Buckets above ``cap`` members fall back to
@@ -399,11 +445,11 @@ def minhash_lsh_clusters(
         fn_kwargs=dict(bands=bands, rows_per_band=rows_per_band),
     )
 
-    from semantic_search_system_ray.stages.util import coarse_grouped_apply
+    from semantic_search_system_ray.stages.util import coarse_partition_apply
 
-    candidates = coarse_grouped_apply(
-        banded, ["band", "band_hash"], _bucket_pairs, _PAIR_SCHEMA,
-        min_group_size=2,
+    candidates = coarse_partition_apply(
+        banded, ["band", "band_hash"], _star_pairs_part, _PAIR_SCHEMA,
+        fn_format="pyarrow",
     )
     # distinct BEFORE verify/CC: a near-dup family surfaces in EVERY band
     # (the planted-skew worst case emits ~bands× duplicate star edges —
@@ -1329,7 +1375,7 @@ def minhash_calibration(
     from semantic_search_system_ray.pipelines.kg_build import distinct_rows
     from semantic_search_system_ray.stages.util import (
         coarse_attach,
-        coarse_grouped_apply,
+        coarse_partition_apply,
     )
 
     rows_per_band = num_perm // bands
@@ -1375,9 +1421,9 @@ def minhash_calibration(
         )
 
     banded = docs.map_batches(band_rows, batch_format="pyarrow")
-    candidates = coarse_grouped_apply(
-        banded, ["band", "band_hash"], _bucket_pairs, _PAIR_SCHEMA,
-        min_group_size=2,
+    candidates = coarse_partition_apply(
+        banded, ["band", "band_hash"], _star_pairs_part, _PAIR_SCHEMA,
+        fn_format="pyarrow",
     )
     candidates = distinct_rows(
         candidates, ["src", "dst"], strategy="tree", out_blocks=8
