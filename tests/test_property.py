@@ -257,3 +257,58 @@ def test_benchmark_gram_matches_duckdb_parity_property(texts):
     }
     for i, txt in enumerate(texts):
         assert int(eng[i]) == sql[i], (txt, grams)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(max_size=4)),
+            st.one_of(st.none(), st.integers(-3, 3)),
+            st.integers(0, 100),
+        ),
+        max_size=60,
+    )
+)
+def test_key_group_slices_matches_pandas_groupby(rows):
+    """key_group_slices (the Arrow group splitter behind
+    fn_format='pyarrow') must partition rows EXACTLY like pandas
+    groupby(dropna=False): same group count, same multiset of
+    (key-tuple, size), every slice key-homogeneous, all rows covered —
+    for any mix of nulls, separator-prone strings and multi-type keys."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from semantic_search_system_ray.stages.util import key_group_slices
+
+    t = pa.table({
+        "a": pa.array([r[0] for r in rows], pa.string()),
+        "b": pa.array([r[1] for r in rows], pa.int64()),
+        "v": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    got = list(key_group_slices(t, ["a", "b"]))
+    # every slice is key-homogeneous
+    for g in got:
+        keys = set(zip(g.column("a").to_pylist(), g.column("b").to_pylist()))
+        assert len(keys) == 1
+    # rows fully covered, nothing duplicated
+    assert sum(g.num_rows for g in got) == t.num_rows
+    got_counts = sorted(
+        (str(g.column("a").to_pylist()[0]), str(g.column("b").to_pylist()[0]),
+         g.num_rows)
+        for g in got
+    )
+    if t.num_rows:
+        df = t.to_pandas()
+        exp_counts = sorted(
+            (str(k[0] if pd.notna(k[0]) else None),
+             str(int(k[1]) if pd.notna(k[1]) else None), len(g))
+            for k, g in df.groupby(["a", "b"], sort=False, dropna=False)
+        )
+        assert got_counts == exp_counts
+    else:
+        assert got == []
